@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side plumbing is real — binary columns, schema, Arrow-batched
+``mapInPandas`` with bounded batch sizes — while the actual media decode
+is stubbed (image/audio libraries are not in this container).  Swap
+``_decode_stub`` for a real decoder (PIL/torchaudio/ffmpeg) without
+touching the distribution strategy.
+
+Scale notes: media blobs ride in parquet binary columns; per-batch
+processing via mapInPandas keeps peak executor memory at
+(arrow batch size x mean blob size); feature extraction emits fixed-size
+vectors so downstream ops are columnar again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("content", BinaryType(), True),
+        StructField("mime_type", StringType(), True),
+        StructField("meta_json", StringType(), True),  # typed metadata as JSON
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("byte_len", LongType(), True),
+        StructField("content_sha256", StringType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Columnar (no-UDF) metadata over a binary column: byte length +
+    sha256 — the cheap pass that runs before any decode fan-out."""
+    c = F.col(content_col)
+    return df.withColumn("byte_len", F.octet_length(c).cast("bigint")).withColumn(
+        "content_sha256", F.sha2(c, 256)
+    )
+
+
+def _decode_stub(blob: bytes | None, modality: str, dim: int) -> list[float]:
+    """Deterministic fake feature vector (media libs unavailable here).
+
+    A real implementation decodes the blob (PIL.Image.open /
+    torchaudio.load / frame sampling) and runs feature extraction.
+    Raising ``NotImplementedError`` is the honest alternative; the
+    deterministic fake keeps the plumbing testable end-to-end.
+    """
+    if blob is None:
+        return [0.0] * dim
+    h = 2166136261
+    for b in blob[:256]:
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return [((h >> (i % 24)) & 0xFF) / 255.0 for i in range(dim)]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, batch_rows: int = 64
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary media columns.
+
+    ``mapInPandas`` so each Python worker sees bounded pandas batches;
+    the output is a fixed-width vector column ready for the similarity
+    operators (llmdata.similarity).
+    """
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # local import: runs on executors
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": [
+                        len(b) if b is not None else 0 for b in pdf["content"]
+                    ],
+                    "content_sha256": [
+                        hashlib.sha256(b).hexdigest() if b is not None else None
+                        for b in pdf["content"]
+                    ],
+                    "feature": [
+                        _decode_stub(b, m, dim)
+                        for b, m in zip(pdf["content"], pdf["modality"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter used in tests/benchmarks: treat document text bytes as an
+    opaque blob so the media plumbing is exercised on real testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.to_json(F.struct(F.col("n_chars"), F.col("lang"))).alias("meta_json"),
+    )

@@ -1,0 +1,315 @@
+"""LLM-data operator queries over documents/embeddings + DuckDB oracles.
+
+Determinism: all hashing is md5-derived; Jaccard/ratios are single
+exact divisions of integers; cosine similarities are rounded with a
+deterministic tie-break.  Every regexp_replace oracle uses the 'g' flag
+to match Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_management_python_spark.catalog import load_table
+from data_management_python_spark.llmdata import dedup, similarity, text
+from data_management_python_spark.llmdata.multimodal import (
+    attach_binary_metadata,
+    documents_as_media,
+)
+from data_management_python_spark.plans import Query
+
+QUERIES: list[Query] = []
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, fn=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+_SHINGLE_SQL = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(s)
+      WHERE len(t) >= 3
+    )
+"""
+
+
+@_q(
+    "d_exact_dedup",
+    """
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="exact dedup via content-hash groupBy: canonical survivor per "
+    "group (hash-groupBy; partial agg, no driver state)",
+)
+def d_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@_q(
+    "d_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_1, id_2,
+           CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_1
+    JOIN sizes nb ON nb.doc_id = id_2
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
+    """,
+    doc="near-dup pairs by word-3-gram Jaccard; candidates from the "
+    "shared-shingle bucket join (never all-pairs)",
+)
+def d_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@_q(
+    "d_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_SQL},
+    sig AS (
+      SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS minhash
+      FROM sh, UNNEST(generate_series(0, 15)) AS sd(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             STRING_AGG(minhash, '|' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash(16)+LSH(4 bands) candidate pairs — the scale path for "
+    "near-dup: banding bucket join replaces O(N^2); md5-derived hash "
+    "family, fully deterministic",
+)
+def d_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
+
+
+@_q(
+    "d_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, UNNEST(generate_series(0, 15)) AS b(bit)
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="16-bit SimHash per document (token multiplicity, md5-derived "
+    "token hashes); two partial-agg shuffles",
+)
+def d_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16).withColumnRenamed(
+        "doc_id", "doc_id"
+    )
+
+
+@_q(
+    "t_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_len,
+           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) AS avg_token_len
+    FROM documents
+    """,
+    doc="token counting + mean token length (whitespace tokenizer, "
+    "map-only pass)",
+)
+def t_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = text.token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_len"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@_q(
+    "t_quality",
+    """
+    SELECT doc_id,
+           ROUND(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                      x -> list_contains(['the','a','an','and','of','to','in','is','it'], x))) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) AS stopword_ratio,
+           CASE WHEN length(text) < 50 THEN 'short'
+                WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) > 0.1 THEN 'punct_heavy'
+                ELSE 'ok' END AS quality
+    FROM documents
+    """,
+    doc="document quality scoring: punctuation density, stopword ratio, "
+    "coarse bucket — all single exact divisions",
+)
+def t_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        text.quality_bucket("text").alias("quality"),
+    )
+
+
+_LANG_SCORE_SQL = ", ".join(
+    "len(list_filter(t, x -> list_contains([{}], x))) AS s_{}".format(
+        ",".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in sorted(text.LANG_MARKERS.items())
+)
+
+_LANG_CASE_SQL = (
+    "CASE WHEN m = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'"
+        for lang in sorted(text.LANG_MARKERS)
+    )
+    + " END"
+)
+
+
+@_q(
+    "t_langid",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, {_LANG_SCORE_SQL} FROM toks
+    ),
+    best AS (
+      SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scored
+    )
+    SELECT doc_id, lang, {_LANG_CASE_SQL} AS predicted_lang FROM best
+    """,
+    doc="marker-word language-ID heuristic (n-gram/stopword scoring; "
+    "map-only; alphabetical tie-break)",
+)
+def t_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", text.predict_lang("text").alias("predicted_lang")
+    )
+
+
+@_q(
+    "t_fingerprint",
+    """
+    SELECT doc_id,
+           substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 16) AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprint: md5 prefix over canonicalized text "
+    "(lowercase, strip non-alnum, collapse whitespace)",
+)
+def t_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+@_q(
+    "sim_cosine_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+    doc="brute-force cosine top-k ANN baseline: query side broadcast, "
+    "corpus streamed once; rounded score + id tie-break for determinism",
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+@_q(
+    "sim_lsh_ann",
+    None,  # bucket membership is fp-sign-sensitive; driver does rows-only
+    doc="LSH-bucketed ANN (random-hyperplane signatures, md5-derived "
+    "deterministic planes): the 100 TB scale path — bucket join instead "
+    "of cross product",
+)
+def sim_lsh_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_ann(emb, queries, "vec_id", "embedding", planes=8, k=3)
+
+
+@_q(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+    doc="multimodal binary-column plumbing: opaque blob + typed metadata "
+    "(byte length, sha256) computed columnar-side, no decode",
+)
+def mm_binary_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return attach_binary_metadata(media).select(
+        F.col("media_id").alias("doc_id"), "byte_len", "content_sha256"
+    )

@@ -1,0 +1,92 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side) — these run per-document over
+100 TB corpora, so no Python UDFs: tokenization is ``split``,
+hashes are ``md5``/``xxhash64``, ratios are single exact divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword sets per language for the heuristic lang-id.
+# Deterministic and SQL-expressible; a production system would swap in
+# fastText-style models via mapInPandas (see multimodal.py for the
+# pattern).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (single exact division)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[.,!?;:]")).cast("double") / F.length(c)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords — quality-score component."""
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def quality_bucket(text: Column | str, min_chars: int = 50) -> Column:
+    """Coarse quality label from length + punctuation density."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(F.length(c) < min_chars, F.lit("short"))
+        .when(punct_ratio(c) > 0.1, F.lit("punct_heavy"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def predict_lang(text: Column | str) -> Column:
+    """Marker-word lang-id heuristic: the language with the most marker
+    hits wins (ties broken by language code order). Pure expressions —
+    scales as a map-only pass."""
+    toks = tokens(text)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append((lang, score))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties
+    for lang, score in reversed(scores):
+        best_lang = F.when(score >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(score, best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " ")
+    )
+
+
+def fingerprint(text: Column | str, hex_len: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 prefix of normalized text."""
+    return F.substring(F.md5(normalize_text(text)), 1, hex_len)

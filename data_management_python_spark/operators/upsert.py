@@ -1,0 +1,110 @@
+"""Mutation operators — upsert/merge/delete semantics (SURVEY §2.8).
+
+The reference mutates MySQL rows inside an ORM session (create_or_update
+collection attributes, collectionadaptor.py:101-261; pipeline-seed state
+machine, pipelineadaptor.py:293-494; cascade deletes,
+collectionadaptor.py:694-860).  On a lake there is no in-place row
+update, so the same semantics are expressed as *dataframe merges* that a
+caller persists atomically (Delta MERGE where available; in this
+environment, parquet overwrite-by-partition).  All merges are pure
+DataFrame plans — idempotent, re-runnable, and shuffle-only-on-key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    on: Sequence[str],
+    update_columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """MERGE: matched target rows take the update's values; unmatched
+    updates are inserted; untouched target rows pass through.
+
+    Equivalent to Delta ``WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``
+    (reference M3/M4/M5).  When ``update_columns`` is given, only those
+    columns are overwritten on match; otherwise the whole row is
+    replaced.  Column set of the result == column set of ``target``.
+    """
+    keys = list(on)
+    if update_columns is None:
+        missing = [c for c in target.columns if c not in updates.columns]
+        upd = updates
+        for c in missing:
+            upd = upd.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
+        replaced = target.join(updates.select(*keys), on=keys, how="left_anti")
+        return replaced.unionByName(upd.select(*target.columns))
+
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in update_columns]
+    )
+    merged = target.join(upd, on=keys, how="left")
+    for c in update_columns:
+        merged = merged.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    merged = merged.drop(*[f"__new_{c}" for c in update_columns])
+    inserts = updates.join(target.select(*keys), on=keys, how="left_anti")
+    for c in target.columns:
+        if c not in inserts.columns:
+            inserts = inserts.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
+    return merged.unionByName(inserts.select(*target.columns))
+
+
+def insert_if_absent(
+    target: DataFrame, candidates: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """Exactly-once seeding: insert only keys not already present.
+
+    Reference: pipeline_seed uniq(pipeline, seed, table) + anti-join on
+    already-seeded (pipelineadaptor.py:523-569).
+    """
+    fresh = candidates.join(target.select(*on), on=list(on), how="left_anti")
+    return target.unionByName(fresh.select(*target.columns))
+
+
+def transition_status(
+    seeds: DataFrame,
+    key_cols: Sequence[str],
+    changes: DataFrame,
+    status_col: str = "status",
+    allowed: dict[str, set[str]] | None = None,
+) -> DataFrame:
+    """Pipeline-seed state machine: apply (key -> new_status) changes,
+    optionally enforcing the SEEDED→RUNNING→FINISHED/FAILED transitions
+    (pipelineadaptor.py:357-494).  ``changes`` must carry key_cols +
+    ``new_status``.
+    """
+    merged = seeds.join(changes, on=list(key_cols), how="left")
+    new = F.col("new_status")
+    if allowed:
+        cond = F.lit(False)
+        for frm, tos in allowed.items():
+            cond = cond | ((F.col(status_col) == frm) & new.isin(list(tos)))
+        new = F.when(cond, new).otherwise(F.lit(None))
+    return (
+        merged.withColumn(status_col, F.coalesce(new, F.col(status_col)))
+        .drop("new_status")
+    )
+
+
+def cascade_delete(
+    parents: DataFrame,
+    children: DataFrame,
+    on: Sequence[str],
+    delete_parents_keys: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """FK-ordered delete: drop parent keys and their child rows.
+
+    Emulates the reference's ordered deletes (remove file +
+    collection_group rows, fileadaptor.py:184-216;
+    collectionadaptor.py:694-860).  Returns (parents', children').
+    """
+    keys = list(on)
+    kept_parents = parents.join(delete_parents_keys, on=keys, how="left_anti")
+    kept_children = children.join(delete_parents_keys, on=keys, how="left_anti")
+    return kept_parents, kept_children

@@ -1,0 +1,1063 @@
+"""SURVEY §2 operator inventory as queries over the synthetic star schema.
+
+Each query is the Spark-first re-expression of a reference operator
+(cited per query), run against ``/root/testdata/sf*`` tables, with a
+DuckDB oracle that must hash-match (same column names, same types, same
+values).  Determinism rules used throughout:
+
+  - aggregated doubles are ``round(x, k)`` on BOTH sides (partial-agg
+    addition order differs between engines);
+  - min/max/count are exact — preferred where semantics allow;
+  - every collect_list-style agg is sorted before joining to a string;
+  - top-k queries always carry a unique tie-break key.
+
+Scale notes: dims (region/nation/supplier) are broadcast; fact-fact
+joins shuffle on their join key only; all aggregates are
+partial-aggregation shapes; every scan projects only needed columns so
+parquet column pruning applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from data_management_python_spark.catalog import load_table
+from data_management_python_spark.eav import melt_attributes, unmelt_attributes
+from data_management_python_spark.functions import sanitize_sample_name
+from data_management_python_spark.operators.aggregates import (
+    concat_agg,
+    duplicate_rows,
+    group_pass_fail,
+    pivot_sum,
+)
+from data_management_python_spark.operators.filters import (
+    build_predicate,
+    filter_case_insensitive,
+)
+from data_management_python_spark.operators.joins import (
+    anti_join,
+    semi_join,
+    tag_existing,
+)
+from data_management_python_spark.operators.upsert import (
+    insert_if_absent,
+    merge_upsert,
+)
+from data_management_python_spark.plans import Query
+
+QUERIES: list[Query] = []
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, fn=fn, oracle=oracle, doc=doc))
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# J1 + A1 — flagship: multi-way star join + grouped aggregate
+# (reference: get_project_read_count 5-hop join, projectutils.py:46-71)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "j1_readcount_multiway",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           MAX(o_totalprice) AS max_order_price
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+    doc="5-way star join + status filter + grouped agg (J1/A1; "
+    "projectutils.py:46-71). Dims broadcast; fact join shuffles on "
+    "orderkey/custkey only.",
+)
+def j1_readcount_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderstatus") == "F")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = T(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.max("o_totalprice").alias("max_order_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "p1_eq_filter",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="single-column equality filter pushed to the scan (P1; "
+    "fetch_records_by_column, baseadaptor.py:450-475)",
+)
+def p1_eq_filter(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@_q(
+    "p2_conjunctive_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+      AND l_quantity > 25 AND l_discount <= 0.05
+    """,
+    doc="multi-column conjunctive filter (P2; "
+    "fetch_records_by_multiple_column, baseadaptor.py:478-504)",
+)
+def p2_conjunctive_filter(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_quantity") > 25)
+            & (F.col("l_discount") <= 0.05)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+
+
+@_q(
+    "p3_predicate_builder",
+    """
+    SELECT p_partkey, p_name, p_type, p_size
+    FROM part
+    WHERE p_size >= 10 AND p_size <= 20
+      AND p_type IN ('ECONOMY', 'SMALL')
+      AND p_name LIKE '%ol%'
+    """,
+    doc="generic 3-tuple predicate builder -> conjunctive Column (P3; "
+    "_construct_query, baseadaptor.py:385-418, extended op set)",
+)
+def p3_predicate_builder(spark, sf_dir):
+    pred = build_predicate(
+        [
+            ("p_size", ">=", 10),
+            ("p_size", "<=", 20),
+            ("p_type", "in", ["ECONOMY", "SMALL"]),
+            ("p_name", "like", "%ol%"),
+        ]
+    )
+    return T(spark, sf_dir, "part").filter(pred).select(
+        "p_partkey", "p_name", "p_type", "p_size"
+    )
+
+
+@_q(
+    "p4_in_filter",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+    doc="IN-list filter (P4; sampleadaptor.py:227-251)",
+)
+def p4_in_filter(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_q(
+    "p5_notin_anti_filter",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="NOT-IN subquery as left_anti join (P5/J4; "
+    "pipelineadaptor.py:544-548)",
+)
+def p5_notin_anti_filter(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, on="c_custkey")
+
+
+@_q(
+    "p6_null_disjunction",
+    """
+    SELECT c_custkey, o_orderkey, o_orderstatus
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'P' OR o_orderstatus IS NULL
+    """,
+    doc="NULL-tolerant disjunction after outer join (P6; "
+    "project_pooling_info.py:66-68)",
+)
+def p6_null_disjunction(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter((F.col("o_orderstatus") == "P") | F.col("o_orderstatus").isNull())
+        .select("c_custkey", "o_orderkey", "o_orderstatus")
+    )
+
+
+@_q(
+    "p7_like_prefix",
+    """
+    SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'small%'
+    """,
+    doc="LIKE prefix filter (P7; collectionadaptor.py:817)",
+)
+def p7_like_prefix(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@_q(
+    "p10_case_insensitive_filter",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE UPPER(c_mktsegment) IN ('BUILDING')
+    """,
+    doc="case-insensitive include filter (P10; "
+    "SampleSheet.filter_sample_data, samplesheet.py:662-694)",
+)
+def p10_case_insensitive_filter(spark, sf_dir):
+    df = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return filter_case_insensitive(df, "c_mktsegment", ["building"], include=True)
+
+
+@_q(
+    "p11_projection_cast",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    """,
+    doc="column pruning + casts + arithmetic (P11/F13; "
+    "baseadaptor.py:164-184; project_pooling_info.py:73)",
+)
+def p11_projection_cast(spark, sf_dir):
+    return T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charged"),
+    )
+
+
+@_q(
+    "p13_na_fill",
+    """
+    SELECT c_custkey,
+           COALESCE(o_orderpriority, 'NONE') AS priority_filled,
+           COALESCE(o_totalprice, 0.0) AS price_filled
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    doc="fillna after outer join (P13; baseadaptor.py:39,140; "
+    "project_data_display_utils.py:79,98)",
+)
+def p13_na_fill(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("priority_filled"),
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "j2_join_distinct",
+    """
+    SELECT DISTINCT c_nationkey, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    """,
+    doc="inner join + DISTINCT projection (J2; projectutils.py:109-127)",
+)
+def j2_join_distinct(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_nationkey", "o_orderpriority")
+        .distinct()
+    )
+
+
+@_q(
+    "j3_leftouter_group_agg",
+    """
+    SELECT c_custkey,
+           MAX(o_totalprice) AS max_price,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="left-outer multi-way join + group agg w/ max+sum (J3/A1; "
+    "project_pooling_info.py:55-69)",
+)
+def j3_leftouter_group_agg(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "j4_anti_join_seeding",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_custkey NOT IN (SELECT user_id FROM events)
+    """,
+    doc="exactly-once seeding anti-join: orders not yet seen in events "
+    "registry (J4; seed_new_seqruns, pipelineadaptor.py:533-548)",
+)
+def j4_anti_join_seeding(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    seen = T(spark, sf_dir, "events").select(F.col("user_id").alias("o_custkey"))
+    return anti_join(o, seen, on="o_custkey")
+
+
+@_q(
+    "j5_semi_join",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    """,
+    doc="IN-subquery as left_semi join (J5; "
+    "analysis_fastq_fetch_utils.py:97-112)",
+)
+def j5_semi_join(spark, sf_dir):
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return semi_join(p, li, on="p_partkey")
+
+
+@_q(
+    "j6_nonfk_equi_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS pair_count
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    GROUP BY c_nationkey
+    """,
+    doc="non-FK equi-join on a computed/convention key (J6; "
+    "Collection.name == Run.run_igf_id, pipelineadaptor.py:614-615)",
+)
+def j6_nonfk_equi_join(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_nationkey")
+    return (
+        c.join(broadcast(s), c.c_nationkey == s.s_nationkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+@_q(
+    "j8_exists_tag",
+    """
+    SELECT c_custkey,
+           EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+    FROM customer
+    """,
+    doc="existence check as a decoration column (J8/M6; "
+    "check_project_and_sample sampleadaptor.py:252-281; "
+    "_tag_existing_collection_data collectionadaptor.py:485-522)",
+)
+def j8_exists_tag(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return tag_existing(c, o, on="c_custkey", tag_col="has_orders")
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a1_group_max_sum",
+    """
+    SELECT o_custkey,
+           MAX(o_totalprice) AS max_price,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="group-by with max+sum (A1; project_pooling_info.py:58-69)",
+)
+def a1_group_max_sum(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "a2_grouped_sum_multikey",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="pivot_table-style sum over composite key (A2; "
+    "check_sequence_index_barcodes.py:153-155)",
+)
+def a2_grouped_sum_multikey(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@_q(
+    "a3_pivot_matrix",
+    """
+    SELECT c_mktsegment,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS "1-URGENT",
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '2-HIGH'), 2) AS "2-HIGH",
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '3-MEDIUM'), 2) AS "3-MEDIUM",
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 2) AS "4-NOT SPECIFIED",
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2) AS "5-LOW",
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="pivot to wide matrix + per-row total (A3; read-count matrix "
+    "rows=sample cols=flowcell, project_data_display_utils.py:60-120). "
+    "Explicit pivot values skip the distinct-scan at scale.",
+)
+def a3_pivot_matrix(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    joined = c.join(o, c.c_custkey == o.o_custkey)
+    wide = pivot_sum(
+        joined,
+        row_key="c_mktsegment",
+        pivot_col="o_orderpriority",
+        value_col="o_totalprice",
+        pivot_values=_PRIORITIES,
+        add_total=True,
+    )
+    cols = [F.col("c_mktsegment")]
+    cols += [F.round(F.col(f"`{p}`"), 2).alias(p) for p in _PRIORITIES]
+    cols += [F.round(F.col("total"), 2).alias("total")]
+    return wide.select(*cols)
+
+
+@_q(
+    "a5_minmax_gate",
+    """
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) * 10 < MAX(o_totalprice) AS wide_spread
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="per-group min/max scalars as a validation gate (A5; "
+    "check_sequence_index_barcodes.py:225-233)",
+)
+def a5_minmax_gate(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (F.min("o_totalprice") * 10 < F.max("o_totalprice")).alias("wide_spread"),
+        )
+    )
+
+
+@_q(
+    "a6_pass_fail_report",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE c_acctbal > 0) AS pass_count,
+           COUNT(*) FILTER (WHERE NOT (c_acctbal > 0)) AS fail_count,
+           COALESCE(list_aggregate(list_sort(list(DISTINCT c_name) FILTER (WHERE NOT (c_acctbal > 0))), 'string_agg', ';'), '') AS failed_list
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="per-group pass/fail counting + failed-member list (A6; "
+    "project_pooling_info.py:78-121)",
+)
+def a6_pass_fail_report(spark, sf_dir):
+    df = T(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal", "c_name")
+    return group_pass_fail(
+        df,
+        group_cols=["c_mktsegment"],
+        pass_condition=F.col("c_acctbal") > 0,
+        sample_col="c_name",
+    )
+
+
+@_q(
+    "a8_distinct",
+    """
+    SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+    """,
+    doc="DISTINCT projection (A8; projectutils.py:112)",
+)
+def a8_distinct(spark, sf_dir):
+    return T(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+@_q(
+    "a10_duplicate_detection",
+    """
+    SELECT l_orderkey, l_partkey, COUNT(*) AS dup_count
+    FROM lineitem GROUP BY l_orderkey, l_partkey HAVING COUNT(*) > 1
+    """,
+    doc="duplicate-group detection, group size > 1 (A10; "
+    "metadata_validation.py:69-189)",
+)
+def a10_duplicate_detection(spark, sf_dir):
+    return duplicate_rows(
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        key_columns=["l_orderkey", "l_partkey"],
+    )
+
+
+@_q(
+    "a11_length_histogram",
+    """
+    SELECT CAST(LENGTH(p_name) AS INT) AS name_len, COUNT(*) AS n
+    FROM part GROUP BY 1
+    """,
+    doc="value-length histogram (A11; SampleSheet.get_index_count, "
+    "samplesheet.py:263-285)",
+)
+def a11_length_histogram(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "part")
+        .groupBy(F.length("p_name").cast("int").alias("name_len"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "a12_concat_agg",
+    """
+    SELECT c_nationkey,
+           list_aggregate(list_sort(list(DISTINCT c_mktsegment)), 'string_agg', ';') AS c_mktsegment_list
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="';'.join string-concat aggregate, sorted for determinism (A12; "
+    "experiment_metadata_updator.py:33-37)",
+)
+def a12_concat_agg(spark, sf_dir):
+    return concat_agg(
+        T(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment"),
+        key_columns=["c_nationkey"],
+        value_col="c_mktsegment",
+        sep=";",
+    )
+
+
+@_q(
+    "a15_count_distinct",
+    """
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="per-group distinct count (A15/A8; "
+    "dag22_bclconvert_demult_utils.py:4878-4897)",
+)
+def a15_count_distinct(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "o2_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+    doc="top-k by measure with deterministic tie-break (O2/O4; "
+    "check_sequence_index_barcodes.py:70-71; metadata_validation.py:587-589)",
+)
+def o2_topk(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+    )
+
+
+@_q(
+    "o5_window_min_truncate",
+    """
+    SELECT c_custkey,
+           SUBSTRING(c_name, 1, MIN(CAST(LENGTH(c_name) AS INT)) OVER (PARTITION BY c_mktsegment)) AS truncated_name
+    FROM customer
+    """,
+    doc="min-length per group then truncate-all (O5; "
+    "samplesheet_utils.py:90-102) — as a window min, the reference's "
+    "only window-shaped computation",
+)
+def o5_window_min_truncate(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment")
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "substring(c_name, 1, min(cast(length(c_name) as int)) over (partition by c_mktsegment))"
+        ).alias("truncated_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U — set operations
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "u1_union_all",
+    """
+    SELECT o_orderkey AS key, o_totalprice AS amount, 'order' AS src FROM orders
+    UNION ALL
+    SELECT l_orderkey AS key, l_extendedprice AS amount, 'line' AS src
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    doc="UNION ALL of heterogeneous frames (U1; pd.concat, "
+    "check_sequence_index_barcodes.py:81,115,151)",
+)
+def u1_union_all(spark, sf_dir):
+    a = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    b = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.col("l_extendedprice").alias("amount"),
+            F.lit("line").alias("src"),
+        )
+    )
+    return a.unionByName(b)
+
+
+@_q(
+    "u2_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="EXCEPT set difference (U2; metadata_validation.py:541-543)",
+)
+def u2_except(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# F — scalar function packs
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "f_string_pack",
+    """
+    SELECT p_partkey,
+           REVERSE(TRANSLATE(UPPER(p_name), 'ACGT', 'TGCA')) AS revcomp_name,
+           REGEXP_REPLACE(REGEXP_REPLACE(p_name, '[^A-Za-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS sanitized,
+           CONCAT_WS('_', p_brand, CAST(p_size AS VARCHAR)) AS synthetic_id,
+           UPPER(p_type) AS type_upper,
+           SPLIT_PART(p_name, ' ', 1) AS first_word
+    FROM part
+    """,
+    doc="string scalar pack: rev_comp translate+reverse (F1, "
+    "sequtils.py:3-14), sanitize (F7, reformat_metadata_file.py:295-347), "
+    "id synthesis (F5), upper/split (F8)",
+)
+def f_string_pack(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse(F.translate(F.upper("p_name"), "ACGT", "TGCA")).alias("revcomp_name"),
+        sanitize_sample_name("p_name").alias("sanitized"),
+        F.concat_ws("_", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "synthetic_id"
+        ),
+        F.upper("p_type").alias("type_upper"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+@_q(
+    "f_math_pack",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LOG2(l_quantity + 1), 6) AS log_qty,
+           l_extendedprice / (l_quantity + 1) AS unit_ish,
+           l_extendedprice / (1024.0 * 1024 * 1024) AS price_gb,
+           CAST(l_quantity AS BIGINT) - 120 AS insert_len
+    FROM lineitem
+    """,
+    doc="math scalar pack: log2 (F9, check_sequence_index_barcodes.py:152), "
+    "ratio (F10), GB conversion (F12), insert-length (F11)",
+)
+def f_math_pack(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log2(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        (F.col("l_extendedprice") / (F.col("l_quantity") + 1)).alias("unit_ish"),
+        (F.col("l_extendedprice") / F.lit(1024.0**3)).alias("price_gb"),
+        (F.col("l_quantity").cast("bigint") - 120).alias("insert_len"),
+    )
+
+
+@_q(
+    "f_date_pack",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           CAST(MONTH(o_orderdate) AS INT) AS o_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           STRFTIME(o_orderdate, '%y%m%d') AS yymmdd,
+           CAST(STRPTIME(STRFTIME(o_orderdate, '%y%m%d'), '%y%m%d') AS DATE) AS parsed_back
+    FROM orders
+    """,
+    doc="date scalar pack: seqrun yymmdd parse round-trip with strptime "
+    "century pivot (F6, seqrunutils.py:23-41), date_format labels (F18)",
+)
+def f_date_pack(spark, sf_dir):
+    from data_management_python_spark.functions import parse_yymmdd
+
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyMMdd").alias("yymmdd"),
+        parse_yymmdd(F.date_format("o_orderdate", "yyMMdd")).alias("parsed_back"),
+    )
+
+
+@_q(
+    "f_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="JSON cell decode (F15/S6; datatype.py:22-36 JSONType; "
+    "get_json_object analog)",
+)
+def f_json_extract(spark, sf_dir):
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EAV melt / unmelt
+# ---------------------------------------------------------------------------
+
+_EAV_MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@_q(
+    "eav_melt",
+    """
+    SELECT l_orderkey, l_linenumber, attribute_name, attribute_value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS attribute_name,
+             CAST(l_quantity AS VARCHAR) AS attribute_value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS VARCHAR) FROM lineitem
+    )
+    WHERE attribute_value IS NOT NULL AND attribute_value <> ''
+    """,
+    doc="wide -> EAV melt (divide_data_to_table_and_attribute, "
+    "baseadaptor.py:148-195) via native unpivot",
+)
+def eav_melt(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *_EAV_MEASURES
+    )
+    _, eav = melt_attributes(
+        li,
+        key_columns=["l_orderkey", "l_linenumber"],
+        table_columns=[],
+    )
+    return eav
+
+
+_UNMELT_ATTRS = ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+
+
+@_q(
+    "eav_unmelt",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+           CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+           CAST(o_totalprice AS VARCHAR) AS o_totalprice
+    FROM orders
+    """,
+    doc="EAV -> wide unmelt via pivot(first) with explicit value list "
+    "(get_attributes_by_dbid, baseadaptor.py:507-539); round-trips "
+    "orders through melt then back to wide",
+)
+def eav_unmelt(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", *_UNMELT_ATTRS)
+    _, eav = melt_attributes(o, key_columns=["o_orderkey"], table_columns=[])
+    wide = unmelt_attributes(eav, parent_key="o_orderkey", attribute_names=_UNMELT_ATTRS)
+    return wide.select("o_orderkey", *_UNMELT_ATTRS)
+
+
+# ---------------------------------------------------------------------------
+# M — merge / upsert semantics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "m3_merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ), upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT t.o_orderkey,
+           COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM target t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+    UNION ALL
+    SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice
+    FROM upd u WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = u.o_orderkey)
+    """,
+    doc="MERGE upsert: matched update + unmatched insert (M3/M5; "
+    "create_or_update_collection_attributes, collectionadaptor.py:101-261)",
+)
+def m3_merge_upsert(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 3 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    return merge_upsert(
+        target, updates, on=["o_orderkey"],
+        update_columns=["o_orderstatus", "o_totalprice"],
+    )
+
+
+@_q(
+    "m4_insert_if_absent",
+    """
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer t WHERE t.c_custkey % 2 = 0 AND t.c_custkey = c.c_custkey
+    )
+    """,
+    doc="exactly-once seeding: insert-if-absent (M4/J4; "
+    "pipelineadaptor.py:523-569)",
+)
+def m4_insert_if_absent(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    target = c.filter(F.col("c_custkey") % 2 == 0)
+    return insert_if_absent(target, c, on=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# E — event/incremental semantics (§2.9)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "e_tumbling_window",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling event-time window aggregate — batch equivalent of the "
+    "Structured Streaming windowed agg used for incremental processing "
+    "(§2.9; no event-time windows exist in the reference itself)",
+)
+def e_tumbling_window(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "e_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="sessionization via gap detection (lag + running sum) — the "
+    "session-window streaming analog expressed with window functions",
+)
+def e_sessionize(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > 1800 * 1_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@_q(
+    "e_incremental_discovery",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 10 < 8)
+    """,
+    doc="incremental discovery: new items = all minus already-registered "
+    "(§2.9; check_seqrun_dir_in_db, find_and_process_new_seqrun.py:186-211)",
+)
+def e_incremental_discovery(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type")
+    registry = ev.filter(F.col("event_id") % 10 < 8).select("event_id")
+    return anti_join(ev, registry, on="event_id")

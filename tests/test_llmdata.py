@@ -1,0 +1,119 @@
+"""Tests for LLM-data operators: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_management_python_spark.llmdata import dedup, similarity, text
+from data_management_python_spark.llmdata.multimodal import (
+    attach_binary_metadata,
+    documents_as_media,
+    extract_features,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content with zero overlap here"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = dedup.exact_dedup_groups(docs_df(spark), "doc_id", "text").collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1 and 4 collapse, min id survives
+    assert len(out) == 3
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs_df(spark), "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    found = {(r.id_1, r.id_2) for r in pairs}
+    assert (1, 4) in found  # identical docs: jaccard 1.0
+    assert (1, 2) in found  # one-word difference: high overlap
+    j = {(r.id_1, r.id_2): r.jaccard for r in pairs}
+    assert j[(1, 4)] == 1.0
+    assert all(p[0] != 3 and p[1] != 3 for p in found)
+
+
+def test_minhash_lsh_candidates(spark):
+    cands = dedup.lsh_candidate_pairs(
+        docs_df(spark), "doc_id", "text", n=3, num_hashes=16, bands=4
+    ).collect()
+    found = {(r.id_1, r.id_2) for r in cands}
+    assert (1, 4) in found  # identical docs always share all bands
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r.doc_id: r.simhash for r in
+           dedup.simhash(docs_df(spark), "doc_id", "text", bits=16).collect()}
+    assert out[1] == out[4]  # identical docs -> identical simhash
+    # near-dup pair differs in few bits; unrelated doc differs in more
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(out[1], out[2]) <= hamming(out[1], out[3])
+
+
+def test_cosine_topk_identical_vector_first(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(emb, q, k=2).collect()
+    assert out[0].neighbor_id == 1 and abs(out[0].cos_sim - 1.0) < 1e-9
+    assert out[1].neighbor_id == 3
+
+
+def test_lsh_ann_bucket_recall_of_identical(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)] * 2)
+         for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.lsh_ann(emb, q, planes=4, k=3).collect()
+    # identical-direction vectors (3, 6) land in the same bucket
+    ids = {r.neighbor_id for r in out}
+    assert {3, 6} <= ids
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, in a house!")], "doc_id long, text string"
+    )
+    r = df.select(
+        text.token_count("text").alias("n"),
+        F.round(text.punct_ratio("text"), 3).alias("p"),
+        text.quality_bucket("text").alias("q"),
+        text.predict_lang("text").alias("lang"),
+        text.fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert r.n == 8
+    assert r.q == "short"
+    assert r.lang == "en"
+    assert len(r.fp) == 16
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", 11)], "doc_id long, text string, lang string, n_chars long"
+    )
+    media = documents_as_media(docs)
+    meta = attach_binary_metadata(media).collect()[0]
+    assert meta.byte_len == 11
+    assert len(meta.content_sha256) == 64
+    feats = extract_features(media, dim=8).collect()[0]
+    assert len(feats.feature) == 8
+    assert feats.byte_len == 11

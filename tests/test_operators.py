@@ -1,0 +1,211 @@
+"""Unit tests for the relational operator layer — small literal frames,
+mirroring the reference's adaptor-test pattern
+(test/dbadaptor/sampleadaptor_test.py style: load fixtures, assert on
+fetched values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_management_python_spark.eav import (
+    attribute_value_of,
+    melt_attributes,
+    unmelt_attributes,
+)
+from data_management_python_spark.operators.filters import (
+    build_predicate,
+    filter_by_columns,
+    filter_case_insensitive,
+)
+from data_management_python_spark.operators.joins import (
+    anti_join,
+    exists,
+    resolve_foreign_key,
+    semi_join,
+    tag_existing,
+)
+from data_management_python_spark.operators.aggregates import (
+    concat_agg,
+    duplicate_rows,
+    pivot_sum,
+)
+from data_management_python_spark.operators.upsert import (
+    cascade_delete,
+    insert_if_absent,
+    merge_upsert,
+    transition_status,
+)
+
+
+def test_build_predicate(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 5), (2, "B", 15), (3, "A", 25)], "id int, cat string, v int"
+    )
+    out = df.filter(build_predicate([("cat", "==", "A"), ("v", ">", 10)])).collect()
+    assert [r.id for r in out] == [3]
+
+
+def test_filter_by_columns_in_list(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id int, s string")
+    out = filter_by_columns(df, s=["x", "z"]).collect()
+    assert sorted(r.id for r in out) == [1, 3]
+
+
+def test_filter_case_insensitive(spark):
+    df = spark.createDataFrame([(1, "10X"), (2, "10x"), (3, "WGS")], "id int, d string")
+    inc = filter_case_insensitive(df, "d", ["10x"], include=True)
+    exc = filter_case_insensitive(df, "d", ["10x"], include=False)
+    assert inc.count() == 2 and exc.count() == 1
+
+
+def test_anti_semi_exists(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    assert sorted(r.k for r in anti_join(left, right, "k").collect()) == [1]
+    assert sorted(r.k for r in semi_join(left, right, "k").collect()) == [2, 3]
+    assert exists(left, right, "k") is True
+    assert exists(left, spark.createDataFrame([(9,)], "k int"), "k") is False
+
+
+def test_resolve_foreign_key(spark):
+    data = spark.createDataFrame(
+        [("IGFP1", "s1"), ("IGFP2", "s2")], "project_igf_id string, sample string"
+    )
+    dim = spark.createDataFrame(
+        [("IGFP1", 10), ("IGFP2", 20)], "project_igf_id string, project_id long"
+    )
+    out = resolve_foreign_key(data, dim, "project_igf_id", "project_id")
+    assert sorted((r.sample, r.project_id) for r in out.collect()) == [
+        ("s1", 10),
+        ("s2", 20),
+    ]
+
+
+def test_resolve_foreign_key_required_raises(spark):
+    data = spark.createDataFrame([("MISSING", "s1")], "k string, sample string")
+    dim = spark.createDataFrame([("IGFP1", 10)], "k string, id long")
+    try:
+        resolve_foreign_key(data, dim, "k", "id", required=True)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_tag_existing(spark):
+    data = spark.createDataFrame([("a",), ("b",)], "name string")
+    existing = spark.createDataFrame([("a",)], "name string")
+    out = {r.name: r.EXISTS for r in tag_existing(data, existing, "name").collect()}
+    assert out == {"a": True, "b": False}
+
+
+def test_eav_melt_unmelt_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [(1, "P1", "ACTIVE", "42", None), (2, "P2", "FAILED", "7", "x")],
+        "project_id long, project_igf_id string, status string, "
+        "R1_READ_COUNT string, extra string",
+    )
+    main, eav = melt_attributes(
+        wide,
+        key_columns=["project_id"],
+        table_columns=["project_igf_id", "status"],
+    )
+    assert set(main.columns) == {"project_id", "project_igf_id", "status"}
+    # NULL attribute values are pruned (reference baseadaptor.py:39)
+    names = {(r.project_id, r.attribute_name) for r in eav.collect()}
+    assert (1, "extra") not in names and (2, "extra") in names
+    back = unmelt_attributes(
+        eav, "project_id", attribute_names=["R1_READ_COUNT", "extra"]
+    )
+    row = {r.project_id: r for r in back.collect()}
+    assert row[1].R1_READ_COUNT == "42" and row[1].extra is None
+
+    one = attribute_value_of(eav, "project_id", "R1_READ_COUNT")
+    assert {(r.project_id, r.R1_READ_COUNT) for r in one.collect()} == {
+        (1, "42"),
+        (2, "7"),
+    }
+
+
+def test_duplicate_rows(spark):
+    df = spark.createDataFrame(
+        [("1", "AAA"), ("1", "AAA"), ("2", "CCC")], "lane string, idx string"
+    )
+    dups = duplicate_rows(df, ["lane", "idx"]).collect()
+    assert len(dups) == 1 and dups[0].dup_count == 2
+
+
+def test_pivot_sum_with_total(spark):
+    df = spark.createDataFrame(
+        [("s1", "FC1", 10), ("s1", "FC2", 5), ("s2", "FC1", 7)],
+        "sample string, flowcell string, reads int",
+    )
+    out = pivot_sum(df, "sample", "flowcell", "reads", pivot_values=["FC1", "FC2"])
+    rows = {r.sample: r for r in out.collect()}
+    assert rows["s1"].total == 15 and rows["s2"].total == 7
+    assert rows["s2"].FC2 is None
+
+
+def test_concat_agg_sorted(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "b")], "k int, v string"
+    )
+    out = concat_agg(df, ["k"], "v").collect()
+    assert out[0].v_list == "a;b"
+
+
+def test_merge_upsert_update_and_insert(spark):
+    target = spark.createDataFrame(
+        [(1, "SEEDED", 1.0), (2, "RUNNING", 2.0)], "id long, status string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "FINISHED", 2.5), (3, "SEEDED", 3.0)], "id long, status string, v double"
+    )
+    out = {r.id: r for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out[1].status == "SEEDED"
+    assert out[2].status == "FINISHED" and out[2].v == 2.5
+    assert out[3].status == "SEEDED"
+
+
+def test_merge_upsert_partial_columns(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, keep string, v double"
+    )
+    updates = spark.createDataFrame([(2, 9.0)], "id long, v double")
+    out = {r.id: r for r in
+           merge_upsert(target, updates, ["id"], update_columns=["v"]).collect()}
+    assert out[2].v == 9.0 and out[2].keep == "b" and out[1].v == 1.0
+
+
+def test_insert_if_absent_idempotent(spark):
+    target = spark.createDataFrame([(1, "x")], "id long, v string")
+    cand = spark.createDataFrame([(1, "dup"), (2, "new")], "id long, v string")
+    once = insert_if_absent(target, cand, ["id"])
+    twice = insert_if_absent(once, cand, ["id"])
+    assert once.count() == 2 and twice.count() == 2
+    assert {r.v for r in once.filter(F.col("id") == 1).collect()} == {"x"}
+
+
+def test_transition_status_allowed(spark):
+    seeds = spark.createDataFrame(
+        [(1, "SEEDED"), (2, "RUNNING")], "seed_id long, status string"
+    )
+    changes = spark.createDataFrame(
+        [(1, "RUNNING"), (2, "SEEDED")], "seed_id long, new_status string"
+    )
+    out = transition_status(
+        seeds, ["seed_id"], changes,
+        allowed={"SEEDED": {"RUNNING"}, "RUNNING": {"FINISHED", "FAILED"}},
+    )
+    rows = {r.seed_id: r.status for r in out.collect()}
+    # 1: SEEDED->RUNNING allowed; 2: RUNNING->SEEDED rejected
+    assert rows == {1: "RUNNING", 2: "RUNNING"}
+
+
+def test_cascade_delete(spark):
+    files = spark.createDataFrame([(1, "/a"), (2, "/b")], "file_id long, p string")
+    groups = spark.createDataFrame([(1, 10), (2, 20)], "file_id long, cg long")
+    doomed = spark.createDataFrame([(1,)], "file_id long")
+    f2, g2 = cascade_delete(files, groups, ["file_id"], doomed)
+    assert f2.count() == 1 and g2.count() == 1
+    assert f2.collect()[0].file_id == 2
