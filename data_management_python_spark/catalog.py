@@ -274,21 +274,33 @@ TESTDATA_TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_READER_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one synthetic table. Filters/projections push down.
 
     events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; read it as long nanos (legacy conf) and convert to
     a proper timestamp column (micros floor — matches DuckDB epoch_us).
+
+    The unresolved reader DataFrame is memoized per (session, dir,
+    table) so repeated queries skip file listing + schema read; plans
+    built from it remain independent.
     """
+    key = (id(spark), sf_dir, name)
+    if key in _READER_CACHE:
+        return _READER_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _READER_CACHE[key] = df
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

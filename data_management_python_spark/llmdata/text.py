@@ -59,11 +59,13 @@ def quality_bucket(text: Column | str, min_chars: int = 50) -> Column:
     )
 
 
-def predict_lang(text: Column | str) -> Column:
+def predict_lang(text: Column | str, tokens_col: Column | None = None) -> Column:
     """Marker-word lang-id heuristic: the language with the most marker
     hits wins (ties broken by language code order). Pure expressions —
-    scales as a map-only pass."""
-    toks = tokens(text)
+    scales as a map-only pass.  Pass ``tokens_col`` (a materialized
+    token-array column) to avoid re-splitting the text once per
+    language."""
+    toks = tokens_col if tokens_col is not None else tokens(text)
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
