@@ -135,10 +135,14 @@ def fuzzy_barcode_match(
     u1, u2 = split_dual_barcode(F.col(index_col))
     k1, k2 = split_dual_barcode(F.col("__k_index"))
 
+    # match per DISTINCT (lane, barcode) — a deterministic key (row ids
+    # would be nondeterministic across plan branches); duplicates of the
+    # same barcode in a lane correctly share one match verdict
     u = (
-        unknown.withColumn("__u1", normalize_index(u1))
+        unknown.select(F.col(lane_col), F.col(index_col))
+        .dropDuplicates([lane_col, index_col])
+        .withColumn("__u1", normalize_index(u1))
         .withColumn("__u2", normalize_index(u2))
-        .withColumn("__row_id", F.monotonically_increasing_id())
     )
     k = (
         known.select(
@@ -188,13 +192,12 @@ def fuzzy_barcode_match(
     matched = (
         u.join(broadcast(k), on=(F.col(lane_col) == F.col("__k_lane")), how="left")
         .withColumn("__match", match_tag)
-        .groupBy("__row_id")
+        .groupBy(lane_col, index_col)
         .agg(F.max("__match").alias("__match"))
     )
 
-    out = (
-        u.join(matched, on="__row_id", how="left")
+    return (
+        unknown.join(broadcast(matched), on=[lane_col, index_col], how="left")
         .withColumn(tag_col, F.coalesce(F.col("__match"), F.col(tag_col)))
-        .drop("__row_id", "__u1", "__u2", "__match")
+        .drop("__match")
     )
-    return out

@@ -1,0 +1,72 @@
+"""Output sinks (SURVEY §2.1 S15-S18).
+
+  - manifest TSV: (path, md5, size) per file
+    (collect_seqrun_fastq_to_db.py:419-450 _write_manifest_file)
+  - JSON records (project_data_display_utils.py:177 to_json)
+  - gviz DataTable JSON for Google Charts dashboards
+    (igf_data/utils/gviz_utils.py:3-23) — built from a DataFrame
+    without pandas/gviz_api dependencies
+  - whole-catalog JSON dump (igf_portal/metadata_utils.py:33-121)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+GVIZ_TYPE_MAP = {
+    "string": "string",
+    "bigint": "number",
+    "int": "number",
+    "smallint": "number",
+    "tinyint": "number",
+    "double": "number",
+    "float": "number",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "datetime",
+}
+
+
+def write_manifest_tsv(df: DataFrame, path: str) -> None:
+    """Tab-separated manifest (single file per partition dir)."""
+    df.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+
+
+def write_json_records(df: DataFrame, path: str) -> None:
+    """Newline-delimited JSON records."""
+    df.write.mode("overwrite").json(path)
+
+
+def to_gviz_json(
+    df: DataFrame, column_order: list[str] | None = None, limit: int = 10000
+) -> str:
+    """DataFrame -> Google Charts DataTable JSON string.
+
+    Row data is collected (reports are human-scale by definition);
+    ``limit`` guards against accidentally feeding a fact table.
+    """
+    cols = column_order or df.columns
+    dtypes = dict(df.dtypes)
+    table_cols = [
+        {"id": c, "label": c, "type": GVIZ_TYPE_MAP.get(dtypes.get(c, "string"), "string")}
+        for c in cols
+    ]
+    rows = []
+    for r in df.select(*cols).limit(limit).collect():
+        cells = []
+        for c in cols:
+            v = r[c]
+            if v is not None and table_cols[cols.index(c)]["type"] in ("date", "datetime"):
+                v = v.isoformat()
+            cells.append({"v": v})
+        rows.append({"c": cells})
+    return json.dumps({"cols": table_cols, "rows": rows})
+
+
+def dump_catalog_json(tables: dict[str, DataFrame], out_dir: str) -> None:
+    """Whole-DB export: one JSON dir per table (portal dump analog)."""
+    for name, df in tables.items():
+        df.write.mode("overwrite").json(os.path.join(out_dir, name))

@@ -1,0 +1,214 @@
+"""Tests for file-format sources against synthetic fixtures (fixture
+files written from the public Illumina format specs — same structures
+the reference's golden files exercise, SURVEY §5)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from data_management_python_spark.sources import fastq as fastq_src
+from data_management_python_spark.sources import interop as interop_src
+from data_management_python_spark.sources import runinfo_xml as xml_src
+from data_management_python_spark.sources import samplesheet as ss
+from data_management_python_spark.sources import sinks
+from data_management_python_spark.sources.fastqc import read_fastqc_zips
+from data_management_python_spark.sources.stats_json import (
+    read_demux_stats,
+    with_mapping_stats,
+)
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+# --- SampleSheet -----------------------------------------------------------
+
+
+def test_samplesheet_v1_parse_and_normalize(spark):
+    df = ss.read_samplesheet(spark, str(FIX / "SampleSheet_v1.csv"))
+    rows = {r.Sample_ID: r for r in df.collect()}
+    assert len(rows) == 4
+    assert df.filter(F.col("sheet_version") == "v1").count() == 4
+    # ':user' suffix stripped; Description uppercased, ':' -> '-'
+    assert rows["SMP001"].Sample_Project == "PROJ_A"
+    assert rows["SMP003"].Description == "10X-V3"
+    assert rows["SMP004"].Description == "10X"
+
+
+def test_samplesheet_v2_detection(spark):
+    df = ss.read_samplesheet(spark, str(FIX / "SampleSheet_v2.csv"))
+    assert df.count() == 3
+    assert df.first().sheet_version == "v2"
+    assert "Lane" not in df.columns
+
+
+def test_pseudo_lane(spark):
+    v2 = ss.read_samplesheet(spark, str(FIX / "SampleSheet_v2.csv"))
+    miseq = ss.add_pseudo_lane(v2, "MISEQ")
+    assert {r.PseudoLane for r in miseq.collect()} == {"1"}
+    nextseq = ss.add_pseudo_lane(v2, "NEXTSEQ2000")
+    assert nextseq.count() == 12  # 3 rows x 4 pseudo-lanes
+    v1 = ss.read_samplesheet(spark, str(FIX / "SampleSheet_v1.csv"))
+    with_lane = ss.add_pseudo_lane(v1, "HISEQ4000")
+    assert {r.PseudoLane for r in with_lane.collect()} == {"1", "2"}
+
+
+def test_index_length_groups_and_revcomp(spark):
+    v1 = ss.read_samplesheet(spark, str(FIX / "SampleSheet_v1.csv"))
+    grouped = ss.group_by_index_length(v1)
+    by_id = {r.Sample_ID: r.index_length_group for r in grouped.collect()}
+    assert by_id["SMP001"] == 16  # 8 + 8 dual index
+    rc = ss.revcomp_index(v1.filter(F.col("Sample_ID") == "SMP001"), "index2")
+    assert rc.first().index2 == "AGGCTATA"  # revcomp of TATAGCCT
+
+
+def test_samplesheet_validation_rules(spark):
+    v1 = ss.read_samplesheet(spark, str(FIX / "SampleSheet_v1.csv"))
+    assert ss.validate_samplesheet_rows(v1).count() == 0  # fixture is clean
+    bad = spark.createDataFrame(
+        [
+            ("S1", "S1", "ACGT", "", ""),          # id == name
+            ("S2", "N2", "SI-GA-B2", "", ""),      # 10X code on non-10X row
+            ("S3", "N3", "not_a_barcode", "", ""),
+        ],
+        "Sample_ID string, Sample_Name string, index string, Description string, index2 string",
+    )
+    errs = {r.Sample_ID: r.validation_error for r in
+            ss.validate_samplesheet_rows(bad).collect()}
+    assert set(errs) == {"S1", "S2", "S3"}
+
+
+# --- Stats.json ------------------------------------------------------------
+
+
+def test_stats_json_flatten(spark):
+    stats = read_demux_stats(spark, str(FIX / "Stats.json"))
+    rows = stats.collect()
+    known = [r for r in rows if r.tag == "known"]
+    unknown = [r for r in rows if r.tag == "unknown"]
+    assert len(known) == 3 and len(unknown) == 5
+    lane1_known = {r.sample: r.reads for r in known if r.lane == 1}
+    assert lane1_known == {"SMP001": 500000, "SMP002": 400000}
+    # unknown rows inherit the lane's TotalClustersPF
+    assert all(r.total_read in (1000000, 800000) for r in unknown)
+    enriched = with_mapping_stats(stats)
+    smp1 = enriched.filter(F.col("sample") == "SMP001").first()
+    assert abs(smp1.mapping_ratio - 0.5) < 1e-12
+
+
+# --- RunInfo / RunParameters / bases mask ----------------------------------
+
+
+def test_runinfo_and_bases_mask(spark):
+    run_df, reads_df = xml_src.read_runinfo(spark, str(FIX / "RunInfo.xml"))
+    run = run_df.first()
+    assert run.run_id == "260115_NS9001_0042_AHTESTFC42"
+    assert run.lane_count == 2
+    assert reads_df.count() == 4
+    # samplesheet says 8bp indexes but the run sequenced 10 cycles
+    assert xml_src.bases_mask(reads_df, [8, 8]) == "Y151,I8N2,I8N2,Y151"
+    assert xml_src.bases_mask(reads_df, [10, 0]) == "Y151,I10,N10,Y151"
+
+
+def test_runparameters_flatten(spark):
+    df = xml_src.read_runparameters(spark, str(FIX / "RunParameters.xml"))
+    row = df.first()
+    assert row.InstrumentType == "NextSeq2000"
+    assert row.Chemistry_ChemistryVersion == "3.1"
+
+
+# --- InterOp ----------------------------------------------------------------
+
+
+def test_interop_sections(spark):
+    out = interop_src.read_interop_dump(spark, str(FIX / "interop_dump.txt"))
+    assert set(out) == {"Tile", "Q2030", "Error"}
+    assert out["Tile"].count() == 3
+    q = out["Q2030"].withColumn("Q30", F.col("Q30").cast("long"))
+    assert q.agg(F.sum("Q30")).first()[0] == 3900000 + 3890000 + 3910000
+
+
+# --- fastq ------------------------------------------------------------------
+
+
+def _make_fastq(path: Path, n_reads: int) -> None:
+    rec = b"@read%d\nACGTACGT\n+\nFFFFFFFF\n"
+    with gzip.open(path, "wb") as fh:
+        for i in range(n_reads):
+            fh.write(rec % i)
+
+
+def test_fastq_listing_pairing_counting(spark, tmp_path):
+    d = tmp_path / "fq" / "PROJ_A"
+    d.mkdir(parents=True)
+    _make_fastq(d / "SampleAlpha_S1_L001_R1_001.fastq.gz", 10)
+    _make_fastq(d / "SampleAlpha_S1_L001_R2_001.fastq.gz", 10)
+    _make_fastq(d / "SampleBeta_S2_L002_R1_001.fastq.gz", 7)
+
+    files = fastq_src.list_fastq_files(spark, str(tmp_path / "fq"))
+    assert files.count() == 3
+
+    pairs = fastq_src.pair_fastq_files(files)
+    by_sample = {r.sample_name: r for r in pairs.collect()}
+    assert by_sample["SampleAlpha"].library_layout == "PAIRED"
+    assert by_sample["SampleBeta"].library_layout == "SINGLE"
+    assert by_sample["SampleBeta"].R2 is None
+
+    n = fastq_src.count_fastq_reads(
+        spark, str(d / "SampleAlpha_S1_L001_R1_001.fastq.gz")
+    )
+    assert n == 10
+    counts = fastq_src.count_fastq_reads_many(
+        spark,
+        [str(d / "SampleAlpha_S1_L001_R1_001.fastq.gz"),
+         str(d / "SampleBeta_S2_L002_R1_001.fastq.gz")],
+    )
+    got = {Path(r.file_path).name: r.n_reads for r in counts.collect()}
+    assert got == {
+        "SampleAlpha_S1_L001_R1_001.fastq.gz": 10,
+        "SampleBeta_S2_L002_R1_001.fastq.gz": 7,
+    }
+
+
+# --- fastqc -----------------------------------------------------------------
+
+
+def test_fastqc_scrape(spark, tmp_path):
+    data = (
+        "##FastQC\t0.11.9\n>>Basic Statistics\tpass\n"
+        "#Measure\tValue\nFilename\tx.fastq.gz\n"
+        "Total Sequences\t123456\nSequence length\t35-151\n>>END_MODULE\n"
+    )
+    zpath = tmp_path / "SampleAlpha_S1_L001_R1_001_fastqc.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("SampleAlpha_fastqc/fastqc_data.txt", data)
+    out = read_fastqc_zips(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].total_sequences == 123456
+    assert out[0].sequence_length == "35-151"
+
+
+# --- sinks ------------------------------------------------------------------
+
+
+def test_manifest_and_gviz(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("/data/a.fastq.gz", "abc123", 1000), ("/data/b.fastq.gz", "def456", 2000)],
+        "file_path string, md5 string, size long",
+    )
+    out = tmp_path / "manifest"
+    sinks.write_manifest_tsv(df.repartition(1), str(out))
+    text = next(out.glob("*.csv")).read_text()
+    assert "file_path\tmd5\tsize" in text and "/data/a.fastq.gz\tabc123\t1000" in text
+
+    gviz = sinks.to_gviz_json(df, column_order=["file_path", "size"])
+    import json
+
+    parsed = json.loads(gviz)
+    assert [c["id"] for c in parsed["cols"]] == ["file_path", "size"]
+    assert parsed["cols"][1]["type"] == "number"
+    assert len(parsed["rows"]) == 2

@@ -1,0 +1,202 @@
+"""Tests: validation rules, barcode QC pipeline, read-count plan,
+incremental discovery."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from data_management_python_spark.plans.read_count import (
+    project_read_counts,
+    read_count_matrix,
+)
+from data_management_python_spark.qc.barcode_qc import barcode_qc
+from data_management_python_spark.sources.stats_json import read_demux_stats
+from data_management_python_spark.streaming import discovery
+from data_management_python_spark.validation import metadata as mv
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+# --- validation -------------------------------------------------------------
+
+
+def test_invalid_library_combinations(spark):
+    md = spark.createDataFrame(
+        [
+            ("P1", "S1", "GENOMIC", "WGS", "WGS"),
+            ("P1", "S2", "TRANSCRIPTOMIC", "RNA-SEQ", "POLYA-RNA"),
+            ("P1", "S3", "GENOMIC", "RNA-SEQ", "WGS"),  # incompatible
+        ],
+        "project_igf_id string, sample_igf_id string, library_source string, "
+        "library_strategy string, experiment_type string",
+    )
+    bad = mv.invalid_library_combinations(md).collect()
+    assert [r.sample_igf_id for r in bad] == ["S3"]
+
+
+def test_duplicates_and_authority(spark):
+    md = spark.createDataFrame(
+        [
+            ("P1", "S1", "Alice A", "a@x.org"),
+            ("P1", "S1", "Alice A", "a@x.org"),   # dup sample
+            ("P2", "S9", "Bob B", "b@x.org"),
+            ("P2", "S8", "Carol C", "c@x.org"),    # second authority for P2
+        ],
+        "project_igf_id string, sample_igf_id string, name string, email_id string",
+    )
+    dups = mv.duplicate_samples(md).collect()
+    assert len(dups) == 1 and dups[0].sample_igf_id == "S1"
+    auth = mv.projects_with_multiple_authorities(md).collect()
+    assert [r.project_igf_id for r in auth] == ["P2"]
+
+
+def test_unregistered_and_required(spark):
+    ss_df = spark.createDataFrame(
+        [("PROJ_A", "SMP001"), ("PROJ_Z", "SMP999")],
+        "Sample_Project string, Sample_ID string",
+    )
+    md = spark.createDataFrame(
+        [("PROJ_A", "SMP001")], "project_igf_id string, sample_igf_id string"
+    )
+    missing = mv.unregistered_in_metadata(ss_df, md).collect()
+    assert [(r.project_igf_id, r.sample_igf_id) for r in missing] == [
+        ("PROJ_Z", "SMP999")
+    ]
+    req = mv.required_columns_missing(
+        spark.createDataFrame(
+            [("P1", None), ("P2", "t")], "project_igf_id string, taxon string"
+        ),
+        ["project_igf_id", "taxon"],
+    ).collect()
+    assert len(req) == 1 and req[0].missing_fields == "taxon"
+
+
+# --- barcode QC -------------------------------------------------------------
+
+
+def test_barcode_qc_pipeline(spark):
+    stats = read_demux_stats(spark, str(FIX / "Stats.json"))
+    out = barcode_qc(stats, min_known_pct=80.0)
+
+    retagged = {
+        (r.lane, r["index"]): r.tag  # r.index would be Row.index (method)
+        for r in out["retagged"].filter(F.col("sample") == "undetermined").collect()
+    }
+    # CGAGTAAT is revcomp of known ATTACTCG with matching index2 -> retagged
+    assert retagged[(1, "CGAGTAAT+TATAGCCT")] == "index_1_revcomp"
+    # all-G artifact detected
+    assert retagged[(1, "GGGGGGGG+GGGGGGGG")] == "index_1_G_homopolymer"
+    # genuinely unknown barcode keeps its tag
+    assert retagged[(1, "ACGTACGT+ACGTACGT")] == "unknown"
+
+    report = {r.lane: r for r in out["lane_report"].collect()}
+    # lane 1: known 900k of 995k -> 90.4% pass; ratio gate:
+    # min known ratio 0.4 > max unknown 0.06 -> pass
+    assert report[1].qc_pass
+    assert abs(report[1].known_pct - 90.45226130653266) < 1e-9
+    # lane 2: known 700k, unknown 52k -> pass
+    assert report[2].qc_pass
+
+
+# --- read-count flagship over reference-shaped tables -----------------------
+
+
+def test_project_read_count_plan(spark):
+    project = spark.createDataFrame(
+        [(1, "PROJ_A")], "project_id long, project_igf_id string"
+    )
+    sample = spark.createDataFrame(
+        [(10, "IGF001", 1, "ACTIVE"), (11, "IGF002", 1, "ACTIVE"),
+         (12, "IGF003", 1, "FAILED")],
+        "sample_id long, sample_igf_id string, project_id long, status string",
+    )
+    experiment = spark.createDataFrame(
+        [(100, 10, "ACTIVE"), (101, 11, "ACTIVE"), (102, 12, "ACTIVE")],
+        "experiment_id long, sample_id long, status string",
+    )
+    run = spark.createDataFrame(
+        [(1000, 100, 500, "ACTIVE"), (1001, 100, 501, "ACTIVE"),
+         (1002, 101, 500, "ACTIVE"), (1003, 102, 500, "ACTIVE")],
+        "run_id long, experiment_id long, seqrun_id long, status string",
+    )
+    seqrun = spark.createDataFrame(
+        [(500, "FC01"), (501, "FC02")], "seqrun_id long, flowcell_id string"
+    )
+    run_attr = spark.createDataFrame(
+        [(1000, "R1_READ_COUNT", "1000"), (1001, "R1_READ_COUNT", "2000"),
+         (1002, "R1_READ_COUNT", "3000"), (1003, "R1_READ_COUNT", "9999"),
+         (1000, "other_attr", "x")],
+        "run_id long, attribute_name string, attribute_value string",
+    )
+    long = project_read_counts(project, sample, experiment, run, seqrun, run_attr)
+    rows = {(r.sample_igf_id, r.flowcell_id): r.read_count for r in long.collect()}
+    # FAILED sample excluded by the status chain
+    assert rows == {("IGF001", "FC01"): 1000, ("IGF001", "FC02"): 2000,
+                    ("IGF002", "FC01"): 3000}
+
+    matrix = read_count_matrix(long, flowcells=["FC01", "FC02"])
+    m = {r.sample_igf_id: r for r in matrix.collect()}
+    assert m["IGF001"].total_read == 3000
+    assert m["IGF002"].FC02 is None and m["IGF002"].total_read == 3000
+
+
+# --- incremental discovery ---------------------------------------------------
+
+
+def _mk_run_dir(root: Path, name: str, finished: bool = True) -> None:
+    d = root / name
+    d.mkdir(parents=True)
+    (d / "RunInfo.xml").write_text("<RunInfo/>")
+    if finished:
+        (d / "RTAComplete.txt").write_text("done")
+
+
+def test_discovery_and_seeding(spark, tmp_path):
+    _mk_run_dir(tmp_path, "260110_NS9001_0040_AHAAA", finished=True)
+    _mk_run_dir(tmp_path, "260112_NS9001_0041_AHBBB", finished=True)
+    _mk_run_dir(tmp_path, "260114_NS9001_0042_AHCCC", finished=False)
+
+    registry = spark.createDataFrame(
+        [("260110_NS9001_0040_AHAAA",)], "seqrun_igf_id string"
+    )
+    new = discovery.discover_new_runs(spark, str(tmp_path), registry)
+    names = [r.seqrun_igf_id for r in new.collect()]
+    # unfinished run (no marker) invisible; registered run anti-joined away
+    assert names == ["260112_NS9001_0041_AHBBB"]
+
+    seeds = spark.createDataFrame(
+        [(7, 1, "seqrun", "SEEDED")],
+        "pipeline_id long, seed_id long, seed_table string, status string",
+    )
+    new_with_ids = new.withColumn("seed_id", F.lit(2))
+    seeded_once = discovery.seed_new_runs(seeds, new_with_ids, pipeline_id=7)
+    seeded_twice = discovery.seed_new_runs(seeded_once, new_with_ids, pipeline_id=7)
+    assert seeded_once.count() == 2 and seeded_twice.count() == 2  # idempotent
+
+
+def test_streaming_discovery(spark, tmp_path):
+    runs = tmp_path / "runs"
+    _mk_run_dir(runs, "260115_NS9001_0043_AHDDD", finished=True)
+    q = discovery.stream_new_run_markers(
+        spark,
+        str(runs),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_dir=str(tmp_path / "out"),
+    )
+    q.awaitTermination(60)
+    first = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [r.seqrun_igf_id for r in first] == ["260115_NS9001_0043_AHDDD"]
+
+    # second run dir arrives; a new availableNow pass picks up ONLY it
+    _mk_run_dir(runs, "260116_NS9001_0044_AHEEE", finished=True)
+    q2 = discovery.stream_new_run_markers(
+        spark, str(runs), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q2.awaitTermination(60)
+    all_rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert sorted(r.seqrun_igf_id for r in all_rows) == [
+        "260115_NS9001_0043_AHDDD",
+        "260116_NS9001_0044_AHEEE",
+    ]
