@@ -332,3 +332,30 @@ def mm_binary_meta(spark, sf_dir):
     return attach_binary_metadata(media).select(
         F.col("media_id").alias("doc_id"), "byte_len", "content_sha256"
     )
+
+
+@_q(
+    "d_dedup_materialize",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 16)
+               ORDER BY doc_id) AS rk
+      FROM documents
+    ) WHERE rk = 1
+    """,
+    doc="dedup materialization: keep the lowest-id survivor per "
+    "normalized-content fingerprint and return full surviving rows — "
+    "the write-side of the dedup pipeline",
+)
+def d_dedup_materialize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(text.fingerprint("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -1061,3 +1061,165 @@ def e_incremental_discovery(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select("event_id", "event_type")
     registry = ev.filter(F.col("event_id") % 10 < 8).select("event_id")
     return anti_join(ev, registry, on="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Additional coverage: nested flatten, cascade delete, windows, analytics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "s7_nested_flatten",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    """,
+    doc="nested-structure flatten (S7; Stats.json "
+    "ConversionResults/DemuxResults explode, "
+    "check_sequence_index_barcodes.py:33-83): rows are nested into an "
+    "array-of-structs per order, then exploded back — the round trip "
+    "must reproduce the original rows",
+)
+def s7_nested_flatten(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.explode("lines").alias("ln")
+    ).select(
+        "l_orderkey",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_quantity").alias("l_quantity"),
+    )
+
+
+@_q(
+    "m7_cascade_delete",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+    """,
+    doc="FK-ordered cascade delete (M7; fileadaptor.py:184-216, "
+    "collectionadaptor.py:694-860): child rows surviving the parent "
+    "delete",
+)
+def m7_cascade_delete(spark, sf_dir):
+    from data_management_python_spark.operators.upsert import cascade_delete
+
+    customers = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("c_custkey")
+    )
+    doomed = customers.filter(F.col("c_acctbal") < -900).select("c_custkey")
+    _, surviving_children = cascade_delete(
+        customers, orders, ["c_custkey"], doomed
+    )
+    return surviving_children.select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey")
+    )
+
+
+@_q(
+    "w_rank_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
+    doc="top-N per group via row_number window — beyond-reference window "
+    "op (the reference has no ranking functions, SURVEY §2.5)",
+)
+def w_rank_per_group(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .drop("rk")
+    )
+
+
+@_q(
+    "w_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS run_sum,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    doc="running total + sequence per customer — cumulative frame-spec "
+    "window (beyond-reference; ordered accumulation is deterministic)",
+)
+def w_running_total(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("run_sum"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+@_q(
+    "q3_topk_revenue",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped analytics: selective dim filter -> 3-way join "
+    "-> grouped revenue -> top-k; the headline multi-join plan whose "
+    "filters must reach the parquet scans",
+)
+def q3_topk_revenue(spark, sf_dir):
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
