@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) — invariants the reference never
+checked but the engine guarantees.
+
+Each property collects one batch of generated rows into a single
+DataFrame per example run (createDataFrame per example is the cost
+center, so examples are few and batches are wide).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_management_python_spark import functions as fn
+from data_management_python_spark.eav import melt_attributes, unmelt_attributes
+from data_management_python_spark.operators.upsert import merge_upsert
+
+DNA = st.text(alphabet="ACGT", min_size=1, max_size=24)
+SETTINGS = settings(max_examples=5, deadline=None)
+
+
+def _pyrevcomp(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s.upper()))
+
+
+@SETTINGS
+@given(st.lists(DNA, min_size=1, max_size=30))
+def test_rev_comp_involution_and_reference_semantics(seqs):
+    spark = _spark()
+    df = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    out = df.select(
+        "seq",
+        fn.rev_comp("seq").alias("rc"),
+        fn.rev_comp(fn.rev_comp("seq")).alias("rc2"),
+    ).collect()
+    for r in out:
+        assert r.rc == _pyrevcomp(r.seq)   # matches the python definition
+        assert r.rc2 == r.seq              # involution
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.dates(
+            min_value=datetime.date(1969, 1, 1),
+            max_value=datetime.date(2068, 12, 31),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parse_yymmdd_matches_strptime(dates):
+    spark = _spark()
+    strs = [d.strftime("%y%m%d") for d in dates]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    out = df.select("s", fn.parse_yymmdd("s").alias("d")).collect()
+    for r in out:
+        assert r.d == datetime.datetime.strptime(r.s, "%y%m%d").date()
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.text("ab", min_size=0, max_size=3)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 20), st.text("cd", min_size=0, max_size=3)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_idempotent_and_key_preserving(target_rows, update_rows):
+    spark = _spark()
+    target = spark.createDataFrame(target_rows, "id long, v string")
+    updates = spark.createDataFrame(update_rows, "id long, v string")
+    once = merge_upsert(target, updates, ["id"])
+    twice = merge_upsert(once, updates, ["id"])
+    got_once = sorted((r.id, r.v) for r in once.collect())
+    got_twice = sorted((r.id, r.v) for r in twice.collect())
+    assert got_once == got_twice  # idempotent
+    # keys = union of both sides; updated keys carry the update's value
+    expect_keys = sorted({t[0] for t in target_rows} | {u[0] for u in update_rows})
+    assert [k for k, _ in got_once] == expect_keys
+    upd = dict(update_rows)
+    for k, v in got_once:
+        if k in upd:
+            assert v == upd[k]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.text("xy", min_size=1, max_size=4),
+            st.one_of(st.none(), st.text("pq", min_size=1, max_size=4)),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_eav_melt_unmelt_roundtrip(rows):
+    spark = _spark()
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, attr_a string, attr_b string")
+    _, eav = melt_attributes(df, key_columns=["id"], table_columns=[])
+    wide = unmelt_attributes(eav, "id", attribute_names=["attr_a", "attr_b"])
+    back = {r.id: (r.attr_a, r.attr_b) for r in wide.collect()}
+    for i, (a, b) in enumerate(rows):
+        # empty strings are pruned on melt (reference semantics) -> NULL
+        assert back.get(i, (None, None)) == (a or None, b or None)
+
+
+def _spark():
+    from data_management_python_spark.session import get_spark
+
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions="4")
+    s.sparkContext.setLogLevel("ERROR")
+    return s

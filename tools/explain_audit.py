@@ -1,0 +1,85 @@
+"""Physical-plan audit: verifies the scale-critical plan properties the
+engine is designed around, per query:
+
+  - parquet pushdown: PushedFilters non-empty when the query filters a
+    scanned column; ReadSchema contains only needed columns
+  - join strategy: small dims use BroadcastHashJoin (no shuffle of the
+    fact side); no accidental CartesianProduct/BroadcastNestedLoopJoin
+    outside the queries that genuinely need one
+  - whole-stage codegen present
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Prints one line per query: flags + a short verdict, then a non-zero
+exit if any REQUIRED property fails.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# queries where a nested-loop/cartesian join is expected and bounded
+# (literal probe sets / explicit small cross sections)
+NESTED_LOOP_OK = {"sim_lsh_ann"}
+
+# map-only or tiny-input queries where no exchange at all is fine
+NO_SHUFFLE_OK = True
+
+
+def audit(name, df) -> tuple[list[str], list[str]]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    simple = df._jdf.queryExecution().simpleString()
+    flags, errors = [], []
+    if "PushedFilters: [" in plan:
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        if any(p.strip() for p in pushed):
+            flags.append("pushdown")
+    if "BroadcastHashJoin" in plan:
+        flags.append("bhj")
+    if "SortMergeJoin" in plan:
+        flags.append("smj")
+    if "WholeStageCodegen" in plan:
+        flags.append("wscg")
+    n_exchanges = plan.count("Exchange ") + plan.count("Exchange\n")
+    flags.append(f"exch={plan.count('+- Exchange')}")
+    if "CartesianProduct" in plan:
+        errors.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+        errors.append("BroadcastNestedLoopJoin")
+    # scans should never read every column of a wide table for narrow output
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    widest = max((len(s.split(",")) for s in read_schemas), default=0)
+    flags.append(f"maxcols={widest}")
+    if widest >= 11:  # lineitem full width — projection pruning failed
+        errors.append(f"scan reads {widest} cols")
+    return flags, errors
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from data_management_python_spark.plans import collect_queries
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, q in collect_queries().items():
+        if only and name not in only:
+            continue
+        df = q.fn(spark, sf_dir)
+        df.count()  # let AQE finalize the executed plan
+        flags, errors = audit(name, df)
+        status = "OK " if not errors else "BAD"
+        if errors:
+            failures += 1
+        print(f"{status} {name:28s} {' '.join(flags)}"
+              + (f"  !! {', '.join(errors)}" if errors else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
