@@ -1,0 +1,100 @@
+"""Tests: 10X barcode expansion, storage stats, streaming windows +
+stateful operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_management_python_spark.plans import storage_stats
+from data_management_python_spark.sources.singlecell import expand_tenx_barcodes
+from data_management_python_spark.streaming.windows import (
+    running_user_counter,
+    windowed_event_counts,
+)
+
+
+def test_expand_tenx_barcodes(spark):
+    sheet = spark.createDataFrame(
+        [
+            ("SMP1", "NameOne", "ACGTACGT", ""),
+            ("SMP2", "NameTwo", "SI-GA-A1", "10X"),
+        ],
+        "Sample_ID string, Sample_Name string, index string, Description string",
+    )
+    out = expand_tenx_barcodes(sheet)
+    rows = out.collect()
+    assert len(rows) == 5  # 1 plain + 4 expanded
+    expanded = [r for r in rows if r.Original_Sample_ID == "SMP2"]
+    assert sorted(r["index"] for r in expanded) == sorted(
+        ["GGTTTACT", "CTAAACGG", "TCGGCGTC", "AACCGTAA"]
+    )
+    assert sorted(r.Sample_ID for r in expanded) == [
+        "SMP2_1", "SMP2_2", "SMP2_3", "SMP2_4"
+    ]
+    plain = [r for r in rows if r.Sample_ID == "SMP1"]
+    assert plain[0].Original_Sample_ID is None
+
+
+def test_storage_stats(spark):
+    a = spark.createDataFrame(
+        [("scratch", 2.0 * 1024**3, 10.0, "hpc1")],
+        "storage string, used double, available double, server_name string",
+    )
+    b = spark.createDataFrame(
+        [("scratch", 1.0 * 1024**3, 5.0, "hpc2"), ("archive", 4.0 * 1024**3, 1.0, "hpc2")],
+        "storage string, used double, available double, server_name string",
+    )
+    merged = storage_stats.merge_usage([a, b])
+    totals = {r.storage: r for r in storage_stats.storage_totals(merged).collect()}
+    assert abs(totals["scratch"].total_used_gb - 3.0) < 1e-9
+    assert totals["scratch"].n_servers == 2
+    rates = spark.createDataFrame(
+        [("scratch", 0.5)], "storage string, rate_per_gb double"
+    )
+    costs = {r.storage: r.monthly_cost
+             for r in storage_stats.storage_costs(merged, rates).collect()}
+    assert abs(costs["scratch"] - 1.5) < 1e-9
+    assert costs["archive"] == 0.0  # no rate -> coalesce 0
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    from data_management_python_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    win = windowed_event_counts(ev)
+    direct = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    a = {(r.window_start, r.event_type): r.n_events for r in win.collect()}
+    b = {(r.window_start, r.event_type): r.n_events for r in direct.collect()}
+    assert a == b
+
+
+def test_running_user_counter_stream(spark, tmp_path):
+    from data_management_python_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    src_dir = tmp_path / "events_src"
+    ev.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src_dir))
+    counted = running_user_counter(stream)
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("user_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql("select * from user_counts").collect()
+    }
+    expect = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expect
