@@ -137,6 +137,7 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any band signature.
 
@@ -144,10 +145,15 @@ def lsh_candidate_pairs(
     the band's minhashes.  The join key is (band, signature) — the
     classic banding bucket join that replaces the O(N^2) compare at
     scale.  Output: distinct (id_1, id_2), id_1 < id_2.
+
+    Pass precomputed ``shingles`` when the caller also needs them (e.g.
+    near_dup_pairs verification) so tokenization runs once.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        word_shingles(df, id_col, text_col, n), id_col, num_hashes
+        shingles if shingles is not None else word_shingles(df, id_col, text_col, n),
+        id_col,
+        num_hashes,
     )
     band_structs = F.array(
         *[
@@ -176,6 +182,58 @@ def lsh_candidate_pairs(
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Scale-correct near-dup detection: MinHash-LSH candidates, then
+    exact Jaccard verification ONLY on candidate pairs.
+
+    The exact shared-shingle join (ngram_jaccard_pairs) goes quadratic
+    when shingles are hot (measured 14.6x runtime at 10x data with
+    duplicate-heavy corpora — tools/scale_stress.py); this composite
+    keeps candidate generation proportional to true near-dup density,
+    so verification work scales with the answer size, not the corpus.
+    Output: (id_1, id_2, jaccard) with jaccard >= threshold — a subset
+    of ngram_jaccard_pairs' result (LSH recall < 1 by design).
+    """
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, bands, shingles=sh
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), F.col("shingle").alias("__s"))
+    b = sh.select(F.col(id_col).alias("id_2"), F.col("shingle").alias("__s"))
+    # expand each candidate pair by id_1's shingles, then hash-join on
+    # the composite (id_2, shingle) key — only intersecting shingles
+    # survive, so the intermediate is O(candidates x |shingles|), never
+    # the |a| x |b| cross section
+    inter = (
+        cands.join(a, on="id_1")
+        .join(b, on=["id_2", "__s"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_1")
+        .join(nb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
     )
 
 

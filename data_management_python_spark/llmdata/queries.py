@@ -359,3 +359,55 @@ def d_dedup_materialize(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+_NEAR_DUP_ORACLE = f"""
+    WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_1, c.id_2, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_1
+      JOIN sh b ON b.doc_id = c.id_2 AND b.s = a.s
+      GROUP BY c.id_1, c.id_2
+    )
+    SELECT id_1, id_2,
+           CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_1
+    JOIN sizes nb ON nb.doc_id = id_2
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
+"""
+
+
+@_q(
+    "d_near_dup_verified",
+    _NEAR_DUP_ORACLE,
+    doc="scale path for near-dup: MinHash-LSH candidates -> exact "
+    "Jaccard verification on candidates only; work scales with true "
+    "duplicate density instead of shingle hotness (see SCALE.md)",
+)
+def d_near_dup_verified(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
+    )

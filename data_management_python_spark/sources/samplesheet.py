@@ -149,6 +149,32 @@ def revcomp_index(df: DataFrame, column: str = "index2") -> DataFrame:
     return df.withColumn(column, rev_comp(column))
 
 
+def truncate_indexes_to_lane_min(df: DataFrame, lane_col: str = "Lane") -> DataFrame:
+    """Truncate every index in a lane to the lane's minimum N-stripped
+    index length — the reference's pre-demux normalization when a lane
+    mixes 6bp and 8bp kits (samplesheet_utils.py:90-102).
+
+    Expressed as a window min per lane (SURVEY O5) — no per-lane
+    driver loop; one exchange on the lane key.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(lane_col)
+    out = df
+    for col in ("index", "index2"):
+        if col not in df.columns:
+            continue
+        norm = normalize_index(col)
+        min_len = F.min(F.when(F.length(norm) > 0, F.length(norm))).over(w)
+        out = out.withColumn(
+            col,
+            F.when(
+                F.length(norm) > 0, F.col(col).substr(F.lit(1), min_len)
+            ).otherwise(F.col(col)),
+        )
+    return out
+
+
 def validate_samplesheet_rows(df: DataFrame) -> DataFrame:
     """Per-row semantic validation -> rows with a ``validation_error``
     column (empty result == valid sheet).

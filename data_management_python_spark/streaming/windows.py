@@ -51,6 +51,26 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows: per (user, activity session) event counts using
+    Spark's native session_window (gap-based close).  The streaming
+    analog of the batch lag/running-sum sessionization in
+    plans.relational.e_sessionize."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.session_window("ts", gap).alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        "user_id",
+        F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        "n_events",
+    )
+
+
 STATE_SCHEMA = StructType([StructField("n_events", LongType(), False)])
 COUNTER_OUTPUT = StructType(
     [

@@ -1,0 +1,100 @@
+"""Scale stress: replicate sf0.1 10x into /tmp and compare heavy-query
+runtimes — the 'would this survive a scale-up' check (results recorded
+in SCALE.md).
+
+Replication shifts natural keys per copy so join/group cardinalities
+scale realistically (10x docs means 10x distinct doc_ids, not 10 copies
+of the same id).
+
+Usage: python tools/scale_stress.py [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEAVY = [
+    "j1_readcount_multiway",
+    "q3_topk_revenue",
+    "a1_group_max_sum",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_ngram_jaccard",
+    "d_near_dup_verified",
+    "sim_cosine_topk",
+    "e_sessionize",
+    "w_running_total",
+]
+
+KEY_SHIFT = {
+    "lineitem": [("l_orderkey", 10_000_000)],
+    "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
+    "customer": [("c_custkey", 1_000_000)],
+    "documents": [("doc_id", 1_000_000)],
+    "embeddings": [("vec_id", 1_000_000)],
+    "events": [("event_id", 10_000_000), ("user_id", 1_000_000)],
+    "part": [("p_partkey", 1_000_000)],
+    "supplier": [("s_suppkey", 1_000_000)],
+}
+
+
+def build(spark, src: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import TESTDATA_TABLES, load_table
+
+    os.makedirs(dst, exist_ok=True)
+    for t in TESTDATA_TABLES:
+        base = load_table(spark, src, t)
+        if t in ("region", "nation"):
+            out = base
+        else:
+            parts = []
+            for i in range(factor):
+                c = base
+                for col, stride in KEY_SHIFT.get(t, []):
+                    c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+                parts.append(c)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = "/root/testdata/sf0.1"
+    dst = f"/tmp/scale_sf{factor}x"
+    from data_management_python_spark.plans import collect_queries
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        print(f"building {dst} (factor {factor})...")
+        build(spark, src, dst, factor)
+
+    qs = collect_queries()
+    qs["p1_eq_filter"].fn(spark, src).collect()  # warm
+    print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(factor):>8s} {'ratio':>6s}")
+    for name in HEAVY:
+        t0 = time.time()
+        qs[name].fn(spark, src).count()
+        base_t = time.time() - t0
+        t0 = time.time()
+        qs[name].fn(spark, dst).count()
+        big_t = time.time() - t0
+        print(f"{name:28s} {base_t:8.2f} {big_t:8.2f} {big_t / base_t:6.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    finally:
+        pass  # keep the dataset for re-runs; /tmp cleans itself
