@@ -36,8 +36,10 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
 
     Documents with fewer than ``n`` tokens produce no shingles.
 
@@ -45,6 +47,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     lambda: referencing the raw split() inside transform() would
     re-evaluate the regex split per element (O(tokens^2) per document —
     measured 3x slowdown at bench scale).
+
+    ``distinct=False`` skips the dedup shuffle — correct for callers
+    whose aggregate is multiplicity-invariant (MinHash minima).
     """
     toked = df.select(
         F.col(id_col),
@@ -56,7 +61,8 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
             " ", *[F.element_at(F.col("__toks"), i + k) for k in range(n)]
         ),
     )
-    return toked.select(F.col(id_col), F.explode(sh).alias("shingle")).distinct()
+    out = toked.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -151,7 +157,10 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        shingles if shingles is not None else word_shingles(df, id_col, text_col, n),
+        shingles
+        if shingles is not None
+        # min is multiplicity-invariant: skip the distinct shuffle
+        else word_shingles(df, id_col, text_col, n, distinct=False),
         id_col,
         num_hashes,
     )
