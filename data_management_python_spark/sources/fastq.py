@@ -31,7 +31,7 @@ def list_fastq_files(spark: SparkSession, root: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .load(root)
         .select(
-            F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
+            F.regexp_replace(F.col("path"), "^file:/*", "/").alias("file_path"),
             F.col("length").alias("size"),
         )
     )
@@ -87,7 +87,7 @@ def count_fastq_reads_many(spark: SparkSession, paths: list[str]) -> DataFrame:
     ``input_file_name()`` groups lines by source file, so a thousand
     fastqs count in one stage instead of a thousand driver loops."""
     lines = spark.read.text(list(paths)).select(
-        F.regexp_replace(F.input_file_name(), "^file:", "").alias("file_path")
+        F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias("file_path")
     )
     return lines.groupBy("file_path").agg(
         (F.count(F.lit(1)) / 4).cast("long").alias("n_reads")

@@ -60,7 +60,7 @@ def read_fastqc_zips(spark: SparkSession, root: str) -> DataFrame:
                 lengths.append(ln)
             yield pd.DataFrame(
                 {
-                    "file_path": pdf["path"].str.replace("^file:", "", regex=True),
+                    "file_path": pdf["path"].str.replace("^file:/*", "/", regex=True),
                     "total_sequences": pd.array(totals, dtype="Int64"),
                     "sequence_length": lengths,
                 }

@@ -38,7 +38,7 @@ def list_run_dirs(spark: SparkSession, root: str, marker: str = COMPLETION_MARKE
         .option("pathGlobFilter", marker)
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select(F.regexp_replace("path", "^file:", "").alias("marker_path"))
+        .select(F.regexp_replace("path", "^file:/*", "/").alias("marker_path"))
     )
     run_path = F.regexp_replace("marker_path", f"/{marker}$", "")
     return marker_files.select(
@@ -114,7 +114,7 @@ def stream_new_run_markers(
                 F.split(F.regexp_replace("marker_path", f"/{marker}$", ""), "/"), -1
             ).alias("seqrun_igf_id"),
             F.regexp_replace(
-                F.regexp_replace("marker_path", "^file:", ""), f"/{marker}$", ""
+                F.regexp_replace("marker_path", "^file:/*", "/"), f"/{marker}$", ""
             ).alias("run_path"),
         )
     )
