@@ -1223,3 +1223,64 @@ def q3_topk_revenue(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@_q(
+    "a9_drop_duplicates",
+    """
+    SELECT DISTINCT l_partkey, l_suppkey, l_returnflag FROM lineitem
+    """,
+    doc="dropDuplicates dedup over a projection (A9; "
+    "metadata_validation.py:83,243; collect_seqrun_fastq_to_db.py:197)",
+)
+def a9_drop_duplicates(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_returnflag")
+        .dropDuplicates()
+    )
+
+
+@_q(
+    "a14_nested_groupby",
+    """
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="nested group-by report: by date stamp then category (A14; "
+    "dag21_portal_admin_view_utils.py:59-61)",
+)
+def a14_nested_groupby(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "p8_status_chain",
+    """
+    SELECT o_orderkey, l_linenumber, l_quantity
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F' AND l_linestatus = 'F' AND l_returnflag = 'A'
+    """,
+    doc="status-chain filters across joined entities (P8; "
+    "Run/Experiment/Sample ACTIVE chain, projectutils.py:65-67)",
+)
+def p8_status_chain(spark, sf_dir):
+    from data_management_python_spark.operators.filters import filter_status_chain
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_linestatus", "l_returnflag"
+    )
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    chained = filter_status_chain(joined, ["o_orderstatus", "l_linestatus"], "F")
+    return chained.filter(F.col("l_returnflag") == "A").select(
+        "o_orderkey", "l_linenumber", "l_quantity"
+    )
