@@ -302,9 +302,44 @@ def sim_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
 
 
+def _lsh_oracle_sql(planes: int = 8, dims: int = 64, k: int = 3) -> str:
+    """Build the hyperplane-LSH oracle with the deterministic plane
+    weights inlined as literals (same doubles the Spark plan folds, in
+    the same left-associative order, so signatures match bit-wise)."""
+    ws = similarity._plane_weights(planes, dims)
+    bit_exprs = []
+    for p in range(planes):
+        terms = " + ".join(f"e[{d + 1}] * ({ws[p][d]!r})" for d in range(dims))
+        bit_exprs.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(bit_exprs)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+             {bucket} AS bucket
+      FROM v
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= {k}
+    """
+
+
 @_q(
     "sim_lsh_ann",
-    None,  # bucket membership is fp-sign-sensitive; driver does rows-only
+    _lsh_oracle_sql(),
     doc="LSH-bucketed ANN (random-hyperplane signatures, md5-derived "
     "deterministic planes): the 100 TB scale path — bucket join instead "
     "of cross product",
@@ -411,54 +446,3 @@ def d_near_dup_verified(spark, sf_dir):
     return dedup.near_dup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
     )
-
-
-def _lsh_oracle_sql(planes: int = 8, dims: int = 64, k: int = 3) -> str:
-    """Build the hyperplane-LSH oracle with the deterministic plane
-    weights inlined as literals (same doubles the Spark plan folds, in
-    the same left-associative order, so signatures match bit-wise)."""
-    ws = similarity._plane_weights(planes, dims)
-    bit_exprs = []
-    for p in range(planes):
-        terms = " + ".join(f"e[{d + 1}] * ({ws[p][d]!r})" for d in range(dims))
-        bit_exprs.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
-    bucket = " || ".join(bit_exprs)
-    return f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ),
-    sigs AS (
-      SELECT vec_id, e,
-             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
-             {bucket} AS bucket
-      FROM v
-    ),
-    pairs AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
-      FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-      WHERE q.vec_id < 10
-    )
-    SELECT q_id, neighbor_id, cos_sim FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
-      FROM pairs
-    ) WHERE rk <= {k}
-    """
-
-
-# upgrade sim_lsh_ann from rows-only to a full oracle: plane weights are
-# deterministic plan-time constants, so the SQL can inline them
-for _q_obj in QUERIES:
-    if _q_obj.name == "sim_lsh_ann":
-        QUERIES.remove(_q_obj)
-        QUERIES.append(
-            Query(
-                name="sim_lsh_ann",
-                fn=_q_obj.fn,
-                oracle=_lsh_oracle_sql(),
-                doc=_q_obj.doc,
-            )
-        )
-        break

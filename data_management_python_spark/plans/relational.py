@@ -36,6 +36,7 @@ from data_management_python_spark.operators.aggregates import (
 from data_management_python_spark.operators.filters import (
     build_predicate,
     filter_case_insensitive,
+    filter_status_chain,
 )
 from data_management_python_spark.operators.joins import (
     anti_join,
@@ -1273,8 +1274,6 @@ def a14_nested_groupby(spark, sf_dir):
     "Run/Experiment/Sample ACTIVE chain, projectutils.py:65-67)",
 )
 def p8_status_chain(spark, sf_dir):
-    from data_management_python_spark.operators.filters import filter_status_chain
-
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_linestatus", "l_returnflag"
