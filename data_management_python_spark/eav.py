@@ -70,9 +70,13 @@ def unmelt_attributes(
 
     Reference read path ``get_attributes_by_dbid`` (baseadaptor.py:507-539).
     Pass ``attribute_names`` at scale to skip the pivot-values scan.
+    The per-cell aggregate is ``max`` — deterministic when the
+    reference's uniq(parent, name, value) constraint still admits
+    multiple values per (parent, name), where ``first`` would depend on
+    partition scheduling.
     """
     pvt = eav.groupBy(parent_key).pivot(name_col, attribute_names)
-    return pvt.agg(F.first(value_col, ignorenulls=True))
+    return pvt.agg(F.max(value_col))
 
 
 def attribute_value_of(

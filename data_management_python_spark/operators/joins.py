@@ -99,14 +99,20 @@ def tag_existing(
 # J9 — fuzzy index-barcode matching (the reference's only nontrivial join)
 # ---------------------------------------------------------------------------
 
-_MATCH_TAGS = [
+# deterministic precedence when one unknown barcode matches several known
+# barcodes with different classes (the reference's per-row loop is
+# last-match-wins over samplesheet order — order-dependent; we pick the
+# most informative class instead, documented deviation)
+_TAG_PRIORITY = [
+    "known",
     "mix_index_match",
-    "index_1_revcomp",
     "only_index_1_revcomp",
     "index_1_and_index_2_revcomp",
+    "index_1_revcomp",
     "only_index_2_revcomp",
-    "index_1_G_homopolymer",
 ]
+
+G_HOMOPOLYMER_PLATFORMS = ("NEXTSEQ", "NOVASEQ6000")
 
 
 def fuzzy_barcode_match(
@@ -115,89 +121,131 @@ def fuzzy_barcode_match(
     index_col: str = "index",
     lane_col: str = "lane",
     tag_col: str = "tag",
+    mapping_ratio_col: str | None = None,
+    mapping_ratio_th: float = 0.0001,
+    check_g_homopolymer: bool = False,
 ) -> DataFrame:
     """Retag unknown barcodes that fuzzily match a known barcode in the
-    same lane.
+    same lane — faithful re-expression of ``_check_index_for_match``
+    (check_sequence_index_barcodes.py:247-354):
 
-    Re-expresses ``_check_index_for_match``
-    (check_sequence_index_barcodes.py:247-354): for each unknown
-    (lane, barcode) test against every known barcode of that lane —
-    exact-after-truncation (6 vs 8bp kits), index1 reverse-complement,
-    dual-index revcomp combinations, and the homopolymer-G artifact —
-    and replace ``tag`` with the match class.  The reference does this
-    as a Pandas row apply (quadratic, single-threaded); here the known
-    set (O(#samples), tiny) is broadcast and the six cases are column
-    predicates evaluated in codegen, so the unknown side streams
-    through one broadcast join at any scale.
+      CASE 1  equal-length exact index1: 'mix_index_match' when either
+              side is single-index; 'known' when index2 also matches.
+      CASE 2/3 truncation match (shorter side vs sliced longer side),
+              index2 sliced and compared too when both are dual.
+      CASE 4  revcomp(index1) == known index1: 'index_1_revcomp' base;
+              'only_index_1_revcomp' when index2 matches exactly;
+              'index_1_and_index_2_revcomp' when index2 also revcomps.
+      CASE 5  index1 exact + revcomp(index2) match:
+              'only_index_2_revcomp'.  (Dead code in the reference —
+              CASE 1 shadows it; implemented here as evidently intended,
+              at lowest match priority.)
+      CASE 6  all-G index1 -> 'index_1_G_homopolymer', only on two-color
+              platforms (``check_g_homopolymer``; reference gates on
+              platform_name in NEXTSEQ/NOVASEQ6000) and only when no
+              other case matched.
 
-    Output: ``unknown`` with ``tag`` replaced where matched.
+    Rows with ``mapping_ratio <= mapping_ratio_th`` are never retagged
+    (reference :265).  The reference resolves multiple matching knowns
+    by list order; this version uses the deterministic ``_TAG_PRIORITY``.
+
+    The known set (O(#samples), tiny) is broadcast; the six cases are
+    column predicates in codegen, so the unknown side streams through
+    one broadcast join at any scale.  Output: ``unknown`` with ``tag``
+    replaced where matched.
     """
-    u1, u2 = split_dual_barcode(F.col(index_col))
-    k1, k2 = split_dual_barcode(F.col("__k_index"))
+    u1e, u2e = split_dual_barcode(F.col(index_col))
+    k1e, k2e = split_dual_barcode(F.col("__k_index"))
 
-    # match per DISTINCT (lane, barcode) — a deterministic key (row ids
-    # would be nondeterministic across plan branches); duplicates of the
-    # same barcode in a lane correctly share one match verdict
     u = (
         unknown.select(F.col(lane_col), F.col(index_col))
         .dropDuplicates([lane_col, index_col])
-        .withColumn("__u1", normalize_index(u1))
-        .withColumn("__u2", normalize_index(u2))
+        .withColumn("__u1", F.trim(u1e))
+        .withColumn("__u2", F.trim(u2e))
     )
     k = (
         known.select(
             F.col(lane_col).alias("__k_lane"),
             F.col(index_col).alias("__k_index"),
         )
-        .withColumn("__k1", normalize_index(k1))
-        .withColumn("__k2", normalize_index(k2))
+        .withColumn("__k1", F.trim(k1e))
+        .withColumn("__k2", F.trim(k2e))
         .dropDuplicates(["__k_lane", "__k1", "__k2"])
     )
 
-    min_len = F.least(F.length("__u1"), F.length("__k1"))
-    u1t = F.expr("substring(__u1, 1, least(length(__u1), length(__k1)))")
-    k1t = F.expr("substring(__k1, 1, least(length(__u1), length(__k1)))")
+    u1, u2 = F.col("__u1"), F.col("__u2")
+    k1, k2 = F.col("__k1"), F.col("__k2")
+    both_dual = (u2 != "") & (k2 != "")
+    either_single = (u2 == "") | (k2 == "")
 
-    match_tag = (
-        F.when(
-            (F.length("__u1") != F.length("__k1")) & (min_len >= 6) & (u1t == k1t),
-            F.lit("mix_index_match"),
-        )
-        .when(
-            (rev_comp(F.col("__u1")) == F.col("__k1"))
-            & (F.col("__u2") == F.col("__k2"))
-            & (F.col("__k2") != ""),
-            F.lit("index_1_revcomp"),
-        )
-        .when(
-            (rev_comp(F.col("__u1")) == F.col("__k1")) & (F.col("__k2") == ""),
-            F.lit("only_index_1_revcomp"),
-        )
-        .when(
-            (rev_comp(F.col("__u1")) == F.col("__k1"))
-            & (rev_comp(F.col("__u2")) == F.col("__k2"))
-            & (F.col("__k2") != ""),
-            F.lit("index_1_and_index_2_revcomp"),
-        )
-        .when(
-            (F.col("__u1") == F.col("__k1"))
-            & (rev_comp(F.col("__u2")) == F.col("__k2"))
-            & (F.col("__k2") != ""),
-            F.lit("only_index_2_revcomp"),
-        )
-        .when(is_g_homopolymer(F.col("__u1")), F.lit("index_1_G_homopolymer"))
-        .otherwise(F.lit(None))
+    # CASE 2/3 slices: shorter side compared against the sliced longer
+    # side, on index1 always and on index2 when both are dual
+    u1s = u1.substr(F.lit(1), F.least(F.length(u1), F.length(k1)))
+    k1s = k1.substr(F.lit(1), F.least(F.length(u1), F.length(k1)))
+    u2s = u2.substr(F.lit(1), F.least(F.length(u2), F.length(k2)))
+    k2s = k2.substr(F.lit(1), F.least(F.length(u2), F.length(k2)))
+
+    case1 = (F.length(u1) == F.length(k1)) & (u1 == k1)
+    case1_tag = F.when(either_single, F.lit("mix_index_match")).when(
+        both_dual & (u2 == k2), F.lit("known")
+    )
+    trunc = (F.length(u1) != F.length(k1)) & (u1s == k1s)
+    case23_tag = F.when(
+        trunc & (F.when(both_dual, u2s == k2s).otherwise(F.lit(True))),
+        F.lit("mix_index_match"),
+    )
+    rc1 = rev_comp(u1) == k1
+    case4_tag = (
+        F.when(rc1 & both_dual & (u2 == k2), F.lit("only_index_1_revcomp"))
+        .when(rc1 & both_dual & (rev_comp(u2) == k2), F.lit("index_1_and_index_2_revcomp"))
+        .when(rc1, F.lit("index_1_revcomp"))
+    )
+    case5_tag = F.when(
+        both_dual & (u1 == k1) & (u2 != k2) & (rev_comp(u2) == k2),
+        F.lit("only_index_2_revcomp"),
+    )
+
+    # CASE 1 may produce no tag (dual barcodes whose index2 differs both
+    # ways) — CASE 5 is the fallback for exactly that state; CASE 2-4
+    # only apply when CASE 1's condition is false
+    pair_tag = F.coalesce(
+        F.when(case1, case1_tag),
+        F.when(~case1, F.coalesce(case23_tag, case4_tag)),
+        case5_tag,
+    )
+    rank_map = F.create_map(
+        *[x for i, t in enumerate(_TAG_PRIORITY) for x in (F.lit(t), F.lit(i))]
+    )
+    unrank_map = F.create_map(
+        *[x for i, t in enumerate(_TAG_PRIORITY) for x in (F.lit(i), F.lit(t))]
     )
 
     matched = (
         u.join(broadcast(k), on=(F.col(lane_col) == F.col("__k_lane")), how="left")
-        .withColumn("__match", match_tag)
+        .withColumn("__rank", rank_map[pair_tag])
         .groupBy(lane_col, index_col)
-        .agg(F.max("__match").alias("__match"))
+        .agg(F.min("__rank").alias("__rank"))
+        .withColumn("__match", unrank_map[F.col("__rank")])
+        .drop("__rank")
     )
 
-    return (
-        unknown.join(broadcast(matched), on=[lane_col, index_col], how="left")
-        .withColumn(tag_col, F.coalesce(F.col("__match"), F.col(tag_col)))
-        .drop("__match")
+    out = unknown.join(matched, on=[lane_col, index_col], how="left")
+    eligible = (
+        F.col(mapping_ratio_col) > mapping_ratio_th
+        if mapping_ratio_col
+        else F.lit(True)
     )
+    new_tag = F.coalesce(F.col("__match"), F.col(tag_col))
+    if check_g_homopolymer:
+        homo = F.regexp_extract(F.col(index_col), r"^([ATGCN]+)", 1).rlike("^G+$")
+        new_tag = F.coalesce(
+            F.col("__match"),
+            F.when(homo, F.lit("index_1_G_homopolymer")),
+            F.col(tag_col),
+        )
+    return out.withColumn(
+        tag_col,
+        F.when(eligible & (F.col(tag_col) == "unknown"), new_tag).otherwise(
+            F.col(tag_col)
+        ),
+    ).drop("__match")

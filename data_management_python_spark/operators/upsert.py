@@ -18,21 +18,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _assert_unique_keys(updates: DataFrame, keys: list[str], what: str) -> None:
+    """Delta MERGE raises when multiple source rows match one target
+    row; mirror that contract instead of silently fanning out."""
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_vals = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"{what}: duplicate keys in updates (e.g. {key_vals}); "
+            "dedupe the source or aggregate it before merging"
+        )
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,
     on: Sequence[str],
     update_columns: Sequence[str] | None = None,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """MERGE: matched target rows take the update's values; unmatched
     updates are inserted; untouched target rows pass through.
 
     Equivalent to Delta ``WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``
     (reference M3/M4/M5).  When ``update_columns`` is given, only those
-    columns are overwritten on match; otherwise the whole row is
-    replaced.  Column set of the result == column set of ``target``.
+    columns are overwritten on match — including to NULL (the matched
+    flag, not coalesce, decides).  Like Delta, duplicate keys in
+    ``updates`` are an error (``validate_unique=False`` skips the check
+    when the caller has already deduplicated).  Column set of the
+    result == column set of ``target``.
     """
     keys = list(on)
+    if validate_unique:
+        _assert_unique_keys(updates, keys, "merge_upsert")
     if update_columns is None:
         missing = [c for c in target.columns if c not in updates.columns]
         upd = updates
@@ -42,12 +66,17 @@ def merge_upsert(
         return replaced.unionByName(upd.select(*target.columns))
 
     upd = updates.select(
-        *keys, *[F.col(c).alias(f"__new_{c}") for c in update_columns]
+        *keys,
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__new_{c}") for c in update_columns],
     )
     merged = target.join(upd, on=keys, how="left")
     for c in update_columns:
-        merged = merged.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
-    merged = merged.drop(*[f"__new_{c}" for c in update_columns])
+        merged = merged.withColumn(
+            c,
+            F.when(F.col("__matched"), F.col(f"__new_{c}")).otherwise(F.col(c)),
+        )
+    merged = merged.drop("__matched", *[f"__new_{c}" for c in update_columns])
     inserts = updates.join(target.select(*keys), on=keys, how="left_anti")
     for c in target.columns:
         if c not in inserts.columns:
@@ -61,9 +90,14 @@ def insert_if_absent(
     """Exactly-once seeding: insert only keys not already present.
 
     Reference: pipeline_seed uniq(pipeline, seed, table) + anti-join on
-    already-seeded (pipelineadaptor.py:523-569).
+    already-seeded (pipelineadaptor.py:523-569).  Candidates are also
+    deduplicated within the batch on the key — the uniq constraint the
+    reference's DB would enforce on the second insert.
     """
-    fresh = candidates.join(target.select(*on), on=list(on), how="left_anti")
+    keys = list(on)
+    fresh = candidates.dropDuplicates(keys).join(
+        target.select(*keys), on=keys, how="left_anti"
+    )
     return target.unionByName(fresh.select(*target.columns))
 
 
@@ -77,8 +111,9 @@ def transition_status(
     """Pipeline-seed state machine: apply (key -> new_status) changes,
     optionally enforcing the SEEDED→RUNNING→FINISHED/FAILED transitions
     (pipelineadaptor.py:357-494).  ``changes`` must carry key_cols +
-    ``new_status``.
+    ``new_status``; duplicate change keys are rejected like merge_upsert.
     """
+    _assert_unique_keys(changes, list(key_cols), "transition_status")
     merged = seeds.join(changes, on=list(key_cols), how="left")
     new = F.col("new_status")
     if allowed:

@@ -23,13 +23,34 @@ from data_management_python_spark.operators.joins import fuzzy_barcode_match
 from data_management_python_spark.sources.stats_json import with_mapping_stats
 
 
-def retag_unknown_barcodes(stats: DataFrame) -> DataFrame:
-    """Apply the fuzzy matcher to unknown rows; known rows pass through."""
-    known = stats.filter(F.col("tag") == "known")
-    unknown = stats.filter(F.col("tag") == "unknown")
-    retagged = fuzzy_barcode_match(unknown, known, index_col="index",
-                                   lane_col="lane", tag_col="tag")
-    return known.unionByName(retagged.select(*known.columns))
+def retag_unknown_barcodes(
+    stats: DataFrame, platform_name: str | None = None
+) -> DataFrame:
+    """Apply the fuzzy matcher to unknown rows; known rows pass through.
+
+    Matches the reference guards: barcodes at or below the mapping-ratio
+    threshold stay untouched, and the all-G retag only applies on
+    two-color platforms (platform_name in NEXTSEQ/NOVASEQ6000,
+    check_sequence_index_barcodes.py:248-265).
+    """
+    from data_management_python_spark.operators.joins import (  # noqa: PLC0415
+        G_HOMOPOLYMER_PLATFORMS,
+    )
+
+    enriched = with_mapping_stats(stats)
+    known = enriched.filter(F.col("tag") == "known")
+    unknown = enriched.filter(F.col("tag") == "unknown")
+    retagged = fuzzy_barcode_match(
+        unknown,
+        known,
+        index_col="index",
+        lane_col="lane",
+        tag_col="tag",
+        mapping_ratio_col="mapping_ratio",
+        check_g_homopolymer=platform_name in G_HOMOPOLYMER_PLATFORMS,
+    )
+    cols = stats.columns
+    return known.select(*cols).unionByName(retagged.select(*cols))
 
 
 def summarize_by_tag(stats: DataFrame) -> DataFrame:
@@ -72,10 +93,14 @@ def lane_gate_report(stats: DataFrame, min_known_pct: float = 80.0) -> DataFrame
     )
 
 
-def barcode_qc(stats: DataFrame, min_known_pct: float = 80.0) -> dict[str, DataFrame]:
+def barcode_qc(
+    stats: DataFrame,
+    min_known_pct: float = 80.0,
+    platform_name: str | None = None,
+) -> dict[str, DataFrame]:
     """Full pipeline: retag -> summaries + gates.  Returns
     {'retagged', 'by_tag', 'lane_report'} DataFrames."""
-    retagged = retag_unknown_barcodes(stats)
+    retagged = retag_unknown_barcodes(stats, platform_name=platform_name)
     return {
         "retagged": retagged,
         "by_tag": summarize_by_tag(retagged),

@@ -14,12 +14,15 @@ so a user of data-management-python can switch with familiar verbs:
   get_attributes_by_dbid (EAV read)           attributes_of
 
 Transaction semantics: the reference wraps one ORM session per call
-(dbconnect.py:122-141); a lake gives per-table atomicity, so every
-write here is an idempotent full-table swap keyed on natural ids —
-re-running a failed load converges (the same relaxation the reference
-effectively has via its existence checks, M6).  On Delta, `_swap`
-becomes a MERGE and the read-back is versioned; the parquet
-implementation keeps the same call contract.
+(dbconnect.py:122-141); a lake gives per-table atomicity (each write is
+one full-table swap).  ``store_records``/``store_with_attributes`` are
+APPENDS — like the reference's bulk insert, re-running them duplicates
+rows unless the caller goes through ``upsert`` or pre-filters with
+``exists``/``tag_existing`` (the reference's own idempotency mechanism,
+M6).  EAV appends ARE deduplicated on (parent, name, value) — the
+uniq constraint the reference's schema enforces (igfTables.py:1037+).
+On Delta, `_swap` becomes a MERGE and the read-back is versioned; the
+parquet implementation keeps the same call contract.
 """
 
 from __future__ import annotations
@@ -137,7 +140,7 @@ class TableStore:
             eav_named.withColumn(
                 f"{name}_attribute_id", F.lit(None).cast("long")
             ).select(*current.columns)
-        )
+        ).dropDuplicates([f"{name}_id", "attribute_name", "attribute_value"])
         self._swap(attr_table, out)
 
     def fetch_by(self, name: str, **filters: Any) -> DataFrame:

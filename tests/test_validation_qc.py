@@ -78,15 +78,17 @@ def test_unregistered_and_required(spark):
 
 def test_barcode_qc_pipeline(spark):
     stats = read_demux_stats(spark, str(FIX / "Stats.json"))
-    out = barcode_qc(stats, min_known_pct=80.0)
+    out = barcode_qc(stats, min_known_pct=80.0, platform_name="NEXTSEQ")
 
     retagged = {
         (r.lane, r["index"]): r.tag  # r.index would be Row.index (method)
         for r in out["retagged"].filter(F.col("sample") == "undetermined").collect()
     }
-    # CGAGTAAT is revcomp of known ATTACTCG with matching index2 -> retagged
-    assert retagged[(1, "CGAGTAAT+TATAGCCT")] == "index_1_revcomp"
-    # all-G artifact detected
+    # revcomp'd index1 + EXACT index2 match -> only_index_1_revcomp
+    # (reference CASE 4, check_sequence_index_barcodes.py:332-341)
+    assert retagged[(1, "CGAGTAAT+TATAGCCT")] == "only_index_1_revcomp"
+    assert retagged[(2, "AATGAGCG+CCTATCCT")] == "only_index_1_revcomp"
+    # all-G artifact detected (two-color platform gate on)
     assert retagged[(1, "GGGGGGGG+GGGGGGGG")] == "index_1_G_homopolymer"
     # genuinely unknown barcode keeps its tag
     assert retagged[(1, "ACGTACGT+ACGTACGT")] == "unknown"
