@@ -50,14 +50,28 @@ def build_work_units(
     expanded = expand_tenx_barcodes(sheet)
     laned = add_pseudo_lane(expanded, platform_series)
     grouped = group_by_index_length(laned)
-    unit = grouped.withColumn(
-        "work_unit",
-        F.concat_ws(
-            ":",
-            F.col("Sample_Project"),
-            F.col("PseudoLane"),
-            F.col("index_length_group"),
-        ),
+    # zero-length-index rows are excluded from demux grouping
+    # (reference samplesheet.py:158-159: groups only truthy lengths),
+    # and duplicate combined barcodes within a lane collapse
+    # (samplesheet_utils.py:104-106 drop_duplicates on combined index)
+    combined = F.concat_ws(
+        "+", F.col("index"),
+        F.col("index2") if "index2" in grouped.columns else F.lit(""),
+    )
+    unit = (
+        grouped.filter(F.col("index_length_group") > 0)
+        .withColumn("__c_index", combined)
+        .dropDuplicates(["PseudoLane", "__c_index"])
+        .drop("__c_index")
+        .withColumn(
+            "work_unit",
+            F.concat_ws(
+                ":",
+                F.col("Sample_Project"),
+                F.col("PseudoLane"),
+                F.col("index_length_group"),
+            ),
+        )
     )
     return unit.repartition("work_unit")
 

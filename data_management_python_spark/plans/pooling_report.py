@@ -36,9 +36,15 @@ def sample_read_progress(
 ) -> DataFrame:
     """Per-sample expected vs actual reads (project_pooling_info.py:
     55-77): (project_igf_id, sample_igf_id, expected_read, total_read)."""
-    expected = attribute_value_of(
-        sample_attribute, "sample_id", "expected_read"
-    ).withColumn("expected_read", F.col("expected_read").cast("long"))
+    # max() over possibly-repeated expected_read attribute rows — the
+    # reference aggregates func.max (project_pooling_info.py:58); a
+    # plain join would fan out samples with duplicate attributes
+    expected = (
+        attribute_value_of(sample_attribute, "sample_id", "expected_read")
+        .withColumn("expected_read", F.col("expected_read").cast("long"))
+        .groupBy("sample_id")
+        .agg(F.max("expected_read").alias("expected_read"))
+    )
     actual = attribute_value_of(
         run_attribute, "run_id", "R1_READ_COUNT", out_col="r1_reads"
     ).withColumn("r1_reads", F.col("r1_reads").cast("long"))
@@ -70,10 +76,12 @@ def project_pooling_report(
 ) -> DataFrame:
     """Per-project pass/fail rollup with failed-sample list and html
     project link (project_pooling_info.py:78-141)."""
+    # strictly greater, as the reference computes it
+    # (project_pooling_info.py:100: pass when max(expected) < sum(total))
     report = group_pass_fail(
         progress,
         group_cols=["project_igf_id"],
-        pass_condition=F.col("total_read") >= F.col("expected_read"),
+        pass_condition=F.col("total_read") > F.col("expected_read"),
         sample_col="sample_igf_id",
     )
     return report.withColumn(

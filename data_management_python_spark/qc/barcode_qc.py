@@ -40,6 +40,14 @@ def retag_unknown_barcodes(
     enriched = with_mapping_stats(stats)
     known = enriched.filter(F.col("tag") == "known")
     unknown = enriched.filter(F.col("tag") == "unknown")
+    # unknown barcodes that EXACTLY match a known index of the lane are
+    # dropped from the stats entirely (reference :143-145 isin filter) —
+    # they are demux artifacts, counted in neither group
+    unknown = unknown.join(
+        known.select("lane", "index").distinct(),
+        on=["lane", "index"],
+        how="left_anti",
+    )
     retagged = fuzzy_barcode_match(
         unknown,
         known,
@@ -62,20 +70,26 @@ def summarize_by_tag(stats: DataFrame) -> DataFrame:
 
 def lane_gate_report(stats: DataFrame, min_known_pct: float = 80.0) -> DataFrame:
     """Per (runid, lane): known/unknown totals, percentages, ratio gate,
-    and the overall pass flag (reference :156-241)."""
+    and the overall pass flag.
+
+    Faithful to the reference (:152-167, :225-241): only the literal
+    'known' and 'unknown' groups feed the counts, percentages and the
+    mapping-ratio gate — retagged classes (mix_index_match, *_revcomp,
+    G-homopolymer) are excluded from both sides.
+    """
     enriched = with_mapping_stats(stats)
     per_lane = enriched.groupBy("runid", "lane").agg(
         F.sum(F.when(F.col("tag") == "known", F.col("reads")).otherwise(0)).alias(
             "known_read"
         ),
-        F.sum(F.when(F.col("tag") != "known", F.col("reads")).otherwise(0)).alias(
+        F.sum(F.when(F.col("tag") == "unknown", F.col("reads")).otherwise(0)).alias(
             "unknown_read"
         ),
         F.min(
             F.when(F.col("tag") == "known", F.col("mapping_ratio"))
         ).alias("min_known_ratio"),
         F.max(
-            F.when(F.col("tag") != "known", F.col("mapping_ratio"))
+            F.when(F.col("tag") == "unknown", F.col("mapping_ratio"))
         ).alias("max_unknown_ratio"),
     )
     total = F.col("known_read") + F.col("unknown_read")

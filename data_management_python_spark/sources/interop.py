@@ -26,16 +26,20 @@ def parse_interop_text(text: str) -> dict[str, tuple[list[str], list[list[str]]]
     current: str | None = None
     header: list[str] | None = None
     rows: list[list[str]] = []
+    # per-section metadata comments the reference skips explicitly
+    # (igf_data/illumina/interop.py:22-27): '# Version', '# Column
+    # Count: N', '# Bin Count: N', '# Channel Count: N'
+    META_NAMES = {"version", "column count", "bin count", "channel count"}
     for line in text.splitlines():
         if line.startswith("#"):
             name = line.lstrip("#").strip().split(",")[0]
             if not name:
                 continue
+            base = name.split(":")[0].strip().lower()
+            if base in META_NAMES or ":" in name:
+                continue  # metadata sub-comment, not a section break
             if current is not None and header is not None:
                 sections[current] = (header, rows)
-            # a "# Version" style sub-comment inside a section is skipped
-            if current is not None and name[0].islower():
-                continue
             current, header, rows = name, None, []
             continue
         if current is None or not line.strip():

@@ -71,17 +71,32 @@ def parse_samplesheet_text(text: str) -> tuple[dict[str, list[str]], list[dict[s
     return sections, data, version
 
 
+# canonical spellings for the index columns; the reference matches
+# headers case-insensitively (samplesheet.py:169-192 '^index' IGNORECASE),
+# and Illumina's v2 sheets spell them 'Index'/'Index2'
+_CANONICAL_COLUMNS = {"index": "index", "index2": "index2"}
+
+
 def read_samplesheet(spark: SparkSession, path: str) -> DataFrame:
     """SampleSheet -> DataFrame (one row per sample entry), with the
     reference's load-time normalizations applied:
       - Sample_Project ':user' suffix stripped (samplesheet.py:388-389)
       - Description uppercased, ':'->'-' (samplesheet.py:390-392)
+      - 'Index'/'Index2' header spellings canonicalized to
+        'index'/'index2' (reference matches case-insensitively)
     Adds ``sheet_version`` ('v1'/'v2') as a constant column.
     """
     with open(path, encoding="utf-8") as fh:
         _, data, version = parse_samplesheet_text(fh.read())
     if not data:
         raise ValueError(f"no data rows in samplesheet {path}")
+    rename = {
+        c: _CANONICAL_COLUMNS[c.lower()]
+        for c in data[0]
+        if c.lower() in _CANONICAL_COLUMNS and c not in _CANONICAL_COLUMNS.values()
+    }
+    if rename:
+        data = [{rename.get(k, k): v for k, v in row.items()} for row in data]
     cols = list(data[0].keys())
     schema = StructType([StructField(c, StringType(), True) for c in cols])
     df = spark.createDataFrame(
@@ -150,9 +165,10 @@ def revcomp_index(df: DataFrame, column: str = "index2") -> DataFrame:
 
 
 def truncate_indexes_to_lane_min(df: DataFrame, lane_col: str = "Lane") -> DataFrame:
-    """Truncate every index in a lane to the lane's minimum N-stripped
-    index length — the reference's pre-demux normalization when a lane
-    mixes 6bp and 8bp kits (samplesheet_utils.py:90-102).
+    """Truncate every index in a lane to the lane's minimum RAW index
+    length — the reference's pre-demux normalization when a lane mixes
+    6bp and 8bp kits (samplesheet_utils.py:92-102: map(len).min() then
+    x[0:min], on raw strings — N placeholders count).
 
     Expressed as a window min per lane (SURVEY O5) — no per-lane
     driver loop; one exchange on the lane key.
@@ -164,13 +180,13 @@ def truncate_indexes_to_lane_min(df: DataFrame, lane_col: str = "Lane") -> DataF
     for col in ("index", "index2"):
         if col not in df.columns:
             continue
-        norm = normalize_index(col)
-        min_len = F.min(F.when(F.length(norm) > 0, F.length(norm))).over(w)
+        raw_len = F.length(F.col(col))
+        min_len = F.min(F.when(raw_len > 0, raw_len)).over(w)
         out = out.withColumn(
             col,
-            F.when(
-                F.length(norm) > 0, F.col(col).substr(F.lit(1), min_len)
-            ).otherwise(F.col(col)),
+            F.when(raw_len > 0, F.col(col).substr(F.lit(1), min_len)).otherwise(
+                F.col(col)
+            ),
         )
     return out
 
@@ -180,10 +196,11 @@ def validate_samplesheet_rows(df: DataFrame) -> DataFrame:
     column (empty result == valid sheet).
 
     Re-expresses _check_samplesheet_data_row (samplesheet.py:38-88):
-      - Sample_ID must differ from Sample_Name
-      - 10X description requires an SI- kit code index; non-10X rows
-        must carry a plain ACGTN index
-      - index2 rows must also have index
+      - Sample_ID must differ from Sample_Name (:58-61)
+      - 10X rows require an SI- kit-code index — a plain ACGT barcode
+        is also an error (:66-71) — and must NOT carry index2 (:76-80)
+      - non-10X rows need a plain ACGTN barcode; SI- codes are invalid
+      - I5_Index_ID set requires index2 (:61-64), and vice versa
     as a single when/otherwise chain (no Python row loop).
     """
     sid = F.col("Sample_ID")
@@ -194,17 +211,28 @@ def validate_samplesheet_rows(df: DataFrame) -> DataFrame:
         if "Description" in df.columns
         else F.lit("")
     )
-    idx2 = F.col("index2") if "index2" in df.columns else F.lit("")
+    idx2 = (
+        F.coalesce(F.col("index2"), F.lit("")) if "index2" in df.columns else F.lit("")
+    )
+    i5 = (
+        F.coalesce(F.col("I5_Index_ID"), F.lit(""))
+        if "I5_Index_ID" in df.columns
+        else F.lit("")
+    )
     is_tenx_code = idx.rlike("^SI-[GNT][ATN]-[A-Z][0-9]+$")
     err = (
         F.when(sid == name, F.lit("Sample_ID equals Sample_Name"))
-        .when((desc == "10X") & ~is_tenx_code & ~idx.rlike("^[ATGCN]+$"),
-              F.lit("10X sample with invalid index"))
+        .when((desc == "10X") & ~is_tenx_code,
+              F.lit("10X sample requires an SI- kit-code index"))
+        .when((desc == "10X") & (idx2 != ""),
+              F.lit("10X sample must not carry index2"))
         .when((desc != "10X") & is_tenx_code,
               F.lit("10X kit index on non-10X sample"))
         .when((desc != "10X") & ~idx.rlike("^[ATGCN]+$"),
               F.lit("index is not a valid barcode"))
-        .when((F.coalesce(idx2, F.lit("")) != "") & (F.coalesce(idx, F.lit("")) == ""),
+        .when((i5 != "") & (idx2 == ""),
+              F.lit("I5_Index_ID present without index2"))
+        .when((idx2 != "") & (F.coalesce(idx, F.lit("")) == ""),
               F.lit("index2 present without index"))
         .otherwise(F.lit(None))
     )

@@ -57,14 +57,18 @@ def expand_tenx_barcodes(
     if has_name:
         plain = plain.withColumn("Original_Sample_Name", F.lit(None).cast("string"))
 
+    # kit-shaped codes absent from the kit map must fail fast — the
+    # reference raises for any 10X index not found in its lookup JSON
+    # (processsinglecellsamplesheet.py:258-260); passing them through
+    # would feed a literal 'SI-GA-xx' string to the demultiplexer
+    unmapped = base.filter(
+        F.col("__bcs").isNull() & is_tenx_kit_code(F.col(index_col))
+    )
+    if not unmapped.isEmpty():
+        bad = unmapped.select(index_col).first()[0]
+        raise ValueError(f"10X kit code not found in kit table: {bad!r}")
+
     tenx = base.filter(F.col("__bcs").isNotNull())
-    if not tenx.isEmpty():
-        unknown = tenx.filter(
-            ~is_tenx_kit_code(F.col(index_col))
-        )
-        if not unknown.isEmpty():
-            bad = unknown.select(index_col).first()[0]
-            raise ValueError(f"non-kit index mapped in kit table: {bad!r}")
     expanded = (
         tenx.select(
             "*", F.posexplode("__bcs").alias("__pos", "__bc")

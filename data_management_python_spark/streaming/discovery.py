@@ -32,19 +32,27 @@ def list_run_dirs(spark: SparkSession, root: str, marker: str = COMPLETION_MARKE
     A run is 'finished' when its completion marker exists (reference
     check_finished_seqrun_dir, find_and_process_new_seqrun.py:148-185)
     — the file-arrival watermark of the batch world.
+
+    Listing goes through the Hadoop FileSystem API, NOT a Spark file
+    source: Spark's binaryFile/text sources silently skip zero-byte
+    files, and NovaSeq RTA3 writes an EMPTY RTAComplete.txt.  The FS
+    API sees every path and works on HDFS/S3/local alike; run-root
+    listing is a control-plane operation (thousands of dirs, not data
+    volume), so a driver-side walk is the right cost model.
     """
-    marker_files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", marker)
-        .option("recursiveFileLookup", "true")
-        .load(root)
-        .select(F.regexp_replace("path", "^file:/*", "/").alias("marker_path"))
-    )
-    run_path = F.regexp_replace("marker_path", f"/{marker}$", "")
-    return marker_files.select(
-        F.element_at(F.split(run_path, "/"), -1).alias("seqrun_igf_id"),
-        run_path.alias("run_path"),
-    )
+    jvm = spark._jvm
+    hadoop_conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(hadoop_conf)
+    found: list[tuple[str, str]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if p.getName() == marker:
+            run_path = p.getParent().toUri().getPath()
+            found.append((run_path.rstrip("/").rsplit("/", 1)[-1], run_path))
+    return spark.createDataFrame(found, "seqrun_igf_id string, run_path string")
 
 
 def discover_new_runs(
@@ -81,9 +89,13 @@ def seed_new_runs(
     if reject_runs is not None:
         rejected = reject_runs.filter(F.col("reject_run") == "Y").select("seed_id")
         candidates = anti_join(candidates, rejected, on="seed_id")
+    keys = ["pipeline_id", "seed_id", "seed_table"]
     fresh = anti_join(
-        candidates, seeds.select("pipeline_id", "seed_id", "seed_table"),
-        on=["pipeline_id", "seed_id", "seed_table"],
+        # in-batch duplicates collapse too — the uniq(pipeline, seed,
+        # table) constraint the reference's DB enforces
+        candidates.dropDuplicates(keys),
+        seeds.select(*keys),
+        on=keys,
     )
     return seeds.unionByName(fresh.select(*seeds.columns))
 
@@ -100,22 +112,29 @@ def stream_new_run_markers(
     appends newly finished runs to ``out_dir``.
 
     Returns the started StreamingQuery (Trigger.AvailableNow — drains
-    the backlog then stops, the Airflow-schedule analog)."""
+    the backlog then stops, the Airflow-schedule analog).
+
+    LIMITATION: every Spark streaming file source (text and binaryFile
+    alike) skips zero-byte files entirely, so an EMPTY completion
+    marker (NovaSeq RTA3 writes one) is invisible to this stream —
+    it is neither emitted nor checkpoint-consumed.  For instruments
+    with empty markers use the batch path (``discover_new_runs``,
+    which lists through the Hadoop FS API) on a schedule; this
+    streaming flavor is correct for markers with content."""
     stream = (
-        spark.readStream.format("text")
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
         .option("pathGlobFilter", marker)
         .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", 1000)
         .load(root)
-        .select(F.input_file_name().alias("marker_path"))
-        .distinct()
+        .select(F.regexp_replace("path", "^file:/*", "/").alias("marker_path"))
         .select(
             F.element_at(
                 F.split(F.regexp_replace("marker_path", f"/{marker}$", ""), "/"), -1
             ).alias("seqrun_igf_id"),
-            F.regexp_replace(
-                F.regexp_replace("marker_path", "^file:/*", "/"), f"/{marker}$", ""
-            ).alias("run_path"),
+            F.regexp_replace("marker_path", f"/{marker}$", "").alias("run_path"),
         )
     )
     return (
@@ -134,12 +153,23 @@ def register_seqrun_batch(
     """Append newly discovered runs to the seqrun registry with platform
     FK resolution by instrument-name convention
     (_check_and_load_seqrun_to_db, dag22:5835-5895): seqrun id format
-    yymmdd_INSTRUMENT_NNNN_FLOWCELL."""
+    yymmdd_INSTRUMENT_NNNN_FLOWCELL.
+
+    The run-dir token carries the flowcell SIDE prefix (A/B) on
+    patterned HiSeq/NovaSeq flowcells; the reference registers the id
+    from RunInfo.xml's <Flowcell> which excludes it (dag22:5855-5857) —
+    strip it when the token matches the side-prefixed pattern.  When a
+    RunInfo.xml is available, prefer sources.runinfo_xml.read_runinfo.
+    """
     parts = F.split("seqrun_igf_id", "_")
+    raw_fc = F.element_at(parts, -1)
+    flowcell = F.when(
+        raw_fc.rlike("^[AB][A-Z0-9]{9}$"), F.substring(raw_fc, 2, 9)
+    ).otherwise(raw_fc)
     enriched = new_runs.select(
         "seqrun_igf_id",
         parts.getItem(1).alias("platform_igf_id"),
-        F.element_at(parts, -1).alias("flowcell_id"),
+        flowcell.alias("flowcell_id"),
         F.lit("N").alias("reject_run"),
     ).join(
         F.broadcast(platform.select("platform_igf_id", "platform_id")),

@@ -94,12 +94,14 @@ def test_barcode_qc_pipeline(spark):
     assert retagged[(1, "ACGTACGT+ACGTACGT")] == "unknown"
 
     report = {r.lane: r for r in out["lane_report"].collect()}
-    # lane 1: known 900k of 995k -> 90.4% pass; ratio gate:
-    # min known ratio 0.4 > max unknown 0.06 -> pass
+    # reference semantics: only literal known/unknown groups feed the
+    # gates — retagged classes (revcomp, homopolymer) count in neither.
+    # lane 1: known 900k vs unknown 5k (ACGTACGT) -> 99.45%
     assert report[1].qc_pass
-    assert abs(report[1].known_pct - 90.45226130653266) < 1e-9
-    # lane 2: known 700k, unknown 52k -> pass
+    assert abs(report[1].known_pct - 900000 / 905000 * 100) < 1e-9
+    # lane 2: known 700k, unknown 2k (TTTTTTTT) -> pass
     assert report[2].qc_pass
+    assert abs(report[2].known_pct - 700000 / 702000 * 100) < 1e-9
 
 
 # --- read-count flagship over reference-shaped tables -----------------------
@@ -147,35 +149,48 @@ def test_project_read_count_plan(spark):
 # --- incremental discovery ---------------------------------------------------
 
 
-def _mk_run_dir(root: Path, name: str, finished: bool = True) -> None:
+def _mk_run_dir(
+    root: Path, name: str, finished: bool = True, empty_marker: bool = False
+) -> None:
     d = root / name
     d.mkdir(parents=True)
     (d / "RunInfo.xml").write_text("<RunInfo/>")
     if finished:
-        (d / "RTAComplete.txt").write_text("done")
+        if empty_marker:
+            (d / "RTAComplete.txt").touch()  # NovaSeq RTA3 writes 0 bytes
+        else:
+            (d / "RTAComplete.txt").write_text("done")
 
 
 def test_discovery_and_seeding(spark, tmp_path):
     _mk_run_dir(tmp_path, "260110_NS9001_0040_AHAAA", finished=True)
     _mk_run_dir(tmp_path, "260112_NS9001_0041_AHBBB", finished=True)
     _mk_run_dir(tmp_path, "260114_NS9001_0042_AHCCC", finished=False)
+    # zero-byte marker (RTA3) must still count as finished
+    _mk_run_dir(tmp_path, "260115_NS9001_0043_AHDDD", finished=True,
+                empty_marker=True)
 
     registry = spark.createDataFrame(
         [("260110_NS9001_0040_AHAAA",)], "seqrun_igf_id string"
     )
     new = discovery.discover_new_runs(spark, str(tmp_path), registry)
-    names = [r.seqrun_igf_id for r in new.collect()]
+    names = sorted(r.seqrun_igf_id for r in new.collect())
     # unfinished run (no marker) invisible; registered run anti-joined away
-    assert names == ["260112_NS9001_0041_AHBBB"]
+    assert names == ["260112_NS9001_0041_AHBBB", "260115_NS9001_0043_AHDDD"]
 
     seeds = spark.createDataFrame(
         [(7, 1, "seqrun", "SEEDED")],
         "pipeline_id long, seed_id long, seed_table string, status string",
     )
-    new_with_ids = new.withColumn("seed_id", F.lit(2))
+    from pyspark.sql.window import Window
+
+    new_with_ids = new.withColumn(
+        "seed_id",
+        F.row_number().over(Window.orderBy("seqrun_igf_id")) + 1,
+    )
     seeded_once = discovery.seed_new_runs(seeds, new_with_ids, pipeline_id=7)
     seeded_twice = discovery.seed_new_runs(seeded_once, new_with_ids, pipeline_id=7)
-    assert seeded_once.count() == 2 and seeded_twice.count() == 2  # idempotent
+    assert seeded_once.count() == 3 and seeded_twice.count() == 3  # idempotent
 
 
 def test_streaming_discovery(spark, tmp_path):
