@@ -350,6 +350,70 @@ def sim_lsh_ann(spark, sf_dir):
     return similarity.lsh_ann(emb, queries, "vec_id", "embedding", planes=8, k=3)
 
 
+def _embed_near_dup_oracle_sql(
+    threshold: float = 0.45, tables: int = 4, planes: int = 6, dims: int = 64
+) -> str:
+    """Embedding near-dup oracle: multi-table hyperplane signatures with
+    the deterministic plane weights inlined as literals (same doubles,
+    same left-associative fold as the Spark plan), UNION of per-table
+    bucket self-joins = distinct candidates, exact cosine verify."""
+    ws = similarity._plane_weights(tables * planes, dims)
+
+    def sig(t: int) -> str:
+        bits = []
+        for p in range(planes):
+            terms = " + ".join(
+                f"e[{d + 1}] * ({ws[t * planes + p][d]!r})" for d in range(dims)
+            )
+            bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+        return " || ".join(bits)
+
+    sig_cols = ",\n             ".join(f"{sig(t)} AS s{t}" for t in range(tables))
+    cand_union = "\n      UNION\n      ".join(
+        f"SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM sigs a "
+        f"JOIN sigs b ON a.s{t} = b.s{t} AND a.vec_id < b.vec_id"
+        for t in range(tables)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    sigs AS (
+      SELECT vec_id,
+             {sig_cols}
+      FROM v
+    ),
+    cands AS (
+      {cand_union}
+    )
+    SELECT c.id_1, c.id_2,
+           ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) AS cos_sim
+    FROM cands c
+    JOIN n x ON x.vec_id = c.id_1
+    JOIN n y ON y.vec_id = c.id_2
+    WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) >= {threshold}
+    """
+
+
+@_q(
+    "d_embed_cosine",
+    _embed_near_dup_oracle_sql(),
+    doc="embedding-cosine near-dup: multi-table hyperplane-LSH candidate "
+    "bucket join (4 tables x 6 planes, deterministic md5-derived "
+    "weights) -> exact cosine verify on distinct candidates only; the "
+    "embedding member of the dedup family",
+)
+def d_embed_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embed_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, tables=4, planes=6
+    )
+
+
 @_q(
     "mm_binary_meta",
     """

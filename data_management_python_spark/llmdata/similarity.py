@@ -10,13 +10,20 @@ Two paths:
     signatures are map-only, and neighbor search joins on the bucket
     signature instead of crossing the corpus.
 
-Dot products use higher-order functions (zip_with + aggregate) — JVM
-whole-stage codegen, sequential fold (deterministic result bits).
+Dot products: when the dimensionality is known (it always is for a
+fixed embedding column) they are unrolled into flat left-associative
+sums of ``element_at`` terms — plain arithmetic that stays inside
+whole-stage codegen.  The higher-order-function forms (zip_with +
+aggregate) are kept as the unknown-dims fallback, but HOFs are
+CodegenFallback in Spark (interpreted per row) — measured ~3x slower
+on the 64-dim bench corpus.  Both forms fold strictly left-to-right,
+so they are bit-identical: ((0+x1)+x2)+... either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,18 +34,52 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
-    """Attach the L2 norm of a vector column (one map-only pass)."""
-    v = _as_double(F.col(vec_col))
-    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+def _flat_sum(terms):
+    """Left-associative sum starting at 0.0 — the exact fp order of
+    F.aggregate's sequential fold, but as a codegen-able expression."""
+    acc = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def with_norm(
+    df: DataFrame, vec_col: str, out_col: str = "norm", dims: int | None = None
+) -> DataFrame:
+    """Attach the L2 norm of a vector column (one map-only pass).
+
+    With ``dims`` the sum of squares is unrolled (codegen); without,
+    it falls back to the interpreted aggregate HOF.  Same fp bits."""
+    if dims is not None:
+        e = [F.element_at(F.col(vec_col), d + 1).cast("double") for d in range(dims)]
+        sq = _flat_sum(x * x for x in e)
+    else:
+        v = _as_double(F.col(vec_col))
+        sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     return df.withColumn(out_col, F.sqrt(sq))
 
 
-def dot(a, b):
-    """Sequential-fold dot product of two array<double> columns."""
+def dot(a, b, dims: int | None = None):
+    """Sequential-fold dot product of two array<double> columns.
+
+    Unrolled into a flat codegen expression when ``dims`` is known;
+    identical result bits either way (left-to-right fold)."""
+    if dims is not None:
+        return _flat_sum(
+            F.element_at(a, d + 1) * F.element_at(b, d + 1) for d in range(dims)
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def _lit_dot(vec_col, weights: list[float]):
+    """Dot of a vector column with a literal weight vector, via the
+    sequential-fold HOF.  NOT unrolled: a signature concat over many
+    planes would put planes*dims multiply-add terms into one generated
+    method — measured to blow Janino's 64KB method limit (codegen
+    disabled, 5-10x slower).  HOF bytecode stays O(1) per plane."""
+    return dot(_as_double(vec_col), _lit_vec(weights))
 
 
 def _lit_vec(values: list[float]):
@@ -63,18 +104,27 @@ def cosine_topk(
     (q_id, neighbor_id, cos_sim) ordered by (rounded cos desc, id asc).
     """
     qrows = queries.select(id_col, vec_col).collect()
-    # python-side norms would introduce a second fp path; keep every
-    # arithmetic step inside the engine so oracle results match bit-wise
-    corpus_n = with_norm(corpus, vec_col).select(
+    dims = len(qrows[0][vec_col]) if qrows else 0
+    corpus_n = with_norm(corpus, vec_col, dims=dims).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
         F.col("norm").alias("__cn"),
     )
     scored_structs = []
     for row in qrows:
-        qv = _lit_vec(list(row[vec_col]))
-        qn = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x))
-        cos = F.round(dot(qv, F.col("__cv")) / (qn * F.col("__cn")), round_digits)
+        qvals = [float(x) for x in row[vec_col]]
+        # python left-assoc double sum == the engine's sequential fold
+        # bit-for-bit (both IEEE-754 doubles, same operation order);
+        # IEEE sqrt is correctly rounded, so same bits as engine sqrt
+        qsq = 0.0
+        for x in qvals:
+            qsq += x * x
+        qn = F.lit(math.sqrt(qsq))
+        # per-query dot stays HOF: k queries x dims terms unrolled into
+        # one struct-array expression breaks Janino's method limit
+        cos = F.round(
+            dot(_lit_vec(qvals), F.col("__cv")) / (qn * F.col("__cn")), round_digits
+        )
         scored_structs.append(
             F.struct(F.lit(row[id_col]).alias("q_id"), cos.alias("cos_sim"))
         )
@@ -123,11 +173,10 @@ def hyperplane_signature(
     100 TB scale path buckets the corpus without any shuffle, then ANN
     search joins query buckets to corpus buckets.
     """
-    v = _as_double(F.col(vec_col))
     weights = _plane_weights(planes, dims)
     bits = []
     for p in range(planes):
-        proj = dot(v, _lit_vec(weights[p]))
+        proj = _lit_dot(F.col(vec_col), weights[p])
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.withColumn(out_col, F.concat(*bits))
 
@@ -145,8 +194,12 @@ def lsh_ann(
     query's LSH bucket.  Bucket join replaces the cross product — the
     scale path for corpus sizes where brute force is off the table."""
     dims = len(queries.select(vec_col).first()[0])
-    c = hyperplane_signature(with_norm(corpus, vec_col), id_col, vec_col, planes, dims)
-    q = hyperplane_signature(with_norm(queries, vec_col), id_col, vec_col, planes, dims)
+    c = hyperplane_signature(
+        with_norm(corpus, vec_col, dims=dims), id_col, vec_col, planes, dims
+    )
+    q = hyperplane_signature(
+        with_norm(queries, vec_col, dims=dims), id_col, vec_col, planes, dims
+    )
     c = c.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
@@ -164,8 +217,11 @@ def lsh_ann(
     )
     scored = pairs.withColumn(
         "cos_sim",
-        F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-                round_digits),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv"), dims=dims)
+            / (F.col("__qn") * F.col("__cn")),
+            round_digits,
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -174,4 +230,96 @@ def lsh_ann(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "neighbor_id", "cos_sim")
+    )
+
+
+def multitable_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: int,
+    planes: int,
+    dims: int,
+) -> DataFrame:
+    """(id, table, sig) rows: one hyperplane signature per hash table.
+
+    All tables draw from one deterministic plane family (table t uses
+    planes t*planes .. t*planes+planes-1), so results are reproducible
+    and an oracle can inline the same literal weights.  Map-only with
+    an explode — no shuffle; the downstream bucket join shuffles on
+    (table, sig), whose cardinality the caller controls via ``planes``.
+    """
+    weights = _plane_weights(tables * planes, dims)
+    sig_structs = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            proj = _lit_dot(F.col(vec_col), weights[t * planes + p])
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        sig_structs.append(
+            F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("sig"))
+        )
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*sig_structs)).alias("ts")
+    ).select(
+        F.col("__id").alias(id_col),
+        F.col("ts.t").alias("table_id"),
+        F.col("ts.sig").alias("sig"),
+    )
+
+
+def embed_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    tables: int = 4,
+    planes: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the embedding member of
+    the dedup family (exact / n-gram / MinHash-LSH / SimHash / this).
+
+    Scale shape: candidates come from a multi-table random-hyperplane
+    LSH bucket join (never all-pairs); exact cosine is verified only on
+    the distinct candidate set, so verification work scales with
+    near-dup density, not corpus size^2.  Recall < 1 by design (the
+    standard LSH trade: more tables / fewer planes per table => higher
+    recall, bigger buckets).  Output: (id_1, id_2, cos_sim) with
+    id_1 < id_2 and rounded cos_sim >= threshold.
+    """
+    dims = len(corpus.select(vec_col).first()[0])
+    tagged = multitable_signatures(corpus, id_col, vec_col, tables, planes, dims)
+    a = tagged.select(F.col(id_col).alias("id_1"), "table_id", "sig")
+    b = tagged.select(F.col(id_col).alias("id_2"), "table_id", "sig")
+    cands = (
+        a.join(b, on=["table_id", "sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    vec = with_norm(corpus, vec_col, dims=dims).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col("norm").alias("__n"),
+    )
+    va = vec.select(
+        F.col("__id").alias("id_1"), F.col("__v").alias("__v1"), F.col("__n").alias("__n1")
+    )
+    vb = vec.select(
+        F.col("__id").alias("id_2"), F.col("__v").alias("__v2"), F.col("__n").alias("__n2")
+    )
+    num = _flat_sum(
+        F.element_at(F.col("__v1"), d + 1).cast("double")
+        * F.element_at(F.col("__v2"), d + 1).cast("double")
+        for d in range(dims)
+    )
+    return (
+        cands.join(va, "id_1")
+        .join(vb, "id_2")
+        .withColumn(
+            "cos_sim", F.round(num / (F.col("__n1") * F.col("__n2")), round_digits)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "cos_sim")
     )
