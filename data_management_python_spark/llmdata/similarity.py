@@ -323,3 +323,92 @@ def embed_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate nearest neighbors (the inverted-file
+    alternative to the hyperplane-LSH path in :func:`lsh_ann`).
+
+    Coarse quantizer: the ``n_centroids`` lowest-id corpus vectors —
+    a deterministic "training sample" (a production deployment would
+    plug k-means centroids into the same plan; the index structure,
+    assignment and probe machinery are identical).  Every vector is
+    assigned to its nearest centroid by cosine (strict-max fold over
+    the centroid array, first max wins — i.e. ties break to the lowest
+    centroid id); search is exact cosine within the query's cell
+    (nprobe=1).
+
+    Scale shape: the centroid table is collected once (O(n_centroids)
+    driver data) and inlined, so corpus assignment is MAP-ONLY — no
+    shuffle to build the inverted file; the probe is a bucket join on
+    cell id exactly like the LSH path.  Output: (q_id, neighbor_id,
+    cos_sim) top-k per query, ties broken by neighbor id.
+    """
+    dims = len(queries.select(vec_col).first()[0])
+    cents = [
+        (r[id_col], [float(x) for x in r[vec_col]])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+    # python left-assoc double sum == engine fold bit-for-bit (see
+    # cosine_topk); centroid norms are plan-time constants
+    cnorms = []
+    for _, cv in cents:
+        s = 0.0
+        for x in cv:
+            s += x * x
+        cnorms.append(math.sqrt(s))
+
+    def assigned(df: DataFrame, out_id: str, vpfx: str) -> DataFrame:
+        d = with_norm(df, vec_col, dims=dims)
+        structs = [
+            F.struct(
+                (
+                    dot(_lit_vec(cv), _as_double(F.col(vec_col)))
+                    / (F.lit(cn) * F.col("norm"))
+                ).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+            for (cid, cv), cn in zip(cents, cnorms)
+        ]
+        arr = F.array(*structs)
+        best = F.aggregate(
+            F.slice(arr, 2, len(cents) - 1),
+            F.element_at(arr, 1),
+            lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+        )
+        return d.select(
+            F.col(id_col).alias(out_id),
+            _as_double(F.col(vec_col)).alias(f"{vpfx}v"),
+            F.col("norm").alias(f"{vpfx}n"),
+            best["cid"].alias("cell"),
+        )
+
+    c = assigned(corpus, "neighbor_id", "__c")
+    q = assigned(queries, "q_id", "__q")
+    pairs = c.join(F.broadcast(q), on="cell").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col("__qv"), F.col("__cv"), dims=dims)
+            / (F.col("__qn") * F.col("__cn")),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )

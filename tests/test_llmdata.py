@@ -117,3 +117,38 @@ def test_multimodal_plumbing(spark):
     feats = extract_features(media, dim=8).collect()[0]
     assert len(feats.feature) == 8
     assert feats.byte_len == 11
+
+
+def test_embed_near_dup_finds_planted_duplicate(spark):
+    # identical vectors share every per-table signature -> recall 1.0
+    # for exact duplicates regardless of LSH params
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, -1.0, 0.5]),
+            (1, [1.0, 2.0, -1.0, 0.5]),
+            (2, [-1.0, -2.0, 1.0, -0.5]),
+            (3, [0.5, -3.0, 2.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.embed_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, tables=2, planes=3
+    ).collect()
+    pairs = {(r.id_1, r.id_2): r.cos_sim for r in out}
+    assert (0, 1) in pairs and abs(pairs[(0, 1)] - 1.0) < 1e-9
+    # opposite-direction vector (cos = -1) never crosses the threshold
+    assert all(p[0] < p[1] for p in pairs)
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ivf_ann_identical_vector_in_same_cell(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 2 == 0), float(i % 2 == 1), 1.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_ann(emb, q, n_centroids=2, k=3).collect()
+    # vectors 2,4,6 are identical to the query -> same centroid cell,
+    # cos 1.0, and fill the top-k in id order
+    assert [r.neighbor_id for r in out] == [2, 4, 6]
+    assert all(abs(r.cos_sim - 1.0) < 1e-9 for r in out)
