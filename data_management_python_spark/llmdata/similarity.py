@@ -83,7 +83,11 @@ def _lit_dot(vec_col, weights: list[float]):
 
 
 def _lit_vec(values: list[float]):
-    return F.array(*[F.lit(float(x)) for x in values])
+    # single array<double> Literal node (not CreateArray of N Literals):
+    # keeps expression trees O(1) per vector — with 8+ inlined centroid /
+    # plane vectors of 64 dims the per-element form bloated analysis
+    # time and task binaries (measured 2.8 MiB task binary on ivf_ann)
+    return F.lit([float(x) for x in values])
 
 
 def cosine_topk(
