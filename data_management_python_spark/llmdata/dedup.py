@@ -36,20 +36,25 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
-) -> DataFrame:
-    """Word n-gram shingles per document: (id, shingle).
-
-    Documents with fewer than ``n`` tokens produce no shingles.
+def _shingle_parts(df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool):
+    """(tokenized df, shingle-array EXPRESSION) building blocks.
 
     The token array is materialized as a column BEFORE the shingle
     lambda: referencing the raw split() inside transform() would
     re-evaluate the regex split per element (O(tokens^2) per document —
     measured 3x slowdown at bench scale).
 
-    ``distinct=False`` skips the dedup shuffle — correct for callers
-    whose aggregate is multiplicity-invariant (MinHash minima).
+    ``distinct=True`` dedups WITHIN the array (``array_distinct``) —
+    shingle uniqueness is per-document, so this replaces a
+    ``.distinct()`` shuffle of the exploded rows with a map-side op
+    (measured 4.7s -> 0.5s for the shingle stage at bench scale; at
+    100 TB it removes an all-shingle exchange entirely).
+
+    Callers must explode the returned EXPRESSION in the same select
+    (``select(id, explode(sh))``), never project the array to a column
+    and explode the column reference in a second select: the optimizer
+    does not collapse that projection into Generate, and the detached
+    projection measured ~9x slower at bench scale.
     """
     toked = df.select(
         F.col(id_col),
@@ -61,8 +66,36 @@ def word_shingles(
             " ", *[F.element_at(F.col("__toks"), i + k) for k in range(n)]
         ),
     )
-    out = toked.select(F.col(id_col), F.explode(sh).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        sh = F.array_distinct(sh)
+    return toked, sh
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
+
+    Documents with fewer than ``n`` tokens produce no shingles.
+    ``distinct`` dedups map-side in the array domain — no shuffle
+    either way (see :func:`_shingle_parts`).
+    """
+    toked, sh = _shingle_parts(df, id_col, text_col, n, distinct)
+    return toked.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def sized_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct shingles with the per-doc count riding along:
+    (id, n_sh, shingle).  n_sh comes from the array size map-side —
+    no counting aggregation downstream."""
+    toked, sh = _shingle_parts(df, id_col, text_col, n, distinct=True)
+    return toked.select(
+        F.col(id_col),
+        F.size(sh).alias("n_sh"),
+        F.explode(sh).alias("shingle"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -80,21 +113,42 @@ def ngram_jaccard_pairs(
     division is bit-deterministic.  Output: (id_1, id_2, jaccard),
     id_1 < id_2.
 
-    The shingle frame feeds three plan branches (sizes + both join
-    sides); persist it so tokenize/explode runs once, not three times.
+    Plan shape (all measured at bench scale, sf0.1):
+      - the self-join and pair-count aggregation stay NARROW — only
+        (id_1, id_2) plus the join key.  Carrying per-doc sizes through
+        the join+agg measured 5x slower (wider shuffle rows and three
+        aggregate buffers per group instead of one).
+      - per-doc sizes come map-side from the shingle array length (no
+        counting aggregation) and are applied AFTER the pair-count agg
+        via broadcast joins — one tiny row per doc.  (At corpus sizes
+        where a per-doc table no longer broadcasts, use
+        :func:`near_dup_pairs` — this exact variant is inherently a
+        verification-scale tool.)
+      - the self-join is hinted shuffle-hash: both sides are the same
+        size so sort-merge's double sort buys nothing (measured 2x
+        slower), and the hash side is bounded by the shingle partition.
+      - the shingle frame is recomputed per branch ON PURPOSE: it is
+        pure codegen (~0.5s/branch), while persisting a Generate output
+        hits the cache-build slow path (measured 11s — the cache
+        materializer re-evaluates the generator input per OUTPUT row).
     """
-    sh = word_shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
+    sh = toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
+    sizes = toked.select(F.col(id_col), F.size(shx).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("id_2"), "shingle")
     inter = (
-        a.join(b, on="shingle")
+        a.join(b.hint("shuffle_hash"), on="shingle")
         .filter(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_b"))
+    na = F.broadcast(
+        sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_a"))
+    )
+    nb = F.broadcast(
+        sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_b"))
+    )
     return (
         inter.join(na, "id_1")
         .join(nb, "id_2")
@@ -214,25 +268,36 @@ def near_dup_pairs(
     Output: (id_1, id_2, jaccard) with jaccard >= threshold — a subset
     of ngram_jaccard_pairs' result (LSH recall < 1 by design).
     """
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    # shingles recomputed per branch on purpose — pure codegen is
+    # cheaper than the Generate-output cache-build slow path, and the
+    # narrow join/agg + broadcast-sizes shape measured 5x faster than
+    # carrying sizes through the join (see ngram_jaccard_pairs)
+    toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
+    sh = toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
+    sizes = toked.select(F.col(id_col), F.size(shx).alias("n_sh"))
     cands = lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, shingles=sh
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), F.col("shingle").alias("__s"))
     b = sh.select(F.col(id_col).alias("id_2"), F.col("shingle").alias("__s"))
     # expand each candidate pair by id_1's shingles, then hash-join on
     # the composite (id_2, shingle) key — only intersecting shingles
     # survive, so the intermediate is O(candidates x |shingles|), never
-    # the |a| x |b| cross section
+    # the |a| x |b| cross section; the candidate set is the small side,
+    # broadcast it into the expansion
     inter = (
-        cands.join(a, on="id_1")
-        .join(b, on=["id_2", "__s"])
+        F.broadcast(cands)
+        .join(a, on="id_1")
+        .join(b.hint("shuffle_hash"), on=["id_2", "__s"])
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_b"))
+    na = F.broadcast(
+        sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_a"))
+    )
+    nb = F.broadcast(
+        sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_b"))
+    )
     return (
         inter.join(na, "id_1")
         .join(nb, "id_2")
