@@ -101,7 +101,11 @@ def j1_readcount_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = T(spark, sf_dir, "region")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        # fact-fact join: hinted shuffle-hash — the filtered orders side
+        # is the smaller build side and its hash table is bounded by the
+        # shuffle partition, not the table; SMJ's double sort measured
+        # ~1.4x slower here
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1212,7 +1216,9 @@ def q3_topk_revenue(spark, sf_dir):
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        # same shuffle-hash rationale as j1: date-filtered orders is the
+        # bounded build side of the fact-fact join
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
