@@ -395,6 +395,55 @@ def sim_ivf_ann(spark, sf_dir):
     return similarity.ivf_ann(emb, queries, "vec_id", "embedding", n_centroids=8, k=3)
 
 
+@_q(
+    "sim_ivf_multiprobe",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, e, nrm, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(e, ce) / (cn * nrm) DESC, cid
+             ) AS ark
+      FROM n CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, e, nrm, cid AS cell FROM assign WHERE ark = 1),
+    qcells AS (
+      SELECT vec_id, e, nrm, cid AS cell FROM assign
+      WHERE ark <= 2 AND vec_id < 10
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM qcells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+    doc="multi-probe IVF ANN (nprobe=2): queries probe their 2 nearest "
+    "cells — the standard IVF recall knob; probe fan-out rides the "
+    "broadcast query side, corpus assignment/shuffle unchanged",
+)
+def sim_ivf_multiprobe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann(
+        emb, queries, "vec_id", "embedding", n_centroids=8, k=3, nprobe=2
+    )
+
+
 def _embed_near_dup_oracle_sql(
     threshold: float = 0.45, tables: int = 4, planes: int = 6, dims: int = 64
 ) -> str:

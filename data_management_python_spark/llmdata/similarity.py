@@ -420,6 +420,64 @@ def embed_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means coarse quantizer training for :func:`ivf_ann`.
+
+    Init = the ``k`` lowest-id corpus vectors (deterministic seeding).
+    Each iteration: (1) map-only nearest-centroid assignment via an
+    Arrow-batched UDF (squared-L2 argmin, vectorized), (2) per-cell
+    per-dim means via posexplode + groupBy(cell, pos) — one partial-agg
+    shuffle of (k x dims) cardinality, independent of corpus size.
+    Only the k x dims mean matrix is collected per iteration.
+
+    NOTE: per-dim means sum doubles in partition order, so trained
+    centroid values are NOT bit-reproducible across runs (standard
+    float-reduction caveat); the returned structure is deterministic in
+    shape.  Use the default lowest-id quantizer when bit-reproducible
+    results are required.  Returns [(cell_id 0..k-1, vector)].
+    """
+    init = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    ]
+    cents = np.array(init, dtype=np.float64)
+    dims = cents.shape[1]
+    for _ in range(iterations):
+        C = cents.copy()
+
+        @pandas_udf("int")
+        def _nearest(v: pd.Series) -> pd.Series:
+            A = _np_rows(v)
+            # squared L2 via |v|^2 - 2 v.c + |c|^2; argmin first-wins
+            d2 = (
+                (A * A).sum(axis=1, keepdims=True)
+                - 2.0 * A @ C.T
+                + (C * C).sum(axis=1)
+            )
+            return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+        means = (
+            corpus.select(
+                _nearest(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty cells keep their previous centroid
+        for row in means:
+            nxt[row["cell"]][row["pos"]] = row["m"]
+        cents = nxt
+    return [(i, [float(x) for x in cents[i]]) for i in range(k)]
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -428,46 +486,67 @@ def ivf_ann(
     n_centroids: int = 8,
     k: int = 3,
     round_digits: int = 6,
+    nprobe: int = 1,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate nearest neighbors (the inverted-file
     alternative to the hyperplane-LSH path in :func:`lsh_ann`).
 
     Coarse quantizer: the ``n_centroids`` lowest-id corpus vectors —
-    a deterministic "training sample" (a production deployment would
-    plug k-means centroids into the same plan; the index structure,
-    assignment and probe machinery are identical).  Every vector is
-    assigned to its nearest centroid by cosine — np.argmax's
-    first-occurrence rule is the same "first max wins" as a strict-max
-    fold, i.e. ties break to the lowest centroid id; search is exact
-    cosine within the query's cell (nprobe=1).
+    a deterministic "training sample" — or pass ``centroids`` (e.g.
+    from :func:`kmeans_centroids`) to plug trained ones into the same
+    plan.  Every corpus vector is assigned to its nearest centroid by
+    cosine — np.argmax's first-occurrence rule is the same "first max
+    wins" as a strict-max fold, i.e. ties break to the lowest centroid
+    id.  Queries probe their ``nprobe`` nearest cells (multi-probe
+    trades extra bucket-join fan-out for recall — the standard IVF
+    knob); search is exact cosine within the probed cells.
 
     Scale shape: the centroid table is collected once (O(n_centroids)
     driver data) and inlined into the assignment UDF, so corpus
     assignment is MAP-ONLY — no shuffle to build the inverted file;
-    the probe is a bucket join on cell id exactly like the LSH path.
-    Output: (q_id, neighbor_id, cos_sim) top-k per query, ties broken
-    by neighbor id.
+    the probe is a bucket join on cell id exactly like the LSH path,
+    with query-side fan-out x nprobe (queries are the broadcast side,
+    so fan-out never touches the corpus shuffle).  Output: (q_id,
+    neighbor_id, cos_sim) top-k per query, ties broken by neighbor id.
     """
-    cents = [
-        (r[id_col], [float(x) for x in r[vec_col]])
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    ]
-    cvecs = [cv for _, cv in cents]
+    if centroids is None:
+        centroids = [
+            (r[id_col], [float(x) for x in r[vec_col]])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        ]
+    cvecs = [cv for _, cv in centroids]
     cnorms = [_python_norm(cv) for cv in cvecs]
-    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
 
-    @pandas_udf("struct<norm:double, cell:bigint>")
-    def _assign(v: pd.Series) -> pd.DataFrame:
-        A = _np_rows(v)
-        nrm = np.sqrt(_np_fold_dot(A, A))
-        cos = np.stack(
+    def _cell_cosines(A: np.ndarray, nrm: np.ndarray) -> np.ndarray:
+        return np.stack(
             [
                 _np_fold_dot_w(A, cv) / (cn * nrm)
                 for cv, cn in zip(cvecs, cnorms)
             ],
             axis=1,
         )
+
+    @pandas_udf("struct<norm:double, cell:bigint>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        A = _np_rows(v)
+        nrm = np.sqrt(_np_fold_dot(A, A))
+        cos = _cell_cosines(A, nrm)
         return pd.DataFrame({"norm": nrm, "cell": cids[np.argmax(cos, axis=1)]})
+
+    @pandas_udf("struct<norm:double, cells:array<bigint>>")
+    def _probe(v: pd.Series) -> pd.DataFrame:
+        A = _np_rows(v)
+        nrm = np.sqrt(_np_fold_dot(A, A))
+        cos = _cell_cosines(A, nrm)
+        # stable argsort on -cos keeps original index order on ties =
+        # lowest centroid id first (same rule as the corpus argmax)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.DataFrame({"norm": nrm, "cells": list(cids[order])})
 
     def side(df: DataFrame, out_id: str, vpfx: str) -> DataFrame:
         return df.select(
@@ -482,7 +561,19 @@ def ivf_ann(
         )
 
     c = side(corpus, "neighbor_id", "__c")
-    q = side(queries, "q_id", "__q")
+    if nprobe <= 1:
+        q = side(queries, "q_id", "__q")
+    else:
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__qv"),
+            _probe(F.col(vec_col)).alias("__a"),
+        ).select(
+            "q_id",
+            "__qv",
+            F.col("__a.norm").alias("__qn"),
+            F.explode("__a.cells").alias("cell"),
+        )
     pairs = c.join(F.broadcast(q), on="cell").filter(
         F.col("q_id") != F.col("neighbor_id")
     )

@@ -152,3 +152,41 @@ def test_ivf_ann_identical_vector_in_same_cell(spark):
     # cos 1.0, and fill the top-k in id order
     assert [r.neighbor_id for r in out] == [2, 4, 6]
     assert all(abs(r.cos_sim - 1.0) < 1e-9 for r in out)
+
+
+def test_ivf_multiprobe_recall_superset(spark):
+    # nprobe=2 probes the runner-up cell too: its candidate set (and
+    # with k high enough, its result set) contains the nprobe=1 results
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(6)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    one = similarity.ivf_ann(emb, q, n_centroids=4, k=20, nprobe=1).collect()
+    two = similarity.ivf_ann(emb, q, n_centroids=4, k=20, nprobe=2).collect()
+    set1 = {(r.q_id, r.neighbor_id) for r in one}
+    set2 = {(r.q_id, r.neighbor_id) for r in two}
+    assert set1 <= set2
+    assert len(set2) > len(set1)  # the extra cell contributed candidates
+
+
+def test_kmeans_centroids_recovers_planted_clusters(spark):
+    # two tight planted clusters -> the two trained centroids land near
+    # the cluster means and partition the corpus accordingly
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 0.0, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.0, -10.0 - (i % 3) * 0.1, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_centroids(emb, k=2, iterations=3)
+    assert [cid for cid, _ in cents] == [0, 1]
+    # one centroid per planted cluster (which id lands where depends on
+    # the seeding, both seeds start inside cluster 1)
+    near_c1 = [v for _, v in cents if abs(v[0] - 10.1) < 0.2 and abs(v[1]) < 0.2]
+    near_c2 = [v for _, v in cents if abs(v[1] + 10.1) < 0.2 and abs(v[0]) < 0.2]
+    assert len(near_c1) == 1 and len(near_c2) == 1
+    # trained centroids plug into the same probe plan
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_ann(emb, q, k=3, centroids=cents).collect()
+    assert {r.neighbor_id for r in out} <= set(range(1, 10))
