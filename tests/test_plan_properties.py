@@ -1,0 +1,72 @@
+"""Physical-plan property gate: the scale rules the engine is designed
+around must hold in the plans Catalyst actually produces.
+
+Mirrors tools/explain_audit.py as a pytest so plan regressions (lost
+pushdown, a dim join degrading to sort-merge, an accidental cartesian)
+fail CI instead of only showing up in the audit tool.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from explain_audit import audit  # noqa: E402
+
+from data_management_python_spark.plans import collect_queries  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# scale-critical representatives: star join, selective filters, dedup
+# family, EAV, windows, ANN family
+AUDITED = [
+    "j1_readcount_multiway",
+    "q3_topk_revenue",
+    "p1_eq_filter",
+    "p7_like_prefix",
+    "j4_anti_join_seeding",
+    "j5_semi_join",
+    "a3_pivot_matrix",
+    "eav_melt",
+    "w_rank_per_group",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_near_dup_verified",
+    "sim_ivf_ann",
+    "d_embed_cosine",
+]
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return collect_queries()
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_plan_properties(spark, queries, name):
+    df = queries[name].fn(spark, SF_DIR)
+    df.count()  # let AQE finalize the executed plan
+    flags, errors = audit(name, df)
+    assert not errors, f"{name}: {errors} (flags: {flags})"
+
+
+def test_star_join_broadcasts_all_dims(spark, queries):
+    """j1's three dimension joins must all be broadcast — the fact side
+    shuffles at most once (for the orders join), never for dims."""
+    df = queries["j1_readcount_multiway"].fn(spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_selective_filter_reaches_scan(spark, queries):
+    df = queries["p1_eq_filter"].fn(spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus" in plan
