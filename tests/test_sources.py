@@ -212,3 +212,51 @@ def test_manifest_and_gviz(spark, tmp_path):
     assert [c["id"] for c in parsed["cols"]] == ["file_path", "size"]
     assert parsed["cols"][1]["type"] == "number"
     assert len(parsed["rows"]) == 2
+
+
+def test_fastq_datasource_reads_records(spark, tmp_path):
+    from data_management_python_spark.sources.fastq_datasource import (
+        register_fastq_source,
+    )
+
+    d = tmp_path / "fqds"
+    d.mkdir()
+    _make_fastq(d / "SampleAlpha_S1_L001_R1_001.fastq.gz", 5)
+    # plain-text file alongside gz: both open paths exercised
+    rec = "@read%d\nTTTTACGT\n+\nIIIIIIII\n"
+    with open(d / "SampleBeta_S2_L002_R1_001.fastq", "w") as fh:
+        for i in range(3):
+            fh.write(rec % i)
+
+    register_fastq_source(spark)
+    df = spark.read.format("fastq").load(str(d))
+    assert df.columns == ["file_path", "record_no", "read_id", "sequence", "quality"]
+    assert df.count() == 8
+    # one partition per file (gz is unsplittable; file is the task unit)
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.filter(F.col("file_path").endswith(".fastq")).orderBy("record_no").collect()
+    assert [r.read_id for r in rows] == ["read0", "read1", "read2"]
+    assert rows[0].sequence == "TTTTACGT" and rows[0].quality == "IIIIIIII"
+    # distributed per-read aggregation over the source
+    per_file = {r.file_path.split("/")[-1]: r.n for r in
+                df.groupBy("file_path").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_file == {
+        "SampleAlpha_S1_L001_R1_001.fastq.gz": 5,
+        "SampleBeta_S2_L002_R1_001.fastq": 3,
+    }
+
+
+def test_fastq_datasource_rejects_malformed(spark, tmp_path):
+    from data_management_python_spark.sources.fastq_datasource import (
+        register_fastq_source,
+    )
+
+    d = tmp_path / "fqbad"
+    d.mkdir()
+    with open(d / "Broken_S1_L001_R1_001.fastq", "w") as fh:
+        fh.write("@read0\nACGT\n+\nFFFF\n@read1\nACGT\n")  # truncated record
+    register_fastq_source(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="truncated FASTQ"):
+        spark.read.format("fastq").load(str(d)).count()
