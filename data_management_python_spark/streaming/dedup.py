@@ -1,0 +1,114 @@
+"""Streaming deduplication — the incremental counterpart of
+``llmdata.dedup`` for document streams.
+
+Two shapes:
+
+  - :func:`stream_exact_dedup`: first-seen exact dedup by content hash
+    via Structured Streaming's built-in ``dropDuplicates`` /
+    ``dropDuplicatesWithinWatermark``.  With an event-time column the
+    watermark bounds state (the 100 TB-stream path: state holds only
+    hashes younger than the lateness horizon); without one, state
+    grows with distinct contents (documented, fine for bounded
+    backfills).
+  - :func:`running_dup_counter`: custom stateful operator
+    (``applyInPandasWithState``) emitting, per content hash, the
+    first-seen doc id and a running duplicate count — the streaming
+    analog of ``exact_dedup_groups``'s (keep_id, n_copies) output,
+    updated every micro-batch.
+
+Reference parity note: the reference dedups batch-wise inside pandas
+frames (metadata_validation duplicate checks); a continuously-fed
+corpus needs the state-store form.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First occurrence of each distinct content survives; later exact
+    duplicates are dropped across micro-batches via the state store.
+
+    Output: (id, text_md5, text[, event_time]).  State is keyed by the
+    16-byte md5, not the document body — constant bytes per distinct
+    content regardless of document size.
+    """
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"), F.col(text_col),
+        *([F.col(event_time_col)] if event_time_col else []),
+    )
+    if event_time_col is not None:
+        return hashed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_md5"]
+        )
+    return hashed.dropDuplicates(["text_md5"])
+
+
+DUP_COUNTER_OUTPUT = StructType(
+    [
+        StructField("text_md5", StringType()),
+        StructField("keep_id", LongType()),
+        StructField("n_copies", LongType()),
+    ]
+)
+
+_DUP_STATE = StructType(
+    [StructField("keep_id", LongType()), StructField("n", LongType())]
+)
+
+
+def running_dup_counter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-content running duplicate counter (update mode).
+
+    Emits (text_md5, keep_id, n_copies) each micro-batch a content hash
+    appears; keep_id is the minimum id ever seen for that content —
+    the same canonical-survivor rule as the batch
+    ``exact_dedup_groups``.  O(1) state per distinct content.
+    """
+    hashed = docs.select(
+        F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col).alias("__id")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        keep, n = (state.get[0], state.get[1]) if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            batch_min = int(pdf["__id"].min())
+            keep = batch_min if keep is None else min(keep, batch_min)
+        state.update((keep, n))
+        yield pd.DataFrame(
+            {"text_md5": [key[0]], "keep_id": [keep], "n_copies": [n]}
+        )
+
+    return hashed.groupBy("text_md5").applyInPandasWithState(
+        update,
+        outputStructType=DUP_COUNTER_OUTPUT,
+        stateStructType=_DUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -98,3 +98,68 @@ def test_running_user_counter_stream(spark, tmp_path):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == expect
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.streaming.dedup import stream_exact_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "docs_src"
+    # same corpus written twice -> the second micro-batch is 100%
+    # duplicate content and must be fully dropped by cross-batch state
+    docs.write.parquet(str(src / "a"))
+    docs.write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_exact_dedup(stream, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select text_md5 from dedup_out").collect()
+    n_distinct = docs.select(F.md5("text").alias("h")).distinct().count()
+    assert len(got) == n_distinct
+    assert len({r.text_md5 for r in got}) == n_distinct
+
+
+def test_running_dup_counter_matches_batch_groups(spark, tmp_path):
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.llmdata.dedup import exact_dedup_groups
+    from data_management_python_spark.streaming.dedup import running_dup_counter
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "docs_src2"
+    docs.write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = (
+        running_dup_counter(stream, "doc_id", "text")
+        .writeStream.format("memory")
+        .queryName("dupcount_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dup2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.text_md5: (r.keep_id, r.n_copies)
+        for r in spark.sql("select * from dupcount_out").collect()
+    }
+    expect = {
+        r.text_md5: (r.keep_id, r.n_copies)
+        for r in exact_dedup_groups(docs, "doc_id", "text").collect()
+    }
+    assert got == expect
