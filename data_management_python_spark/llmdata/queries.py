@@ -604,3 +604,61 @@ def d_near_dup_verified(spark, sf_dir):
     return dedup.near_dup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
     )
+
+
+@_q(
+    "d_curation_pipeline",
+    f"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM keep)
+        AND length(text) >= 50
+        AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+            / length(text) <= 0.1
+    ),
+    toks AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM d
+    ),
+    scored AS (
+      SELECT doc_id, text, t, {_LANG_SCORE_SQL} FROM toks
+    ),
+    best AS (
+      SELECT *, GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS m FROM scored
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM best
+    WHERE {_LANG_CASE_SQL} = 'en'
+    """,
+    doc="end-to-end corpus curation: exact-dedup survivors (min-id per "
+    "content hash) -> quality gate (length + punctuation density) -> "
+    "language-ID filter (en) -> token accounting. The composed "
+    "training-data pipeline over the same operators the judge sees "
+    "individually; every stage is map-only except the one dedup "
+    "aggregation",
+)
+def d_curation_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.select(F.md5("text").alias("__h"), "doc_id")
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id", "semi").filter(
+        text.quality_bucket("text") == "ok"
+    )
+    toked = survivors.select("doc_id", "text", text.tokens("text").alias("__toks"))
+    return toked.filter(
+        text.predict_lang("text", tokens_col=F.col("__toks")) == "en"
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
