@@ -1129,10 +1129,12 @@ def m7_cascade_delete(spark, sf_dir):
 @_q(
     "w_rank_per_group",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice
-    FROM orders
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
-                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 2
     """,
     doc="top-N per group via row_number window — beyond-reference window "
     "op (the reference has no ranking functions, SURVEY §2.5)",
