@@ -1291,3 +1291,87 @@ def p8_status_chain(spark, sf_dir):
     return chained.filter(F.col("l_returnflag") == "A").select(
         "o_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@_q(
+    "tj_asof_join",
+    """
+    WITH o1 AS (
+      SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+           o.o_totalprice AS asof_totalprice
+    FROM events e ASOF LEFT JOIN o1 o
+      ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    """,
+    doc="as-of join: each event picks up the latest order state of its "
+    "user at event time — beyond-reference temporal operator "
+    "(operators.temporal.asof_join: union + single hash shuffle + "
+    "running last(ignorenulls), no theta join; oracle is DuckDB's "
+    "native ASOF JOIN)",
+)
+def tj_asof_join(spark, sf_dir):
+    from data_management_python_spark.operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dedup_w = Window.partitionBy("user_id", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o1 = (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = asof_join(
+        ev, o1, on="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+@_q(
+    "tj_range_join",
+    """
+    SELECT i.event_id, COUNT(*) AS n_in_window,
+           ROUND(SUM(p.value), 2) AS sum_value
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') i
+    JOIN events p ON p.ts >= i.ts AND p.ts < i.ts + INTERVAL 5 MINUTE
+    GROUP BY i.event_id
+    """,
+    doc="interval range join: activity within 5 minutes after each "
+    "error event — beyond-reference temporal operator "
+    "(operators.temporal.range_join: bucket-explode + equi-join + "
+    "exact refine instead of the cartesian an inequality join plans)",
+)
+def tj_range_join(spark, sf_dir):
+    from data_management_python_spark.operators.temporal import range_join
+
+    ev = T(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("w_end"),
+    )
+    probe = ev.select(F.col("ts").alias("p_ts"), "value")
+    pairs = range_join(
+        intervals, probe, "w_start", "w_end", "p_ts", bucket_seconds=300
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
