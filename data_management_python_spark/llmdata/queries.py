@@ -662,3 +662,86 @@ def d_curation_pipeline(spark, sf_dir):
         F.size("__toks").cast("bigint").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+def _pq_ann_oracle_sql(
+    subspaces: int = 4, sub: int = 16, codebook_size: int = 8, k: int = 3
+) -> str:
+    """PQ-ANN oracle: same deterministic codebooks (lowest-id vectors,
+    sliced per subspace), encode = ROW_NUMBER argmin over the same
+    (v.v - 2 v.c) + c.c sequential-fold distance, ADC score = explicit
+    left-associative sum of the per-subspace LUT entries (no SUM() —
+    group-aggregation order would not be reproducible), ranked on the
+    ROUNDED distance exactly like the Spark plan."""
+    ms = ", ".join(str(m) for m in range(subspaces))
+    code_cols = ",\n             ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(subspaces)
+    )
+    lut_joins = "\n      ".join(
+        f"JOIN lut l{m} ON l{m}.m = {m} AND l{m}.j = c.c{m}"
+        + ("" if m == 0 else f" AND l{m}.q_id = l0.q_id")
+        for m in range(subspaces)
+    )
+    adc = " + ".join(f"l{m}.d2" for m in range(subspaces))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT ms.m,
+             ROW_NUMBER() OVER (PARTITION BY ms.m ORDER BY c.vec_id) - 1 AS j,
+             list_slice(c.e, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {codebook_size}) c
+      CROSS JOIN (SELECT unnest([{ms}]) AS m) ms
+    ),
+    cbn AS (SELECT m, j, ce, list_dot_product(ce, ce) AS cc FROM cb),
+    dist AS (
+      SELECT vec_id, m, j,
+             (list_dot_product(sub, sub) - 2.0 * list_dot_product(sub, ce)) + cc AS d2
+      FROM (
+        SELECT n.vec_id, cb.m, cb.j, cb.ce, cb.cc,
+               list_slice(n.e, cb.m * {sub} + 1, cb.m * {sub} + {sub}) AS sub
+        FROM v n CROSS JOIN cbn cb
+      )
+    ),
+    enc AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM (
+        SELECT vec_id, m, j AS code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+        FROM dist
+      ) WHERE rk = 1 GROUP BY vec_id
+    ),
+    lut AS (SELECT vec_id AS q_id, m, j, d2 FROM dist WHERE vec_id < 10),
+    score AS (
+      SELECT l0.q_id, c.vec_id AS neighbor_id,
+             ROUND({adc}, 6) AS approx_d2
+      FROM enc c
+      {lut_joins}
+      WHERE c.vec_id <> l0.q_id
+    )
+    SELECT q_id, neighbor_id, approx_d2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY approx_d2, neighbor_id) AS rk
+      FROM score
+    ) WHERE rk <= {k}
+    """
+
+
+@_q(
+    "sim_pq_ann",
+    _pq_ann_oracle_sql(),
+    doc="product-quantization ANN (asymmetric distance): corpus "
+    "compressed to 4 subspace codes (map-only encode, 64x smaller "
+    "scoring input), per-query LUTs inlined, rank on rounded approx "
+    "L2 — the memory-bound member of the ANN family alongside "
+    "sim_lsh_ann (hash buckets) and sim_ivf_ann (inverted file)",
+)
+def sim_pq_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_ann(
+        emb, queries, "vec_id", "embedding", subspaces=4, codebook_size=8, k=3
+    )

@@ -420,6 +420,179 @@ def embed_near_dup_pairs(
     )
 
 
+def _np_fold_dot_sub(A: np.ndarray, lo: int, hi: int, w: list[float] | None = None):
+    """Sequential-fold dot over dims [lo, hi) of an (N, d) matrix —
+    with itself (w=None) or with one literal vector.  Fold order is the
+    one DuckDB's list_dot_product uses on the sliced list, so encode
+    distances are bit-identical to the oracle's."""
+    acc = np.zeros(A.shape[0], np.float64)
+    for d in range(lo, hi):
+        acc = acc + A[:, d] * (A[:, d] if w is None else w[d - lo])
+    return acc
+
+
+def _python_dot(a: list[float], b: list[float]) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def default_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subspaces: int = 4,
+    codebook_size: int = 8,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the ``codebook_size`` lowest-id
+    corpus vectors, sliced per subspace — the same "training sample"
+    convention as :func:`ivf_ann`'s coarse quantizer.
+    ``codebooks[m][j]`` is the j-th centroid of subspace m."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(codebook_size)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    dims = len(vecs[0])
+    if dims % subspaces:
+        raise ValueError(f"dims {dims} not divisible by {subspaces} subspaces")
+    sub = dims // subspaces
+    return [
+        [v[m * sub : (m + 1) * sub] for v in vecs] for m in range(subspaces)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Product-quantization encoding: each vector becomes ``M`` small
+    codes (argmin squared-L2 codebook entry per subspace).
+
+    This is the PQ compression step: at 100 TB an M-byte code column
+    replaces the raw vectors for candidate scoring (64x smaller at
+    64 dims / 4 subspaces), and encoding is MAP-ONLY — one Arrow pass,
+    no shuffle.  d2 is computed as (v.v - 2 v.c) + c.c with sequential
+    folds so the argmin comparisons match the DuckDB oracle bit for
+    bit; np.argmin's first-occurrence rule = ties to the lowest code.
+    """
+    M = len(codebooks)
+    sub = len(codebooks[0][0])
+    cc = [[_python_dot(c, c) for c in codebooks[m]] for m in range(M)]
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        A = _np_rows(v)
+        codes = []
+        for m in range(M):
+            lo, hi = m * sub, (m + 1) * sub
+            aa = _np_fold_dot_sub(A, lo, hi)
+            d2 = np.stack(
+                [
+                    (aa - 2.0 * _np_fold_dot_sub(A, lo, hi, c)) + c2
+                    for c, c2 in zip(codebooks[m], cc[m])
+                ],
+                axis=1,
+            )
+            codes.append(np.argmin(d2, axis=1).astype(np.int32))
+        return pd.Series(list(np.stack(codes, axis=1)))
+
+    return corpus.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subspaces: int = 4,
+    codebook_size: int = 8,
+    k: int = 3,
+    round_digits: int = 6,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantization ANN via asymmetric distance computation —
+    the memory-bound member of the ANN family (brute force / LSH / IVF
+    / this): approximate squared L2 = sum over subspaces of the exact
+    distance from the query subvector to the corpus code's centroid.
+
+    Scale shape: the corpus is scanned ONCE to encode (map-only), and
+    scoring reads only the code column — the per-query lookup tables
+    (M x codebook_size doubles) are built driver-side from the bounded
+    query set and inlined, so scoring is also map-only; the only
+    shuffle is the final per-query top-k window, whose input is
+    Q x corpus rows of (id, id, double).  Output: (q_id, neighbor_id,
+    approx_d2) top-k per query, smallest distance first, ties to the
+    lowest neighbor id on the ROUNDED distance (so rank order is
+    insensitive to sub-ulp engine drift).
+    """
+    if codebooks is None:
+        codebooks = default_codebooks(
+            corpus, id_col, vec_col, subspaces, codebook_size
+        )
+    M = len(codebooks)
+    sub = len(codebooks[0][0])
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.select(
+            F.col(id_col).alias("q_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("approx_d2"),
+        ).filter(F.lit(False))
+    q_ids = [r[id_col] for r in qrows]
+    # LUT[q][m][j]: exact d2 from query q's subvector m to codebook
+    # entry j, same (aa - 2ab) + cc fold as the encoder
+    luts = []
+    for r in qrows:
+        qv = [float(x) for x in r[vec_col]]
+        lut = np.zeros((M, len(codebooks[0])), np.float64)
+        for m in range(M):
+            qs = qv[m * sub : (m + 1) * sub]
+            aa = _python_dot(qs, qs)
+            for j, c in enumerate(codebooks[m]):
+                lut[m][j] = (aa - 2.0 * _python_dot(qs, c)) + _python_dot(c, c)
+        luts.append(lut)
+
+    @pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        K = np.vstack(codes.to_numpy()).astype(np.int64)  # (N, M)
+        outs = []
+        for lut in luts:
+            acc = lut[0][K[:, 0]]
+            for m in range(1, M):
+                acc = acc + lut[m][K[:, m]]
+            outs.append(acc)
+        return pd.Series(list(np.stack(outs, axis=1)))
+
+    encoded = pq_encode(corpus, codebooks, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("pq_codes")
+    )
+    exploded = (
+        encoded.select(
+            "neighbor_id", F.posexplode(_adc(F.col("pq_codes"))).alias("__pos", "__d2")
+        )
+        .select(
+            F.element_at(F.lit(q_ids), F.col("__pos") + 1).alias("q_id"),
+            "neighbor_id",
+            F.round(F.col("__d2"), round_digits).alias("approx_d2"),
+        )
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exploded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "approx_d2")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -190,3 +190,45 @@ def test_kmeans_centroids_recovers_planted_clusters(spark):
     q = emb.filter(F.col("vec_id") == 0)
     out = similarity.ivf_ann(emb, q, k=3, centroids=cents).collect()
     assert {r.neighbor_id for r in out} <= set(range(1, 10))
+
+
+def test_pq_encode_codes_shape_and_range(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    cbs = similarity.default_codebooks(emb, subspaces=2, codebook_size=4)
+    assert len(cbs) == 2 and len(cbs[0]) == 4 and len(cbs[0][0]) == 4
+    rows = similarity.pq_encode(emb, cbs).select("vec_id", "pq_codes").collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r.pq_codes) == 2
+        assert all(0 <= c < 4 for c in r.pq_codes)
+
+
+def test_pq_encode_codebook_vector_encodes_to_itself(spark):
+    # a codebook member's subvectors are distance 0 from their own
+    # centroid -> its code is its own codebook index
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    cbs = similarity.default_codebooks(emb, subspaces=2, codebook_size=4)
+    codes = {
+        r.vec_id: list(r.pq_codes)
+        for r in similarity.pq_encode(emb, cbs).collect()
+    }
+    for j in range(4):  # codebook = vec_ids 0..3 in id order
+        assert codes[j] == [j, j]
+
+
+def test_pq_ann_exact_duplicate_ranks_first(spark):
+    rows = [(i, [float((i * 5 + d * 2) % 13) - 6.0 for d in range(8)]) for i in range(20)]
+    rows.append((20, rows[10][1]))  # plant an exact duplicate of vec 10
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 10)
+    out = similarity.pq_ann(emb, q, subspaces=2, codebook_size=4, k=3).collect()
+    assert out[0].neighbor_id == 20  # identical codes -> minimal ADC distance
+    assert out[0].approx_d2 >= 0.0
+    assert all(r.q_id == 10 for r in out)
+    assert len(out) == 3
