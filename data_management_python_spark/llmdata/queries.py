@@ -745,3 +745,45 @@ def sim_pq_ann(spark, sf_dir):
     return similarity.pq_ann(
         emb, queries, "vec_id", "embedding", subspaces=4, codebook_size=8, k=3
     )
+
+
+@_q(
+    "t_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS off
+      FROM t
+    )
+    SELECT CAST(FLOOR(off / 256) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM o GROUP BY 1
+    """,
+    doc="sequence packing (concat-and-chunk, budget 256): pack stats "
+    "per chunk.  The oracle is the naive single-reducer global window "
+    "cumsum; the Spark plan is llmdata.packing.global_prefix_sum — a "
+    "two-pass distributed scan (balanced bin partials + per-bin local "
+    "cumsum), the shape that survives 100 TB where the window doesn't",
+)
+def t_pack_sequences(spark, sf_dir):
+    from data_management_python_spark.llmdata.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=256)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

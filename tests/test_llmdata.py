@@ -232,3 +232,58 @@ def test_pq_ann_exact_duplicate_ranks_first(spark):
     assert out[0].approx_d2 >= 0.0
     assert all(r.q_id == 10 for r in out)
     assert len(out) == 3
+
+
+def test_global_prefix_sum_matches_local_scan(spark):
+    from data_management_python_spark.llmdata.packing import global_prefix_sum
+
+    rows = [(i, (i * 37 + 11) % 100 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {
+        r.doc_id: r.offset
+        for r in global_prefix_sum(df, "doc_id", "n", num_bins=7).collect()
+    }
+    acc = 0
+    for i, n in rows:
+        assert out[i] == acc
+        acc += n
+
+
+def test_global_prefix_sum_sparse_ids_and_empty(spark):
+    from data_management_python_spark.llmdata.packing import global_prefix_sum
+
+    sparse = spark.createDataFrame(
+        [(5, 10), (1000, 20), (70000, 30)], "doc_id long, n long"
+    )
+    out = {
+        r.doc_id: r.offset
+        for r in global_prefix_sum(sparse, "doc_id", "n", num_bins=4).collect()
+    }
+    assert out == {5: 0, 1000: 10, 70000: 30}
+    empty = spark.createDataFrame([], "doc_id long, n long")
+    assert global_prefix_sum(empty, "doc_id", "n").count() == 0
+
+
+def test_pack_sequences_boundary_convention(spark):
+    from data_management_python_spark.llmdata.packing import pack_sequences
+
+    # doc 2 starts at offset 90 (< 100) but spills past it: stays in pack 0
+    df = spark.createDataFrame(
+        [(0, 50), (1, 40), (2, 30), (3, 80)], "doc_id long, n long"
+    )
+    packs = {
+        r.doc_id: (r.offset, r.pack_id)
+        for r in pack_sequences(df, "doc_id", "n", budget=100).collect()
+    }
+    assert packs == {0: (0, 0), 1: (50, 0), 2: (90, 0), 3: (120, 1)}
+
+
+def test_global_prefix_sum_plan_has_no_global_sort(spark):
+    from data_management_python_spark.llmdata.packing import global_prefix_sum
+
+    df = spark.createDataFrame([(i, 1) for i in range(50)], "doc_id long, n long")
+    out = global_prefix_sum(df, "doc_id", "n", num_bins=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole point: no single-partition window over a global sort
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
