@@ -163,3 +163,75 @@ def test_running_dup_counter_matches_batch_groups(spark, tmp_path):
         for r in exact_dedup_groups(docs, "doc_id", "text").collect()
     }
     assert got == expect
+
+
+def test_stream_pack_sequences_single_batch_greedy(spark, tmp_path):
+    from data_management_python_spark.streaming.packing import stream_pack_sequences
+
+    rows = [("s", i, [12, 30, 25, 40, 8, 55, 10, 90, 5, 20][i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "shard string, doc_id long, n_tokens long")
+    src = tmp_path / "pack_src1"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        stream_pack_sequences(stream, budget=60)
+        .writeStream.format("memory")
+        .queryName("pack_out1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pack1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.pack_seq, r.pack_filled)
+        for r in spark.sql("select * from pack_out1").collect()
+    }
+    # local greedy simulation in doc_id order
+    seq = filled = 0
+    expect = {}
+    for _, doc_id, n in rows:
+        if filled > 0 and filled + n > 60:
+            seq, filled = seq + 1, 0
+        filled += n
+        expect[doc_id] = (seq, filled)
+    assert got == expect
+    # the oversized doc (90 > budget) sits alone in its pack
+    oversized_seq = expect[7][0]
+    assert [d for d, (s, _) in expect.items() if s == oversized_seq] == [7]
+
+
+def test_stream_pack_sequences_state_carries_across_batches(spark, tmp_path):
+    from data_management_python_spark.streaming.packing import stream_pack_sequences
+
+    schema = "shard string, doc_id long, n_tokens long"
+    a = spark.createDataFrame([("s", i, 10) for i in range(5)], schema)
+    b = spark.createDataFrame([("s", i, 10) for i in range(5, 10)], schema)
+    src = tmp_path / "pack_src2"
+    a.write.parquet(str(src / "a"))
+    b.write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_pack_sequences(stream, budget=60)
+        .writeStream.format("memory")
+        .queryName("pack_out2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pack2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from pack_out2").collect()
+    assert sorted(r.doc_id for r in rows) == list(range(10))  # each doc once
+    per_pack = {}
+    for r in rows:
+        per_pack.setdefault(r.pack_seq, 0)
+        per_pack[r.pack_seq] += r.n_tokens
+    # without cross-batch state the second batch would restart at
+    # (seq 0, filled 0) and overfill pack 0 to 100 tokens
+    assert all(tot <= 60 for tot in per_pack.values())
+    assert per_pack == {0: 60, 1: 40}
