@@ -78,7 +78,7 @@ def global_prefix_sum(
     schema = df.schema.add(StructField(out_col, LongType(), False))
     o, v = order_col, value_col
 
-    def scan(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def scan(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(o)
         pdf[out_col] = bases[int(key[0])] + pdf[v].cumsum() - pdf[v]
         return pdf

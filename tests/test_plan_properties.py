@@ -38,6 +38,10 @@ AUDITED = [
     "d_near_dup_verified",
     "sim_ivf_ann",
     "d_embed_cosine",
+    "tj_asof_join",
+    "tj_range_join",
+    "sim_pq_ann",
+    "t_pack_sequences",
 ]
 
 
