@@ -787,3 +787,38 @@ def t_pack_sequences(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@_q(
+    "t_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             ROUND(tf.tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                              / CAST(dfreq.doc_freq AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, doc_freq, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="top-5 TF-IDF keywords per document: two partial aggs + a "
+    "term-keyed rejoin + per-doc top-k window; rank on the rounded "
+    "score so engine libm ulp drift cannot flip the order",
+)
+def t_tfidf_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.tfidf_topk(docs, "doc_id", "text", k=5)

@@ -92,3 +92,39 @@ def normalize_text(text: Column | str) -> Column:
 def fingerprint(text: Column | str, hex_len: int = 16) -> Column:
     """Deterministic document fingerprint: md5 prefix of normalized text."""
     return F.substring(F.md5(normalize_text(text)), 1, hex_len)
+
+
+def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 5):
+    """Top-k TF-IDF terms per document (keyword extraction).
+
+    Pipeline shape: explode tokens -> (doc, term) partial-agg counts ->
+    term-keyed document-frequency agg -> rejoin -> per-doc top-k
+    window.  Both aggregations are partial (map-side combine); the
+    doc-frequency side is vocabulary-sized, so AQE broadcasts it when
+    small and shuffle-joins on the term key when not — either way no
+    all-pairs work.  N (corpus size) is one metadata-only parquet
+    count.  Scoring is ``round(tf * ln(N / df), 6)`` and the top-k
+    ranks on the ROUNDED score (ties to the lexicographically first
+    term), so ranking is immune to sub-ulp libm differences between
+    engines.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = docs.count()
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf")
+    )

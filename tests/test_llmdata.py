@@ -287,3 +287,29 @@ def test_global_prefix_sum_plan_has_no_global_sort(spark):
     # the whole point: no single-partition window over a global sort
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_tfidf_topk_discriminative_term_wins(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra common common"),
+            (2, "common common plain words"),
+            (3, "common plain other words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'zebra' appears only in doc 1 -> its idf ln(3/1) beats 'common'
+    # (in every doc, idf ln(3/3)=0 -> tfidf exactly 0)
+    top1 = by_doc[1][0]
+    assert top1.term == "zebra"
+    assert top1.tf == 1 and top1.doc_freq == 1
+    assert abs(top1.tfidf - round(math.log(3.0), 6)) < 1e-9
+    zero = [r for r in out if r.term == "common"]
+    assert all(r.tfidf == 0.0 for r in zero)
+    assert all(len(v) == 2 for v in by_doc.values())
