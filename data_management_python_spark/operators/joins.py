@@ -249,3 +249,40 @@ def fuzzy_barcode_match(
             F.col(tag_col)
         ),
     ).drop("__match")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small.
+
+    When one join key carries a disproportionate share of the big side
+    (hot customer, empty-string barcode, null-ish sentinel), the plain
+    shuffle join lands that key's entire volume on one task.  Salting
+    splits it ``salts`` ways: the big side gets a salt derived from the
+    WHOLE row (so rows sharing the hot key spread across salts), the
+    small side is replicated once per salt value (a bounded explode of
+    the smaller input), and the join key becomes (key, salt).  Results
+    are identical to the plain join — each big row still meets every
+    matching small row exactly once — which is what the oracle checks.
+
+    AQE's skew-join split handles sort-merge skew automatically; this
+    operator is for when you need the spread *before* an aggregation
+    or with a hinted shuffle-hash join where AQE skew handling does
+    not apply.  ``how`` supports inner/left (each big row appears once
+    per match as usual; left keeps unmatched big rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    keys = [on] if isinstance(on, str) else list(on)
+    big2 = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
+    )
+    small2 = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salts - 1)))
+    )
+    return big2.join(small2, on=[*keys, "__salt"], how=how).drop("__salt")

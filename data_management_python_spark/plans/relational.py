@@ -1375,3 +1375,35 @@ def tj_range_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_in_window"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@_q(
+    "j_salted_skew_join",
+    """
+    SELECT p_type,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type
+    """,
+    doc="skew-resistant salted equi-join (operators.joins.salted_join): "
+    "big side salted by whole-row hash, small side replicated per "
+    "salt, join on (key, salt) — identical results to the plain join "
+    "the oracle runs, but a hot key spreads across 8 tasks",
+)
+def j_salted_skew_join(spark, sf_dir):
+    from data_management_python_spark.operators.joins import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = salted_join(li, p, on="p_partkey", salts=8)
+    return joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -70,3 +70,46 @@ def dump_catalog_json(tables: dict[str, DataFrame], out_dir: str) -> None:
     """Whole-DB export: one JSON dir per table (portal dump analog)."""
     for name, df in tables.items():
         df.write.mode("overwrite").json(os.path.join(out_dir, name))
+
+
+def write_partitioned_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Hive-layout dataset writer (S15/S16 generalized to lake layout).
+
+    Pre-clusters rows by the partition columns before ``partitionBy``
+    so each task writes to few partition directories — without it,
+    every task holds a writer per partition value it happens to see
+    (the classic small-files explosion at 1000 executors).  Optional
+    ``sort_by`` orders rows within files (better column-stats pruning
+    for readers that filter on those columns).
+    """
+    out = df.repartition(*partition_by)
+    if sort_by:
+        out = out.sortWithinPartitions(*partition_by, *sort_by)
+    out.write.partitionBy(*partition_by).mode(mode).format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table writer: co-locates rows by key hash so
+    two tables bucketed the same way join WITHOUT a shuffle — the
+    pre-paid-shuffle strategy for fact tables joined repeatedly on the
+    same key at 100 TB.  (Bucketing requires the table catalog, hence
+    ``saveAsTable`` rather than a path write.)
+    """
+    w = df.write.bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.mode(mode).format("parquet").saveAsTable(name)

@@ -209,3 +209,37 @@ def test_cascade_delete(spark):
     f2, g2 = cascade_delete(files, groups, ["file_id"], doomed)
     assert f2.count() == 1 and g2.count() == 1
     assert f2.collect()[0].file_id == 2
+
+
+def test_salted_join_matches_plain_join_and_spreads(spark):
+    from data_management_python_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    # hot key: 90% of the big side shares key 1
+    big = spark.createDataFrame(
+        [(1 if i < 90 else i % 7 + 2, i) for i in range(100)], "k long, payload long"
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 9)], "k long, attr string"
+    )
+    plain = {(r.k, r.payload, r.attr) for r in big.join(small, "k").collect()}
+    salted = salted_join(big, small, on="k", salts=4)
+    got = {(r.k, r.payload, r.attr) for r in salted.collect()}
+    assert got == plain
+    # the hot key's rows really spread across multiple salt values
+    spread = (
+        big.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(4))
+        )
+        .filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+    # left join keeps unmatched big rows exactly once
+    left = salted_join(big, small, on="k", salts=4, how="left")
+    assert left.count() == big.count()
+    assert left.filter(F.col("attr").isNull()).count() == big.filter(
+        ~F.col("k").isin(*range(1, 9))
+    ).count()

@@ -260,3 +260,54 @@ def test_fastq_datasource_rejects_malformed(spark, tmp_path):
 
     with _pytest.raises(Exception, match="truncated FASTQ"):
         spark.read.format("fastq").load(str(d)).count()
+
+
+def test_write_partitioned_dataset_layout(spark, tmp_path):
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.sources.sinks import write_partitioned_dataset
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned_dataset(docs, out, ["lang"], sort_by=["doc_id"])
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert dirs == {f"lang={l}" for l in langs}
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter scans only that directory
+    one = next(iter(langs))
+    pruned = back.filter(back.lang == one)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == docs.filter(docs.lang == one).count()
+
+
+def test_write_bucketed_table_joins_without_shuffle(spark, tmp_path):
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.sources.sinks import write_bucketed_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed_table(orders, "t_orders_b", ["o_orderkey"], 4)
+    write_bucketed_table(li, "t_lineitem_b", ["l_orderkey"], 4)
+    try:
+        threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("t_orders_b")
+            b = spark.table("t_lineitem_b")
+            joined = a.join(b, a.o_orderkey == b.l_orderkey)
+            joined.count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # co-bucketed on the join key: neither side shuffles
+            assert "Exchange hashpartitioning" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

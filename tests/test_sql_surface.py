@@ -44,6 +44,7 @@ PORTABLE = [
     "q3_topk_revenue",
     "w_rank_per_group",
     "w_running_total",
+    "tj_range_join",
 ]
 
 
