@@ -343,3 +343,67 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         .groupBy(id_col)
         .agg(F.sum("bit_val").cast("bigint").alias("simhash"))
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_1",
+    dst_col: str = "id_2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: each node is
+    labeled with the smallest id reachable from it.
+
+    This is the cluster-resolution step every near-dup pipeline needs
+    after pair generation: similarity is not transitive (A~B, B~C,
+    A!~C), so survivors must be picked per COMPONENT, not per pair.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the minimum of its own label and its neighbors' labels.
+    Converges in O(component diameter) rounds, which for near-dup
+    graphs (dense clumps, tiny diameter) is a handful.  Each round is
+    one join + partial-agg min keyed by node id; ``localCheckpoint``
+    truncates the lineage so round N's plan does not replay rounds
+    1..N-1.  Driver-side state is two scalars (changed-count,
+    iteration) — labels never leave the cluster.
+
+    Returns (id_col, cluster_id) for every node, singletons included
+    (their cluster is themselves).
+    """
+    lbl = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .persist()
+    )
+    try:
+        lbl = lbl.localCheckpoint(eager=True)
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(lbl.withColumnRenamed("id", "a"), on="a")
+                .groupBy("b")
+                .agg(F.min("lbl").alias("nlbl"))
+                .withColumnRenamed("b", "id")
+            )
+            nxt = (
+                lbl.join(neighbor_min, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                    F.col("lbl").alias("__old"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.filter(F.col("lbl") != F.col("__old")).count()
+            lbl = nxt.drop("__old")
+            if changed == 0:
+                break
+        return lbl.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+    finally:
+        sym.unpersist()

@@ -822,3 +822,56 @@ def t_pack_sequences(spark, sf_dir):
 def t_tfidf_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text.tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+@_q(
+    "d_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_1, id_2
+      FROM inter
+      JOIN sizes na ON na.doc_id = id_1
+      JOIN sizes nb ON nb.doc_id = id_2
+      WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION ALL
+      SELECT id_2, id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    m AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT m.doc_id, m.cluster_id, s.n_docs AS cluster_size
+    FROM m JOIN (
+      SELECT cluster_id, COUNT(*) AS n_docs FROM m GROUP BY cluster_id
+    ) s USING (cluster_id)
+    """,
+    doc="near-dup cluster resolution: connected components over the "
+    "jaccard>=0.2 pair graph (similarity is not transitive, so "
+    "survivors are picked per component).  Spark side is iterative "
+    "min-label propagation with localCheckpoint lineage cuts "
+    "(dedup.connected_components); the oracle is a recursive-CTE "
+    "transitive closure — the iterative algorithm the brief calls "
+    "non-SQL-expressible, still hash-checked end to end",
+)
+def d_dup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2
+    ).select("id_1", "id_2")
+    comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

@@ -313,3 +313,28 @@ def test_tfidf_topk_discriminative_term_wins(spark):
     zero = [r for r in out if r.term == "common"]
     assert all(r.tfidf == 0.0 for r in zero)
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_connected_components_chain_and_singleton(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2-3 (transitive, no direct 0-3 edge), pair 4-5, singleton 6
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (5, 4)], "id_1 long, id_2 long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_converges_on_long_path(spark):
+    # a 12-node path needs multiple propagation rounds end to end
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_1 long, id_2 long"
+    )
+    out = dedup.connected_components(nodes, edges).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n
