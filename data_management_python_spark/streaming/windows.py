@@ -111,3 +111,90 @@ def running_user_counter(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start", TimestampType()),
+        StructField("last", TimestampType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stream_session_gap(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Custom gap-based sessionization with EVENT-TIME timeouts: a
+    session closes (and emits exactly one row) when the watermark
+    passes its last event + gap — the hand-rolled equivalent of
+    ``session_window`` that additionally shows the
+    ``GroupStateTimeout.EventTimeTimeout`` pattern for stateful
+    operators whose close condition is not expressible as a window
+    (count caps, value triggers, cross-field predicates...).
+
+    State per user is O(1): (session start, last event ts, count).
+    Append mode — closed sessions are immutable.  Late events older
+    than the watermark are dropped by the upstream ``withWatermark``.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for t in sorted(pdf["ts"]):
+                t = t.to_pydatetime()
+                if last is not None and (t - last).total_seconds() > gap_seconds:
+                    closed.append((key[0], start, last, n))
+                    start, last, n = None, None, 0
+                if start is None:
+                    start = t
+                last, n = t, n + 1
+        state.update((start, last, n))
+        # close when the watermark passes last + gap
+        state.setTimeoutTimestamp(
+            int(last.timestamp() * 1000) + gap_seconds * 1000
+        )
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -123,3 +123,62 @@ def _spark():
     s = get_spark(app_name="tests", master="local[4]", shuffle_partitions="4")
     s.sparkContext.setLogLevel("ERROR")
     return s
+
+
+@SETTINGS
+@given(
+    st.lists(  # left: (key 0-2, ts seconds)
+        st.tuples(st.integers(0, 2), st.integers(0, 3600)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(  # right: (key, ts, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 3600), st.integers(0, 999)),
+        min_size=0, max_size=25,
+        unique_by=lambda t: (t[0], t[1]),  # one state row per (key, ts)
+    ),
+    st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_pandas_merge_asof(left_rows, right_rows, direction):
+    import pandas as pd
+
+    from data_management_python_spark.operators.temporal import asof_join
+
+    spark = _spark()
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(k, i, ts(s)) for i, (k, s) in enumerate(left_rows)],
+        "k long, row_id long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), p) for (k, s, p) in right_rows],
+        "k long, rts timestamp, payload long",
+    )
+    got = {
+        r.row_id: r.payload
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            direction=direction,
+        ).collect()
+    }
+    lpd = pd.DataFrame(
+        [(k, i, ts(s)) for i, (k, s) in enumerate(left_rows)],
+        columns=["k", "row_id", "lts"],
+    ).sort_values("lts", kind="stable")
+    rpd = pd.DataFrame(
+        [(k, ts(s), p) for (k, s, p) in right_rows],
+        columns=["k", "rts", "payload"],
+    )
+    rpd["k"] = rpd["k"].astype("int64")
+    rpd["rts"] = pd.to_datetime(rpd["rts"])
+    rpd["payload"] = rpd["payload"].astype("Int64")
+    rpd = rpd.sort_values("rts", kind="stable")
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="lts", right_on="rts", by="k", direction=direction
+    )
+    for _, row in merged.iterrows():
+        expect = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert got[row["row_id"]] == expect

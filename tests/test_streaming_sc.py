@@ -235,3 +235,84 @@ def test_stream_pack_sequences_state_carries_across_batches(spark, tmp_path):
     # (seq 0, filled 0) and overfill pack 0 to 100 tokens
     assert all(tot <= 60 for tot in per_pack.values())
     assert per_pack == {0: 60, 1: 40}
+
+
+def test_stream_session_gap_event_time_timeout(spark, tmp_path):
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from data_management_python_spark.streaming.windows import stream_session_gap
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, ts timestamp"
+    batches = [
+        # user 1: two events 10s apart -> one session
+        [(1, base), (1, base + timedelta(seconds=10))],
+        # much later event advances the watermark far past 1's gap
+        [(2, base + timedelta(seconds=3600))],
+        # third batch lets the timeout fire against the new watermark
+        [(2, base + timedelta(seconds=3700))],
+    ]
+    src = tmp_path / "sess_src"
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _dirs, files in os.walk(p):  # force oldest-first pickup
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 300 + i, now - 300 + i))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_session_gap(stream, gap_seconds=60, watermark_delay="5 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from sess_out").collect()
+    closed = {r.user_id: r for r in rows}
+    assert 1 in closed  # user 1's session closed via event-time timeout
+    s = closed[1]
+    assert s.session_start == base
+    assert s.session_end == base + timedelta(seconds=10)
+    assert s.n_events == 2
+
+
+def test_stream_session_gap_in_batch_split(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from data_management_python_spark.streaming.windows import stream_session_gap
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + timedelta(seconds=10)),
+        (1, base + timedelta(seconds=200)),  # > gap -> closes the first
+    ]
+    src = tmp_path / "sess_src2"
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(str(src))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    q = (
+        stream_session_gap(stream, gap_seconds=60, watermark_delay="5 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_out2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.sql("select * from sess_out2").collect()
+    assert len(rows_out) == 1  # first session closed by the in-batch gap
+    s = rows_out[0]
+    assert s.session_start == base
+    assert s.session_end == base + timedelta(seconds=10)
+    assert s.n_events == 2
