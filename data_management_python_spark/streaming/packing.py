@@ -74,16 +74,21 @@ def stream_pack_sequences(
     ) -> Iterable[pd.DataFrame]:
         seq, filled = (state.get[0], state.get[1]) if state.exists else (0, 0)
         out: list[tuple[str, int, int, int, int]] = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            for r in pdf.sort_values("doc_id").itertuples(index=False):
-                n = int(r.n_tokens)
-                if filled > 0 and filled + n > budget:
-                    seq += 1
-                    filled = 0
-                filled += n
-                out.append((key[0], seq, int(r.doc_id), n, filled))
+        # one key's micro-batch rows may arrive as several Arrow chunks:
+        # concatenate BEFORE sorting or cross-chunk order is lost
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(chunks).sort_values("doc_id").itertuples(index=False)
+            if chunks
+            else ()
+        )
+        for r in rows:
+            n = int(r.n_tokens)
+            if filled > 0 and filled + n > budget:
+                seq += 1
+                filled = 0
+            filled += n
+            out.append((key[0], seq, int(r.doc_id), n, filled))
         state.update((seq, filled))
         yield pd.DataFrame(
             out, columns=["shard", "pack_seq", "doc_id", "n_tokens", "pack_filled"]

@@ -166,22 +166,24 @@ def stream_session_gap(
             return
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple] = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            for t in sorted(pdf["ts"]):
-                t = t.to_pydatetime()
-                if last is not None and (t - last).total_seconds() > gap_seconds:
-                    closed.append((key[0], start, last, n))
-                    start, last, n = None, None, 0
-                if start is None:
-                    start = t
-                last, n = t, n + 1
-        state.update((start, last, n))
-        # close when the watermark passes last + gap
-        state.setTimeoutTimestamp(
-            int(last.timestamp() * 1000) + gap_seconds * 1000
-        )
+        # concatenate the key's Arrow chunks before sorting — event
+        # order must hold across chunk boundaries, not within each
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        all_ts = sorted(pd.concat(chunks)["ts"]) if chunks else []
+        for t in all_ts:
+            t = t.to_pydatetime()
+            if last is not None and (t - last).total_seconds() > gap_seconds:
+                closed.append((key[0], start, last, n))
+                start, last, n = None, None, 0
+            if start is None:
+                start = t
+            last, n = t, n + 1
+        if last is not None:
+            state.update((start, last, n))
+            # close when the watermark passes last + gap
+            state.setTimeoutTimestamp(
+                int(last.timestamp() * 1000) + gap_seconds * 1000
+            )
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_start", "session_end", "n_events"],
