@@ -828,11 +828,32 @@ def t_tfidf_topk(spark, sf_dir):
     "d_dup_clusters",
     f"""
     WITH RECURSIVE {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.id_1, c.id_2, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_1
+      JOIN sh b ON b.doc_id = c.id_2 AND b.s = a.s
+      GROUP BY c.id_1, c.id_2
     ),
     pairs AS (
       SELECT id_1, id_2
@@ -858,17 +879,20 @@ def t_tfidf_topk(spark, sf_dir):
     ) s USING (cluster_id)
     """,
     doc="near-dup cluster resolution: connected components over the "
-    "jaccard>=0.2 pair graph (similarity is not transitive, so "
-    "survivors are picked per component).  Spark side is iterative "
-    "min-label propagation with localCheckpoint lineage cuts "
-    "(dedup.connected_components); the oracle is a recursive-CTE "
-    "transitive closure — the iterative algorithm the brief calls "
-    "non-SQL-expressible, still hash-checked end to end",
+    "LSH-verified jaccard>=0.2 pair graph (similarity is not "
+    "transitive, so survivors are picked per component).  Edges come "
+    "from near_dup_pairs — the LSH-candidates-then-verify scale path, "
+    "NOT the exact shared-shingle self-join, which tools/scale_stress "
+    "measured at 49.6x runtime for 10x data (see SCALE.md).  Spark "
+    "side is iterative min-label propagation with localCheckpoint "
+    "lineage cuts (dedup.connected_components); the oracle is a "
+    "recursive-CTE transitive closure — the iterative algorithm the "
+    "brief calls non-SQL-expressible, still hash-checked end to end",
 )
 def d_dup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.2
+    pairs = dedup.near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
     ).select("id_1", "id_2")
     comp = dedup.connected_components(docs.select("doc_id"), pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))

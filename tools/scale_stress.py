@@ -29,6 +29,12 @@ HEAVY = [
     "sim_cosine_topk",
     "e_sessionize",
     "w_running_total",
+    "tj_asof_join",
+    "tj_range_join",
+    "sim_pq_ann",
+    "t_pack_sequences",
+    "t_tfidf_topk",
+    "d_dup_clusters",
 ]
 
 KEY_SHIFT = {
