@@ -899,3 +899,28 @@ def d_dup_clusters(spark, sf_dir):
     return comp.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+@_q(
+    "t_unigram_xent",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+    FROM toks JOIN vocab USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+    doc="unigram LM cross-entropy per document (corpus-trained "
+    "probabilities): the statistical quality score next to the "
+    "heuristic ratios — explode + two partial aggs + a Zipf-bounded "
+    "vocabulary join, rounded only at the aggregate",
+)
+def t_unigram_xent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.unigram_xent(docs, "doc_id", "text")

@@ -128,3 +128,36 @@ def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 5)
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "doc_freq", "tfidf")
     )
+
+
+def unigram_xent(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unigram cross-entropy: avg over tokens of
+    -ln p(token), with p trained on the corpus itself — the
+    statistical quality score (fluent text scores low, gibberish and
+    boilerplate-free word soup score high) used alongside the
+    heuristic ratios in ``quality_bucket``.
+
+    Shape: one explode + two partial aggs (term counts, per-doc avg)
+    + a term-keyed join of the vocabulary probabilities — vocabulary
+    is Zipf-bounded so the join's build side stays small relative to
+    the corpus; nothing driver-side except the scalar token total.
+    The score is rounded as an AGGREGATE (partial-agg addition order
+    differs between engines; per-token -ln values are ulp-stable
+    after the division of exact integer counts).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    return (
+        toks.join(vocab, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    -F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+                ),
+                6,
+            ).alias("xent"),
+        )
+    )

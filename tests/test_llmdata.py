@@ -338,3 +338,20 @@ def test_connected_components_converges_on_long_path(spark):
     out = dedup.connected_components(nodes, edges).collect()
     assert {r.cluster_id for r in out} == {0}
     assert len(out) == n
+
+
+def test_unigram_xent_rare_tokens_score_higher(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common rare")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.unigram_xent(df).collect()}
+    # corpus: common x5, rare x1, total 6
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 2
+    x1 = -math.log(5 / 6)
+    x2 = (-math.log(5 / 6) - math.log(1 / 6)) / 2
+    assert abs(out[1].xent - round(x1, 6)) < 1e-9
+    assert abs(out[2].xent - round(x2, 6)) < 1e-9
+    assert out[2].xent > out[1].xent  # rare token raises the entropy
