@@ -924,3 +924,85 @@ def d_dup_clusters(spark, sf_dir):
 def t_unigram_xent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text.unigram_xent(docs, "doc_id", "text")
+
+
+@_q(
+    "d_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_1, c.id_2, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_1
+      JOIN sh b ON b.doc_id = c.id_2 AND b.s = a.s
+      GROUP BY c.id_1, c.id_2
+    ),
+    pairs AS (
+      SELECT id_1, id_2
+      FROM inter
+      JOIN sizes na ON na.doc_id = id_1
+      JOIN sizes nb ON nb.doc_id = id_2
+      WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_1 AS a, id_2 AS b FROM pairs
+      UNION ALL
+      SELECT id_2, id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    m AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT m.cluster_id AS doc_id, s.n_docs AS cluster_size,
+           d.lang, d.n_chars
+    FROM (SELECT DISTINCT cluster_id FROM m) m
+    JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM m GROUP BY cluster_id) s USING (cluster_id)
+    JOIN documents d ON d.doc_id = m.cluster_id
+    """,
+    doc="curated-corpus materialization: one survivor per near-dup "
+    "component (the min-id member), with component size and document "
+    "attributes — the final step of the pairs -> clusters -> "
+    "survivors dedup dataflow, edges via the LSH-verify scale path",
+)
+def d_cluster_survivors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
+    ).select("id_1", "id_2")
+    comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.join(
+            docs.select(
+                F.col("doc_id").alias("cluster_id"), "lang", "n_chars"
+            ),
+            "cluster_id",
+        )
+        .select(
+            F.col("cluster_id").alias("doc_id"), "cluster_size", "lang", "n_chars"
+        )
+    )
