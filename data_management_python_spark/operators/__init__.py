@@ -11,8 +11,13 @@ from data_management_python_spark.operators.joins import (  # noqa: F401
     exists,
     fuzzy_barcode_match,
     resolve_foreign_key,
+    salted_join,
     semi_join,
     tag_existing,
+)
+from data_management_python_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    range_join,
 )
 from data_management_python_spark.operators.aggregates import (  # noqa: F401
     concat_agg,
