@@ -1006,3 +1006,24 @@ def d_cluster_survivors(spark, sf_dir):
             F.col("cluster_id").alias("doc_id"), "cluster_size", "lang", "n_chars"
         )
     )
+
+
+@_q(
+    "t_stratified_sample",
+    """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 30
+    """,
+    doc="deterministic stratified sampling (mixture construction): cap "
+    "each language at 30 docs chosen by md5-hash order — seedless, "
+    "reproducible cross-engine; one stratum-keyed window",
+)
+def t_stratified_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text.stratified_sample(docs, "lang", quota=30).select(
+        "doc_id", "lang", "sample_rank"
+    )

@@ -161,3 +161,33 @@ def unigram_xent(docs, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("xent"),
         )
     )
+
+
+def stratified_sample(
+    docs,
+    stratum_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    hash_col: str = "text",
+):
+    """Deterministic stratified sampling: keep up to ``quota`` rows per
+    stratum, chosen by md5 hash order — the mixture-construction /
+    rebalancing step of a training-data pipeline (cap each language /
+    source at a target count with a reproducible, seedless shuffle).
+
+    Hash order means the sample is stable across runs and engines (no
+    RNG), and adding documents never evicts more than it must.  One
+    window per stratum: rows shuffle by stratum key only — with few,
+    large strata the per-stratum sort dominates; salt-split quota
+    allocation (quota/k per (stratum, salt)) is the skew escape hatch
+    if a stratum outgrows a partition.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(hash_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )

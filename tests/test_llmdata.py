@@ -355,3 +355,22 @@ def test_unigram_xent_rare_tokens_score_higher(spark):
     assert abs(out[1].xent - round(x1, 6)) < 1e-9
     assert abs(out[2].xent - round(x2, 6)) < 1e-9
     assert out[2].xent > out[1].xent  # rare token raises the entropy
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, "l" + str(i % 3), f"text number {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = text.stratified_sample(df, "lang", quota=5).collect()
+    b = text.stratified_sample(df, "lang", quota=5).collect()
+    per = {}
+    for r in a:
+        per.setdefault(r.lang, []).append(r.doc_id)
+    assert all(len(v) == 5 for v in per.values())  # quota met per stratum
+    assert len(per) == 3
+    # deterministic: identical result on re-run
+    assert sorted((r.lang, r.doc_id, r.sample_rank) for r in a) == sorted(
+        (r.lang, r.doc_id, r.sample_rank) for r in b
+    )
+    # quota above stratum size keeps everything
+    small = text.stratified_sample(df.filter(df.doc_id < 4), "lang", quota=99)
+    assert small.count() == 4
