@@ -1407,3 +1407,328 @@ def j_salted_skew_join(spark, sf_dir):
             "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 — classic analytics suite + grouping sets + frame windows +
+# incremental aggregate maintenance (beyond-reference; SURVEY §2.4-2.5
+# notes the reference has none of these — they are table-stakes for an
+# analytics engine at fleet scale)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: the canonical scan-heavy partial "
+    "aggregate — one parquet pass, map-side combine, 4-6 group keys; "
+    "the per-core scan-throughput headline",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q5_region_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 local-supplier volume: 6-way snowflake join where "
+    "every dim (customer/supplier/nation/region) broadcasts and only "
+    "the orders-lineitem fact-fact edge shuffles; the join-ordering "
+    "and broadcast-discipline headline",
+)
+def q5_region_volume(spark, sf_dir):
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        T(spark, sf_dir, "nation")
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@_q(
+    "a_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical ROLLUP totals (flag, flag+status, grand total) in "
+    "one pass — Spark expands grouping sets before the shuffle so "
+    "partial aggregation still applies (beyond-reference, SURVEY §2.4)",
+)
+def a_rollup(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "a_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two keys with GROUPING flags disambiguating "
+    "subtotal rows from natural NULL keys (beyond-reference)",
+)
+def a_cube(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "sum_price",
+        )
+    )
+
+
+@_q(
+    "u3_intersect",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    doc="INTERSECT set op (U3 is schema-level in the reference, "
+    "baseadaptor.py:164-184; this is the row-set analog) — planned as "
+    "an aggregate+semi-join, no cartesian",
+)
+def u3_intersect(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_nationkey"
+    )
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_nationkey"
+    )
+    return building.intersect(auto)
+
+
+@_q(
+    "w_lag_delta",
+    """
+    SELECT user_id, event_id,
+           epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+               AS ms_since_prev
+    FROM events
+    """,
+    doc="LAG inter-event gap per user in exact integer milliseconds — "
+    "the per-entity ordered-difference primitive behind sessionization "
+    "(beyond-reference; SURVEY §2.5 notes no LAG exists)",
+)
+def w_lag_delta(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    return T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (ms - F.unix_millis(F.lag("ts").over(w))).alias("ms_since_prev"),
+    )
+
+
+@_q(
+    "w_moving_avg",
+    """
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                 4) AS value_ma4
+    FROM events
+    """,
+    doc="4-row moving average per user — bounded ROWS frame window; "
+    "state is O(frame) per partition, no global sort",
+)
+def w_moving_avg(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("value_ma4"),
+    )
+
+
+@_q(
+    "a_percentile_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="exact interpolated percentiles per group (both engines use "
+    "linear interpolation over the sorted group) — the exact baseline "
+    "for which approx_percentile is the fleet-scale sketch variant",
+)
+def a_percentile_exact(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("qty_p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "price_p50"
+        ),
+    )
+
+
+@_q(
+    "m_incremental_agg",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CASE WHEN 1=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="incremental materialized-aggregate maintenance: a frozen "
+    "pre-aggregated state (orders before 1999) merged with a new-batch "
+    "partial aggregate (orders from 1999 on) via full-outer coalesce — "
+    "the oracle recomputes from scratch; at fleet scale the state side "
+    "is a stored table and only the delta is scanned "
+    "(beyond-reference analog of the reference's md5-change-detection "
+    "incremental model, SURVEY §2.9)",
+)
+def m_incremental_agg(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    # the "stored" aggregate state — in production a table, here derived
+    state = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("s_n"),
+            F.sum("o_totalprice").alias("s_sum"),
+        )
+    )
+    batch = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum("o_totalprice").alias("b_sum"),
+        )
+    )
+    merged = state.join(batch, "o_custkey", "full_outer")
+    return merged.select(
+        "o_custkey",
+        (
+            F.coalesce(F.col("s_n"), F.lit(0))
+            + F.coalesce(F.col("b_n"), F.lit(0))
+        ).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("s_sum"), F.lit(0.0))
+            + F.coalesce(F.col("b_sum"), F.lit(0.0)),
+            2,
+        ).alias("total_spend"),
+    )
