@@ -1027,3 +1027,169 @@ def t_stratified_sample(spark, sf_dir):
     return text.stratified_sample(docs, "lang", quota=30).select(
         "doc_id", "lang", "sample_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 — repetition quality signals, PII scrubbing, ANN recall eval
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "t_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, u.w FROM toks, UNNEST(t) AS u(w)
+    ),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY doc_id, w
+    ),
+    wstat AS (
+      SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_uniq,
+             MAX(cnt) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]) AS bl
+      FROM toks WHERE len(t) >= 2
+    ),
+    bge AS (
+      SELECT doc_id, u.b FROM bg, UNNEST(bl) AS u(b)
+    ),
+    bstat AS (
+      SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT b) AS n_uniq_bg
+      FROM bge GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.n_words AS BIGINT) AS n_words,
+           ROUND(CAST(w.n_uniq AS DOUBLE) / w.n_words, 6) AS uniq_word_ratio,
+           ROUND(CAST(w.top_cnt AS DOUBLE) / w.n_words, 6) AS top_word_frac,
+           CASE WHEN b.n_bg > 0
+                THEN ROUND(1 - CAST(b.n_uniq_bg AS DOUBLE) / b.n_bg, 6)
+           END AS dup_bigram_frac
+    FROM wstat w LEFT JOIN bstat b ON w.doc_id = b.doc_id
+    """,
+    doc="Gopher-style repetition signals: unique-word ratio, top-word "
+    "fraction, duplicate-bigram fraction — bigrams formed in the array "
+    "domain (zip_with of the token array with its shift), no self-join",
+)
+def t_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+@_q(
+    "t_pii_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 'reach user' || doc_id || '@mail.example.com or +44-7' ||
+                 doc_id || '-555 ref ' || (doc_id * 1000003) || ' :: ' || text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\+[0-9][0-9-]{4,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+    doc="PII redaction: email, intl phone, long digit-run regex passes "
+    "(patterns restricted to the Java/RE2 common subset). The decorated "
+    "input synthesizes deterministic PII so the scrub provably fires; "
+    "map-only, streams at scan speed at 100 TB",
+)
+def t_pii_scrub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit("reach user"),
+        F.col("doc_id"),
+        F.lit("@mail.example.com or +44-7"),
+        F.col("doc_id"),
+        F.lit("-555 ref "),
+        F.col("doc_id") * 1000003,
+        F.lit(" :: "),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id", text.scrub_pii(decorated).alias("scrubbed")
+    )
+
+
+def _recall_oracle_sql(planes: int = 8, dims: int = 64, k: int = 3) -> str:
+    """Exact-vs-LSH recall oracle: both top-k sets in SQL, then the
+    per-query hit fraction (same plane weights as the Spark plan)."""
+    ws = similarity._plane_weights(planes, dims)
+    bit_exprs = []
+    for p in range(planes):
+        terms = " + ".join(f"e[{d + 1}] * ({ws[p][d]!r})" for d in range(dims))
+        bit_exprs.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(bit_exprs)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+             {bucket} AS bucket
+      FROM v
+    ),
+    exact_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    exact_k AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM exact_pairs
+      ) WHERE rk <= {k}
+    ),
+    lsh_pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    lsh_k AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM lsh_pairs
+      ) WHERE rk <= {k}
+    )
+    SELECT e.q_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact_k e
+    LEFT JOIN lsh_k l ON e.q_id = l.q_id AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.q_id
+    """
+
+
+@_q(
+    "sim_ann_recall",
+    _recall_oracle_sql(),
+    doc="recall@k evaluation of the LSH ANN against the exact top-k — "
+    "the measurement loop for tuning planes/tables; cost scales with "
+    "the query sample, not the corpus",
+)
+def sim_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    approx = similarity.lsh_ann(
+        emb, queries, "vec_id", "embedding", planes=8, k=3
+    )
+    return similarity.ann_recall(exact, approx)

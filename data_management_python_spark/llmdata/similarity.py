@@ -766,3 +766,31 @@ def ivf_ann(
         .filter(F.col("rk") <= k)
         .select("q_id", "neighbor_id", "cos_sim")
     )
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, q_col: str = "q_id", n_col: str = "neighbor_id"
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact top-k — the
+    evaluation operator that closes the ANN loop (tune planes/nprobe
+    against a measured recall, not a guess).
+
+    Left-join the exact set to the approx set on (query, neighbor);
+    both sides are k rows per query, so the join and per-query rollup
+    are tiny regardless of corpus size — evaluation cost scales with
+    the query sample, never the corpus.
+    """
+    hits = exact.select(q_col, n_col).join(
+        approx.select(q_col, n_col).withColumn("__hit", F.lit(1)),
+        [q_col, n_col],
+        "left",
+    )
+    return hits.groupBy(q_col).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )

@@ -191,3 +191,85 @@ def stratified_sample(
         docs.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= quota)
     )
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals per document: unique-word ratio,
+    most-frequent-word fraction, and duplicate-bigram fraction.
+
+    Plan shape: one tokenize pass shared by both branches.  The word
+    branch is a two-level partial aggregate ((doc, word) counts, then a
+    per-doc rollup).  The bigram branch forms bigrams inside the array
+    domain (``zip_with`` of the token array with its shift — no
+    self-join, no window) and counts distinct-vs-total per doc.  Both
+    branches shuffle once on the doc key; repeated text never explodes
+    beyond token cardinality.  High duplicate-bigram / low unique-word
+    docs are the boilerplate & spam the quality gate drops.
+    """
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("t"))
+    words = toks.select(id_col, F.explode("t").alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    wstat = wc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    bigrams = toks.select(
+        id_col,
+        F.expr(
+            "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ).alias("bg"),
+    ).filter(F.size("bg") > 0)
+    bstat = (
+        bigrams.select(id_col, F.explode("bg").alias("b"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.countDistinct("b").alias("n_uniq_bg"),
+        )
+    )
+    d = F.col("n_words").cast("double")
+    return (
+        wstat.join(bstat, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.round(F.col("n_uniq").cast("double") / d, 6).alias(
+                "uniq_word_ratio"
+            ),
+            F.round(F.col("top_cnt").cast("double") / d, 6).alias(
+                "top_word_frac"
+            ),
+            F.when(
+                F.col("n_bg") > 0,
+                F.round(
+                    1
+                    - F.col("n_uniq_bg").cast("double")
+                    / F.col("n_bg").cast("double"),
+                    6,
+                ),
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: literal classes, bounded quantifiers, no
+# backrefs/lookaround.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+[0-9][0-9-]{4,}[0-9]"
+PII_NUMBER_RE = "[0-9]{6,}"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails, +intl phone numbers, then long digit runs.
+
+    Order matters (emails and phones contain digit runs); each pass is
+    a single JVM-side regexp_replace — map-only, no shuffle, streams at
+    scan speed on a 100 TB corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(c, PII_NUMBER_RE, "<NUM>")

@@ -1732,3 +1732,54 @@ def m_incremental_agg(spark, sf_dir):
             2,
         ).alias("total_spend"),
     )
+
+
+@_q(
+    "e_funnel_steps",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.first_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.first_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    doc="ordered conversion funnel (view -> later click -> later "
+    "purchase) per user — three min-aggregates all keyed on user_id so "
+    "one shuffle partitioning serves every stage; beyond-reference "
+    "event analytics over the events stream table",
+)
+def e_funnel_steps(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")

@@ -374,3 +374,53 @@ def test_stratified_sample_quota_and_determinism(spark):
     # quota above stratum size keeps everything
     small = text.stratified_sample(df.filter(df.doc_id < 4), "lang", quota=99)
     assert small.count() == 4
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # one unique word, fully repeated bigrams
+            (2, "w x y z"),  # all unique
+            (3, "hello"),  # single word: no bigrams -> null frac
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert rows[1].n_words == 4
+    assert rows[1].uniq_word_ratio == 0.25
+    assert rows[1].top_word_frac == 1.0
+    assert rows[1].dup_bigram_frac == round(1 - 1 / 3, 6)  # 3 bigrams, 1 distinct
+    assert rows[2].uniq_word_ratio == 1.0
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[3].dup_bigram_frac is None
+
+
+def test_scrub_pii():
+    import pandas as pd  # noqa: F401
+
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="tests-scrub")
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org call +44-7911-123456 id 9876543 ok")],
+        "k long, s string",
+    )
+    out = df.select(text.scrub_pii("s").alias("s")).first().s
+    assert "<EMAIL>" in out and "@" not in out
+    assert "<PHONE>" in out
+    assert "9876543" not in out and "<NUM>" in out
+    assert out.endswith("ok")
+
+
+def test_ann_recall_math(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "q_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 20), (2, 21), (2, 22)],
+        "q_id long, neighbor_id long",
+    )
+    rows = {r.q_id: r for r in similarity.ann_recall(exact, approx).collect()}
+    assert rows[1].n_hit == 2 and rows[1].recall == round(2 / 3, 6)
+    assert rows[2].recall == 1.0
