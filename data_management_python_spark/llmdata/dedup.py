@@ -373,11 +373,22 @@ def connected_components(
     (their cluster is themselves).
     """
     lbl = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
+    # symmetrize in ONE pass over the (possibly expensive) edge pipeline:
+    # a two-branch union would re-run pair generation per branch
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.a", "e.b")
         .persist()
     )
     try:
