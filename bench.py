@@ -38,21 +38,32 @@ def main() -> None:
     # warm the JVM + file listing once so per-query timings measure the plan
     qs["p1_eq_filter"].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must never abort the
+    # whole bench (round-1 postmortem) — record null timing + the error.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, q in qs.items():
         t0 = time.time()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 4)
-    sequential = round(sum(timings.values()), 4)
+        try:
+            q.fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 - report, don't die
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    ok = {n: t for n, t in timings.items() if t is not None}
+    sequential = round(sum(ok.values()), 4)
 
     def run(name: str) -> None:
-        qs[name].fn(spark, sf_dir).count()
+        try:
+            qs[name].fn(spark, sf_dir).count()
+        except Exception:  # noqa: BLE001 - already recorded sequentially
+            pass
 
     # longest-first submission: a heavy query dispatched last would set
     # the wall single-handedly (8 streams measured faster than 16 here —
     # deeper overlap just thrashes the shared driver/scheduler)
     streams = int(os.environ.get("SPARK_GRAFT_STREAMS", "8"))
-    order = sorted(qs, key=lambda n: -timings[n])
+    order = sorted(ok, key=lambda n: -ok[n])
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=streams) as pool:
         list(pool.map(run, order))
@@ -62,11 +73,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"throughput_wallclock_{len(qs)}_queries",
+                "metric": f"throughput_wallclock_{len(ok)}_queries",
                 "value": throughput_wall,
                 "unit": "sec",
                 "queries": timings,
                 "sequential_sec": sequential,
+                "errors": errors,
                 "streams": streams,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -11,6 +11,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch, tolerant of TIMESTAMP_NTZ inputs.
+
+    Spark 4's ``unix_micros`` rejects TIMESTAMP_NTZ; with the session
+    timezone pinned to UTC (session.py) the NTZ->TIMESTAMP cast is
+    value-preserving, matching DuckDB ``epoch_us`` on naive timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # "timestamp_ltz" (not "timestamp"): the bare name resolves via
+    # spark.sql.timestampType and can mean NTZ, making the cast a no-op
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def epoch_ms(col: Column | str) -> Column:
+    """Milliseconds since epoch, tolerant of TIMESTAMP_NTZ (see epoch_us)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp_ltz"))
+
+
 def rev_comp(col: Column | str) -> Column:
     """DNA reverse complement: upper, ACGT->TGCA translate, reverse.
 

@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_management_python_spark.functions import epoch_us
+
 _T = "__asof_t"
 _ORD = "__asof_ord"
 
@@ -107,9 +109,7 @@ def asof_join(
     filled = l2.unionByName(r2).select(*keys, _T, _ORD, *lcols, *fill)
     matched: Column = F.col(f"__f_{right_ts}").isNotNull()
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.unix_micros(F.col(_T)) - F.unix_micros(F.col(f"__f_{right_ts}"))
-        )
+        gap = F.abs(epoch_us(F.col(_T)) - epoch_us(F.col(f"__f_{right_ts}")))
         matched = matched & (gap <= int(tolerance_seconds * 1_000_000))
     out = filled.filter(F.col(_ORD) == l_ord).select(
         *keys,
@@ -157,12 +157,12 @@ def range_join(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start)) / bkt_us),
-                F.floor(F.unix_micros(F.col(end)) / bkt_us),
+                F.floor(epoch_us(F.col(start)) / bkt_us),
+                F.floor(epoch_us(F.col(end)) / bkt_us),
             )
         ),
     )
-    p2 = probe.withColumn("__bkt", F.floor(F.unix_micros(F.col(probe_ts)) / bkt_us))
+    p2 = probe.withColumn("__bkt", F.floor(epoch_us(F.col(probe_ts)) / bkt_us))
     cond = (F.col(probe_ts) >= F.col(start)) & (F.col(probe_ts) < F.col(end))
     pairs = i2.join(p2, on=["__bkt", *on], how="inner").filter(cond).drop("__bkt")
     if how == "left":

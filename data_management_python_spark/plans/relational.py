@@ -26,7 +26,11 @@ from pyspark.sql.window import Window
 
 from data_management_python_spark.catalog import load_table
 from data_management_python_spark.eav import melt_attributes, unmelt_attributes
-from data_management_python_spark.functions import sanitize_sample_name
+from data_management_python_spark.functions import (
+    epoch_ms,
+    epoch_us,
+    sanitize_sample_name,
+)
 from data_management_python_spark.operators.aggregates import (
     concat_agg,
     duplicate_rows,
@@ -1037,7 +1041,7 @@ def e_sessionize(spark, sf_dir):
         "new_session",
         F.when(
             (
-                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
                 > 1800 * 1_000_000
             )
             | F.lag("ts").over(w).isNull(),
@@ -1621,11 +1625,11 @@ def u3_intersect(spark, sf_dir):
 )
 def w_lag_delta(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts"))
+    ms = epoch_ms("ts")
     return T(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        (ms - F.unix_millis(F.lag("ts").over(w))).alias("ms_since_prev"),
+        (ms - epoch_ms(F.lag("ts").over(w))).alias("ms_since_prev"),
     )
 
 

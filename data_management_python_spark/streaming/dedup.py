@@ -57,6 +57,11 @@ def stream_exact_dedup(
         *([F.col(event_time_col)] if event_time_col else []),
     )
     if event_time_col is not None:
+        from data_management_python_spark.streaming.windows import (
+            ensure_event_time_ltz,
+        )
+
+        hashed = ensure_event_time_ltz(hashed, event_time_col)
         return hashed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
             ["text_md5"]
         )

@@ -124,7 +124,11 @@ def stream_new_run_markers(
     stream = (
         spark.readStream.format("binaryFile")
         .schema(
-            "path string, modificationTime timestamp, length long, content binary"
+            # timestamp_ltz explicitly: binaryFile's fixed dataSchema is
+            # LTZ and a session spark.sql.timestampType=TIMESTAMP_NTZ
+            # would otherwise re-parse the bare "timestamp" as NTZ
+            "path string, modificationTime timestamp_ltz, "
+            "length long, content binary"
         )
         .option("pathGlobFilter", marker)
         .option("recursiveFileLookup", "true")

@@ -26,6 +26,19 @@ from pyspark.sql.types import (
 )
 
 
+def ensure_event_time_ltz(df: DataFrame, col: str) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP_LTZ.
+
+    Structured Streaming watermarks require TIMESTAMP (LTZ); parquet
+    naive timestamps arrive as NTZ.  With the session timezone pinned
+    to UTC (session.py) the cast is value-preserving.  No-op for
+    columns already LTZ.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp_ltz"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -37,7 +50,11 @@ def windowed_event_counts(
     same plan, which is how the batch oracle query e_tumbling_window
     cross-checks the streaming semantics.
     """
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = (
+        ensure_event_time_ltz(events, "ts").withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
     return src.groupBy(
         F.window("ts", window).alias("win"), "event_type"
     ).agg(
@@ -60,7 +77,11 @@ def session_window_counts(
     Spark's native session_window (gap-based close).  The streaming
     analog of the batch lag/running-sum sessionization in
     plans.relational.e_sessionize."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = (
+        ensure_event_time_ltz(events, "ts").withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
     return src.groupBy(
         F.session_window("ts", gap).alias("win"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events")).select(
@@ -190,7 +211,8 @@ def stream_session_gap(
         )
 
     return (
-        events.withWatermark("ts", watermark_delay)
+        ensure_event_time_ltz(events, "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
