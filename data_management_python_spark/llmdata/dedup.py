@@ -104,6 +104,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard >= threshold.
 
@@ -131,10 +132,47 @@ def ngram_jaccard_pairs(
         pure codegen (~0.5s/branch), while persisting a Generate output
         hits the cache-build slow path (measured 11s — the cache
         materializer re-evaluates the generator input per OUTPUT row).
+
+    ``max_doc_freq``: the scale governor.  A shingle appearing in d
+    documents yields O(d^2) pairs in the shared-shingle join, so one
+    stop-word 3-gram in 1M docs is 10^12 pairs — the quadratic
+    blow-up that makes exact Jaccard collapse at corpus scale.  With a
+    cap, shingles whose document frequency exceeds it are dropped from
+    BOTH the intersection and the union (idf-pruned Jaccard — hot
+    shingles carry no discriminating signal, the same reason tf-idf
+    down-weights them), bounding the join at O(cap * |shingles|)
+    pairs.  The pruned measure is still a well-defined symmetric
+    Jaccard on the reduced shingle sets, computed exactly — matchable
+    by an oracle applying the same cap.  ``None`` = unbounded
+    (reference-exact baseline; verification scale only).
     """
     toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
     sh = toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
-    sizes = toked.select(F.col(id_col), F.size(shx).alias("n_sh"))
+    if max_doc_freq is not None:
+        # hot set is tiny by construction (few shingles exceed the cap)
+        # -> broadcast anti-join, no extra shuffle of the big side.
+        # localCheckpoint(eager): the downstream plan references sh2
+        # three times (a, b, sizes) and Catalyst does not reuse the
+        # df-count exchange across branches (measured: 0 ReusedExchange,
+        # the aggregation re-ran per branch, 2.5x total cost) — so the
+        # one small df-agg is materialized exactly once.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+            .localCheckpoint(eager=True)
+        )
+        if hot.isEmpty():
+            # cap doesn't bind: fall through to the uncapped plan (same
+            # result by construction) and keep map-side sizes — the df
+            # scan is the only cost paid for the scale insurance
+            max_doc_freq = None
+        else:
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is None:
+        sizes = toked.select(F.col(id_col), F.size(shx).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_1"), "shingle")
     b = sh.select(F.col(id_col).alias("id_2"), "shingle")
     inter = (

@@ -63,10 +63,14 @@ def d_exact_dedup(spark, sf_dir):
     "d_ngram_jaccard",
     f"""
     WITH {_SHINGLE_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sh2 AS (
+      SELECT doc_id, s FROM sh
+      WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 100)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_1, id_2,
@@ -77,11 +81,16 @@ def d_exact_dedup(spark, sf_dir):
     WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
     """,
     doc="near-dup pairs by word-3-gram Jaccard; candidates from the "
-    "shared-shingle bucket join (never all-pairs)",
+    "shared-shingle bucket join (never all-pairs), with a document-"
+    "frequency cap (df>100 shingles pruned from intersection AND union "
+    "— idf-pruned Jaccard) bounding the join quadratic at scale; the "
+    "oracle applies the identical cap",
 )
 def d_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=100
+    )
 
 
 _MINHASH_SIG_SQL = ",\n      ".join(
