@@ -67,9 +67,62 @@ def to_gviz_json(
 
 
 def dump_catalog_json(tables: dict[str, DataFrame], out_dir: str) -> None:
-    """Whole-DB export: one JSON dir per table (portal dump analog)."""
+    """Whole-DB export: one JSON dir per table (portal dump analog).
+
+    The scale path — each table is written by the executors in
+    parallel; no table ever passes through the driver.
+    """
     for name, df in tables.items():
         df.write.mode("overwrite").json(os.path.join(out_dir, name))
+
+
+def _stringify_temporals(df: DataFrame) -> DataFrame:
+    """Cast timestamp/date columns to strings, like the reference dump's
+    per-table ``astype(str)`` blocks (metadata_utils.py:75-110) but
+    driven by the schema instead of a hand-kept table/column list."""
+    from pyspark.sql import functions as F
+
+    temporal = {
+        c for c, t in df.dtypes if t in ("timestamp", "timestamp_ntz", "date")
+    }
+    if not temporal:
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("string").alias(c) if c in temporal else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def dump_catalog_single_json(tables: dict[str, DataFrame], path: str) -> None:
+    """Whole-DB export as ONE JSON document ``{table: [records...]}`` —
+    the exact shape of the reference portal dump
+    (igf_portal/metadata_utils.py:33-121
+    get_db_data_and_create_json_dump: every table serialized into a
+    single metadata.json, temporal columns stringified).
+
+    Refuses to overwrite an existing file, like the reference.  Rows
+    stream through ``toJSON().toLocalIterator()`` one partition at a
+    time, so driver memory is bounded by a partition, not the catalog —
+    but the single-file output is inherently driver-written; it exists
+    for portal-dump parity (metadata catalogs, millions of rows at
+    most).  For datasets, use :func:`dump_catalog_json`.
+    """
+    if os.path.exists(path):
+        raise OSError(
+            f"Output file {path} already present, remove it before rerunning"
+        )
+    with open(path, "w") as fp:
+        fp.write("{")
+        for ti, (name, df) in enumerate(tables.items()):
+            fp.write(("," if ti else "") + json.dumps(name) + ": [")
+            for ri, row_json in enumerate(
+                _stringify_temporals(df).toJSON().toLocalIterator()
+            ):
+                fp.write(("," if ri else "") + row_json)
+            fp.write("]")
+        fp.write("}")
 
 
 def write_partitioned_dataset(

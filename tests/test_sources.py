@@ -214,6 +214,50 @@ def test_manifest_and_gviz(spark, tmp_path):
     assert len(parsed["rows"]) == 2
 
 
+def test_dump_catalog_json_roundtrip(spark, tmp_path):
+    """S18: whole-DB dump — per-table JSON dirs and the reference-shaped
+    single-document dump (igf_portal/metadata_utils.py:33-121)."""
+    import datetime
+    import json
+
+    import pytest
+
+    tables = {
+        "project": spark.createDataFrame(
+            [(1, "PrjA", datetime.datetime(2020, 5, 4, 12, 0)),
+             (2, "PrjB", datetime.datetime(2021, 6, 5, 13, 30))],
+            "project_id long, igf_id string, start_timestamp timestamp",
+        ),
+        "sample": spark.createDataFrame(
+            [(10, 1, "S1"), (11, 1, "S2"), (12, 2, "S3")],
+            "sample_id long, project_id long, igf_id string",
+        ),
+        "platform": spark.createDataFrame(
+            [(100, "HiSeq")], "platform_id long, model string"
+        ),
+    }
+
+    # distributed per-table dump round-trips through spark.read.json
+    out_dir = tmp_path / "dump_dirs"
+    sinks.dump_catalog_json(tables, str(out_dir))
+    back = spark.read.json(str(out_dir / "sample"))
+    assert back.count() == 3
+    assert {r.igf_id for r in back.collect()} == {"S1", "S2", "S3"}
+
+    # single-document dump: {table: [records]}, temporals stringified
+    out_file = tmp_path / "metadata.json"
+    sinks.dump_catalog_single_json(tables, str(out_file))
+    doc = json.loads(out_file.read_text())
+    assert set(doc) == {"project", "sample", "platform"}
+    assert len(doc["sample"]) == 3
+    ts = {r["start_timestamp"] for r in doc["project"]}
+    assert all(isinstance(t, str) and t.startswith("202") for t in ts)
+
+    # reference refuses to overwrite an existing dump
+    with pytest.raises(OSError):
+        sinks.dump_catalog_single_json(tables, str(out_file))
+
+
 def test_fastq_datasource_reads_records(spark, tmp_path):
     from data_management_python_spark.sources.fastq_datasource import (
         register_fastq_source,

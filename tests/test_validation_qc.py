@@ -217,3 +217,191 @@ def test_streaming_discovery(spark, tmp_path):
         "260115_NS9001_0043_AHDDD",
         "260116_NS9001_0044_AHEEE",
     ]
+
+
+def test_schema_violations_parity_with_jsonschema(spark):
+    """Draft-4 constraint engine parity: run the reference's actual
+    validator (jsonschema.Draft4Validator, samplesheet.py:111) over the
+    reference's own incorrect_samplesheet.csv fixture and require the
+    Spark one-pass validator to report the identical
+    (row, column, rule) set."""
+    from jsonschema import Draft4Validator
+
+    from data_management_python_spark.sources.samplesheet import (
+        parse_samplesheet_text,
+    )
+    from data_management_python_spark.validation import schema_rules as sr
+
+    text = Path(
+        "/root/reference/data/metadata_validation/metadata_reformatting/"
+        "incorrect_samplesheet.csv"
+    ).read_text()
+    _, rows, _ = parse_samplesheet_text(text)
+    cols = list(rows[0].keys())
+    # reference semantics: fillna("") + str() on every cell
+    recs = [{c: str(r.get(c) or "") for c in cols} for r in rows]
+
+    ref_schema = {
+        "type": "object",
+        "properties": {
+            k: {"type": "string", **v}
+            for k, v in sr.SAMPLESHEET_SCHEMA["properties"].items()
+        },
+        "required": sr.SAMPLESHEET_SCHEMA["required"],
+    }
+    validator = Draft4Validator(ref_schema)
+    expected = set()
+    for i, rec in enumerate(recs):
+        for err in validator.iter_errors(rec):
+            path = list(err.path)
+            expected.add((i, path[0] if path else None, err.validator))
+
+    df = spark.createDataFrame(
+        [{**rec, "row_id": i} for i, rec in enumerate(recs)]
+    )
+    out = sr.schema_violations(df, sr.SAMPLESHEET_SCHEMA, ["row_id"])
+    got = {(r.row_id, r.column, r.rule) for r in out.collect()}
+    assert got == expected
+    assert got, "fixture must actually contain violations"
+
+
+def test_schema_violations_metadata_fixture(spark):
+    """METADATA_SCHEMA over the reference's metadata_file.csv: the known
+    bad cells (malformed email, underscore submitter id) are flagged,
+    and jsonschema agrees cell-for-cell on the shared columns."""
+    from jsonschema import Draft4Validator
+
+    from data_management_python_spark.validation import schema_rules as sr
+
+    path = "/root/reference/data/metadata_validation/metadata_file.csv"
+    df = (
+        spark.read.option("header", "true").csv(path)
+        .withColumn("row_id", F.monotonically_increasing_id())
+    )
+    out = sr.schema_violations(df, sr.METADATA_SCHEMA, ["row_id"])
+    got_cols = {(r.column, r.value) for r in out.collect()}
+    assert ("email_id", "c.s#imperial.ac.uk") in got_cols
+    assert ("sample_submitter_id", "KDSC_77") in got_cols
+
+    shared = [
+        c for c in df.columns
+        if c in sr.METADATA_SCHEMA["properties"]
+    ]
+    recs = [
+        {c: str(r[c] or "") for c in shared}
+        for r in df.drop("row_id").collect()
+    ]
+    ref_schema = {
+        "type": "object",
+        "properties": {
+            k: {"type": "string", **v}
+            for k, v in sr.METADATA_SCHEMA["properties"].items()
+            if k in shared
+        },
+    }
+    validator = Draft4Validator(ref_schema)
+    n_expected = sum(len(list(validator.iter_errors(r))) for r in recs)
+    assert out.count() == n_expected
+
+
+def test_schema_violations_required_and_helpers(spark):
+    """fillna_empty=False mode: required fires on null, other rules
+    skip nulls; unknown/missing column helpers."""
+    from data_management_python_spark.validation import schema_rules as sr
+
+    df = spark.createDataFrame(
+        [(1, None, "ok-name"), (2, "IGF77", None), (3, "bad id", "x y")],
+        "row_id long, Sample_ID string, Sample_Name string",
+    )
+    out = sr.schema_violations(
+        df, sr.SAMPLESHEET_SCHEMA, ["row_id"], fillna_empty=False
+    )
+    got = {(r.row_id, r.column, r.rule) for r in out.collect()}
+    assert (1, "Sample_ID", "required") in got
+    assert (3, "Sample_ID", "pattern") in got
+    assert (3, "Sample_Name", "pattern") in got
+    # null Sample_Name on row 2: required (it IS required) but no pattern
+    assert (2, "Sample_Name", "required") in got
+    assert (2, "Sample_Name", "pattern") not in got
+
+    assert sr.unknown_columns(df, sr.SAMPLESHEET_SCHEMA) == ["row_id"]
+    missing = sr.missing_required_columns(df, sr.SAMPLESHEET_SCHEMA)
+    assert missing == ["I7_Index_ID", "Sample_Project", "index"]
+
+
+def test_reformat_metadata_derivation(spark):
+    """Assay/species derivation chain (reformat_metadata_file.py
+    populate_metadata_values:441-511) on rows shaped like the
+    reference's metadata_file.csv fixture."""
+    from data_management_python_spark.validation import reformat as rf
+
+    df = spark.createDataFrame(
+        [
+            # pre-made library -> key = library_type (nuclei variant
+            # also fills biomaterial_type)
+            ("IGF (1)", "a b_c!", "Not Applicable", "Pre made library",
+             "SINGLE CELL-3' RNA (NUCLEI)", "", "human", "", ""),
+            # explicit library_preparation -> key = preparation
+            ("IGF 2", "x", "ATAC Seq", "fresh sample", "", "CELL_LINE",
+             "mouse", "0", "2"),
+            # unknown everything
+            ("IGF3", "y", "", "", "", "", "alien", "5", ""),
+        ],
+        "sample_igf_id string, sample_submitter_id string, "
+        "library_preparation string, sample_description string, "
+        "library_type string, biomaterial_type string, "
+        "species_text string, expected_reads string, "
+        "expected_lanes string",
+    )
+    out = {r.sample_igf_id: r for r in rf.reformat_metadata(df).collect()}
+
+    r1 = out["IGF-1"]  # "IGF (1)" -> punctuation/space collapse
+    assert r1.sample_submitter_id == "a-b-c"  # underscore restricted too
+    assert r1.experiment_type == "TENX-TRANSCRIPTOME-3P"
+    assert r1.library_source == "TRANSCRIPTOMIC_SINGLE_CELL"
+    assert r1.biomaterial_type == "SINGLE_NUCLEI"  # filled from lookup
+    assert (r1.taxon_id, r1.species_name) == ("9606", "HG38")
+    assert r1.expected_reads == "2000000" and r1.expected_lanes == "1"
+
+    r2 = out["IGF-2"]
+    assert r2.library_strategy == "ATAC-SEQ"
+    assert r2.biomaterial_type == "CELL_LINE"  # user value preserved
+    assert (r2.taxon_id, r2.scientific_name) == ("10090", "Mus musculus")
+    assert r2.expected_reads == "2000000" and r2.expected_lanes == "2"
+
+    r3 = out["IGF3"]
+    assert r3.experiment_type == "UNKNOWN"
+    assert r3.species_name == "UNKNOWN"
+    assert r3.expected_reads == "5" and r3.expected_lanes == "1"
+
+
+def test_reformat_tag_vs_reference_regex(spark):
+    """tag/sample reformat parity with the reference's regex chain
+    (sample_and_project_reformat:321-347, sample_name_reformat:295-318)
+    evaluated in plain Python."""
+    import re
+    import string
+
+    from data_management_python_spark.validation import reformat as rf
+
+    def ref_chain(value, keep_underscore):
+        restricted = string.punctuation
+        if keep_underscore:
+            restricted = "".join(c for c in restricted if c != "_")
+        value = re.sub(r"\s+?", "-", value)
+        value = re.sub("[{0}]".format(re.escape(restricted)), "-", value)
+        value = re.sub("-+", "-", value)
+        value = re.sub("-$", "", value)
+        return re.sub("^-", "", value)
+
+    samples = ["IGF (1)", "a b_c!", " x--y__z. ", "A#B@C", "-lead", "trail-",
+               "already-ok", "under_score", "mix 'n match/2"]
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    got = df.select(
+        "v",
+        rf.tag_reformat("v").alias("tag"),
+        rf.sample_name_reformat("v").alias("name"),
+    ).collect()
+    for r in got:
+        assert r.tag == ref_chain(r.v, keep_underscore=True), r.v
+        assert r.name == ref_chain(r.v, keep_underscore=False), r.v
