@@ -409,8 +409,14 @@ def connected_components(
 
     Returns (id_col, cluster_id) for every node, singletons included
     (their cluster is themselves).
+
+    Job-count discipline (iterative operators pay fixed job latency
+    per round, which dominates when components are small): only edge
+    ENDPOINTS iterate — singletons cannot change label and are
+    union-ed back at the end.  The per-round checkpoint must stay
+    EAGER: a lazy localCheckpoint re-runs the round's lineage on the
+    materializing job (measured 2.5x slower end-to-end).
     """
-    lbl = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl"))
     # symmetrize in ONE pass over the (possibly expensive) edge pipeline:
     # a two-branch union would re-run pair generation per branch
     sym = (
@@ -430,7 +436,12 @@ def connected_components(
         .persist()
     )
     try:
-        lbl = lbl.localCheckpoint(eager=True)
+        lbl = (
+            sym.select(F.col("a").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
         for _ in range(max_iterations):
             neighbor_min = (
                 sym.join(lbl.withColumnRenamed("id", "a"), on="a")
@@ -453,6 +464,13 @@ def connected_components(
             lbl = nxt.drop("__old")
             if changed == 0:
                 break
-        return lbl.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+        singletons = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(sym.select(F.col("a").alias("id")), "id", "left_anti")
+            .select("id", F.col("id").alias("lbl"))
+        )
+        return lbl.unionByName(singletons).select(
+            F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+        )
     finally:
         sym.unpersist()
