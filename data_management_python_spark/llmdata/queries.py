@@ -1202,3 +1202,82 @@ def sim_ann_recall(spark, sf_dir):
         emb, queries, "vec_id", "embedding", planes=8, k=3
     )
     return similarity.ann_recall(exact, approx)
+
+
+@_q(
+    "t_gopher_rules",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+             text
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                   / len(t), 6) AS mean_word_len,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha_words,
+             len(list_intersect(list_distinct(t),
+                 ['the','a','an','and','of','to','in','is','it'])) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, n_symbols, n_alpha_words,
+           stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AS ok_mean_word_len,
+           (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS ok_symbol_ratio,
+           (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+             AS ok_alpha_ratio,
+           (stop_hits >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+            AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+            AND (stop_hits >= 2)) AS keep
+    FROM sig
+    """,
+    doc="Gopher-style document quality gates (word-count bounds, mean "
+    "word length, symbol ratio, alpha-word fraction, stop-word hits) "
+    "as one map-side projection — the public pre-training filter "
+    "battery (Rae et al. 2021), beyond-reference",
+)
+def t_gopher_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_signals(docs)
+
+
+@_q(
+    "t_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST(list_transform(generate_series(1, len(t) - 4),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4])) AS u(s)
+      WHERE len(t) >= 5
+    )
+    SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+           COUNT(*) AS n_shared
+    FROM sh c
+    JOIN sh b ON b.s = c.s
+    WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+    GROUP BY c.doc_id, b.doc_id
+    """,
+    doc="benchmark-contamination sweep: corpus docs sharing a word "
+    "5-gram with a benchmark probe set (docs with id % 97 = 0 stand "
+    "in) — the train/test-leak scan run before training; bucketed "
+    "shared-shingle join, never all-pairs (beyond-reference)",
+)
+def t_contamination(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return text.contamination_overlap(corpus, benchmark, "doc_id", "text", n=5)

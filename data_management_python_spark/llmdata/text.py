@@ -7,7 +7,7 @@ hashes are ``md5``/``xxhash64``, ratios are single exact divisions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny built-in stopword sets per language for the heuristic lang-id.
@@ -273,3 +273,105 @@ def scrub_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
     c = F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
     return F.regexp_replace(c, PII_NUMBER_RE, "<NUM>")
+
+
+def gopher_quality_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, public
+    heuristics) as one map-side projection — the rule battery used to
+    filter web corpora before LLM training:
+
+      - word count within [min_words, max_words]
+      - mean word length within [min_mean_word_len, max_mean_word_len]
+      - symbol-to-word ratio (# and ellipsis) below the cap
+      - fraction of words containing an alphabetic char above floor
+      - at least ``min_stop_hits`` distinct stop words present
+
+    Output: per-doc signal columns + per-rule booleans + ``keep``.
+    All integer-exact or single-division doubles, so a SQL oracle
+    reproduces them bit-for-bit.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n_words
+    )
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast(
+        "bigint"
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), stop_arr)
+    )
+    out = docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        n_symbols.alias("n_symbols"),
+        n_alpha.cast("bigint").alias("n_alpha_words"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    rules = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("n_symbols").cast("double")
+        / F.col("n_words")
+        <= max_symbol_word_ratio,
+        "ok_alpha_ratio": F.col("n_alpha_words").cast("double")
+        / F.col("n_words")
+        >= min_alpha_word_ratio,
+        "ok_stopwords": F.col("stop_hits") >= min_stop_hits,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing >= 1
+    word n-gram with any benchmark document (the standard
+    train/test-leak sweep run before training; n=8..13 in practice,
+    configurable here).
+
+    Candidate generation is the same bucketed shared-shingle join the
+    dedup family uses — shuffle keyed by the n-gram, never all-pairs.
+    Output: (corpus id, benchmark id, n_shared) per contaminated pair.
+    """
+    from data_management_python_spark.llmdata.dedup import word_shingles
+
+    c_sh = word_shingles(corpus, id_col, text_col, n=n).select(
+        F.col(id_col).alias("corpus_id"), "shingle"
+    )
+    b_sh = word_shingles(benchmark, id_col, text_col, n=n).select(
+        F.col(id_col).alias("benchmark_id"), "shingle"
+    )
+    return (
+        c_sh.join(b_sh, "shingle")
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

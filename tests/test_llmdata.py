@@ -424,3 +424,50 @@ def test_ann_recall_math(spark):
     rows = {r.q_id: r for r in similarity.ann_recall(exact, approx).collect()}
     assert rows[1].n_hit == 2 and rows[1].recall == round(2 / 3, 6)
     assert rows[2].recall == 1.0
+
+
+def test_gopher_quality_signals(spark):
+    from data_management_python_spark.llmdata import text as t
+
+    docs = spark.createDataFrame(
+        [
+            # long enough, normal words incl. stopwords -> keep
+            (1, " ".join(["the", "quick", "brown", "fox", "and", "dog"] * 10)),
+            # too short
+            (2, "tiny doc"),
+            # symbol-heavy (### per word)
+            (3, " ".join(["###"] * 60) + " the and " + " ".join(["ok"] * 10)),
+            # numeric soup -> fails alpha ratio
+            (4, " ".join(["123", "456"] * 30) + " the and of"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.gopher_quality_signals(docs).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].ok_word_count
+    assert not out[3].keep and not out[3].ok_symbol_ratio
+    assert not out[4].keep and not out[4].ok_alpha_ratio
+    assert out[1].stop_hits >= 2
+
+
+def test_contamination_overlap(spark):
+    from data_management_python_spark.llmdata import text as t
+
+    benchmark = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "alpha beta gamma delta epsilon"
+            (1, "intro words alpha beta gamma delta epsilon zeta outro"),
+            # no 5-gram overlap
+            (2, "totally different words with no benchmark overlap here"),
+            # shares only a 4-gram (broken by 'x') -> not flagged at n=5
+            (3, "alpha beta gamma delta x epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = t.contamination_overlap(corpus, benchmark, n=5).collect()
+    assert {(r.corpus_id, r.benchmark_id) for r in hits} == {(1, 100)}
+    assert hits[0].n_shared == 2  # both rolling 5-grams of the span
