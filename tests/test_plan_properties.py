@@ -42,6 +42,11 @@ AUDITED = [
     "tj_range_join",
     "sim_pq_ann",
     "t_pack_sequences",
+    "d_ngram_jaccard",
+    "t_gopher_rules",
+    "t_contamination",
+    "cosmx_fov_qc_rollup",
+    "cosmx_fov_seeding",
 ]
 
 
