@@ -1281,3 +1281,30 @@ def t_contamination(spark, sf_dir):
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return text.contamination_overlap(corpus, benchmark, "doc_id", "text", n=5)
+
+
+@_q(
+    "t_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(
+             regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'),
+             x -> NOT regexp_matches(x, '^\\s+$'))) AS BIGINT)
+             AS n_bpe_pretokens,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenizer token count (GPT-2 pattern: contraction/"
+    "letter/digit/punctuation runs) next to the whitespace count — the "
+    "token-budget estimator for corpus costing; pure map-side regex "
+    "(beyond-reference)",
+)
+def t_bpe_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.bpe_pretoken_count("text").alias("n_bpe_pretokens"),
+        text.token_count("text").alias("n_ws_tokens"),
+    )

@@ -375,3 +375,23 @@ def contamination_overlap(
         .groupBy("corpus_id", "benchmark_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# GPT-2-style pre-tokenizer pattern (public BPE pre-tokenization shape:
+# contractions, letter runs, digit runs, punctuation runs, whitespace),
+# ASCII classes so Java (Spark) and RE2 (DuckDB) agree byte-for-byte.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_pretoken_count(text: Column | str) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches excluding
+    pure-whitespace runs — the standard fast proxy for "how many BPE
+    tokens will this document cost" used when budgeting corpora, since
+    real BPE merges only ever split within a pre-token."""
+    c = F.col(text) if isinstance(text, str) else text
+    matches = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    return F.size(
+        F.filter(matches, lambda m: ~m.rlike(r"^\s+$"))
+    ).cast("bigint")

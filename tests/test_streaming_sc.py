@@ -316,3 +316,74 @@ def test_stream_session_gap_in_batch_split(spark, tmp_path):
     assert s.session_start == base
     assert s.session_end == base + timedelta(seconds=10)
     assert s.n_events == 2
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user running totals with
+    a RocksDB-backed ValueState, across two micro-batches."""
+    import os
+    import time
+
+    import pytest
+
+    # the transformWithState protocol speaks protobuf between the JVM
+    # and the Python state server; without it the worker crashes
+    pytest.importorskip("google.protobuf")
+
+    from data_management_python_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_v2,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        schema = "user_id long, value double"
+        batches = [
+            [(1, 10.0), (1, 5.0), (2, 1.0)],
+            [(1, 2.5), (3, 7.0)],
+        ]
+        src = tmp_path / "twst_src"
+        now = time.time()
+        for i, rows in enumerate(batches):
+            p = src / f"b{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(p)
+            )
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    os.utime(
+                        os.path.join(root, f), (now - 300 + i, now - 300 + i)
+                    )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            running_user_totals_v2(stream)
+            .writeStream.format("memory")
+            .queryName("twst_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_twst"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("select * from twst_out").collect()
+        # final cumulative totals per user across batches
+        final = {}
+        for r in rows:
+            final[r.user_id] = (r.n_events, r.sum_value)
+        assert final[1] == (3, 17.5)  # 10+5 then +2.5
+        assert final[2] == (1, 1.0)
+        assert final[3] == (1, 7.0)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
