@@ -105,11 +105,12 @@ def j1_readcount_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = T(spark, sf_dir, "region")
     return (
-        # fact-fact join: hinted shuffle-hash — the filtered orders side
-        # is the smaller build side and its hash table is bounded by the
-        # shuffle partition, not the table; SMJ's double sort measured
-        # ~1.4x slower here
-        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        # fact-fact join left UNHINTED on purpose: AQE picks broadcast
+        # when the filtered orders side is small at runtime (measured
+        # 0.8s vs 1.2s hinted shuffle-hash at sf0.1) and falls back to
+        # a shuffle join when it is not — the decision that stays right
+        # from bench scale to 100 TB
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1222,9 +1223,9 @@ def q3_topk_revenue(spark, sf_dir):
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        # same shuffle-hash rationale as j1: date-filtered orders is the
-        # bounded build side of the fact-fact join
-        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        # unhinted like j1: AQE broadcast-converts the date-filtered
+        # orders side when runtime stats allow, shuffle-joins otherwise
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -1513,7 +1514,7 @@ def q5_region_volume(spark, sf_dir):
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(
             broadcast(s),
