@@ -228,6 +228,70 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signature_map_side(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature with NO shuffle: the k minima are folded over
+    the per-document shingle ARRAY (array_min over a transform), so
+    the operator is a pure projection.  Same (h1 + i*h2) mod p family
+    and identical output to :func:`minhash_signatures` (min is
+    multiplicity-invariant), but usable where an aggregation is not —
+    Structured Streaming pre-state stages — and at 100 TB it trades
+    the doc-level partial-agg shuffle for per-row array math.
+    The md5s are materialized once as a struct-array column; the k
+    minima then read that column, so hashing cost stays one md5 per
+    shingle, not per (shingle x hash).
+    """
+    toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=False)
+    hashed = F.transform(
+        shx,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    with_h = toked.select(F.col(id_col), hashed.alias("__h"))
+    minima = [
+        F.array_min(
+            F.transform(
+                F.col("__h"),
+                lambda h: (h["h1"] + F.lit(i) * h["h2"]) % MINHASH_PRIME,
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return with_h.select(F.col(id_col), *minima)
+
+
+def band_signature_structs(num_hashes: int, bands: int):
+    """The banding expression shared by batch and streaming LSH: an
+    array of (band, band_sig) structs over mh0..mh{k-1} columns."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -247,7 +311,6 @@ def lsh_candidate_pairs(
     Pass precomputed ``shingles`` when the caller also needs them (e.g.
     near_dup_pairs verification) so tokenization runs once.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         shingles
         if shingles is not None
@@ -256,21 +319,7 @@ def lsh_candidate_pairs(
         id_col,
         num_hashes,
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_sig"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = band_signature_structs(num_hashes, bands)
     band_sigs = (
         sig.select(F.col(id_col), F.explode(band_structs).alias("bs"))
         .select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))

@@ -1788,3 +1788,50 @@ def e_funnel_steps(spark, sf_dir):
         .agg(F.min("ts").alias("first_purchase"))
     )
     return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+@_q(
+    "e_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+               AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM firsts f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="weekly cohort retention matrix over the events stream: first-"
+    "seen week per user joined to distinct active weeks, counted per "
+    "(cohort, offset) — both aggregations and the join are keyed on "
+    "user_id, so one shuffle partitioning serves all three stages "
+    "(beyond-reference event analytics)",
+)
+def e_cohort_retention(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -117,3 +117,88 @@ def running_dup_counter(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LSH_CANDIDATE_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("first_id", LongType()),
+        StructField("band", LongType()),
+    ]
+)
+
+_LSH_STATE = StructType([StructField("first_id", LongType())])
+
+
+def stream_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate CANDIDATES: each arriving
+    document is flagged against the first document ever seen in any of
+    its LSH band buckets.
+
+    Pipeline: map-side MinHash signature
+    (``dedup.minhash_signature_map_side`` — pure projection, no
+    aggregation, so it is legal before the stateful stage) -> band
+    explode -> ``applyInPandasWithState`` keyed by (band, band_sig)
+    with O(1) state per bucket (the first doc id).  Output rows
+    (doc_id, first_id, band) in append mode; exact-verify downstream
+    (batch ``verified_pairs`` on the flagged ids) to confirm, same
+    candidates-then-verify contract as the batch path.
+
+    State grows with distinct band buckets; for unbounded streams put
+    a TTL on buckets by switching to transformWithState timers or
+    periodically compacting the checkpoint — documented limitation,
+    same class as stream_exact_dedup without an event-time column.
+    A document whose buckets are all fresh emits nothing.
+    """
+    from data_management_python_spark.llmdata.dedup import (
+        band_signature_structs,
+        minhash_signature_map_side,
+    )
+
+    sig = minhash_signature_map_side(docs, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(band_signature_structs(num_hashes, bands)).alias("bs"),
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("bs.band").cast("long").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+    def flag(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        band, _sig = key
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        if state.exists:
+            (first,) = state.get
+            flagged = ids
+        else:
+            first = ids[0]
+            state.update((first,))
+            flagged = ids[1:]
+        yield pd.DataFrame(
+            {
+                "doc_id": flagged,
+                "first_id": [first] * len(flagged),
+                "band": [band] * len(flagged),
+            }
+        )
+
+    return banded.groupBy("band", "band_sig").applyInPandasWithState(
+        flag,
+        outputStructType=LSH_CANDIDATE_OUTPUT,
+        stateStructType=_LSH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

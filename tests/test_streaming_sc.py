@@ -387,3 +387,53 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_lsh_candidates(spark, tmp_path):
+    """Streaming near-dup candidates: a later near-identical document is
+    flagged against the first-seen bucket owner; novel docs emit
+    nothing."""
+    import os
+    import time
+
+    from data_management_python_spark.streaming.dedup import (
+        stream_lsh_candidates,
+    )
+
+    base = "spark makes distributed data processing simple and fast for everyone " * 3
+    other = "completely unrelated text about gardening tulips and soil quality here " * 3
+    batches = [
+        [(1, base), (2, other)],
+        # 10: near-identical to 1 (one word appended) -> same band sigs
+        # 11: novel
+        [(10, base + "indeed"), (11, "yet another different topic entirely with new words " * 3)],
+    ]
+    src = tmp_path / "lshsrc"
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(p))
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 300 + i, now - 300 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_lsh_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from lsh_out").collect()
+    flagged = {(r.doc_id, r.first_id) for r in rows}
+    assert (10, 1) in flagged  # near-dup of first-seen doc 1
+    assert all(d == 10 for d, _ in flagged)  # 2 and 11 are novel
