@@ -1308,3 +1308,114 @@ def t_bpe_token_count(spark, sf_dir):
         text.bpe_pretoken_count("text").alias("n_bpe_pretokens"),
         text.token_count("text").alias("n_ws_tokens"),
     )
+
+
+def _ivf_pq_oracle_sql(
+    n_centroids: int = 8,
+    subspaces: int = 4,
+    sub: int = 16,
+    codebook_size: int = 8,
+    k: int = 3,
+) -> str:
+    """IVF-PQ oracle: the sim_ivf_ann assignment CTEs composed with the
+    sim_pq_ann encode/LUT CTEs — candidates restricted to shared cells,
+    scored by the same explicit left-associative ADC sum."""
+    ms = ", ".join(str(m) for m in range(subspaces))
+    code_cols = ",\n             ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS c{m}"
+        for m in range(subspaces)
+    )
+    lut_joins = "\n      ".join(
+        f"JOIN lut l{m} ON l{m}.q_id = p.q_id AND l{m}.m = {m} "
+        f"AND l{m}.j = e.c{m}"
+        for m in range(subspaces)
+    )
+    adc = " + ".join(f"l{m}.d2" for m in range(subspaces))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+      ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assign AS (
+      SELECT vec_id, e, nrm, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(e, ce) / (cn * nrm) DESC, cid
+             ) AS ark
+      FROM n CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM assign WHERE ark = 1),
+    qcells AS (
+      SELECT vec_id, cid AS cell FROM assign WHERE ark = 1 AND vec_id < 10
+    ),
+    cb AS (
+      SELECT ms.m,
+             ROW_NUMBER() OVER (PARTITION BY ms.m ORDER BY c.vec_id) - 1 AS j,
+             list_slice(c.e, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {codebook_size}) c
+      CROSS JOIN (SELECT unnest([{ms}]) AS m) ms
+    ),
+    cbn AS (SELECT m, j, ce, list_dot_product(ce, ce) AS cc FROM cb),
+    dist AS (
+      SELECT vec_id, m, j,
+             (list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, ce)) + cc
+               AS d2
+      FROM (
+        SELECT nn.vec_id, cb2.m, cb2.j, cb2.ce, cb2.cc,
+               list_slice(nn.e, cb2.m * {sub} + 1, cb2.m * {sub} + {sub}) AS sv
+        FROM v nn CROSS JOIN cbn cb2
+      )
+    ),
+    enc AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM (
+        SELECT vec_id, m, j AS code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+        FROM dist
+      ) WHERE rk = 1 GROUP BY vec_id
+    ),
+    lut AS (SELECT vec_id AS q_id, m, j, d2 FROM dist WHERE vec_id < 10),
+    p AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+      FROM qcells q JOIN cells c ON q.cell = c.cell
+      WHERE q.vec_id <> c.vec_id
+    ),
+    score AS (
+      SELECT p.q_id, p.neighbor_id, ROUND({adc}, 6) AS approx_d2
+      FROM p
+      JOIN enc e ON e.vec_id = p.neighbor_id
+      {lut_joins}
+    )
+    SELECT q_id, neighbor_id, approx_d2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY approx_d2, neighbor_id) AS rk
+      FROM score
+    ) WHERE rk <= {k}
+    """
+
+
+@_q(
+    "sim_ivf_pq_ann",
+    _ivf_pq_oracle_sql(),
+    doc="IVF-PQ ANN (FAISS-style): one map-only corpus pass emits "
+    "(cell, pq_codes), queries probe their cell and score candidates "
+    "by LUT-based asymmetric distance — scoring never reads the "
+    "vector column; the composition of sim_ivf_ann and sim_pq_ann "
+    "that serves 100 TB vector corpora",
+)
+def sim_ivf_pq_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_ann(
+        emb, queries, "vec_id", "embedding",
+        n_centroids=8, subspaces=4, codebook_size=8, k=3,
+    )

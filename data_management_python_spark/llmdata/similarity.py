@@ -794,3 +794,150 @@ def ann_recall(
             6,
         ).alias("recall"),
     )
+
+
+def ivf_pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    subspaces: int = 4,
+    codebook_size: int = 8,
+    k: int = 3,
+    nprobe: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ ANN — the FAISS-style composition of the inverted file
+    (:func:`ivf_ann`) and product quantization (:func:`pq_ann`), and
+    the shape that actually serves 100 TB vector corpora: the corpus
+    is read in ONE map-only pass that emits (cell, pq_codes) — 8 bytes
+    of codes instead of the raw vector — and scoring touches only the
+    candidates inside the probed cells, by LUT lookups, never the
+    vector column.
+
+    Determinism matches the component operators exactly: centroids and
+    codebooks are the lowest-id corpus vectors, assignment ties break
+    to the lowest centroid id (strict-max fold), encode argmin ties to
+    the lowest code, rank on the ROUNDED ADC distance with neighbor-id
+    tie-break — so a SQL oracle reproduces the result bit-for-bit.
+
+    The query set is bounded (collected; probes + LUTs are driver
+    arithmetic over n_queries x n_centroids / codebook entries), the
+    corpus is never collected.
+    """
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    centroids = [(r[id_col], [float(x) for x in r[vec_col]]) for r in cent_rows]
+    codebooks = default_codebooks(
+        corpus, id_col, vec_col, subspaces, codebook_size
+    )
+    cvecs = [cv for _, cv in centroids]
+    cnorms = [_python_norm(cv) for cv in cvecs]
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    M = len(codebooks)
+    sub = len(codebooks[0][0])
+    cc = [[_python_dot(c, c) for c in codebooks[m]] for m in range(M)]
+
+    # ---- corpus: ONE pass -> (cell, codes), no shuffle -------------
+    @pandas_udf("struct<cell:bigint, codes:array<int>>")
+    def _cell_and_codes(v: pd.Series) -> pd.DataFrame:
+        A = _np_rows(v)
+        nrm = np.sqrt(_np_fold_dot(A, A))
+        cos = np.stack(
+            [
+                _np_fold_dot_w(A, cv) / (cn * nrm)
+                for cv, cn in zip(cvecs, cnorms)
+            ],
+            axis=1,
+        )
+        cells = cids[np.argmax(cos, axis=1)]
+        codes = []
+        for m in range(M):
+            lo, hi = m * sub, (m + 1) * sub
+            aa = _np_fold_dot_sub(A, lo, hi)
+            d2 = np.stack(
+                [
+                    (aa - 2.0 * _np_fold_dot_sub(A, lo, hi, c)) + c2
+                    for c, c2 in zip(codebooks[m], cc[m])
+                ],
+                axis=1,
+            )
+            codes.append(np.argmin(d2, axis=1).astype(np.int32))
+        return pd.DataFrame(
+            {"cell": cells, "codes": list(np.stack(codes, axis=1))}
+        )
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _cell_and_codes(F.col(vec_col)).alias("__e"),
+    ).select(
+        "neighbor_id",
+        F.col("__e.cell").alias("cell"),
+        F.col("__e.codes").alias("codes"),
+    )
+
+    # ---- queries: driver-side probes + LUTs ------------------------
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return enc.select(
+            F.col("neighbor_id").alias("q_id"),
+            "neighbor_id",
+            F.lit(0.0).alias("approx_d2"),
+        ).filter(F.lit(False))
+    spark = corpus.sparkSession
+    probe_rows = []
+    luts: dict[int, np.ndarray] = {}
+    for r in qrows:
+        qv = [float(x) for x in r[vec_col]]
+        qn = _python_norm(qv)
+        cos = [
+            _python_dot(qv, cv) / (cn * qn) for cv, cn in zip(cvecs, cnorms)
+        ]
+        # stable sort on -cos: ties to the lowest centroid id, same
+        # rule as the corpus-side argmax
+        order = sorted(range(len(cos)), key=lambda i: (-cos[i], i))[:nprobe]
+        for i in order:
+            probe_rows.append((r[id_col], int(cids[i])))
+        lut = np.zeros((M, codebook_size), np.float64)
+        for m in range(M):
+            qs = qv[m * sub : (m + 1) * sub]
+            aa = _python_dot(qs, qs)
+            for j, c in enumerate(codebooks[m]):
+                lut[m][j] = (aa - 2.0 * _python_dot(qs, c)) + _python_dot(c, c)
+        luts[r[id_col]] = lut
+    probes = spark.createDataFrame(probe_rows, f"q_id long, cell long")
+
+    @pandas_udf("double")
+    def _adc(q_id: pd.Series, codes: pd.Series) -> pd.Series:
+        K = np.vstack(codes.to_numpy()).astype(np.int64)
+        Q = q_id.to_numpy()
+        out = np.zeros(len(K), np.float64)
+        for qid in np.unique(Q):
+            mask = Q == qid
+            lut = luts[int(qid)]
+            acc = lut[0][K[mask, 0]]
+            for m in range(1, M):
+                acc = acc + lut[m][K[mask, m]]
+            out[mask] = acc
+        return pd.Series(out)
+
+    pairs = enc.join(F.broadcast(probes), on="cell").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "neighbor_id",
+        F.round(_adc(F.col("q_id"), F.col("codes")), round_digits).alias(
+            "approx_d2"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "approx_d2")
+    )

