@@ -35,6 +35,11 @@ HEAVY = [
     "t_pack_sequences",
     "t_tfidf_topk",
     "d_dup_clusters",
+    "sim_ivf_pq_ann",
+    "t_contamination",
+    "t_gopher_rules",
+    "e_cohort_retention",
+    "cosmx_fov_qc_rollup",
 ]
 
 KEY_SHIFT = {
