@@ -239,3 +239,47 @@ def validate_samplesheet_rows(df: DataFrame) -> DataFrame:
     return df.withColumn("validation_error", err).filter(
         F.col("validation_error").isNotNull()
     )
+
+
+# Platform barcode rules — data/flowcell_rules.json verbatim (the
+# seed data for Flowcell_barcode_rule, igfTables.py:326-366):
+# (platform_igf_id, flowcell_type, index_1 rule, index_2 rule)
+FLOWCELL_RULES: list[tuple[str, str, str, str]] = [
+    ("K00001", "HiSeq 3000/4000 SR", "NO_CHANGE", "NO_CHANGE"),
+    ("K00001", "HiSeq 3000/4000 PE", "NO_CHANGE", "REVCOMP"),
+    ("NB00001", "NEXTSEQ", "NO_CHANGE", "REVCOMP"),
+    ("MI00001", "MISEQ", "NO_CHANGE", "NO_CHANGE"),
+]
+
+
+def apply_flowcell_rules(
+    df: DataFrame,
+    platform_igf_id: str,
+    flowcell_type: str,
+    rules: list[tuple[str, str, str, str]] | None = None,
+) -> DataFrame:
+    """Apply the platform's barcode orientation rule to a samplesheet:
+    reverse-complement index / index2 when the rule says REVCOMP
+    (reference: flowcell_rules.json seeded into Flowcell_barcode_rule
+    and applied during demux prep, samplesheet.py:413-417 +
+    processsinglecellsamplesheet handling).
+
+    The rule set is O(#platforms) driver data, so resolution is a
+    dict lookup, and the applied transform stays a pure projection.
+    Unknown (platform, flowcell_type) raises — the reference treats a
+    missing barcode rule as a registration error, not a silent
+    pass-through.
+    """
+    table = {(p, f): (i1, i2) for p, f, i1, i2 in (rules or FLOWCELL_RULES)}
+    key = (platform_igf_id, flowcell_type)
+    if key not in table:
+        raise KeyError(
+            f"no flowcell barcode rule for {key}; known: {sorted(table)}"
+        )
+    i1_rule, i2_rule = table[key]
+    out = df
+    if i1_rule == "REVCOMP" and "index" in out.columns:
+        out = revcomp_index(out, "index")
+    if i2_rule == "REVCOMP" and "index2" in out.columns:
+        out = revcomp_index(out, "index2")
+    return out

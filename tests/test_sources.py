@@ -355,3 +355,25 @@ def test_write_bucketed_table_joins_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_apply_flowcell_rules(spark):
+    """Platform barcode-rule application (flowcell_rules.json parity):
+    NextSeq revcomps index2 only; MiSeq is a no-op; unknown platform is
+    a registration error."""
+    import pytest
+
+    sheet = spark.createDataFrame(
+        [("S1", "ACGT", "GGCA")], "Sample_ID string, index string, index2 string"
+    )
+    nextseq = ss.apply_flowcell_rules(sheet, "NB00001", "NEXTSEQ")
+    r = nextseq.collect()[0]
+    assert r["index"] == "ACGT"          # NO_CHANGE
+    assert r["index2"] == "TGCC"         # revcomp(GGCA)
+
+    miseq = ss.apply_flowcell_rules(sheet, "MI00001", "MISEQ")
+    r = miseq.collect()[0]
+    assert (r["index"], r["index2"]) == ("ACGT", "GGCA")
+
+    with pytest.raises(KeyError):
+        ss.apply_flowcell_rules(sheet, "UNKNOWN", "NOVASEQ")
