@@ -1835,3 +1835,46 @@ def e_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@_q(
+    "a_sketch_accuracy",
+    None,  # sketch values are engine-specific (HLL++ / KLL registers);
+    # the driver records a rows-only check and the pytest bound-check
+    # (tests/test_operators.py) asserts the measured error
+    doc="sketch aggregates next to their exact counterparts with "
+    "self-reported relative error: approx_count_distinct (HLL++, "
+    "rsd=2%) vs countDistinct and percentile_approx (accuracy 10k) vs "
+    "exact percentile, per order priority.  At 100 TB the sketches ARE "
+    "the practical operators (bounded memory, one pass, mergeable "
+    "across partitions); this query keeps them honest by measuring "
+    "them against the exact aggregates the suite already verifies "
+    "(a15_count_distinct, a_percentile_exact)",
+)
+def a_sketch_accuracy(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+            "approx_distinct"
+        ),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_distinct",
+        "approx_distinct",
+        F.round(
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("distinct_rel_err"),
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("approx_p50", 2).alias("approx_p50"),
+        F.round(
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.col("exact_p50"),
+            6,
+        ).alias("p50_rel_err"),
+    )

@@ -243,3 +243,16 @@ def test_salted_join_matches_plain_join_and_spreads(spark):
     assert left.filter(F.col("attr").isNull()).count() == big.filter(
         ~F.col("k").isin(*range(1, 9))
     ).count()
+
+
+def test_sketch_accuracy_bounds(spark):
+    """HLL++ distinct and KLL-style approx percentile stay within their
+    advertised error against the exact aggregates on driver testdata."""
+    from data_management_python_spark.plans import collect_queries
+
+    q = collect_queries()["a_sketch_accuracy"]
+    rows = q.fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.distinct_rel_err <= 0.06   # rsd 2% -> 3 sigma
+        assert r.p50_rel_err <= 0.01        # accuracy 10000
