@@ -124,3 +124,87 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime_type"),
         F.to_json(F.struct(F.col("n_chars"), F.col("lang"))).alias("meta_json"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("frame_bytes", BinaryType(), True),
+        StructField("frame_sha256", StringType(), True),
+    ]
+)
+
+
+def _frame_slices_stub(
+    blob: bytes | None, n_frames: int, duration_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """Deterministic fake frame sampler: slices the blob into
+    ``n_frames`` even byte windows with evenly spaced fake timestamps.
+    A real implementation seeks the container (ffmpeg/PyAV) and decodes
+    the frame nearest each timestamp; the Spark-side contract — one
+    input row fans out to n_frames rows, bounded bytes each — is
+    exactly the same.
+    """
+    if not blob:
+        return []
+    step = max(1, len(blob) // n_frames)
+    out = []
+    for i in range(n_frames):
+        lo = i * step
+        if lo >= len(blob):
+            break
+        ts = (duration_ms * i) // max(1, n_frames)
+        out.append((i, ts, blob[lo : lo + step]))
+    return out
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    duration_ms: int = 10_000,
+    batch_rows: int = 16,
+) -> DataFrame:
+    """Video frame sampling as a mapInPandas fan-out: each media row
+    yields up to ``n_frames`` frame rows (frame index, timestamp,
+    frame bytes, sha256).
+
+    Scale shape: the fan-out happens INSIDE the Arrow batch (one input
+    row -> n rows in the emitted frame), so there is no explode of
+    multi-megabyte blobs through a shuffle — frames leave the worker
+    already sliced, and ``batch_rows`` bounds peak memory at
+    (batch_rows x blob size).  Decode is stubbed (see
+    :func:`_frame_slices_stub`); swap in a real ffmpeg/PyAV seek
+    without touching the distribution strategy.
+    """
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # local import: runs on executors
+
+        for pdf in batches:
+            ids, idxs, tss, frames, shas = [], [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for i, ts, fb in _frame_slices_stub(
+                    blob, n_frames, duration_ms
+                ):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(fb)
+                    shas.append(hashlib.sha256(fb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "frame_bytes": frames,
+                    "frame_sha256": shas,
+                }
+            )
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)

@@ -507,3 +507,34 @@ def test_ivf_pq_ann_shapes(spark):
     assert r1 > 0.0
     out2 = sim.ivf_pq_ann(emb, queries, k=3, nprobe=3)
     assert out2.count() >= out.count()
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampling plumbing: bounded fan-out per media row, stable
+    hashes, short blobs yield fewer frames, null blobs none."""
+    from data_management_python_spark.llmdata import multimodal as mm
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytes(range(200)), "video/mp4", None),
+            (2, "video", b"tiny", "video/mp4", None),
+            (3, "video", None, "video/mp4", None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    frames = mm.sample_frames(media, n_frames=4, duration_ms=8000)
+    rows = frames.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 4
+    assert [r.frame_ts_ms for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [
+        0, 2000, 4000, 6000
+    ]
+    assert 3 not in by_id  # null blob -> no frames
+    # deterministic: re-run produces identical hashes
+    again = {(r.media_id, r.frame_idx): r.frame_sha256
+             for r in mm.sample_frames(media, n_frames=4, duration_ms=8000).collect()}
+    for r in rows:
+        assert again[(r.media_id, r.frame_idx)] == r.frame_sha256
