@@ -1419,3 +1419,39 @@ def sim_ivf_pq_ann(spark, sf_dir):
         emb, queries, "vec_id", "embedding",
         n_centroids=8, subspaces=4, codebook_size=8, k=3,
     )
+
+
+@_q(
+    "t_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n, toks,
+             UNNEST(generate_series(0,
+               CAST(GREATEST(1, CEIL(CAST(n - 8 AS DOUBLE) / 56)) AS BIGINT)
+                 - 1)) AS chunk_idx
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * 56 + 1,
+                               LEAST(chunk_idx * 56 + 64, n))) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(toks, chunk_idx * 56 + 1,
+                                      LEAST(chunk_idx * 56 + 64, n)), ' ')
+             AS chunk_text
+    FROM c
+    """,
+    doc="context-length chunking: documents split into 64-token windows "
+    "with 8-token overlap (stride 56) — tokenize once, window offsets "
+    "via sequence, array slice + explode; map-side, no shuffle, no UDF "
+    "(beyond-reference training-data op between cleaning and packing)",
+)
+def t_chunk_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=8
+    )

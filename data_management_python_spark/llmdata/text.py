@@ -395,3 +395,58 @@ def bpe_pretoken_count(text: Column | str) -> Column:
     return F.size(
         F.filter(matches, lambda m: ~m.rlike(r"^\s+$"))
     ).cast("bigint")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-budget token windows with overlap —
+    the context-length chunking step between cleaning and packing in a
+    training-data pipeline (long documents must become <= max_seq_len
+    pieces; overlap preserves cross-boundary context).
+
+    Map-side end to end: tokenize once, generate window start offsets
+    with ``sequence`` (stride = chunk_tokens - overlap), slice the
+    token array per window, explode.  No shuffle, no UDF; output is
+    (id, chunk_idx, n_tokens, chunk_text) with chunk_idx dense from 0.
+    The final window is the remainder (>= 1 token, may be shorter than
+    the budget); documents shorter than the budget yield one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    toked = docs.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    # window starts over the PROJECTED length column: 0, stride, ...
+    # capped so a window never starts past the end
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)).cast("double") / stride),
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(
+                    F.col("__toks"), i * stride + 1, F.lit(chunk_tokens)
+                ).alias("toks"),
+            ),
+        )
+    )
+    return (
+        toked.select(F.col(id_col), chunk.alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size("c.toks").cast("bigint").alias("n_tokens"),
+            F.array_join("c.toks", " ").alias("chunk_text"),
+        )
+    )

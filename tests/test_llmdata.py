@@ -538,3 +538,33 @@ def test_sample_frames_fanout(spark):
              for r in mm.sample_frames(media, n_frames=4, duration_ms=8000).collect()}
     for r in rows:
         assert again[(r.media_id, r.frame_idx)] == r.frame_sha256
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk windows: stride/overlap arithmetic, remainder chunk, short
+    doc single chunk, token-level reassembly."""
+    import pytest
+
+    from data_management_python_spark.llmdata import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(150))),  # 3 chunks @ 64/8
+            (2, "just a few words"),                      # 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = t.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.chunk_idx for r in d1] == [0, 1, 2]
+    assert [r.n_tokens for r in d1] == [64, 64, 38]  # 150 = 56+56+38
+    # overlap: last 8 tokens of chunk0 == first 8 of chunk1
+    assert d1[0].chunk_text.split()[-8:] == d1[1].chunk_text.split()[:8]
+    # stride boundary: chunk1 starts at token 56
+    assert d1[1].chunk_text.split()[0] == "w56"
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 4
+
+    with pytest.raises(ValueError):
+        t.chunk_documents(docs, chunk_tokens=8, overlap=8)
