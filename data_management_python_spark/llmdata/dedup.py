@@ -523,3 +523,84 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def span_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    mod_p: int = 4,
+) -> DataFrame:
+    """Sampled fingerprints of k-token spans: (id, pos, fp).
+
+    Every k-gram is hashed (md5-derived 32-bit int, deterministic);
+    fingerprints with ``hash % mod_p == 0`` are kept — the standard
+    hash-sampling scheme for document fingerprinting (the simpler
+    sibling of winnowing): expected density 1/mod_p, and any span
+    shared verbatim by two documents yields the SAME sampled subset on
+    both sides, so shared spans cannot be missed by sampling skew.
+    Map-side only: tokenize, k-gram hash per position, filter, explode.
+    """
+    toked, _sh = _shingle_parts(df, id_col, text_col, k, distinct=False)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+        lambda i: F.struct(
+            (i - 1).cast("bigint").alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(F.col("__toks"), i + j)
+                                for j in range(k)
+                            ],
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("fp"),
+        ),
+    )
+    return (
+        toked.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+        .filter(F.col("fp") % mod_p == 0)
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    mod_p: int = 4,
+) -> DataFrame:
+    """K-token spans appearing verbatim in more than one document —
+    the span-level (substring) duplication sweep run before training
+    (repeated boilerplate/quotes survive document-level dedup; Lee et
+    al.'s dedup work is the public reference point).  Output per
+    duplicated sampled fingerprint: (fp, n_docs, n_occurrences,
+    min_id, max_id).
+
+    Scale shape: fingerprint generation is map-side with 1/mod_p
+    density; the only shuffle is the fingerprint groupBy (partial agg)
+    — never a self-join, so hot spans cost rows, not pairs.
+    """
+    fps = span_fingerprints(df, id_col, text_col, k, mod_p)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1455,3 +1455,35 @@ def t_chunk_documents(spark, sf_dir):
     return text.chunk_documents(
         docs, "doc_id", "text", chunk_tokens=64, overlap=8
     )
+
+
+@_q(
+    "d_span_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             CAST(('0x' || substr(md5(
+               t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' ||
+               t[u.i+3] || ' ' || t[u.i+4] || ' ' || t[u.i+5] || ' ' ||
+               t[u.i+6] || ' ' || t[u.i+7]), 1, 8)) AS BIGINT) AS fp
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    )
+    SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM grams WHERE fp % 4 = 0
+    GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="span-level duplication sweep: sampled 8-token fingerprints "
+    "(md5-derived, hash %% 4 sampling — identical subsets on every "
+    "copy of a shared span) grouped to cross-document duplicates; one "
+    "partial-agg shuffle, no self-join, so hot spans cost rows not "
+    "pairs (beyond-reference; substring-dedup literature)",
+)
+def d_span_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, "doc_id", "text", k=8, mod_p=4)

@@ -568,3 +568,33 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         t.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_duplicated_spans(spark):
+    from data_management_python_spark.llmdata import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro words here"),
+            (2, f"different start {shared} and finish"),
+            (3, "no overlap at all in this document text body"),
+        ],
+        "doc_id long, text string",
+    )
+    # mod_p=1: keep every fingerprint so the shared 8-gram must appear
+    hits = dd.duplicated_spans(docs, "doc_id", "text", k=8, mod_p=1).collect()
+    assert any(r.n_docs == 2 and r.min_id == 1 and r.max_id == 2 for r in hits)
+    # no fingerprint should span doc 3
+    fps3 = dd.span_fingerprints(
+        docs.filter("doc_id = 3"), "doc_id", "text", k=8, mod_p=1
+    )
+    hit_fps = {r.fp for r in hits}
+    assert not hit_fps & {r.fp for r in fps3.collect()}
+    # sampling keeps identical subsets: doc1/doc2 shared-span fps match
+    s1 = {r.fp for r in dd.span_fingerprints(
+        docs.filter("doc_id = 1"), "doc_id", "text", k=8, mod_p=4).collect()}
+    s2 = {r.fp for r in dd.span_fingerprints(
+        docs.filter("doc_id = 2"), "doc_id", "text", k=8, mod_p=4).collect()}
+    shared_all = {r.fp for r in hits}
+    assert (s1 & shared_all) == (s2 & shared_all)
