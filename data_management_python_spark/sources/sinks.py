@@ -166,3 +166,28 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.mode(mode).format("parquet").saveAsTable(name)
+
+
+def write_sorted_dataset(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Globally-sorted dataset writer: ``repartitionByRange`` on the
+    sort keys, then sort within each partition — total order across
+    files without ever funneling through one reducer (a global
+    ``orderBy`` + single write would).  Range boundaries come from
+    Spark's reservoir sampling, so partitions stay balanced under
+    skew; readers get per-file min/max column stats that prune range
+    scans (the property a time-series or id-ordered lake layout is
+    built on).
+    """
+    out = (
+        df.repartitionByRange(num_files, *sort_by)
+        if num_files
+        else df.repartitionByRange(*sort_by)
+    )
+    out.sortWithinPartitions(*sort_by).write.mode(mode).format(fmt).save(path)

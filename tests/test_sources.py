@@ -377,3 +377,29 @@ def test_apply_flowcell_rules(spark):
 
     with pytest.raises(KeyError):
         ss.apply_flowcell_rules(sheet, "UNKNOWN", "NOVASEQ")
+
+
+def test_write_sorted_dataset_global_order(spark, tmp_path):
+    """Range-partitioned sorted write: files are internally sorted AND
+    file ranges are disjoint, so concatenating files in range order
+    yields a total order — with no single-reducer global sort."""
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = tmp_path / "sorted"
+    sinks.write_sorted_dataset(df, str(out), ["k"], num_files=4)
+    import glob
+
+    files = sorted(glob.glob(str(out / "*.parquet")))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        ks = pdf["k"].tolist()
+        assert ks == sorted(ks)  # sorted within file
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint file ranges -> total order
+    # all rows survive
+    assert spark.read.parquet(str(out)).count() == 10_000
