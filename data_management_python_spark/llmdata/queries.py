@@ -1487,3 +1487,43 @@ def t_chunk_documents(spark, sf_dir):
 def d_span_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicated_spans(docs, "doc_id", "text", k=8, mod_p=4)
+
+
+@_q(
+    "t_temperature_sample",
+    """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    wts AS (
+      SELECT lang, n_docs, POWER(CAST(n_docs AS DOUBLE), 0.5) AS w_raw
+      FROM counts
+    ),
+    z AS (SELECT SUM(w_raw) AS z FROM wts),
+    quotas AS (
+      SELECT lang,
+             LEAST(n_docs,
+                   CAST(FLOOR(200.0 * w_raw / z) AS BIGINT)) AS quota
+      FROM wts CROSS JOIN z
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.sample_rank
+    FROM ranked r JOIN quotas q ON q.lang = r.lang
+    WHERE r.sample_rank <= q.quota
+    """,
+    doc="temperature-reweighted mixture sample (alpha=0.5, budget 200): "
+    "per-language quotas proportional to count^alpha — the standard "
+    "up-sampling rule for low-resource strata — with seedless md5-order "
+    "membership; one counts agg + broadcast quota join + one window "
+    "(beyond-reference)",
+)
+def t_temperature_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text.temperature_sample(
+        docs, "lang", total_budget=200, alpha=0.5
+    ).select("doc_id", "lang", "sample_rank")

@@ -450,3 +450,67 @@ def chunk_documents(
             F.array_join("c.toks", " ").alias("chunk_text"),
         )
     )
+
+
+def temperature_quotas(
+    docs: DataFrame,
+    stratum_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum sampling quotas under temperature reweighting: the
+    multilingual-corpus mixing rule (sample stratum s with probability
+    proportional to p_s^alpha, p_s its natural share).  alpha=1 keeps
+    natural proportions; alpha->0 approaches uniform across strata —
+    the standard lever for up-sampling low-resource languages/sources.
+
+    Quotas are floor(budget * weight) and never exceed the stratum's
+    actual count; all arithmetic is deterministic doubles over exact
+    counts, so a SQL oracle reproduces it.  One partial-agg shuffle
+    (counts) + a scalar cross join for the normalizer.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn(
+        "w_raw", F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    z = powed.agg(F.sum("w_raw").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            stratum_col,
+            "n_docs",
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+            F.least(
+                F.col("n_docs"),
+                F.floor(F.lit(float(total_budget)) * F.col("w_raw") / F.col("z"))
+                .cast("bigint"),
+            ).alias("quota"),
+        )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    hash_col: str = "text",
+) -> DataFrame:
+    """Temperature-reweighted mixture sample: per-stratum quotas from
+    :func:`temperature_quotas`, members chosen by the same seedless
+    md5-hash order as :func:`stratified_sample`.  The broadcast quota
+    join keeps the plan one stratum-keyed window + one tiny join."""
+    from pyspark.sql.window import Window
+
+    quotas = temperature_quotas(docs, stratum_col, total_budget, alpha)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(hash_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .join(
+            F.broadcast(quotas.select(stratum_col, "quota")), stratum_col
+        )
+        .filter(F.col("sample_rank") <= F.col("quota"))
+    )

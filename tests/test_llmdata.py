@@ -598,3 +598,28 @@ def test_duplicated_spans(spark):
         docs.filter("doc_id = 2"), "doc_id", "text", k=8, mod_p=4).collect()}
     shared_all = {r.fp for r in hits}
     assert (s1 & shared_all) == (s2 & shared_all)
+
+
+def test_temperature_sampling_flattens_mixture(spark):
+    """alpha<1 up-samples small strata relative to natural shares, and
+    quotas never exceed the stratum size."""
+    from data_management_python_spark.llmdata import text as t
+
+    rows = [(i, "big", f"doc {i} text") for i in range(900)]
+    rows += [(1000 + i, "small", f"rare {i} text") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    q1 = {r.lang: r for r in t.temperature_quotas(docs, "lang", 500, alpha=1.0).collect()}
+    q5 = {r.lang: r for r in t.temperature_quotas(docs, "lang", 500, alpha=0.5).collect()}
+    # natural shares at alpha=1: 450/50; alpha=0.5 boosts the small stratum
+    assert q1["small"].quota == 50
+    assert q5["small"].quota > q1["small"].quota
+    assert q5["big"].quota < q1["big"].quota
+    for q in (*q1.values(), *q5.values()):
+        assert q.quota <= q.n_docs
+
+    sample = t.temperature_sample(docs, "lang", 500, alpha=0.5)
+    got = sample.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    assert by_lang["small"] == q5["small"].quota
+    assert by_lang["big"] == q5["big"].quota
