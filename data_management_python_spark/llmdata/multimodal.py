@@ -208,3 +208,87 @@ def sample_frames(
             )
 
     return media.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+SHARD_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard_path", StringType(), False),
+        StructField("n_members", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+_MIME_EXT = {
+    "image/jpeg": "jpg",
+    "image/png": "png",
+    "audio/wav": "wav",
+    "video/mp4": "mp4",
+    "application/octet-stream": "bin",
+}
+
+
+def write_media_shards(
+    media: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    prefix: str = "shard",
+) -> DataFrame:
+    """WebDataset-style tar sharding: pack (media_id, content) rows
+    into ``n_shards`` tar files, one per partition, members named
+    ``{media_id}.{ext}`` with a sibling ``{media_id}.json`` metadata
+    member — the standard loader-friendly layout for training on media
+    blobs (sequential tar reads, no per-sample object-store requests).
+
+    Executors write their own shard (stdlib tarfile, no media libs
+    needed) and emit one manifest row each; the returned manifest
+    DataFrame is the action that drives the write.  ``out_dir`` must
+    be visible to the executors — local disk in local mode, a shared
+    filesystem / object-store mount on a cluster.
+    """
+    import json as _json
+    import os as _os
+
+    def write_shard(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"{prefix}-{pid:05d}.tar")
+        n = 0
+        with tarfile.open(path, "w") as tar:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    blob = row["content"]
+                    if blob is None:
+                        continue
+                    ext = _MIME_EXT.get(row.get("mime_type"), "bin")
+                    name = f"{row['media_id']}.{ext}"
+                    info = tarfile.TarInfo(name)
+                    info.size = len(blob)
+                    tar.addfile(info, io.BytesIO(bytes(blob)))
+                    meta = _json.dumps(
+                        {
+                            "media_id": int(row["media_id"]),
+                            "modality": row.get("modality"),
+                            "meta": row.get("meta_json"),
+                        }
+                    ).encode()
+                    minfo = tarfile.TarInfo(f"{row['media_id']}.json")
+                    minfo.size = len(meta)
+                    tar.addfile(minfo, io.BytesIO(meta))
+                    n += 1
+        yield pd.DataFrame(
+            {
+                "shard_path": [path],
+                "n_members": [n],
+                "n_bytes": [_os.path.getsize(path)],
+            }
+        )
+
+    _os.makedirs(out_dir, exist_ok=True)
+    return media.repartition(n_shards).mapInPandas(
+        write_shard, schema=SHARD_MANIFEST_SCHEMA
+    )

@@ -623,3 +623,37 @@ def test_temperature_sampling_flattens_mixture(spark):
     by_lang = {r.lang: r["count"] for r in got}
     assert by_lang["small"] == q5["small"].quota
     assert by_lang["big"] == q5["big"].quota
+
+
+def test_write_media_shards_roundtrip(spark, tmp_path):
+    """Tar-shard export: every blob lands in exactly one shard with its
+    JSON sidecar, and the manifest accounts for all members."""
+    import json
+    import tarfile
+
+    from data_management_python_spark.llmdata import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (i, "image", bytes([i] * 50), "image/png", json.dumps({"i": i}))
+            for i in range(20)
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = tmp_path / "shards"
+    manifest = mm.write_media_shards(media, str(out), n_shards=3).collect()
+    assert sum(r.n_members for r in manifest) == 20
+    seen = {}
+    for r in manifest:
+        with tarfile.open(r.shard_path) as tar:
+            names = tar.getnames()
+            pngs = [n for n in names if n.endswith(".png")]
+            assert len(names) == 2 * len(pngs)  # sidecar per blob
+            for n in pngs:
+                mid = int(n.split(".")[0])
+                blob = tar.extractfile(n).read()
+                assert blob == bytes([mid] * 50)
+                side = json.loads(tar.extractfile(f"{mid}.json").read())
+                assert side["media_id"] == mid
+                seen[mid] = seen.get(mid, 0) + 1
+    assert seen == {i: 1 for i in range(20)}
