@@ -467,25 +467,26 @@ def temperature_quotas(
     Quotas are floor(budget * weight) and never exceed the stratum's
     actual count; all arithmetic is deterministic doubles over exact
     counts, so a SQL oracle reproduces it.  One partial-agg shuffle
-    (counts) + a scalar cross join for the normalizer.
+    (counts); the normalizer is a global window over the per-stratum
+    frame — bounded by the stratum count, and no nested-loop join in
+    the plan (a scalar crossJoin would plan one).
     """
+    from pyspark.sql.window import Window
+
     counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
     powed = counts.withColumn(
         "w_raw", F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
     )
-    z = powed.agg(F.sum("w_raw").alias("z"))
-    return (
-        powed.crossJoin(F.broadcast(z))
-        .select(
-            stratum_col,
-            "n_docs",
-            F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
-            F.least(
-                F.col("n_docs"),
-                F.floor(F.lit(float(total_budget)) * F.col("w_raw") / F.col("z"))
-                .cast("bigint"),
-            ).alias("quota"),
-        )
+    z = F.sum("w_raw").over(Window.partitionBy())
+    return powed.select(
+        stratum_col,
+        "n_docs",
+        F.round(F.col("w_raw") / z, 6).alias("weight"),
+        F.least(
+            F.col("n_docs"),
+            F.floor(F.lit(float(total_budget)) * F.col("w_raw") / z)
+            .cast("bigint"),
+        ).alias("quota"),
     )
 
 
