@@ -47,6 +47,11 @@ AUDITED = [
     "t_contamination",
     "cosmx_fov_qc_rollup",
     "cosmx_fov_seeding",
+    "t_chunk_documents",
+    "d_span_dedup",
+    "t_temperature_sample",
+    "sim_ivf_pq_ann",
+    "e_cohort_retention",
 ]
 
 
