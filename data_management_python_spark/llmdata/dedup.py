@@ -604,3 +604,62 @@ def duplicated_spans(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def shingle_array_expr(col: Column | str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle ARRAY of a text column as a pure
+    expression — usable anywhere a projection is legal (including
+    streaming stages), sharing the tokenize-once/transform shape of
+    :func:`_shingle_parts`."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def verify_candidates_against_corpus(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact-Jaccard confirmation of (doc_id, first_id) candidate pairs
+    against a corpus snapshot — the verify half of the streaming
+    near-dup contract (:func:`streaming.dedup.stream_lsh_candidates`
+    emits the candidates; this closes them).
+
+    Both joins are CANDIDATE x corpus equi-joins (stream-static joins
+    are legal in append mode, so this composes directly into the
+    streaming query), and the Jaccard itself is a map-side
+    array_intersect/array_union over shingle arrays — no shuffle
+    beyond the two id joins.  Pairs whose ids are missing from the
+    snapshot drop out (re-verify against the next snapshot).
+    """
+    t1 = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_array_expr(text_col, n).alias("__sh1"),
+    )
+    t2 = corpus.select(
+        F.col(id_col).alias("first_id"),
+        shingle_array_expr(text_col, n).alias("__sh2"),
+    )
+    joined = candidates.join(t1, "doc_id").join(t2, "first_id")
+    inter = F.size(F.array_intersect("__sh1", "__sh2"))
+    union = F.size(F.array_union("__sh1", "__sh2"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .drop("__sh1", "__sh2")
+    )

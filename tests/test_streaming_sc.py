@@ -437,3 +437,58 @@ def test_stream_lsh_candidates(spark, tmp_path):
     flagged = {(r.doc_id, r.first_id) for r in rows}
     assert (10, 1) in flagged  # near-dup of first-seen doc 1
     assert all(d == 10 for d, _ in flagged)  # 2 and 11 are novel
+
+
+def test_stream_near_dup_verified_end_to_end(spark, tmp_path):
+    """Candidates-then-verify composed INSIDE one streaming query:
+    stream_lsh_candidates -> stream-static joins -> map-side exact
+    Jaccard; only truly-similar pairs survive."""
+    import os
+    import time
+
+    from data_management_python_spark.llmdata.dedup import (
+        verify_candidates_against_corpus,
+    )
+    from data_management_python_spark.streaming.dedup import (
+        stream_lsh_candidates,
+    )
+
+    base = "spark makes distributed data processing simple and fast for everyone " * 3
+    docs = [
+        (1, base),
+        (2, "completely unrelated text about gardening tulips and soil here " * 3),
+        (10, base + "indeed"),
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+
+    src = tmp_path / "ndv_src"
+    now = time.time()
+    for i, row in enumerate(docs):
+        p = src / f"b{i}"
+        spark.createDataFrame([row], "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(p))
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 300 + i, now - 300 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    verified = verify_candidates_against_corpus(
+        stream_lsh_candidates(stream), corpus, threshold=0.2
+    )
+    q = (
+        verified.writeStream.format("memory")
+        .queryName("ndv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ndv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from ndv_out").collect()
+    pairs = {(r.doc_id, r.first_id) for r in rows}
+    assert pairs == {(10, 1)}
+    assert all(r.jaccard >= 0.2 for r in rows)
