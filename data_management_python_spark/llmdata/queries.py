@@ -1527,3 +1527,198 @@ def t_temperature_sample(spark, sf_dir):
     return text.temperature_sample(
         docs, "lang", total_budget=200, alpha=0.5
     ).select("doc_id", "lang", "sample_rank")
+
+
+@_q(
+    "t_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq, dl.dl,
+             ROUND(
+               LN(1.0 + (n_docs - CAST(doc_freq AS DOUBLE) + 0.5)
+                        / (CAST(doc_freq AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75)
+                           + (0.75 * CAST(dl AS DOUBLE)) / avgdl)),
+               6) AS bm25
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl    USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, term, tf, doc_freq, dl, bm25 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="top-5 Okapi BM25 terms per document (k1=1.2, b=0.75, Lucene "
+    "idf): same two-partial-agg + term-keyed-rejoin shape as tfidf; "
+    "corpus stats are a 1-row broadcast cross join; ranking on the "
+    "rounded score with term tie-break (beyond-reference)",
+)
+def t_bm25_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(docs, "doc_id", "text", k=5)
+
+
+@_q(
+    "t_train_split",
+    """
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY source, split
+    """,
+    doc="deterministic train/val/test assignment from an id-hash "
+    "prefix (~80/10/10), reported per source: pure column expression — "
+    "no shuffle, no seed state — so documents never migrate across the "
+    "train/eval boundary on re-runs or incremental loads "
+    "(beyond-reference)",
+)
+def t_train_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", text.hash_split("doc_id"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@_q(
+    "d_semantic_dedup",
+    f"""
+    WITH pairs AS ({_embed_near_dup_oracle_sql()})
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id_2 FROM pairs)
+    """,
+    doc="SemDeDup-style semantic dedup survivors: drop any vector "
+    "whose exact cosine to a lower-id LSH-bucket-mate >= 0.45 "
+    "(greedy lowest-id-wins over LSH-verified candidates only, never "
+    "all pairs); the anti-join build side scales with near-dup "
+    "density (beyond-reference; SemDeDup, Abbas et al. 2023)",
+)
+def d_semantic_dedup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_survivors(
+        emb, "vec_id", "embedding", threshold=0.45, tables=4, planes=6,
+        keep_cols=["label"],
+    )
+
+
+@_q(
+    "sim_hybrid_rrf",
+    """
+    WITH ptoks AS (
+      SELECT DISTINCT doc_id AS q_id, u.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+      WHERE doc_id < 3
+    ),
+    ctoks AS (
+      SELECT DISTINCT doc_id AS cand_id, u.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+    ),
+    overlap AS (
+      SELECT q_id, cand_id, COUNT(*) AS n_shared
+      FROM ptoks JOIN ctoks USING (term)
+      WHERE q_id <> cand_id
+      GROUP BY q_id, cand_id
+    ),
+    lex AS (
+      SELECT q_id, cand_id, rank_lex FROM (
+        SELECT q_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY n_shared DESC, cand_id) AS rank_lex
+        FROM overlap
+      ) WHERE rank_lex <= 20
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    vpairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 3
+    ),
+    vec AS (
+      SELECT q_id, cand_id, rank_vec FROM (
+        SELECT q_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rank_vec
+        FROM vpairs
+      ) WHERE rank_vec <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.q_id, vv.q_id) AS q_id,
+             COALESCE(l.cand_id, vv.cand_id) AS cand_id,
+             l.rank_lex, vv.rank_vec,
+             COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+               + COALESCE(1.0 / (60 + vv.rank_vec), 0.0) AS rrf
+      FROM lex l
+      FULL OUTER JOIN vec vv ON l.q_id = vv.q_id AND l.cand_id = vv.cand_id
+    )
+    SELECT q_id, cand_id, rank_lex, rank_vec, ROUND(rrf, 6) AS rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY rrf DESC, cand_id) AS rk
+      FROM fused
+    ) WHERE rk <= 5
+    """,
+    doc="hybrid retrieval with Reciprocal Rank Fusion: lexical leg = "
+    "distinct-token overlap via a broadcast inverted-index probe, "
+    "vector leg = exact cosine top-20 (map-only scorer), legs "
+    "full-outer fused with 1/(60+rank) — integer ranks and exact "
+    "divisions make fusion bit-identical across engines "
+    "(beyond-reference)",
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hybrid_rrf(
+        docs, emb, probe_ids=[0, 1, 2], k=5, pool=20, rrf_k=60
+    )
+    return out.select(
+        "q_id",
+        "cand_id",
+        F.col("rank_lex").cast("bigint").alias("rank_lex"),
+        F.col("rank_vec").cast("bigint").alias("rank_vec"),
+        "rrf",
+    )

@@ -768,6 +768,110 @@ def ivf_ann(
     )
 
 
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    tables: int = 4,
+    planes: int = 6,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: materialize the vectors
+    that survive embedding-space near-dup pruning.
+
+    Greedy lowest-id-wins rule: a vector is dropped iff its exact
+    cosine to some LOWER-id vector sharing an LSH bucket is >=
+    threshold (the ``id_2`` side of ``embed_near_dup_pairs``).  The
+    rule is deterministic and one-pass — no iterative clustering — and
+    the drop set is computed only over LSH-verified candidates, never
+    all pairs, so the anti-join's build side scales with near-dup
+    density.  Published pattern: SemDeDup (Abbas et al., 2023) prunes
+    within k-means clusters; here the deterministic hyperplane buckets
+    play the cluster role so an exact SQL oracle exists.
+    """
+    pairs = embed_near_dup_pairs(
+        corpus, id_col, vec_col, threshold=threshold, tables=tables, planes=planes
+    )
+    dropped = pairs.select(F.col("id_2").alias(id_col)).distinct()
+    out_cols = [id_col, *(keep_cols or [])]
+    return corpus.join(dropped, id_col, "left_anti").select(*out_cols)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    probe_ids: list[int],
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: lexical rank + vector rank fused with
+    Reciprocal Rank Fusion (score = Σ 1/(rrf_k + rank)).
+
+    Lexical leg: distinct-token overlap with the probe document —
+    probe token sets are tiny and broadcast, candidates come from a
+    token-keyed join (an inverted-index probe, never a scan of
+    non-matching docs).  Vector leg: exact cosine top-``pool`` via the
+    map-only brute-force scorer.  Each leg ranks deterministically
+    (score desc, id asc), the legs full-outer-join on the candidate,
+    and missing legs contribute 0 — the standard RRF convention.
+    rank/overlap are integers and 1/(60+rank) is a single exact
+    division, so fusion scores are bit-identical across engines.
+    """
+    from data_management_python_spark.llmdata.text import tokens
+
+    probes = docs.filter(F.col(doc_id).isin(probe_ids))
+    ptoks = probes.select(
+        F.col(doc_id).alias("q_id"), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    ctoks = docs.select(
+        F.col(doc_id).alias("cand_id"), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    overlap = (
+        F.broadcast(ptoks)
+        .join(ctoks, "term")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .groupBy("q_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("q_id").orderBy(
+        F.col("n_shared").desc(), F.col("cand_id")
+    )
+    lex = (
+        overlap.withColumn("rank_lex", F.row_number().over(w_lex))
+        .filter(F.col("rank_lex") <= pool)
+        .select("q_id", "cand_id", "rank_lex")
+    )
+    vec_top = cosine_topk(
+        emb, emb.filter(F.col(vec_id).isin(probe_ids)), vec_id, vec_col, k=pool
+    )
+    w_vec = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    vec = vec_top.withColumn("rank_vec", F.row_number().over(w_vec)).select(
+        "q_id", F.col("neighbor_id").alias("cand_id"), "rank_vec"
+    )
+    fused = (
+        lex.join(vec, ["q_id", "cand_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (rrf_k + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("rank_vec")), F.lit(0.0)),
+        )
+    )
+    w_f = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("cand_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "cand_id", "rank_lex", "rank_vec", F.round("rrf", 6).alias("rrf"))
+    )
+
+
 def ann_recall(
     exact: DataFrame, approx: DataFrame, q_col: str = "q_id", n_col: str = "neighbor_id"
 ) -> DataFrame:

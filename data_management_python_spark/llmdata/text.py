@@ -130,6 +130,82 @@ def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 5)
     )
 
 
+def bm25_topk(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Top-k BM25-scored terms per document (Okapi BM25, Lucene idf).
+
+    Same two-partial-aggregate + term-keyed-rejoin shape as
+    ``tfidf_topk`` — no all-pairs work, vocabulary-sized df side that
+    AQE broadcasts when small.  The corpus stats (N, total token
+    count) are a 1-row aggregate broadcast-cross-joined into the plan,
+    never collected.  Determinism: tf/df/dl are exact integers, avgdl
+    is one division of exact integers, the score expression is
+    parenthesized identically in the DuckDB oracle, and ranking is on
+    the ROUNDED score with the term as tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("total_toks"),
+    ).select(
+        "n_docs", (F.col("total_toks") / F.col("n_docs")).alias("avgdl")
+    )
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("doc_freq").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log(1.0 + (F.col("n_docs") - dfd + 0.5) / (dfd + 0.5))
+    denom = tfd + k1 * ((1.0 - b) + (b * dld) / F.col("avgdl"))
+    score = F.round(idf * (tfd * (k1 + 1.0)) / denom, 6)
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25", score)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("bm25").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "dl", "bm25")
+    )
+
+
+# Split-fraction boundaries as md5-hex prefixes: string comparison on
+# the first two hex chars buckets rows deterministically and
+# engine-portably (md5 hex is identical everywhere) — 'cc'/256 ≈ 79.7%
+# train, ('e6'-'cc')/256 ≈ 10.2% val, rest test.
+SPLIT_BOUNDS: list[tuple[str, str]] = [("train", "cc"), ("val", "e6")]
+SPLIT_LAST = "test"
+
+
+def hash_split(id_col: Column | str) -> Column:
+    """Deterministic train/val/test assignment from an id hash.
+
+    Pure column expression (no shuffle, no state): rows keep their
+    split forever regardless of partitioning, corpus growth, or the
+    engine that computes it — the property a 100 TB pipeline needs so
+    that re-runs and incremental loads never migrate a document across
+    the train/eval boundary.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.substring(F.md5(c.cast("string")), 1, 2)
+    expr = F.lit(SPLIT_LAST)
+    for name, bound in reversed(SPLIT_BOUNDS):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return expr
+
+
 def unigram_xent(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document unigram cross-entropy: avg over tokens of
     -ln p(token), with p trained on the corpus itself — the

@@ -52,6 +52,20 @@ AUDITED = [
     "t_temperature_sample",
     "sim_ivf_pq_ann",
     "e_cohort_retention",
+    # round-2 additions: TPC-H suite representatives + hybrid retrieval
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_ored_predicates",
+    "q22_idle_customers",
+    "t_bm25_topk",
+    "t_train_split",
+    "d_semantic_dedup",
+    "sim_hybrid_rrf",
 ]
 
 

@@ -21,8 +21,10 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 # queries where a nested-loop/cartesian join is expected and bounded
-# (literal probe sets / explicit small cross sections)
-NESTED_LOOP_OK = {"sim_lsh_ann"}
+# (literal probe sets / explicit small cross sections / 1-row
+# broadcast scalar-threshold cross joins)
+NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
+                  "t_bm25_topk"}
 
 # map-only or tiny-input queries where no exchange at all is fine
 NO_SHUFFLE_OK = True
@@ -48,9 +50,13 @@ def audit(name, df) -> tuple[list[str], list[str]]:
         errors.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
         errors.append("BroadcastNestedLoopJoin")
-    # scans should never read every column of a wide table for narrow output
-    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    widest = max((len(s.split(",")) for s in read_schemas), default=0)
+    # scans should never read every column of a wide table for narrow
+    # output.  Count the FileScan output attribute list, not ReadSchema:
+    # Spark truncates ReadSchema at spark.sql.maxMetadataStringLength
+    # (100 chars, "...," no closing ">"), which made the old regex merge
+    # adjacent schemas and report phantom 20+-column scans.
+    scan_lists = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    widest = max((len(s.split(",")) for s in scan_lists if s.strip()), default=0)
     flags.append(f"maxcols={widest}")
     if widest >= 11:  # lineitem full width — projection pruning failed
         errors.append(f"scan reads {widest} cols")
