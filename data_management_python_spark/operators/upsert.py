@@ -143,3 +143,100 @@ def cascade_delete(
     kept_parents = parents.join(delete_parents_keys, on=keys, how="left_anti")
     kept_children = children.join(delete_parents_keys, on=keys, how="left_anti")
     return kept_parents, kept_children
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Rebuild an SCD Type-2 dimension history from an event changelog.
+
+    Collapses each key's event sequence into runs of consecutive equal
+    ``attr`` values (gaps-and-islands) and emits one validity span per
+    run: (key, version, status, valid_from, valid_to) with
+    ``valid_to = NULL`` for the current span.  Beyond-reference: the
+    reference mutates status in place (status ENUMs all over
+    igfTables.py) and keeps no history; a lake keeps the full SCD2
+    timeline instead.
+
+    Scale shape: two window passes and one aggregate, all partitioned
+    by ``key`` — a single hash shuffle of the changelog, state bounded
+    per key, no self-join.  ``tiebreak`` makes same-timestamp ordering
+    total so the run numbering is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(attr).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(attr)), 1).otherwise(0)
+    runs = df.withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = runs.groupBy(key, "version", F.col(attr).alias("status")).agg(
+        F.min(ts).alias("valid_from")
+    )
+    w2 = Window.partitionBy(key).orderBy("version")
+    return spans.select(
+        key,
+        "version",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    on: Sequence[str],
+    tracked: Sequence[str],
+    effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply a batch of updates to an SCD Type-2 history table.
+
+    For each update key: if the current span (``valid_to IS NULL``)
+    differs on any tracked column, the span is closed at the update's
+    effective timestamp and a new current span opens; identical values
+    are a no-op; unseen keys insert their first span.  Closed spans
+    always pass through untouched.  One key-partitioned join + unions —
+    the Delta-MERGE-shaped plan, expressed as pure DataFrames so any
+    sink can persist it atomically.  ``updates`` must be unique per key
+    (same contract as merge_upsert).
+    """
+    keys = list(on)
+    _assert_unique_keys(updates, keys, "scd2_apply")
+    closed = history.filter(F.col(valid_to).isNotNull())
+    current = history.filter(F.col(valid_to).isNull())
+    upd = updates.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        F.col(effective_col).alias("__eff"),
+    )
+    joined = current.join(upd, on=keys, how="full_outer")
+    differs = F.lit(False)
+    for c in tracked:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_cur = F.col(valid_from).isNotNull()
+    has_upd = F.col("__eff").isNotNull()
+    # old spans: keep as-is when no update or unchanged; close when changed
+    old = joined.filter(has_cur).select(
+        *keys,
+        *tracked,
+        F.col(valid_from),
+        F.when(has_upd & differs, F.col("__eff")).otherwise(F.col(valid_to)).alias(valid_to),
+    )
+    # new spans: updates that changed an existing key or introduced one
+    new = joined.filter(has_upd & (~has_cur | differs)).select(
+        *keys,
+        *[F.col(f"__u_{c}").alias(c) for c in tracked],
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(dict(history.dtypes)[valid_to]).alias(valid_to),
+    )
+    cols = [*keys, *tracked, valid_from, valid_to]
+    return closed.select(*cols).unionByName(old).unionByName(new)

@@ -1878,3 +1878,120 @@ def a_sketch_accuracy(spark, sf_dir):
             6,
         ).alias("p50_rel_err"),
     )
+
+
+@_q(
+    "m_scd2_changelog",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM seq
+    ),
+    spans AS (
+      SELECT user_id, version, event_type AS status, MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, status, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to
+    FROM spans
+    """,
+    doc="SCD Type-2 history rebuilt from an event changelog "
+    "(gaps-and-islands run collapse -> validity spans, valid_to NULL "
+    "for the current span): the reference mutates status ENUMs in "
+    "place with no history (igfTables.py status columns); the lake "
+    "keeps the full timeline. One key shuffle, two windows, no "
+    "self-join (operators.upsert.scd2_from_changelog)",
+)
+def m_scd2_changelog(spark, sf_dir):
+    from data_management_python_spark.operators.upsert import scd2_from_changelog
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_from_changelog(
+        ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+    )
+
+
+@_q(
+    "e_rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      FROM events
+    ),
+    ex AS (
+      SELECT day + (i * INTERVAL 1 DAY) AS report_day, user_id
+      FROM du, UNNEST(generate_series(0, 6)) AS t(i)
+    )
+    SELECT report_day, COUNT(DISTINCT user_id) AS active_users_7d
+    FROM ex
+    WHERE report_day IN (SELECT day FROM du)
+    GROUP BY report_day
+    """,
+    doc="trailing-7-day distinct active users per day — the global "
+    "range-window formulation would be a SinglePartition sort, so the "
+    "plan instead explodes each (day,user) into the <=7 report days it "
+    "contributes to and hash-aggregates: fully parallel, bounded x7 "
+    "fan-out, shuffle only on the group keys (beyond-reference)",
+)
+def e_rolling_active_users(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    ex = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+        "user_id",
+    )
+    days = du.select(F.col("day").alias("report_day")).distinct()
+    return (
+        ex.join(days, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+@_q(
+    "a_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="explicit GROUPING SETS — two non-hierarchical groupings "
+    "(by-flag totals and by-status totals) in ONE scan + one expanded "
+    "partial aggregation, the shape ROLLUP/CUBE cannot express; "
+    "completes the multi-grouping family (beyond-reference)",
+)
+def a_grouping_sets(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

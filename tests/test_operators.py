@@ -256,3 +256,70 @@ def test_sketch_accuracy_bounds(spark):
     for r in rows:
         assert r.distinct_rel_err <= 0.06   # rsd 2% -> 3 sigma
         assert r.p50_rel_err <= 0.01        # accuracy 10000
+
+
+def test_scd2_from_changelog_runs_and_spans(spark):
+    from data_management_python_spark.operators.upsert import scd2_from_changelog
+
+    ev = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 00:00:00", 10),
+            (1, "A", "2024-01-02 00:00:00", 11),  # same value: same span
+            (1, "B", "2024-01-03 00:00:00", 12),  # change -> new span
+            (1, "A", "2024-01-04 00:00:00", 13),  # back to A: third span
+            (2, "X", "2024-01-01 00:00:00", 14),
+        ],
+        "user_id long, status string, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_from_changelog(ev, "user_id", "status", "ts", "event_id")
+    rows = {(r.user_id, r.version): r for r in out.collect()}
+    assert len(rows) == 4  # 3 spans for user 1, 1 for user 2
+    assert rows[(1, 1)].status == "A" and rows[(1, 1)].valid_to is not None
+    assert rows[(1, 2)].status == "B"
+    assert rows[(1, 3)].status == "A" and rows[(1, 3)].valid_to is None
+    assert rows[(2, 1)].valid_to is None
+    # spans tile the timeline: valid_to of span n == valid_from of n+1
+    assert rows[(1, 1)].valid_to == rows[(1, 2)].valid_from
+
+
+def test_scd2_apply_close_insert_noop(spark):
+    from data_management_python_spark.operators.upsert import scd2_apply
+
+    hist = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),  # closed
+            (1, "B", "2024-02-01 00:00:00", None),  # current
+            (2, "C", "2024-01-15 00:00:00", None),  # current, will be no-op
+        ],
+        "id long, status string, valid_from string, valid_to string",
+    ).select(
+        "id", "status",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "Z", "2024-03-01 00:00:00"),  # change -> close + open
+            (2, "C", "2024-03-01 00:00:00"),  # unchanged -> no-op
+            (3, "N", "2024-03-01 00:00:00"),  # new key -> first span
+        ],
+        "id long, status string, effective_ts string",
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    out = scd2_apply(hist, upd, on=["id"], tracked=["status"])
+    rows = sorted(
+        ((r.id, r.status, r.valid_to is None) for r in out.collect())
+    )
+    # id1: old closed span + B closed at 03-01 + new current Z
+    # id2: untouched current C; id3: new current N
+    assert rows == [
+        (1, "A", False),
+        (1, "B", False),
+        (1, "Z", True),
+        (2, "C", True),
+        (3, "N", True),
+    ]
+    cur = {r.id: r for r in out.filter(F.col("valid_to").isNull()).collect()}
+    assert str(cur[1].valid_from).startswith("2024-03-01")
+    # idempotent re-apply of the same batch changes nothing
+    again = scd2_apply(out, upd, on=["id"], tracked=["status"])
+    assert again.count() == out.count()

@@ -66,6 +66,8 @@ AUDITED = [
     "t_train_split",
     "d_semantic_dedup",
     "sim_hybrid_rrf",
+    "m_scd2_changelog",
+    "e_rolling_active_users",
 ]
 
 

@@ -492,3 +492,54 @@ def test_stream_near_dup_verified_end_to_end(spark, tmp_path):
     pairs = {(r.doc_id, r.first_id) for r in rows}
     assert pairs == {(10, 1)}
     assert all(r.jaccard >= 0.2 for r in rows)
+
+
+def test_stream_scd2_closes_spans_across_batches(spark, tmp_path):
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from data_management_python_spark.streaming.scd2 import stream_scd2
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, event_type string, ts timestamp"
+    batches = [
+        # batch 0: user 1 opens A, flips to B in the same batch
+        [(1, "A", base), (1, "B", base + timedelta(seconds=30))],
+        # batch 1: user 1 unchanged (no-op), user 2 opens X
+        [(1, "B", base + timedelta(seconds=60)),
+         (2, "X", base + timedelta(seconds=60))],
+        # batch 2: user 1 flips back to A -> closes the B span opened
+        # in batch 0 (state carried across micro-batches)
+        [(1, "A", base + timedelta(seconds=120))],
+    ]
+    src = tmp_path / "scd2_src"
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 300 + i, now - 300 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_scd2(stream, watermark_delay="5 seconds")
+        .writeStream.format("memory")
+        .queryName("scd2_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from scd2_out order by user_id, valid_from").collect()
+    spans = [(r.user_id, r.status) for r in rows]
+    # user 1: A closed at +30s, B closed at +120s; open A span is in
+    # state (not emitted); user 2's open X span likewise unemitted
+    assert spans == [(1, "A"), (1, "B")]
+    assert rows[0].valid_to == rows[1].valid_from  # spans tile
+    assert rows[1].valid_to - rows[1].valid_from == timedelta(seconds=90)

@@ -40,6 +40,16 @@ HEAVY = [
     "t_gopher_rules",
     "e_cohort_retention",
     "cosmx_fov_qc_rollup",
+    # round-2 batch 2/3 additions
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "t_bm25_topk",
+    "d_semantic_dedup",
+    "sim_hybrid_rrf",
+    "t_train_split",
+    "m_scd2_changelog",
+    "e_rolling_active_users",
 ]
 
 KEY_SHIFT = {
