@@ -96,3 +96,32 @@ def group_pass_fail(
             ";",
         ).alias("failed_list"),
     )
+
+
+def profile_columns(
+    df: DataFrame, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-column data profile: row count, null count, distinct count.
+
+    The data-quality primitive behind the reference's per-table sanity
+    checks (metadata_validation.py's required/duplicate scans) folded
+    into one declarative pass: a single multi-aggregate job computes
+    every column's COUNT / COUNT(col) / COUNT(DISTINCT col), then a
+    ``stack`` unpivots the 1-row result into one row per column.
+
+    Scale note: Spark plans the N distinct aggregates with one Expand
+    (N× row multiplication before the partial aggregate) — one shuffle
+    total, no per-column table scans.  For very wide tables profile in
+    column batches to bound the expansion factor.
+    """
+    cols = list(columns) if columns else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', __n, __n - __nn_{c}, __nd_{c}" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) "
+        "as (column_name, n_rows, n_nulls, n_distinct)"
+    )

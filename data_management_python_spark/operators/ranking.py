@@ -1,0 +1,106 @@
+"""Global ordered ranking without a single-reducer sort.
+
+The reference engine never needs a global row number (its Pandas frames
+are single-node, ``df.reset_index()`` is free — e.g.
+igf_data/utils/gviz_utils.py renders frames in index order).  At 100 TB
+the naive Spark translation — ``row_number() OVER (ORDER BY ...)`` —
+is a SinglePartition window: every row funnels through one task.
+
+``global_row_number`` keeps the sort distributed with the classic
+two-pass shape:
+
+1. ``repartitionByRange`` on the order keys (reservoir-sampled range
+   boundaries keep partitions balanced under skew) + a partition-local
+   sort — the same plan a global ``orderBy`` produces, minus the final
+   single-reducer collapse.
+2. One tiny job counts rows per range partition (one row per
+   partition); the driver folds those counts into exclusive offsets —
+   O(num_partitions) state, never row data.
+3. A partition-local ``row_number`` (window keyed on the physical
+   partition id, so every window group is exactly one range slice)
+   plus the broadcast offset yields the exact global rank.
+
+Equal keys land in one range partition, so ranks are total and exact —
+but tie order inside an equal-key run is engine-dependent; pass a
+unique key suffix (id column) whenever downstream consumers need
+reproducible ranks, same as any ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__grn_pid"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a 1-based global row number in ``order_by`` order.
+
+    The order key should be unique (append an id column to break
+    ties); otherwise ranks are still total and exact but tie order is
+    engine-dependent.
+    """
+    cols = list(order_by)
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    # The range partitioning is sampled once and reused by both jobs
+    # below (same lineage, deterministic sampling), so the per-partition
+    # counts and the final ranks agree.
+    parted = parted.persist()
+    with_pid = parted.withColumn(_PID, F.spark_partition_id())
+    counts = (
+        with_pid.groupBy(_PID).count().collect()
+    )  # bounded: one row per partition
+    sizes = {int(r[_PID]): int(r["count"]) for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col(_PID) == pid, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    return (
+        with_pid.withColumn(
+            out_col, (F.row_number().over(w) + off_expr).cast("long")
+        )
+        .drop(_PID)
+    )
+
+
+def ntile_from_rank(rank_col: str, n_rows: int, k: int):
+    """Closed-form NTILE bucket from a 1-based global rank.
+
+    Matches SQL NTILE(k) OVER (ORDER BY ...): the first ``n mod k``
+    buckets hold ``ceil(n/k)`` rows, the rest ``floor(n/k)``.  Lets
+    equi-depth bucketing ride :func:`global_row_number` instead of a
+    SinglePartition NTILE window.
+    """
+    if n_rows <= 0:
+        return F.lit(None).cast("int")
+    if k >= n_rows:
+        return F.col(rank_col).cast("int")
+    big = n_rows % k
+    size_big = n_rows // k + 1
+    size_small = n_rows // k
+    r0 = F.col(rank_col) - 1  # 0-based
+    cut = big * size_big
+    return (
+        F.when(r0 < cut, F.floor(r0 / size_big))
+        .otherwise(big + F.floor((r0 - cut) / size_small))
+        .cast("int")
+        + 1
+    )

@@ -323,3 +323,58 @@ def test_scd2_apply_close_insert_noop(spark):
     # idempotent re-apply of the same batch changes nothing
     again = scd2_apply(out, upd, on=["id"], tracked=["status"])
     assert again.count() == out.count()
+
+
+def test_global_row_number_total_order(spark):
+    from data_management_python_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(100)], "k int, id int"
+    )
+    out = global_row_number(df, ["k", "id"], "rn", num_partitions=5)
+    rows = out.orderBy("rn").collect()
+    assert [r.rn for r in rows] == list(range(1, 101))
+    # ranks follow the (k, id) sort exactly
+    assert [(r.k, r.id) for r in rows] == sorted(
+        [(i % 7, i) for i in range(100)]
+    )
+    # NTILE closed form matches Spark's own ntile window on a single
+    # partition (the semantics we refuse to pay for at scale)
+    from pyspark.sql import Window
+
+    expected = df.select(
+        "k",
+        "id",
+        F.ntile(7).over(Window.orderBy("k", "id")).alias("b"),
+    )
+    got = out.select("k", "id", ntile_from_rank("rn", 100, 7).alias("b"))
+    assert (
+        got.exceptAll(expected).count() == 0
+        and expected.exceptAll(got).count() == 0
+    )
+
+
+def test_global_row_number_empty_and_single(spark):
+    from data_management_python_spark.operators.ranking import global_row_number
+
+    empty = spark.createDataFrame([], "k int, id int")
+    assert global_row_number(empty, ["k", "id"]).count() == 0
+    one = spark.createDataFrame([(5, 1)], "k int, id int")
+    assert global_row_number(one, ["k", "id"]).first().row_num == 1
+
+
+def test_profile_columns(spark):
+    from data_management_python_spark.operators.aggregates import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x int, s string"
+    )
+    prof = {r.column_name: r for r in profile_columns(df).collect()}
+    assert prof["x"].n_rows == 4
+    assert prof["x"].n_nulls == 1
+    assert prof["x"].n_distinct == 2
+    assert prof["s"].n_nulls == 1
+    assert prof["s"].n_distinct == 2
