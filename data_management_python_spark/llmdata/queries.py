@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_management_python_spark.catalog import load_table
-from data_management_python_spark.llmdata import dedup, similarity, text
+from data_management_python_spark.llmdata import dedup, similarity, stats, text
 from data_management_python_spark.llmdata.multimodal import (
     attach_binary_metadata,
     documents_as_media,
@@ -1722,3 +1722,72 @@ def sim_hybrid_rrf(spark, sf_dir):
         F.col("rank_vec").cast("bigint").alias("rank_vec"),
         "rrf",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 — second-order vector statistics + weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a_embed_covariance",
+    """
+    WITH x AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    )
+    SELECT a.i AS i, b.i AS j,
+           ROUND(covar_samp(a.xi, b.xi), 5) + 0.0 AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    doc="embedding covariance matrix (upper triangle, tidy rows) with "
+    "O(d^2) state regardless of corpus size: map-only Arrow partials "
+    "(n, sum, sum-of-outer-products via per-batch GEMM) folded on the "
+    "driver — the oracle's unnest self-join materializes N*d^2 rows, "
+    "exactly the shuffle this plan avoids; covariance is "
+    "accumulation-order-stable here (near-zero-mean vectors), rounded "
+    "at 5 decimals",
+)
+def a_embed_covariance(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # + 0.0 canonicalizes IEEE negative zero (ROUND of a tiny negative
+    # covariance yields -0.0 in DuckDB, 0.0 in Spark)
+    return stats.embedding_covariance(emb, "embedding", 64).select(
+        "i", "j", (F.round("cov", 5) + F.lit(0.0)).alias("cov")
+    )
+
+
+@_q(
+    "sim_pca_project",
+    None,  # eigen-decomposition is not SQL-expressible; rows-only check
+    doc="PCA projection onto the top-2 principal axes: covariance "
+    "partials (one Arrow pass) -> driver eigh on the d×d matrix -> "
+    "map-only projection against the broadcast component matrix; "
+    "axes sign-fixed (largest-|loading| coordinate positive) so "
+    "output is run-reproducible (llmdata/stats.py)",
+)
+def sim_pca_project(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return stats.pca_project(emb, k=2, dims=64)
+
+
+@_q(
+    "t_weighted_sample",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             -ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                      AS BIGINT) AS DOUBLE) / power(16.0, 13)) / n_chars AS k
+      FROM documents
+    ) ORDER BY k, doc_id LIMIT 100
+    """,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES), weight = document length, uniform drawn from an md5 hash "
+    "so the sample is seedless, reproducible, and engine-portable; "
+    "map-only key + TakeOrdered top-k, no corpus shuffle "
+    "(llmdata/text.py weighted_sample)",
+)
+def t_weighted_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return text.weighted_sample(docs, "n_chars", k=100)

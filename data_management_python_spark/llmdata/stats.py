@@ -1,0 +1,152 @@
+"""Distributed second-order statistics over embedding columns:
+covariance matrix and PCA projection.
+
+Beyond-reference (the reference has no vector analytics; SURVEY §2
+maps its numeric work to scalar Pandas expressions).  These are the
+embedding-curation primitives a training-data pipeline runs before
+dedup/clustering: estimate the covariance structure, whiten/project.
+
+Scale design — the covariance of N vectors of dimension d needs only
+O(d^2) state no matter how large N is:
+
+- one MAP-ONLY Arrow pass computes per-partition partials
+  (n, sum-vector, sum-of-outer-products upper triangle) via
+  ``mapInPandas`` — numpy does the d×d GEMM per batch, nothing
+  shuffles;
+- the partials (one row per partition, ~d^2/2 doubles each) are
+  folded on the driver — bounded by partitions × d^2, independent of
+  N, the same treeAggregate-to-driver shape MLlib's summarizers use
+  (and the same bounded-collect convention as
+  :func:`~data_management_python_spark.llmdata.similarity.kmeans_centroids`);
+- eigen-decomposition happens on the d×d matrix on the driver
+  (O(d^3), microseconds at d=64), and the projection is again a
+  map-only Arrow pass against the broadcast component matrix.
+
+The naive SS - S S^T/n form is used deliberately: embedding columns
+are near-zero-mean by construction (unit-ish normalized model
+outputs), so catastrophic cancellation cannot occur; a two-pass
+centered variant would double the data scans for no accuracy gain
+here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _covariance_state(
+    corpus: DataFrame, vec_col: str, dims: int
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, sum vector, full SS matrix) folded from per-partition
+    Arrow partials.  Driver state is O(partitions * d^2), never O(N)."""
+    iu = np.triu_indices(dims)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dims)
+        ss = np.zeros((dims, dims))
+        for pdf in batches:
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += A.shape[0]
+            s += A.sum(axis=0)
+            ss += A.T @ A
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss[iu].tolist()]}
+            )
+
+    rows = (
+        corpus.select(vec_col)
+        .mapInPandas(part, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(dims)
+    ss_flat = np.zeros(len(iu[0]))
+    for r in rows:
+        s += np.asarray(r["s"])
+        ss_flat += np.asarray(r["ss"])
+    ss = np.zeros((dims, dims))
+    ss[iu] = ss_flat
+    ss = ss + ss.T - np.diag(np.diag(ss))
+    return n, s, ss
+
+
+def embedding_covariance(
+    corpus: DataFrame, vec_col: str = "embedding", dims: int = 64
+) -> DataFrame:
+    """Sample covariance matrix of a vector column as tidy rows
+    (i, j, cov), 1-based upper triangle (i <= j)."""
+    spark = corpus.sparkSession
+    n, s, ss = _covariance_state(corpus, vec_col, dims)
+    if n < 2:
+        return spark.createDataFrame([], "i int, j int, cov double")
+    cov = (ss - np.outer(s, s) / n) / (n - 1)
+    iu = np.triu_indices(dims)
+    data = [
+        (int(i) + 1, int(j) + 1, float(cov[i, j]))
+        for i, j in zip(iu[0], iu[1])
+    ]
+    return spark.createDataFrame(data, "i int, j int, cov double")
+
+
+def pca_components(
+    corpus: DataFrame, k: int = 2, vec_col: str = "embedding", dims: int = 64
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-``k`` principal axes of the vector column.
+
+    Returns (mean vector, components [d, k], eigenvalues [k],
+    descending).  Sign convention: each component's
+    largest-|loading| coordinate is made positive, so the axes are
+    reproducible across runs (eigenvectors are otherwise
+    sign-ambiguous).
+    """
+    n, s, ss = _covariance_state(corpus, vec_col, dims)
+    if n < 2:
+        raise ValueError("need at least 2 vectors for PCA")
+    mean = s / n
+    cov = (ss - np.outer(s, s) / n) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    for c in range(W.shape[1]):
+        lead = np.argmax(np.abs(W[:, c]))
+        if W[lead, c] < 0:
+            W[:, c] = -W[:, c]
+    return mean, W, vals[order]
+
+
+def pca_project(
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    round_to: int = 3,
+) -> DataFrame:
+    """Project every vector onto the top-``k`` principal axes.
+
+    Two map-only Arrow passes over the data (one for the covariance
+    partials, one for the projection); the d×k component matrix rides
+    into the projection UDF as a broadcast closure constant.
+    """
+    mean, W, _ = pca_components(corpus, k, vec_col, dims)
+    mean_l, w_l = mean.tolist(), W.tolist()
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        P = (A - np.asarray(mean_l)) @ np.asarray(w_l)
+        return pd.Series(list(np.round(P, round_to)))
+
+    out = corpus.select(id_col, _proj(F.col(vec_col)).alias("__p"))
+    return out.select(
+        id_col,
+        *[F.col("__p").getItem(c).alias(f"pc{c + 1}") for c in range(k)],
+    )

@@ -591,3 +591,38 @@ def temperature_sample(
         )
         .filter(F.col("sample_rank") <= F.col("quota"))
     )
+
+
+def weighted_sample(
+    docs,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+):
+    """Weighted sampling without replacement, deterministic and
+    seedless: Efraimidis–Spirakis A-ES keys with the uniform drawn
+    from an md5 hash of the id instead of an RNG.
+
+    Each row gets key = -ln(u)/w  (u = first 13 md5 hex digits of the
+    id as a uniform in (0,1), exact 52-bit integer-to-double in both
+    engines); the k smallest keys ARE a weighted sample without
+    replacement (selection probability proportional to weight at each
+    draw).  Hash-derived u means the sample is reproducible across
+    runs, engines, and incremental loads — re-sampling after appending
+    documents keeps every prior pick whose key still ranks.
+
+    Plan shape: map-only key computation + TakeOrdered top-k — no
+    shuffle of the corpus, driver holds only k rows' keys.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        docs.withColumn("__aes_key", key)
+        .orderBy("__aes_key", id_col)
+        .limit(k)
+        .drop("__aes_key")
+    )

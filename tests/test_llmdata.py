@@ -657,3 +657,71 @@ def test_write_media_shards_roundtrip(spark, tmp_path):
                 assert side["media_id"] == mid
                 seen[mid] = seen.get(mid, 0) + 1
     assert seen == {i: 1 for i in range(20)}
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.llmdata import stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    A = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    expect = np.cov(A, rowvar=False)
+    got = stats.embedding_covariance(emb, "embedding", 64).collect()
+    assert len(got) == 64 * 65 // 2
+    for r in got[:: max(1, len(got) // 97)]:
+        assert abs(r.cov - expect[r.i - 1, r.j - 1]) < 1e-10
+
+
+def test_pca_project_reconstructs_variance(spark):
+    import numpy as np
+
+    from data_management_python_spark.llmdata import stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, W, ev = stats.pca_components(emb, k=3, dims=64)
+    # components are orthonormal, eigenvalues descending
+    assert np.allclose(W.T @ W, np.eye(3), atol=1e-8)
+    assert ev[0] >= ev[1] >= ev[2] > 0
+    # sign convention: max-|loading| coordinate positive
+    for c in range(3):
+        assert W[np.argmax(np.abs(W[:, c])), c] > 0
+    # projection variance along pc1 equals the top eigenvalue
+    rows = emb.orderBy("vec_id").collect()
+    A = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    proj = (A - mean) @ W
+    assert abs(np.var(proj[:, 0], ddof=1) - ev[0]) / ev[0] < 1e-8
+    # the distributed projection matches numpy (up to output rounding)
+    out = {r.vec_id: (r.pc1, r.pc2, r.pc3) for r in
+           stats.pca_project(emb, k=3, dims=64).collect()}
+    ids = [r.vec_id for r in rows]
+    for idx in range(0, len(ids), 37):
+        got = out[ids[idx]]
+        for c in range(3):
+            assert abs(got[c] - proj[idx, c]) <= 5e-4
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.llmdata import text as t
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 50
+    samp = t.weighted_sample(docs.select("doc_id", "n_chars"), "n_chars", k=k)
+    assert samp.count() == k
+    # deterministic across invocations
+    a = sorted(r.doc_id for r in samp.collect())
+    b = sorted(
+        r.doc_id
+        for r in t.weighted_sample(
+            docs.select("doc_id", "n_chars"), "n_chars", k=k
+        ).collect()
+    )
+    assert a == b
+    # length-weighted sample skews long: sample mean length > corpus mean
+    m_s = samp.agg(F.avg("n_chars")).first()[0]
+    m_c = docs.agg(F.avg("n_chars")).first()[0]
+    assert m_s > m_c

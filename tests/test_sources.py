@@ -403,3 +403,43 @@ def test_write_sorted_dataset_global_order(spark, tmp_path):
         assert hi1 <= lo2  # disjoint file ranges -> total order
     # all rows survive
     assert spark.read.parquet(str(out)).count() == 10_000
+
+
+def test_write_zorder_dataset_prunes_both_dims(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.sources.sinks import (
+        write_sorted_dataset,
+        write_zorder_dataset,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def avg_file_span(path, col):
+        df = spark.read.parquet(path)
+        lo, hi = df.agg(F.min(col), F.max(col)).first()
+        spans = (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        return spans / ((hi - lo) or 1.0)
+
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_dataset(
+        orders, zp, ["o_totalprice", "o_custkey"], num_files=16
+    )
+    write_sorted_dataset(orders, sp, ["o_totalprice"], num_files=16)
+
+    # same rows either way
+    assert spark.read.parquet(zp).count() == orders.count()
+    # the single-key sorted layout leaves the second column unclustered
+    # (every file spans ~the full custkey domain); z-order clusters both
+    z2, s2 = avg_file_span(zp, "o_custkey"), avg_file_span(sp, "o_custkey")
+    assert s2 > 0.8, f"sorted layout unexpectedly clustered custkey: {s2}"
+    assert z2 < 0.6, f"z-order did not cluster custkey: {z2}"
+    # and still clusters the first column far better than random
+    assert avg_file_span(zp, "o_totalprice") < 0.6
