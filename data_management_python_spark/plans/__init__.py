@@ -56,12 +56,13 @@ def collect_queries() -> dict[str, Query]:
     """All registered queries across plan modules, unchecked-first."""
     from data_management_python_spark.plans import analytics  # noqa: PLC0415
     from data_management_python_spark.plans import cosmx_queries  # noqa: PLC0415
+    from data_management_python_spark.plans import graph  # noqa: PLC0415
     from data_management_python_spark.plans import relational  # noqa: PLC0415
     from data_management_python_spark.plans import tpch  # noqa: PLC0415
     from data_management_python_spark.llmdata import queries as llm  # noqa: PLC0415
 
     out: dict[str, Query] = {}
-    for mod in (relational, llm, cosmx_queries, tpch, analytics):
+    for mod in (relational, llm, cosmx_queries, tpch, analytics, graph):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

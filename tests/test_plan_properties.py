@@ -100,3 +100,28 @@ def test_selective_filter_reaches_scan(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus" in plan
+
+
+def test_pagerank_fixed_sums_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.plans.graph import pagerank_fixed
+
+    # square graph: symmetric edges, all degrees 2 -> uniform PR
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 1)]]
+        + [(b, a) for a, b in [(1, 2), (2, 3), (3, 4), (4, 1)]],
+        "src int, dst int",
+    )
+    pr = pagerank_fixed(edges, iterations=5).collect()
+    total = sum(r.pr for r in pr)
+    assert abs(total - 1.0) < 1e-9
+    for r in pr:
+        assert abs(r.pr - 0.25) < 1e-9
+    # star graph: hub outranks leaves
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)],
+        "src int, dst int",
+    )
+    got = {r.node: r.pr for r in pagerank_fixed(star, iterations=5).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)

@@ -543,3 +543,60 @@ def test_stream_scd2_closes_spans_across_batches(spark, tmp_path):
     assert spans == [(1, "A"), (1, "B")]
     assert rows[0].valid_to == rows[1].valid_from  # spans tile
     assert rows[1].valid_to - rows[1].valid_from == timedelta(seconds=90)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.streaming.joins import stream_interval_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").drop("event_type")
+    purch_b = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    clicks_b.write.parquet(str(csrc))
+    purch_b.write.parquet(str(psrc))
+
+    cs = spark.readStream.schema(clicks_b.schema).parquet(str(csrc))
+    ps = spark.readStream.schema(purch_b.schema).parquet(str(psrc))
+    q = (
+        stream_interval_join(cs, ps, horizon_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from sij_out").collect()
+    }
+
+    # batch oracle: same interval join, static frames
+    c = clicks_b.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purch_b.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
