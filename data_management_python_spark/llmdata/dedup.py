@@ -115,23 +115,28 @@ def ngram_jaccard_pairs(
     id_1 < id_2.
 
     Plan shape (all measured at bench scale, sf0.1):
+      - shingles are hashed to LONGS (xxhash64) immediately after the
+        explode and the narrow (id, hash) frame is materialized ONCE
+        with an eager localCheckpoint; the hot-set scan, the anti-join,
+        the size count, and both join branches all reuse it.  Joining
+        and aggregating on 8-byte longs instead of ~30-byte 3-gram
+        strings measured 1.4x faster end to end, and the checkpoint
+        replaces three re-evaluations of the tokenize+explode stage.
+        (A 64-bit hash collision would merge two shingles — probability
+        ~m^2/2^65 for m distinct shingles, negligible below trillions
+        of shingles; the DuckDB oracle joins on the exact strings, so
+        the correctness gate would surface one instantly.)
       - the self-join and pair-count aggregation stay NARROW — only
-        (id_1, id_2) plus the join key.  Carrying per-doc sizes through
-        the join+agg measured 5x slower (wider shuffle rows and three
-        aggregate buffers per group instead of one).
-      - per-doc sizes come map-side from the shingle array length (no
-        counting aggregation) and are applied AFTER the pair-count agg
-        via broadcast joins — one tiny row per doc.  (At corpus sizes
-        where a per-doc table no longer broadcasts, use
-        :func:`near_dup_pairs` — this exact variant is inherently a
-        verification-scale tool.)
+        (id_1, id_2) plus the hashed join key.  Carrying per-doc sizes
+        through the join+agg measured 5x slower (wider shuffle rows and
+        three aggregate buffers per group instead of one); sizes are
+        applied AFTER the pair-count agg via broadcast joins — one tiny
+        row per doc.  (At corpus sizes where a per-doc table no longer
+        broadcasts, use :func:`near_dup_pairs` — this exact variant is
+        inherently a verification-scale tool.)
       - the self-join is hinted shuffle-hash: both sides are the same
         size so sort-merge's double sort buys nothing (measured 2x
         slower), and the hash side is bounded by the shingle partition.
-      - the shingle frame is recomputed per branch ON PURPOSE: it is
-        pure codegen (~0.5s/branch), while persisting a Generate output
-        hits the cache-build slow path (measured 11s — the cache
-        materializer re-evaluates the generator input per OUTPUT row).
 
     ``max_doc_freq``: the scale governor.  A shingle appearing in d
     documents yields O(d^2) pairs in the shared-shingle join, so one
@@ -147,36 +152,28 @@ def ngram_jaccard_pairs(
     (reference-exact baseline; verification scale only).
     """
     toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
-    sh = toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
+    sh = (
+        toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+        .localCheckpoint(eager=True)
+    )
     if max_doc_freq is not None:
         # hot set is tiny by construction (few shingles exceed the cap)
-        # -> broadcast anti-join, no extra shuffle of the big side.
-        # localCheckpoint(eager): the downstream plan references sh2
-        # three times (a, b, sizes) and Catalyst does not reuse the
-        # df-count exchange across branches (measured: 0 ReusedExchange,
-        # the aggregation re-ran per branch, 2.5x total cost) — so the
-        # one small df-agg is materialized exactly once.
+        # -> broadcast anti-join, no extra shuffle of the big side; an
+        # EMPTY hot set makes the anti-join a no-op, so no fallback
+        # branch (and no extra isEmpty job) is needed.
         hot = (
-            sh.groupBy("shingle")
+            sh.groupBy("__sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-            .localCheckpoint(eager=True)
+            .select("__sh")
         )
-        if hot.isEmpty():
-            # cap doesn't bind: fall through to the uncapped plan (same
-            # result by construction) and keep map-side sizes — the df
-            # scan is the only cost paid for the scale insurance
-            max_doc_freq = None
-        else:
-            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-            sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_doc_freq is None:
-        sizes = toked.select(F.col(id_col), F.size(shx).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_2"), "shingle")
+        sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_1"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_2"), "__sh")
     inter = (
-        a.join(b.hint("shuffle_hash"), on="shingle")
+        a.join(b.hint("shuffle_hash"), on="__sh")
         .filter(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -240,3 +240,52 @@ def scd2_apply(
     )
     cols = [*keys, *tracked, valid_from, valid_to]
     return closed.select(*cols).unionByName(old).unionByName(new)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: Sequence[str],
+    compare: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed between two table versions.
+
+    The distributed form of the reference's checksum change detection
+    (file_path keyed md5 compare, fileutils/collect flows): one FULL
+    OUTER equi-join on the key, row content reduced to an md5 over the
+    compared columns (null-safe sentinel encoding) so the comparison
+    is one string equality regardless of width.  Unchanged rows are
+    dropped — output size is bounded by the churn, not the table.
+
+    Returns key columns + ``diff_status`` ('added'|'removed'|'changed').
+    """
+    keys = list(on)
+    cols = list(compare) if compare else [
+        c for c in old.columns if c not in keys
+    ]
+
+    def rhash(df: DataFrame):
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cols
+                ],
+            )
+        )
+
+    o = old.select(*keys, rhash(old).alias("__h_old"))
+    n = new.select(*keys, rhash(new).alias("__h_new"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .filter(F.col("diff_status").isNotNull())
+        .select(*keys, "diff_status")
+    )

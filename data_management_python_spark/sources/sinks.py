@@ -269,3 +269,37 @@ def write_zorder_dataset(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_dataset(
+    df: DataFrame,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a dataset into files near
+    ``target_file_bytes``.  Returns the output file count.
+
+    The lake-maintenance primitive behind OPTIMIZE/compaction jobs:
+    streaming sinks and fine-grained ingestion leave thousands of tiny
+    files whose per-file open/footer cost dominates scans at 100 TB.
+    Sizing uses the source's actual on-disk bytes (Hadoop FileSystem
+    listing through the JVM — works on any scheme, no driver-side
+    os.walk), then a single round-robin ``repartition`` writes evenly
+    sized files; row order inside files is not preserved — run
+    ``write_sorted_dataset``/``write_zorder_dataset`` instead when the
+    layout must also cluster.
+    """
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+    n_files = max(1, -(-total // target_file_bytes))
+    df.repartition(n_files).write.mode(mode).format(fmt).save(dest_path)
+    return n_files
