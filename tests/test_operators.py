@@ -378,3 +378,40 @@ def test_profile_columns(spark):
     assert prof["x"].n_distinct == 2
     assert prof["s"].n_nulls == 1
     assert prof["s"].n_distinct == 2
+
+
+def test_table_diff_classifies_churn(spark):
+    from data_management_python_spark.operators.upsert import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "id long, s string, v double",
+    )
+    got = {r.id: r.diff_status for r in table_diff(old, new, ["id"]).collect()}
+    # id1 removed, id3 changed (NULL -> 30.0), id5 added; 2 & 4 unchanged
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    # compare= restriction: ignoring v hides the id3 change
+    got2 = {
+        r.id: r.diff_status
+        for r in table_diff(old, new, ["id"], compare=["s"]).collect()
+    }
+    assert got2 == {1: "removed", 5: "added"}
+
+
+def test_compact_dataset_reduces_files(spark, tmp_path):
+    from data_management_python_spark.sources.sinks import compact_dataset
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    frag = str(tmp_path / "frag")
+    orders.repartition(32).write.parquet(frag)
+    src = spark.read.parquet(frag)
+    assert len(src.inputFiles()) == 32
+    dest = str(tmp_path / "compact")
+    n = compact_dataset(src, dest, target_file_bytes=64 * 1024 * 1024)
+    out = spark.read.parquet(dest)
+    assert len(out.inputFiles()) == n <= 2
+    assert out.count() == orders.count()

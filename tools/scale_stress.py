@@ -50,6 +50,15 @@ HEAVY = [
     "t_train_split",
     "m_scd2_changelog",
     "e_rolling_active_users",
+    # round-2 batch 4 additions
+    "a_profile_table",
+    "a_decile_histogram",
+    "a_iqr_outliers",
+    "e_attribution",
+    "a_embed_covariance",
+    "t_weighted_sample",
+    "g_pagerank",
+    "g_triangle_count",
 ]
 
 KEY_SHIFT = {
