@@ -186,11 +186,11 @@ def g_pagerank(spark, sf_dir):
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     )
-    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
-           (SELECT COUNT(*)
-            FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
-                      JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
-           ) AS n_triangles
+    SELECT 'n_edges' AS metric, COUNT(*) AS value FROM e
+    UNION ALL
+    SELECT 'n_triangles' AS metric, COUNT(*) AS value
+    FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+              JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
     """,
     doc="triangle count of the co-purchase graph (parts sharing an "
     "order, support >= 2): per-order bounded edge build, support "
@@ -228,5 +228,13 @@ def g_triangle_count(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_edges.crossJoin(tri)
+    # tidy (metric, value) rows via UNION — a 1-row x 1-row join here
+    # would plan as BroadcastNestedLoopJoin (constant keys fold away),
+    # which the plan audit rightly refuses to whitelist
+    n_edges = e.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit("n_edges").alias("metric"), "value"
+    )
+    return n_edges.unionAll(
+        tri.select(F.lit("n_triangles").alias("metric"),
+                   F.col("n_triangles").alias("value"))
+    )
