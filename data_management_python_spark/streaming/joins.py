@@ -21,6 +21,11 @@ Scale/state design — the part that matters at 100 TB/day:
 - Inner join emits as soon as both sides arrive; the left-outer
   variant additionally emits unmatched purchases once the watermark
   proves no click can still arrive (null-extended, exactly once).
+  Operational note: the GLOBAL watermark is the minimum across both
+  input streams — a quiet click stream pins it and defers null
+  emission indefinitely (the standard stream-stream outer-join
+  caveat; tests/test_streaming_sc.py demonstrates both the pin and
+  the flush).
 """
 
 from __future__ import annotations

@@ -600,3 +600,66 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    from data_management_python_spark.streaming.joins import stream_interval_join
+
+    # one user: click at t0, purchase at t0+5min (matched), purchase at
+    # t0+90min (outside the 30min horizon -> null-extended after the
+    # watermark passes, which the final batch's max ts guarantees here)
+    rows_c = [(1, 100, "2024-01-01 10:00:00")]
+    rows_p = [
+        (1, 200, "2024-01-01 10:05:00"),
+        (1, 201, "2024-01-01 11:30:00"),
+    ]
+    # the watermark pusher arrives in a LATER micro-batch: null-extended
+    # rows only flush when a subsequent batch runs with an advanced
+    # watermark, so the pusher must not share a batch with the rows it
+    # is meant to expire (maxFilesPerTrigger=1 sequences the files)
+    rows_push = [(1, 202, "2024-01-01 23:00:00")]
+
+    def w(rows, path):
+        (
+            spark.createDataFrame(
+                rows, "user_id long, event_id long, ts string"
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.parquet(str(path))
+        )
+
+    csrc, psrc = tmp_path / "c", tmp_path / "p"
+    w(rows_c, csrc / "a")
+    # the GLOBAL watermark is the min over both streams, so BOTH sides
+    # need a late event or the click side pins it at its first batch
+    w([(9, 900, "2024-01-01 23:00:00")], csrc / "b")
+    w(rows_p, psrc / "a")
+    w(rows_push, psrc / "b")
+    schema = "user_id long, event_id long, ts timestamp"
+    cs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(csrc / "*"))
+    )
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(psrc / "*"))
+    )
+    q = (
+        stream_interval_join(cs, ps, horizon_minutes=30, how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("sij_lo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.purchase_id: r.click_id
+        for r in spark.sql("select * from sij_lo").collect()
+    }
+    assert got[200] == 100  # matched within horizon
+    assert 201 in got and got[201] is None  # horizon elapsed -> null row
