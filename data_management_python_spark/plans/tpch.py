@@ -671,3 +671,261 @@ def q22_idle_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), pc AS (
+      SELECT p_partkey, p_type, s_name, s_acctbal, n_name, unit_cost
+      FROM cost
+      JOIN eu ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 15
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ROUND(unit_cost, 2) AS unit_cost
+    FROM pc
+    WHERE unit_cost = (SELECT MIN(i.unit_cost) FROM pc i
+                       WHERE i.p_partkey = pc.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: cheapest qualified supplier per part. The "
+    "missing partsupp table is rebuilt as the observed unit cost "
+    "MIN(l_extendedprice/l_quantity) per (part, supplier) — MIN over "
+    "doubles is order-insensitive, so the correlated-min rejoin "
+    "(decorrelated to a per-part aggregate + equality join) is "
+    "engine-exact; region dims broadcast, top-100 with full tie-break",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                n.join(r, n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_type"
+    )
+    pc = (
+        cost.join(eu, cost.l_suppkey == eu.s_suppkey)
+        .join(p, cost.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_type", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    mn = pc.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    mn = mn.withColumnRenamed("p_partkey", "mc_partkey")
+    return (
+        pc.join(
+            mn,
+            (pc.p_partkey == mn.mc_partkey)
+            & (pc.unit_cost == mn.min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(100)
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT p_partkey, value_cents
+    FROM val
+    WHERE value_cents > (SELECT SUM(value_cents) * 0.001 FROM val)
+    ORDER BY value_cents DESC, p_partkey
+    """,
+    doc="TPC-H Q11 shape: parts representing a significant share of one "
+    "nation's shipped value, vs a scalar-subquery threshold over the "
+    "same aggregate. Value is integer cents (BIGINT qty x BIGINT cent "
+    "price) so the HAVING-vs-fraction comparison cannot flip on float "
+    "summation order; the threshold is a 1-row aggregate broadcast "
+    "cross join, never a collect",
+)
+def q11_important_parts(spark, sf_dir):
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = broadcast(
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    val = (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint") * cents).alias("value_cents")
+        )
+    )
+    thresh = val.agg((F.sum("value_cents") * 0.001).alias("cut"))
+    return (
+        val.crossJoin(broadcast(thresh))
+        .filter(F.col("value_cents") > F.col("cut"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+@_q(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: conditional split-count of critical vs "
+    "non-critical priorities per shipping class (l_linestatus stands in "
+    "for the missing l_shipmode; late-ship = l_shipdate > o_orderdate "
+    "replaces the commit/receipt pair). The year filter is pushed to "
+    "the lineitem scan; the residual inequality rides the join "
+    "condition; integer counts are engine-exact",
+)
+def q12_priority_shipping(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape: the sole-blamed-supplier double correlation — "
+    "suppliers whose returned ('R', standing in for receipt-past-commit) "
+    "lines sit in finished multi-supplier orders where NO other supplier "
+    "has a returned line. EXISTS -> left-semi and NOT EXISTS -> "
+    "left-anti, both self-joins on lineitem keyed by l_orderkey with "
+    "the <> residual in the join condition (one shuffle key reused), "
+    "then a tiny supplier-name rollup",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
+            "left_anti",
+        )
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
