@@ -1791,3 +1791,106 @@ def sim_pca_project(spark, sf_dir):
 def t_weighted_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return text.weighted_sample(docs, "n_chars", k=100)
+
+
+@_q(
+    "sim_knn_graph",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    ),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, e, nrm, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(e, ce) / (cn * nrm) DESC, cid
+             ) AS ark
+      FROM n CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, e, nrm, cid AS cell FROM assign WHERE ark = 1),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos_sim
+      FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+    doc="corpus-wide k-NN graph (every vector's top-3 neighbors): the "
+    "substrate for semantic dedup / clustering / diversity sampling.  "
+    "Same deterministic IVF quantizer as sim_ivf_ann, but the join "
+    "topology flips: no small probe side to broadcast — a shuffle "
+    "SELF-join keyed by cell bounds the all-pairs product per cell "
+    "(similarity.knn_graph; production sizes n_centroids ~ sqrt(N))",
+)
+def sim_knn_graph(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, "vec_id", "embedding", n_centroids=8, k=3)
+
+
+@_q(
+    "t_perplexity_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+    x AS (
+      SELECT doc_id, ROUND(AVG(-LN(CAST(cnt AS DOUBLE) / total)), 6) AS xent
+      FROM toks JOIN vocab USING (term) CROSS JOIN n
+      GROUP BY doc_id
+    ),
+    dx AS (
+      SELECT d.lang, x.doc_id, x.xent
+      FROM x JOIN documents d USING (doc_id)
+    ),
+    fences AS (
+      SELECT lang,
+             quantile_cont(xent, 0.3333333333333333) AS f1,
+             quantile_cont(xent, 0.6666666666666666) AS f2
+      FROM dx GROUP BY lang
+    )
+    SELECT doc_id, lang, xent,
+           CASE WHEN xent <= f1 THEN 'head'
+                WHEN xent <= f2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM dx JOIN fences USING (lang)
+    """,
+    doc="CCNet-style perplexity bucketing: every document tagged "
+    "head/middle/tail within its language by unigram-LM cross-entropy "
+    "terciles.  The scale shape is aggregate-then-broadcast — exact "
+    "per-language fences (tiny: 2 doubles per language) join back "
+    "map-side, so the corpus never sorts and never sees a per-language "
+    "NTILE window; fences interpolate identically in both engines "
+    "((n-1)*p linear), computed over aggregate-rounded xent",
+)
+def t_perplexity_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    x = text.unigram_xent(docs.select("doc_id", "text"), "doc_id", "text")
+    dx = docs.select("doc_id", "lang").join(x.select("doc_id", "xent"), "doc_id")
+    fences = dx.groupBy("lang").agg(
+        F.percentile("xent", 0.3333333333333333).alias("f1"),
+        F.percentile("xent", 0.6666666666666666).alias("f2"),
+    )
+    return dx.join(F.broadcast(fences), "lang").select(
+        "doc_id",
+        "lang",
+        "xent",
+        F.when(F.col("xent") <= F.col("f1"), "head")
+        .when(F.col("xent") <= F.col("f2"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -768,6 +768,105 @@ def ivf_ann(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    k: int = 3,
+    round_digits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus —
+    every vector gets its top-k neighbors, the substrate for semantic
+    dedup, clustering, and diversity sampling over a training corpus.
+
+    Differs from :func:`ivf_ann` in the join topology: there the probe
+    set is small and BROADCAST against the partitioned inverted file;
+    here both sides are the full corpus, so the plan is a map-only
+    cell assignment (centroids inlined, same rule as ivf_ann) followed
+    by a SHUFFLE self-join keyed by cell — each cell's members meet on
+    one executor, pairs never cross cells, and the all-pairs product
+    is bounded per cell instead of global.
+
+    Scale notes: cell population drives the per-task quadratic term,
+    so production sizes ``n_centroids`` ~ sqrt(N) (cells of ~sqrt(N))
+    and re-trains with :func:`kmeans_centroids` (pass ``centroids=``)
+    when the data is clustered — the 8-lowest-id default here is the
+    deterministic oracle-checkable quantizer, not the production one.
+    Recall has the usual single-probe IVF caveat: neighbors in
+    adjacent cells are missed; raise n_centroids + multi-probe (or
+    union with :func:`lsh_ann` buckets) to trade shuffle volume for
+    recall.
+    """
+    if centroids is None:
+        centroids = [
+            (r[id_col], [float(x) for x in r[vec_col]])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        ]
+    cvecs = [cv for _, cv in centroids]
+    cnorms = [_python_norm(cv) for cv in cvecs]
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+    @pandas_udf("struct<norm:double, cell:bigint>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        A = _np_rows(v)
+        nrm = np.sqrt(_np_fold_dot(A, A))
+        cos = np.stack(
+            [
+                _np_fold_dot_w(A, cv) / (cn * nrm)
+                for cv, cn in zip(cvecs, cnorms)
+            ],
+            axis=1,
+        )
+        return pd.DataFrame({"norm": nrm, "cell": cids[np.argmax(cos, axis=1)]})
+
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _assign(F.col(vec_col)).alias("__a"),
+    ).select(
+        "__id",
+        "__v",
+        F.col("__a.norm").alias("__n"),
+        F.col("__a.cell").alias("cell"),
+    )
+    left = assigned.select(
+        F.col("__id").alias("q_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+        "cell",
+    )
+    right = assigned.select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+        "cell",
+    )
+    pairs = left.join(right, on="cell").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "cos_sim",
+        F.round(
+            _pd_dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
+
+
 def semantic_dedup_survivors(
     corpus: DataFrame,
     id_col: str = "vec_id",

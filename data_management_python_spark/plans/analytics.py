@@ -433,3 +433,116 @@ def w_ratio_to_report(spark, sf_dir):
         "event_type",
         F.round(F.col("value") / F.sum("value").over(w), 6).alias("share"),
     )
+
+
+@_q(
+    "w_range_rolling_sum",
+    """
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
+           ) AS cents_10m
+    FROM events
+    """,
+    doc="time-based RANGE frame: each event's trailing-10-minute spend "
+    "per user — the frame is bounded by the ORDER BY *value* (epoch "
+    "milliseconds), not a row count, so simultaneous events share one "
+    "frame and sparse gaps shrink it to the current row.  Summed in "
+    "integer cents (value is cent-exact in the testdata) so the "
+    "windowed sum is engine-exact with no rounding; partitioned per "
+    "user, never a global window",
+)
+def w_range_rolling_sum(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms
+
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_ms("ts"))
+        .rangeBetween(-600000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("cents_10m"),
+    )
+
+
+@_q(
+    "a_exact_median",
+    """
+    SELECT c_mktsegment,
+           ROUND(median(c_acctbal), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q1_bal,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q3_bal,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="exact grouped median + quartiles (percentile_cont linear "
+    "interpolation, identical definition in both engines: index "
+    "(n-1)*p, interpolate between floor/ceil neighbors) — the exact "
+    "counterpart to the approx_percentile sketch in a_sketch_accuracy. "
+    "Exact percentiles buffer each group's values; grouped by segment "
+    "the state is per-group bounded, and the sketch variant is the "
+    "documented 100 TB path",
+)
+def a_exact_median(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+            F.round(F.percentile("c_acctbal", 0.25), 4).alias("q1_bal"),
+            F.round(F.percentile("c_acctbal", 0.75), 4).alias("q3_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "e_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM cnt
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: LAG pairs each event with its predecessor (one "
+    "user-keyed shuffle), integer bigram counts, then row-normalized "
+    "probabilities via a whole-partition window over the TINY "
+    "(types x types) count table — the heavy data never sees the "
+    "normalizing window",
+)
+def e_markov_transitions(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
