@@ -1894,3 +1894,29 @@ def t_perplexity_buckets(spark, sf_dir):
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+@_q(
+    "t_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT u.term
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+    c AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+    SELECT term, cnt, ROUND(cnt / total, 6) AS share
+    FROM c CROSS JOIN n
+    WHERE cnt >= 0.02 * total
+    """,
+    doc="exact corpus-wide frequent terms (share >= 2%) via two-pass "
+    "Misra-Gries: per-partition O(1/support) sketch summaries union to "
+    "a candidate superset, then an exact re-count of candidates only — "
+    "the full vocabulary never shuffles (text.heavy_hitters).  The "
+    "oracle is the naive full group-by the plan avoids; output is "
+    "provably identical (sketch completeness + exact verify)",
+)
+def t_heavy_hitters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return text.heavy_hitters(docs, "text", support=0.02)

@@ -223,15 +223,22 @@ def unigram_xent(docs, id_col: str = "doc_id", text_col: str = "text"):
     """
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()
+    # corpus token total = SUM over the vocabulary counts — a 1-row
+    # aggregate of the ALREADY-AGGREGATED vocab, broadcast-cross-joined
+    # back.  (A separate toks.count() action would re-run the full
+    # explode pass a second time just for the scalar.)
+    total = vocab.agg(
+        F.sum("cnt").cast("double").alias("__total")
+    )
     return (
         toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
                 F.avg(
-                    -F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+                    -F.log(F.col("cnt").cast("double") / F.col("__total"))
                 ),
                 6,
             ).alias("xent"),
@@ -625,4 +632,75 @@ def weighted_sample(
         .orderBy("__aes_key", id_col)
         .limit(k)
         .drop("__aes_key")
+    )
+
+
+def heavy_hitters(
+    docs,
+    text_col: str = "text",
+    support: float = 0.02,
+    capacity: int | None = None,
+):
+    """EXACT frequent terms above a support fraction, found without
+    ever shuffling the full vocabulary: the two-pass Misra-Gries
+    pattern every large-corpus token-frequency job needs when the
+    term universe exceeds executor memory.
+
+    Pass 1 (candidates): each partition streams its tokens through a
+    Misra-Gries summary of ``capacity`` >= ceil(1/support) counters
+    (mapInPandas; O(capacity) state, one dict update per token).  MG
+    guarantees any term with LOCAL count > n_p/(capacity+1) survives
+    its partition's summary, and a term with GLOBAL share >= support
+    must have share >= support in at least one partition (weighted
+    averaging), so the union of partition summaries is a SUPERSET of
+    the true heavy hitters — only the candidate list (bounded by
+    partitions x capacity) is collected into a broadcast.
+
+    Pass 2 (exact): re-count ONLY the candidate terms (broadcast semi
+    join before the hash agg — the full-vocabulary shuffle never
+    happens) and keep those with exact count >= support * N, N from a
+    map-side token-count aggregate (no explode).  Output is exact:
+    the sketch can only add candidates, never lose a qualifying term,
+    and the second pass discards false positives.
+    """
+    import math
+
+    import pandas as pd
+
+    cap = capacity or int(math.ceil(1.0 / support)) + 1
+    toks = docs.select(F.explode(tokens(text_col)).alias("term"))
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < cap:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand = toks.mapInPandas(_mg, "term string").distinct()
+    total = docs.agg(
+        F.sum(token_count(text_col)).cast("double").alias("__total")
+    )
+    return (
+        toks.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(support) * F.col("__total"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+        )
     )

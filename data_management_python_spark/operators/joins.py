@@ -285,4 +285,9 @@ def salted_join(
     small2 = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salts - 1)))
     )
-    return big2.join(small2, on=[*keys, "__salt"], how=how).drop("__salt")
+    # shuffle-hash hint: the replicated small side builds the hash map,
+    # sparing both sides the sort-merge sort (salting already bounded
+    # the per-task build size — that was its purpose)
+    return big2.join(
+        small2.hint("shuffle_hash"), on=[*keys, "__salt"], how=how
+    ).drop("__salt")

@@ -328,6 +328,10 @@ def a_abc_classification(spark, sf_dir):
             .alias("rc")
         )
     )
+    # the per-part aggregate feeds FOUR downstream consumers (total
+    # scalar, rank-offset job, prefix-sum partials, final plan) — pin
+    # it once; it is part-count-sized, tiny relative to the fact scan
+    rev = rev.localCheckpoint(eager=True)
     total = rev.agg(F.sum("rc")).first()[0]  # scalar; drives the cut points
     ranked = global_row_number(
         rev.withColumn("__neg", -F.col("rc")), ["__neg", "l_partkey"], "rn"
@@ -545,4 +549,127 @@ def e_markov_transitions(spark, sf_dir):
         "next_type",
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
+@_q(
+    "a_rollup_revenue",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    doc="hierarchical subtotals via ROLLUP(region, nation): detail rows "
+    "+ per-region subtotal + grand total in ONE pass (Spark's Expand "
+    "operator replicates each row once per grouping level BEFORE the "
+    "hash agg, so partial aggregation still applies — no re-scan per "
+    "level). Grouping-level NULLs are labeled 'ALL' (no NULL keys in "
+    "the dims, so the label is unambiguous)",
+)
+def a_rollup_revenue(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = T(spark, sf_dir, "region")
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dims, c.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@_q(
+    "a_cube_counts",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    doc="full cross-tabulation via CUBE(priority, status): all four "
+    "grouping levels (detail, each margin, grand total) from one scan "
+    "through the Expand operator — the multi-margin report shape that "
+    "would otherwise be four scans UNION ALLed; counts are integers, "
+    "engine-exact",
+)
+def a_cube_counts(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "e_ohlc_resample",
+    """
+    SELECT user_id,
+           CAST(FLOOR(epoch_ms(ts) / 300000) AS BIGINT) AS bucket_5m,
+           arg_min(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, bucket_5m
+    """,
+    doc="time-series downsampling to 5-minute OHLC bars per user — the "
+    "resample primitive for event streams.  open/close are "
+    "first/last-by-time via min_by/max_by on a zero-padded "
+    "(epoch_ms, event_id) string key: totally ordered, unique, and "
+    "identical lexicographic comparison in both engines, so bar edges "
+    "are deterministic even with simultaneous events.  One hash agg "
+    "keyed (user, bucket); no window, no sort",
+)
+def e_ohlc_resample(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms
+
+    ev = T(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(epoch_ms("ts").cast("string"), 15, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            "user_id",
+            F.floor(epoch_ms("ts") / 300000).cast("bigint").alias("bucket_5m"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )

@@ -50,6 +50,13 @@ def get_spark(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS,
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # generated-code cache: the 100-entry default evicts constantly
+        # under a many-query analytics workload (this engine ships 140+
+        # distinct query plans, each compiling several codegen stages),
+        # turning every re-run into a full Janino recompile.  Sized to
+        # hold the whole workload; entries are compiled classes, cheap
+        # relative to the ~0.3-1s compile each eviction re-pays.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -68,6 +68,15 @@ AUDITED = [
     "sim_hybrid_rrf",
     "m_scd2_changelog",
     "e_rolling_active_users",
+    # round-2 additions, batch 5: remaining TPC-H shapes + knn graph
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q21_waiting_suppliers",
+    "sim_knn_graph",
+    "t_perplexity_buckets",
+    "w_range_rolling_sum",
+    "e_markov_transitions",
 ]
 
 
