@@ -32,7 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def global_prefix_sum(
@@ -75,7 +75,12 @@ def global_prefix_sum(
         bases[b] = acc
         acc += sums[b]
 
-    schema = df.schema.add(StructField(out_col, LongType(), False))
+    # copy first: StructType.add MUTATES the receiver, and df.schema
+    # returns the DataFrame's cached instance — adding to it directly
+    # corrupts the schema seen by later consumers of the same df
+    schema = StructType(list(df.schema.fields)).add(
+        StructField(out_col, LongType(), False)
+    )
     o, v = order_col, value_col
 
     def scan(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

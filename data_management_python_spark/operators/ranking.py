@@ -104,3 +104,63 @@ def ntile_from_rank(rank_col: str, n_rows: int, k: int):
         .cast("int")
         + 1
     )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "cum",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` in global ``order_by`` order —
+    the SinglePartition ``SUM() OVER (ORDER BY ...)`` window, kept
+    distributed, in ONE pass over the data:
+
+    1. ``repartitionByRange`` on the (ascending, unique) order keys;
+    2. one tiny job folds each range slice's value total into a base
+       offset per slice — O(num_partitions) driver state, never rows;
+    3. ``applyInPandas`` per slice sorts locally and adds base +
+       local cumsum.
+
+    Fuses what :func:`global_row_number` + a rank-keyed prefix sum do
+    in two passes (rank job, then bin job) when the consumer only
+    needs the running SUM, not the rank itself.  ``value_col`` must be
+    integral so bases and local sums are exact in any fold order;
+    descending order = pass a negated helper column, same as
+    global_row_number.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = list(order_by)
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    parted = parted.withColumn(_PID, F.spark_partition_id()).persist()
+    partials = parted.groupBy(_PID).agg(F.sum(value_col).alias("__s")).collect()
+    sums = {int(r[_PID]): int(r["__s"]) for r in partials}
+    bases: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        bases[pid] = acc
+        acc += sums[pid]
+
+    # copy: StructType.add MUTATES (and returns) the receiver, and
+    # df.schema hands back the DataFrame's cached instance
+    schema = StructType(list(df.schema.fields)).add(
+        StructField(out_col, LongType(), False)
+    )
+
+    def scan(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(cols).drop(columns=[_PID])
+        run = pdf[value_col].cumsum()
+        if not inclusive:
+            run = run - pdf[value_col]
+        pdf[out_col] = bases[int(key[0])] + run
+        return pdf
+
+    return parted.groupBy(_PID).applyInPandas(scan, schema=schema)

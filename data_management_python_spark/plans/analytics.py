@@ -306,14 +306,15 @@ def e_attribution(spark, sf_dir):
     """,
     doc="Pareto/ABC inventory classification: per-part revenue in exact "
     "integer cents, globally-ordered cumulative share WITHOUT a "
-    "SinglePartition window — global_row_number (range partition + "
-    "offset fold) supplies the dense order, global_prefix_sum "
-    "(llmdata/packing.py) the distributed cumulative sum; integer "
-    "cum*100 <= total*80 comparisons make class cuts bit-exact "
-    "cross-engine",
+    "SinglePartition window — operators.ranking.ordered_prefix_sum "
+    "computes the running total in one range shuffle (per-slice local "
+    "cumsum + O(partitions) base offsets); integer cum*100 <= total*80 "
+    "comparisons make class cuts bit-exact cross-engine",
 )
 def a_abc_classification(spark, sf_dir):
-    from data_management_python_spark.llmdata.packing import global_prefix_sum
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
 
     li = T(spark, sf_dir, "lineitem")
     rev = (
@@ -328,24 +329,28 @@ def a_abc_classification(spark, sf_dir):
             .alias("rc")
         )
     )
-    # the per-part aggregate feeds FOUR downstream consumers (total
-    # scalar, rank-offset job, prefix-sum partials, final plan) — pin
-    # it once; it is part-count-sized, tiny relative to the fact scan
+    # the per-part aggregate feeds the prefix-sum partials, the total,
+    # and the final plan — pin it once; it is part-count-sized, tiny
+    # relative to the fact scan it condenses
     rev = rev.localCheckpoint(eager=True)
-    total = rev.agg(F.sum("rc")).first()[0]  # scalar; drives the cut points
-    ranked = global_row_number(
-        rev.withColumn("__neg", -F.col("rc")), ["__neg", "l_partkey"], "rn"
+    # ordered_prefix_sum fuses the old rank + rank-binned-cumsum pair
+    # of passes into one range shuffle (half the jobs, same result)
+    cum = ordered_prefix_sum(
+        rev.withColumn("__neg", -F.col("rc")),
+        ["__neg", "l_partkey"],
+        "rc",
+        "cum",
+        inclusive=True,
     ).drop("__neg")
-    cum = global_prefix_sum(ranked, "rn", "rc", "cum_excl").withColumn(
-        "cum", F.col("cum_excl") + F.col("rc")
-    )
+    total = rev.agg(F.sum("rc").alias("__t"))  # 1 row; joins in-plan
     cls = (
-        F.when(F.col("cum") * 100 <= total * 80, F.lit("A"))
-        .when(F.col("cum") * 100 <= total * 95, F.lit("B"))
+        F.when(F.col("cum") * 100 <= F.col("__t") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("__t") * 95, F.lit("B"))
         .otherwise(F.lit("C"))
     )
     return (
-        cum.withColumn("abc_class", cls)
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("abc_class", cls)
         .groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),

@@ -725,3 +725,67 @@ def test_weighted_sample_biases_toward_heavy_docs(spark):
     m_s = samp.agg(F.avg("n_chars")).first()[0]
     m_c = docs.agg(F.avg("n_chars")).first()[0]
     assert m_s > m_c
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """Two-pass Misra-Gries output == the naive full group-by, at a
+    capacity far below the vocabulary size (the sketch must still be a
+    candidate superset)."""
+    from data_management_python_spark.llmdata import text as t
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("text")
+    support = 0.02
+    got = {
+        (r.term, r.cnt)
+        for r in t.heavy_hitters(docs, "text", support=support).collect()
+    }
+    toks = docs.select(F.explode(t.tokens("text")).alias("term"))
+    total = toks.count()
+    naive = {
+        (r.term, r.cnt)
+        for r in toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= support * total)
+        .collect()
+    }
+    assert got == naive
+    # tiny capacity stress: still exact (more decrements, same superset
+    # guarantee as long as capacity >= ceil(1/support))
+    got_small = {
+        (r.term, r.cnt)
+        for r in t.heavy_hitters(
+            docs, "text", support=support, capacity=51
+        ).collect()
+    }
+    assert got_small == naive
+
+
+def test_knn_graph_matches_per_cell_bruteforce(spark):
+    """knn_graph's grouped scorer == brute-force within each cell."""
+    from data_management_python_spark.llmdata import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sim.knn_graph(emb, "vec_id", "embedding", n_centroids=4, k=2)
+    rows = got.collect()
+    # every vector appears with exactly k neighbors (cells are larger
+    # than k+1 at this scale) and never lists itself
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in rows)
+    assert set(per_q.values()) == {2}
+    assert all(r.q_id != r.neighbor_id for r in rows)
+    # spot-check one query against ivf_ann (same quantizer, k, corpus):
+    # the graph row set for q restricted to ivf's probe cell must match
+    probe = emb.filter(F.col("vec_id") == 11)
+    ivf = {
+        (r.q_id, r.neighbor_id, r.cos_sim)
+        for r in sim.ivf_ann(
+            emb, probe, "vec_id", "embedding", n_centroids=4, k=2
+        ).collect()
+    }
+    mine = {
+        (r.q_id, r.neighbor_id, r.cos_sim) for r in rows if r.q_id == 11
+    }
+    assert mine == ivf

@@ -415,3 +415,53 @@ def test_compact_dataset_reduces_files(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert len(out.inputFiles()) == n <= 2
     assert out.count() == orders.count()
+
+
+def test_ordered_prefix_sum_matches_window(spark):
+    """ordered_prefix_sum == the SinglePartition window it replaces,
+    for inclusive and exclusive modes, across a multi-partition input."""
+    import random
+
+    from pyspark.sql import Window
+
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r.k: r.c
+        for r in df.select("k", F.sum("v").over(w).alias("c")).collect()
+    }
+    got = {
+        r.k: r.cum
+        for r in ordered_prefix_sum(df, ["k"], "v", "cum").collect()
+    }
+    assert got == expect
+    got_ex = {
+        r.k: r.cum
+        for r in ordered_prefix_sum(
+            df, ["k"], "v", "cum", inclusive=False
+        ).collect()
+    }
+    assert got_ex == {r[0]: expect[r[0]] - dict(rows)[r[0]] for r in rows}
+
+
+def test_ordered_prefix_sum_descending_via_negation(spark):
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    ).withColumn("__neg", -F.col("k"))
+    got = {
+        r.k: r.cum
+        for r in ordered_prefix_sum(df, ["__neg"], "v", "cum").collect()
+    }
+    # descending k order: 3 first
+    assert got == {3: 30, 2: 50, 1: 60}

@@ -77,6 +77,11 @@ AUDITED = [
     "t_perplexity_buckets",
     "w_range_rolling_sum",
     "e_markov_transitions",
+    "a_rollup_revenue",
+    "a_cube_counts",
+    "e_ohlc_resample",
+    "t_heavy_hitters",
+    "a_abc_classification",
 ]
 
 
