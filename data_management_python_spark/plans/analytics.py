@@ -678,3 +678,72 @@ def e_ohlc_resample(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@_q(
+    "u_except_intersect_all",
+    """
+    WITH hi AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25),
+    lo AS (SELECT l_partkey FROM lineitem WHERE l_quantity < 25),
+    ea AS (SELECT l_partkey, 'except_all' AS op FROM
+           (SELECT l_partkey FROM hi EXCEPT ALL SELECT l_partkey FROM lo)),
+    ia AS (SELECT l_partkey, 'intersect_all' AS op FROM
+           (SELECT l_partkey FROM hi INTERSECT ALL SELECT l_partkey FROM lo))
+    SELECT op, l_partkey, COUNT(*) AS n
+    FROM (SELECT * FROM ea UNION ALL SELECT * FROM ia)
+    GROUP BY op, l_partkey
+    """,
+    doc="bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): duplicate "
+    "multiplicities subtract / take-the-min instead of vanishing — "
+    "Spark plans both as an aggregate of per-side counts, one shuffle "
+    "each, no distinct pre-pass; tallied per key so the multiplicity "
+    "arithmetic itself is what the oracle checks",
+)
+def u_except_intersect_all(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 25).select("l_partkey")
+    lo = li.filter(F.col("l_quantity") < 25).select("l_partkey")
+    ea = hi.exceptAll(lo).withColumn("op", F.lit("except_all"))
+    ia = hi.intersectAll(lo).withColumn("op", F.lit("intersect_all"))
+    return (
+        ea.unionByName(ia)
+        .groupBy("op", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "w_first_last_nth",
+    """
+    SELECT user_id, event_id,
+           FIRST_VALUE(value) OVER w AS first_v,
+           LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_v,
+           NTH_VALUE(value, 3) OVER w AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="navigation window functions (FIRST_VALUE / LAST_VALUE / "
+    "NTH_VALUE) over the full per-user frame — session anchor values "
+    "stamped onto every event.  The frame is explicitly UNBOUNDED "
+    "FOLLOWING on all three: the SQL default frame stops at CURRENT "
+    "ROW, which silently turns LAST_VALUE into 'current value' (the "
+    "classic trap); ordered by the unique (ts, event_id) pair so "
+    "anchors are engine-deterministic",
+)
+def w_first_last_nth(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )
