@@ -222,3 +222,51 @@ def stream_session_gap(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def windowed_ohlc(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming OHLC downsampling: per (user, tumbling window) bars
+    with open/close picked by min_by/max_by on a zero-padded
+    (epoch_ms, event_id) key — the streaming twin of the batch
+    `e_ohlc_resample` query (plans/analytics.py), same bar semantics.
+
+    min_by/max_by are full aggregate functions, so the bars maintain
+    O(1) state per open window under the watermark and emit once the
+    watermark passes window end (append mode).  Works on a batch frame
+    too (no watermark), which is how the parity test cross-checks the
+    streaming output bar-for-bar against the batch query.
+    """
+    from data_management_python_spark.functions import epoch_ms
+
+    src = (
+        ensure_event_time_ltz(events, "ts").withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
+    key = F.concat(
+        F.lpad(epoch_ms("ts").cast("string"), 15, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "user_id")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -663,3 +663,53 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     }
     assert got[200] == 100  # matched within horizon
     assert 201 in got and got[201] is None  # horizon elapsed -> null row
+
+
+def test_windowed_ohlc_stream_matches_batch(spark, tmp_path):
+    """Streaming OHLC bars == the same aggregation run in batch: every
+    bar's open/high/low/close and count, exactly."""
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.streaming.windows import windowed_ohlc
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src_dir = tmp_path / "ohlc_src"
+    ev.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src_dir)).schema
+    ).parquet(str(src_dir))
+    q = (
+        windowed_ohlc(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ohlc_bars")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ohlc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(r):
+        return (r.window_start, r.user_id)
+
+    got = {
+        key(r): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in spark.sql("select * from ohlc_bars").collect()
+    }
+    expect = {
+        key(r): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in windowed_ohlc(ev, window="5 minutes").collect()
+    }
+    # append mode only emits bars the watermark has passed; every
+    # emitted bar must match batch exactly, and only bars inside the
+    # final watermark horizon (10 min = 2 windows) may be withheld
+    for k, v in got.items():
+        assert expect[k] == v
+    missing = set(expect) - set(got)
+    horizon = max(s for s, _ in expect)
+    import datetime
+
+    cutoff = horizon - datetime.timedelta(minutes=10)
+    assert all(s > cutoff for s, _ in missing)
+    assert len(got) >= 0.9 * len(expect)

@@ -59,6 +59,18 @@ HEAVY = [
     "t_weighted_sample",
     "g_pagerank",
     "g_triangle_count",
+    # round-2 batch 5 additions
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "sim_knn_graph",
+    "t_heavy_hitters",
+    "t_perplexity_buckets",
+    "e_ohlc_resample",
+    "w_range_rolling_sum",
+    "e_markov_transitions",
+    "a_abc_classification",
+    "a_rollup_revenue",
+    "u_except_intersect_all",
 ]
 
 KEY_SHIFT = {
