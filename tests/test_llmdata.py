@@ -789,3 +789,51 @@ def test_knn_graph_matches_per_cell_bruteforce(spark):
         (r.q_id, r.neighbor_id, r.cos_sim) for r in rows if r.q_id == 11
     }
     assert mine == ivf
+
+
+def test_parse_image_headers_real_formats(spark):
+    """Header parsing is real: crafted PNG/JPEG/GIF/BMP bytes yield
+    exact dimensions; junk sniffs as unknown."""
+    from data_management_python_spark.llmdata.multimodal import (
+        parse_image_headers,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + (640).to_bytes(4, "big")
+        + (480).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+    # JPEG: SOI, APP0 (len 16), SOF0 (len 17) with h=100 w=200
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (100).to_bytes(2, "big") + (200).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (800).to_bytes(4, "little")
+        + (-600).to_bytes(4, "little", signed=True)  # top-down negative h
+    )
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(jpeg)),
+        (3, bytearray(gif)),
+        (4, bytearray(bmp)),
+        (5, bytearray(b"not an image")),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: (r.img_format, r.width, r.height)
+        for r in parse_image_headers(df).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 200, 100)
+    assert got[3] == ("gif", 320, 200)
+    assert got[4] == ("bmp", 800, 600)
+    assert got[5] == ("unknown", None, None)
+    assert got[6] == (None, None, None)
