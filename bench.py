@@ -94,6 +94,15 @@ def main() -> None:
     # codegen cache evicting every compiled stage across a 140-query
     # loop; with the cache sized to the workload (session.py) the
     # repeat pass runs warm and measures the PLANS, not the compiler.
+    # one GC between passes (NOT per-query, which measured +10%): the
+    # cold pass accumulates localCheckpoint RDD references; releasing
+    # them here lets ContextCleaner unpersist before the steady pass
+    # instead of thrashing in the middle of it (d_curation_pipeline
+    # measured 7.7s mid-thrash vs ~1.4s clean).
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     steady: dict[str, float] = {}
     for name in ok:
         t0 = time.time()

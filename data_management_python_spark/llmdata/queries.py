@@ -1864,8 +1864,8 @@ def sim_knn_graph(spark, sf_dir):
       FROM dx GROUP BY lang
     )
     SELECT doc_id, lang, xent,
-           CASE WHEN xent <= f1 THEN 'head'
-                WHEN xent <= f2 THEN 'middle'
+           CASE WHEN xent <= f1 + 0.0000005 THEN 'head'
+                WHEN xent <= f2 + 0.0000005 THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
     FROM dx JOIN fences USING (lang)
     """,
@@ -1874,8 +1874,13 @@ def sim_knn_graph(spark, sf_dir):
     "terciles.  The scale shape is aggregate-then-broadcast — exact "
     "per-language fences (tiny: 2 doubles per language) join back "
     "map-side, so the corpus never sorts and never sees a per-language "
-    "NTILE window; fences interpolate identically in both engines "
-    "((n-1)*p linear), computed over aggregate-rounded xent",
+    "NTILE window.  Boundary robustness: xent is quantized to the 1e-6 "
+    "grid, so comparing against fence + 5e-7 (half a grid step) makes "
+    "bucket membership invariant to the sub-ulp interpolation "
+    "differences between engines' percentile_cont — without the "
+    "tolerance, a document whose xent lands EXACTLY on a fence "
+    "classifies differently when the engines' fences differ in the "
+    "last bit (observed at sf0.1)",
 )
 def t_perplexity_buckets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1889,8 +1894,8 @@ def t_perplexity_buckets(spark, sf_dir):
         "doc_id",
         "lang",
         "xent",
-        F.when(F.col("xent") <= F.col("f1"), "head")
-        .when(F.col("xent") <= F.col("f2"), "middle")
+        F.when(F.col("xent") <= F.col("f1") + F.lit(5e-7), "head")
+        .when(F.col("xent") <= F.col("f2") + F.lit(5e-7), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
