@@ -303,3 +303,32 @@ def compact_dataset(
     n_files = max(1, -(-total // target_file_bytes))
     df.repartition(n_files).write.mode(mode).format(fmt).save(dest_path)
     return n_files
+
+
+def write_columnar_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    codec: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Columnar dataset writer with format + compression choice:
+    ``parquet`` (zstd/snappy/gzip/lz4) or ``orc`` (zstd/snappy/zlib).
+
+    The format knob matters operationally, not semantically — ORC for
+    Hive-ecosystem consumers, parquet elsewhere; zstd trades ~10-20%
+    write CPU for ~25-40% smaller files, which at 100 TB is read
+    bandwidth.  Both formats keep the engine's scan contract: column
+    pruning + predicate pushdown + min/max row-group/stripe skipping
+    (explain shows PushedFilters for either).
+    """
+    w = df.write.mode(mode)
+    if codec:
+        w = w.option("compression", codec)
+    w.format(fmt).save(path)
+
+
+def read_columnar_dataset(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Scan back a :func:`write_columnar_dataset` output — pushdown and
+    pruning verified by test for both formats."""
+    return spark.read.format(fmt).load(path)

@@ -87,3 +87,61 @@ def test_validation_on_empty_frames(spark):
     assert mv.invalid_library_combinations(md).count() == 0
     assert mv.duplicate_samples(md).count() == 0
     assert mv.projects_with_multiple_authorities(md).count() == 0
+
+
+def test_heavy_hitters_empty_and_single_doc(spark):
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.llmdata import text as t
+
+    empty = spark.createDataFrame([], "text string")
+    assert t.heavy_hitters(empty, "text", support=0.1).count() == 0
+    one = spark.createDataFrame([("a a a b",)], "text string")
+    got = {
+        (r.term, r.cnt)
+        for r in t.heavy_hitters(one, "text", support=0.5).collect()
+    }
+    assert got == {("a", 3)}
+
+
+def test_knn_graph_cell_smaller_than_k(spark):
+    """A cell with fewer members than k emits what it has (m-1 rows
+    per member), never fabricates neighbors."""
+    from data_management_python_spark.llmdata import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sim.knn_graph(emb, "vec_id", "embedding", n_centroids=3, k=5)
+    rows_out = got.collect()
+    # 3 singleton-ish cells (each vector is its own centroid): vectors
+    # alone in their cell emit nothing
+    for r in rows_out:
+        assert r.q_id != r.neighbor_id
+
+
+def test_ordered_prefix_sum_empty(spark):
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    empty = spark.createDataFrame([], "k long, v long")
+    assert ordered_prefix_sum(empty, ["k"], "v", "cum").count() == 0
+
+
+def test_markov_transitions_single_event_users(spark, tmp_path):
+    """Users with one event produce no transition rows (LAG is NULL)."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.plans import collect_queries
+
+    qs = collect_queries()
+    df = qs["e_markov_transitions"].fn(spark, "/root/testdata/sf0.001")
+    total_pairs = df.agg(F.sum("n")).first()[0]
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total_pairs == n_events - n_users  # one lost pair per user

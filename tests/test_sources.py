@@ -443,3 +443,31 @@ def test_write_zorder_dataset_prunes_both_dims(spark, tmp_path):
     assert z2 < 0.6, f"z-order did not cluster custkey: {z2}"
     # and still clusters the first column far better than random
     assert avg_file_span(zp, "o_totalprice") < 0.6
+
+
+def test_columnar_roundtrip_orc_and_zstd_parquet(spark, tmp_path):
+    """ORC and zstd-parquet write/read round-trips preserve data, and
+    both formats keep predicate pushdown in the scan plan."""
+    from data_management_python_spark.sources.sinks import (
+        read_columnar_dataset,
+        write_columnar_dataset,
+    )
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id AS STRING) AS s"
+    )
+    expect = sorted((r.id, r.grp, r.s) for r in df.collect())
+    for fmt, codec in [("orc", "zstd"), ("parquet", "zstd"), ("orc", None)]:
+        out = str(tmp_path / f"ds_{fmt}_{codec}")
+        write_columnar_dataset(df, out, fmt=fmt, codec=codec)
+        back = read_columnar_dataset(spark, out, fmt=fmt)
+        assert sorted((r.id, r.grp, r.s) for r in back.collect()) == expect
+        plan = (
+            back.filter("grp = 3")
+            .select("id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan
+        assert "grp" in plan.split("PushedFilters: [", 1)[1][:120]
