@@ -152,9 +152,15 @@ def ngram_jaccard_pairs(
     (reference-exact baseline; verification scale only).
     """
     toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
+    # checkpoint the hashed-shingle frame PRE-PARTITIONED on the join
+    # key at the operator's width: the self-join below then reads both
+    # sides straight from the checkpoint with no exchange at all
+    width = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
+        toked.repartition(width)  # parallelize the Generate stage itself
+        .select(F.col(id_col), F.explode(shx).alias("shingle"))
         .select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
+        .repartition(width, "__sh")
         .localCheckpoint(eager=True)
     )
     if max_doc_freq is not None:
@@ -317,9 +323,17 @@ def lsh_candidate_pairs(
         num_hashes,
     )
     band_structs = band_signature_structs(num_hashes, bands)
+    # hash-partition the persisted band table on ITS OWN join key at
+    # the operator's width: both sides of the self-join below then
+    # satisfy the join's required distribution from the cache — the
+    # bucket join runs with ZERO exchanges, at a width the operator
+    # controls rather than whatever spark.sql.shuffle.partitions the
+    # session happens to carry
+    width = df.sparkSession.sparkContext.defaultParallelism
     band_sigs = (
         sig.select(F.col(id_col), F.explode(band_structs).alias("bs"))
         .select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        .repartition(width, "band", "band_sig")
         .persist()
     )
     a = band_sigs.select(F.col(id_col).alias("id_1"), "band", "band_sig")
@@ -352,13 +366,26 @@ def near_dup_pairs(
     Output: (id_1, id_2, jaccard) with jaccard >= threshold — a subset
     of ngram_jaccard_pairs' result (LSH recall < 1 by design).
     """
-    # shingles recomputed per branch on purpose — pure codegen is
-    # cheaper than the Generate-output cache-build slow path, and the
-    # narrow join/agg + broadcast-sizes shape measured 5x faster than
-    # carrying sizes through the join (see ngram_jaccard_pairs)
+    # the exploded shingle frame feeds FOUR branches (minhash
+    # signatures, both verify join sides, and — via toked — the size
+    # table): checkpoint it once so tokenize+explode runs once, not
+    # once per branch.  (An in-memory .persist() of the Generate
+    # output measured SLOWER than recompute — columnar cache build on
+    # exploded rows — but a localCheckpoint is a plain RDD pin with
+    # none of that cost, and under an untuned session each recompute
+    # also pays the session's full shuffle width.)
     toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
-    sh = toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
-    sizes = toked.select(F.col(id_col), F.size(shx).alias("n_sh"))
+    # widen BEFORE the explode: a single-file (or few-partition) corpus
+    # would otherwise tokenize+shingle in one task regardless of
+    # cluster width — the docs shuffle is doc-count-sized and buys a
+    # fully parallel Generate stage
+    width = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        toked.repartition(width)
+        .select(F.col(id_col), F.explode(shx).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     cands = lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, shingles=sh
     )
@@ -464,7 +491,18 @@ def connected_components(
     materializing job (measured 2.5x slower end-to-end).
     """
     # symmetrize in ONE pass over the (possibly expensive) edge pipeline:
-    # a two-branch union would re-run pair generation per branch
+    # a two-branch union would re-run pair generation per branch.
+    #
+    # Iteration width is pinned EXPLICITLY (defaultParallelism, i.e.
+    # cluster cores), and both sym and the label state are hash-
+    # partitioned on the join key at that width: the per-round join
+    # then reuses the existing partitioning instead of re-shuffling
+    # both sides to spark.sql.shuffle.partitions each round.  An
+    # iterative operator must own its width — inheriting a session
+    # default sized for one big fact shuffle (e.g. vanilla 200) makes
+    # every tiny label round pay hundreds of task launches (measured
+    # 22.7s -> ~4s for d_dup_clusters under a default-conf session).
+    width = edges.sparkSession.sparkContext.defaultParallelism
     sym = (
         edges.select(
             F.explode(
@@ -479,6 +517,7 @@ def connected_components(
             ).alias("e")
         )
         .select("e.a", "e.b")
+        .repartition(width, "a")
         .persist()
     )
     try:
@@ -486,6 +525,7 @@ def connected_components(
             sym.select(F.col("a").alias("id"))
             .distinct()
             .select("id", F.col("id").alias("lbl"))
+            .repartition(width, "id")
             .localCheckpoint(eager=True)
         )
         for _ in range(max_iterations):
@@ -504,15 +544,24 @@ def connected_components(
                     ).alias("lbl"),
                     F.col("lbl").alias("__old"),
                 )
+                # re-pin the state width before materializing: keeps
+                # every round's checkpoint (and the next round's join)
+                # at the operator's own width
+                .repartition(width, "id")
                 .localCheckpoint(eager=True)
             )
             changed = nxt.filter(F.col("lbl") != F.col("__old")).count()
             lbl = nxt.drop("__old")
             if changed == 0:
                 break
+        # anti-join against the CHECKPOINTED label state (same id set as
+        # sym's endpoints), never against sym: sym is unpersisted on
+        # return, so a returned plan referencing it would re-run the
+        # whole edge pipeline on every downstream action (measured 2x
+        # the full LSH+verify cost inside d_dup_clusters)
         singletons = (
             nodes.select(F.col(id_col).alias("id"))
-            .join(sym.select(F.col("a").alias("id")), "id", "left_anti")
+            .join(lbl.select("id"), "id", "left_anti")
             .select("id", F.col("id").alias("lbl"))
         )
         return lbl.unionByName(singletons).select(

@@ -106,7 +106,17 @@ def asof_join(
         frame = w.rowsBetween(0, Window.unboundedFollowing)
         fill = [F.first(c, ignorenulls=True).over(frame).alias(f"__f_{c}") for c in rcols]
 
-    filled = l2.unionByName(r2).select(*keys, _T, _ORD, *lcols, *fill)
+    # pre-partition the union on the window's keys at the operator's
+    # width: the window's required HashPartitioning(keys) is then
+    # satisfied by THIS exchange (one, operator-sized) instead of an
+    # implicit one at the session's shuffle width — a default-conf
+    # session would otherwise sort 200 slivers of a tiny union
+    width = left.sparkSession.sparkContext.defaultParallelism
+    filled = (
+        l2.unionByName(r2)
+        .repartition(width, *keys)
+        .select(*keys, _T, _ORD, *lcols, *fill)
+    )
     matched: Column = F.col(f"__f_{right_ts}").isNotNull()
     if tolerance_seconds is not None:
         gap = F.abs(epoch_us(F.col(_T)) - epoch_us(F.col(f"__f_{right_ts}")))

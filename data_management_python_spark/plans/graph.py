@@ -156,7 +156,12 @@ def g_pagerank(spark, sf_dir):
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
         # materialize once: n-count, degree build, and the per-iteration
-        # joins all branch from this frame
+        # joins all branch from this frame.  Partitioning is left as
+        # produced (no key repartition): hash-partitioning by dst would
+        # let each iteration's aggregate skip its shuffle, but on this
+        # power-law graph (100 supplier hubs vs 2000 customers) it
+        # concentrates the hub edges on a few tasks — measured 2x
+        # SLOWER than paying the balanced per-iteration shuffle
         .localCheckpoint(eager=True)
     )
     n = edges.select("src").distinct().count()
