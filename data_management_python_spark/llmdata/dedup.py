@@ -155,7 +155,9 @@ def ngram_jaccard_pairs(
     # checkpoint the hashed-shingle frame PRE-PARTITIONED on the join
     # key at the operator's width: the self-join below then reads both
     # sides straight from the checkpoint with no exchange at all
-    width = df.sparkSession.sparkContext.defaultParallelism
+    from data_management_python_spark.session import operator_width  # noqa: PLC0415
+
+    width = operator_width(df.sparkSession)
     sh = (
         toked.repartition(width)  # parallelize the Generate stage itself
         .select(F.col(id_col), F.explode(shx).alias("shingle"))
@@ -329,7 +331,9 @@ def lsh_candidate_pairs(
     # bucket join runs with ZERO exchanges, at a width the operator
     # controls rather than whatever spark.sql.shuffle.partitions the
     # session happens to carry
-    width = df.sparkSession.sparkContext.defaultParallelism
+    from data_management_python_spark.session import operator_width  # noqa: PLC0415
+
+    width = operator_width(df.sparkSession)
     band_sigs = (
         sig.select(F.col(id_col), F.explode(band_structs).alias("bs"))
         .select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
@@ -379,7 +383,9 @@ def near_dup_pairs(
     # would otherwise tokenize+shingle in one task regardless of
     # cluster width — the docs shuffle is doc-count-sized and buys a
     # fully parallel Generate stage
-    width = df.sparkSession.sparkContext.defaultParallelism
+    from data_management_python_spark.session import operator_width  # noqa: PLC0415
+
+    width = operator_width(df.sparkSession)
     sh = (
         toked.repartition(width)
         .select(F.col(id_col), F.explode(shx).alias("shingle"))
@@ -502,7 +508,9 @@ def connected_components(
     # default sized for one big fact shuffle (e.g. vanilla 200) makes
     # every tiny label round pay hundreds of task launches (measured
     # 22.7s -> ~4s for d_dup_clusters under a default-conf session).
-    width = edges.sparkSession.sparkContext.defaultParallelism
+    from data_management_python_spark.session import operator_width  # noqa: PLC0415
+
+    width = operator_width(edges.sparkSession)
     sym = (
         edges.select(
             F.explode(

@@ -111,7 +111,9 @@ def asof_join(
     # satisfied by THIS exchange (one, operator-sized) instead of an
     # implicit one at the session's shuffle width — a default-conf
     # session would otherwise sort 200 slivers of a tiny union
-    width = left.sparkSession.sparkContext.defaultParallelism
+    from data_management_python_spark.session import operator_width  # noqa: PLC0415
+
+    width = operator_width(left.sparkSession)
     filled = (
         l2.unionByName(r2)
         .repartition(width, *keys)

@@ -64,3 +64,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def operator_width(spark: SparkSession) -> int:
+    """Width an operator should pin for its own intermediate state
+    (iteration frames, checkpointed join tables).
+
+    min(cluster cores, configured shuffle width): an operator must not
+    exceed what the session is sized for (a tuned local bench runs
+    narrow on purpose), but also must not inherit a fact-table shuffle
+    width like the 200 default for node-count-sized state — cores is
+    the ceiling that keeps every round's task count proportional to
+    the machine, not to a config meant for a different table.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # e.g. "auto" on some deployments
+        conf = cores
+    return max(1, min(cores, conf))
