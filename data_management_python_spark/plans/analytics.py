@@ -747,3 +747,65 @@ def w_first_last_nth(spark, sf_dir):
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 3).over(w).alias("third_v"),
     )
+
+
+@_q(
+    "a_fk_orphan_audit",
+    """
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    """,
+    doc="referential-integrity audit across the star schema's four FK "
+    "edges: child count + orphan count per edge in one result — the "
+    "ingest-gate check a warehouse runs after every load.  Each orphan "
+    "count is a left-ANTI join against the parent key set (parents "
+    "broadcast when small, AQE otherwise); counts are integers, "
+    "engine-exact",
+)
+def a_fk_orphan_audit(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+
+    def edge(name, child, key, parent, pkey):
+        orphans = child.select(key).join(
+            parent.select(pkey), F.col(key) == F.col(pkey), "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child", "n_orphans"
+            )
+        )
+
+    parts = [
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey",
+             T(spark, sf_dir, "part"), "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey",
+             T(spark, sf_dir, "supplier"), "s_suppkey"),
+        edge("orders->customer", o, "o_custkey",
+             T(spark, sf_dir, "customer"), "c_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -465,3 +465,17 @@ def test_ordered_prefix_sum_descending_via_negation(spark):
     }
     # descending k order: 3 first
     assert got == {3: 30, 2: 50, 1: 60}
+
+
+def test_operator_width_caps_at_cores_and_conf(spark):
+    from data_management_python_spark.session import operator_width
+
+    cores = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        assert operator_width(spark) == min(cores, 200)
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        assert operator_width(spark) == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -12,6 +12,7 @@ Usage: python tools/selfcheck.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -44,9 +45,26 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from data_management_python_spark.session import get_spark
 
-    spark = get_spark(app_name="selfcheck")
+    if os.environ.get("SELFCHECK_VANILLA"):
+        # maximum driver fidelity: a plain Spark-4-defaults session
+        # (ANSI ON, 200 shuffle partitions, 10MB broadcast threshold) —
+        # exactly what the round driver constructs, nothing from the
+        # engine's tuned builder except the UTC timezone the oracle
+        # comparison requires
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("selfcheck-vanilla")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from data_management_python_spark.session import get_spark
+
+        spark = get_spark(app_name="selfcheck")
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
