@@ -717,3 +717,72 @@ def verify_candidates_against_corpus(
         .filter(F.col("jaccard") >= threshold)
         .drop("__sh1", "__sh2")
     )
+
+
+def incremental_near_dup(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Which DELTA documents near-duplicate an existing BASE document —
+    the incremental form every production dedup actually runs (today's
+    crawl against the standing corpus), as opposed to the all-pairs
+    self-join over base ∪ delta, which re-pays the base x base work on
+    every batch.
+
+    Shape: map-only MinHash signatures on BOTH sides (the no-shuffle
+    array-fold variant), banded bucket join delta->base (shuffle keyed
+    by band signature, skew bounded by bucket population), then exact
+    Jaccard verification on candidates only via map-side shingle-array
+    intersection.  Work scales with |delta| + matching bucket volume —
+    the base side contributes one signature pass that a real
+    deployment would have materialized already (write the base band
+    table with :func:`sources.sinks.write_bucketed_table` and the
+    per-batch cost drops to delta-only).
+
+    Output: (delta_id, base_id, jaccard >= threshold).  Pairs within
+    delta are NOT reported (run the self-join path for those).
+    """
+
+    def side_bands(df: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signature_map_side(df, id_col, text_col, n, num_hashes)
+        bs = band_signature_structs(num_hashes, bands)
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(bs).alias("bs")
+        ).select(
+            out_id,
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_sig").alias("band_sig"),
+        )
+
+    cands = (
+        side_bands(delta, "delta_id")
+        .join(side_bands(base, "base_id"), on=["band", "band_sig"])
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    t1 = delta.select(
+        F.col(id_col).alias("delta_id"),
+        shingle_array_expr(text_col, n).alias("__sh1"),
+    )
+    t2 = base.select(
+        F.col(id_col).alias("base_id"),
+        shingle_array_expr(text_col, n).alias("__sh2"),
+    )
+    inter = F.size(F.array_intersect("__sh1", "__sh2"))
+    union = F.size(F.array_union("__sh1", "__sh2"))
+    return (
+        cands.join(t1, "delta_id")
+        .join(t2, "base_id")
+        .select(
+            "delta_id",
+            "base_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1925,3 +1925,58 @@ def t_perplexity_buckets(spark, sf_dir):
 def t_heavy_hitters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("text")
     return text.heavy_hitters(docs, "text", support=0.02)
+
+
+@_q(
+    "d_incremental_dedup",
+    f"""
+    WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+      FROM bands d
+      JOIN bands b ON d.band = b.band AND d.band_sig = b.band_sig
+      WHERE d.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.delta_id, c.base_id, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.delta_id
+      JOIN sh b ON b.doc_id = c.base_id AND b.s = a.s
+      GROUP BY c.delta_id, c.base_id
+    )
+    SELECT delta_id, base_id,
+           CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = delta_id
+    JOIN sizes nb ON nb.doc_id = base_id
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
+    """,
+    doc="incremental dedup: today's batch (doc_id % 5 = 0) against the "
+    "standing corpus (the rest) — map-only MinHash signatures both "
+    "sides, banded bucket join delta->base, exact-Jaccard verify on "
+    "candidates only (dedup.incremental_near_dup).  The production "
+    "alternative to re-running the all-pairs self-join per batch: "
+    "work scales with the batch, not the corpus",
+)
+def d_incremental_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_near_dup(
+        base, delta, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.2,
+    )
