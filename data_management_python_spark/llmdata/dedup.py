@@ -748,6 +748,15 @@ def incremental_near_dup(
     Output: (delta_id, base_id, jaccard >= threshold).  Pairs within
     delta are NOT reported (run the self-join path for those).
     """
+    from data_management_python_spark.session import operator_width  # noqa: PLC0415
+
+    # widen both inputs once: signatures and the verify-side shingle
+    # arrays are MAP-ONLY, so their parallelism is whatever the input
+    # carries — a few-partition source would run all four per-row
+    # passes serially (measured 3x on the signature pass alone)
+    width = operator_width(base.sparkSession)
+    base = base.repartition(width)
+    delta = delta.repartition(width)
 
     def side_bands(df: DataFrame, out_id: str) -> DataFrame:
         sig = minhash_signature_map_side(df, id_col, text_col, n, num_hashes)
@@ -766,23 +775,40 @@ def incremental_near_dup(
         .select("delta_id", "base_id")
         .distinct()
     )
-    t1 = delta.select(
-        F.col(id_col).alias("delta_id"),
-        shingle_array_expr(text_col, n).alias("__sh1"),
+    # verification uses the NARROW counting join (near_dup_pairs'
+    # shape): candidate pairs expand by the delta side's hashed
+    # shingles and meet the base side on (base_id, hash) — rows carry
+    # two ids + one long, never a pair of whole shingle ARRAYS, whose
+    # per-pair duplication measured ~3x this join's cost.  The
+    # candidate table broadcasts (bounded by near-dup density, the
+    # same envelope as near_dup_pairs' verification).
+    def hashed_shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
+        return toked.select(
+            F.col(id_col).alias(out_id), F.explode(shx).alias("shingle")
+        ).select(F.col(out_id), F.xxhash64("shingle").alias("__sh"))
+
+    sh_d = hashed_shingles(delta, "delta_id").localCheckpoint(eager=True)
+    sh_b = hashed_shingles(base, "base_id").localCheckpoint(eager=True)
+    n_d = sh_d.groupBy("delta_id").agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = sh_b.groupBy("base_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        F.broadcast(cands)
+        .join(sh_d, on="delta_id")
+        .join(sh_b.hint("shuffle_hash"), on=["base_id", "__sh"])
+        .groupBy("delta_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    t2 = base.select(
-        F.col(id_col).alias("base_id"),
-        shingle_array_expr(text_col, n).alias("__sh2"),
-    )
-    inter = F.size(F.array_intersect("__sh1", "__sh2"))
-    union = F.size(F.array_union("__sh1", "__sh2"))
     return (
-        cands.join(t1, "delta_id")
-        .join(t2, "base_id")
+        inter.join(F.broadcast(n_d), "delta_id")
+        .join(F.broadcast(n_b), "base_id")
         .select(
             "delta_id",
             "base_id",
-            (inter.cast("double") / union).alias("jaccard"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -82,6 +82,8 @@ AUDITED = [
     "e_ohlc_resample",
     "t_heavy_hitters",
     "a_abc_classification",
+    "d_incremental_dedup",
+    "a_fk_orphan_audit",
 ]
 
 

@@ -71,6 +71,8 @@ HEAVY = [
     "a_abc_classification",
     "a_rollup_revenue",
     "u_except_intersect_all",
+    "d_incremental_dedup",
+    "a_fk_orphan_audit",
 ]
 
 KEY_SHIFT = {
