@@ -837,3 +837,30 @@ def test_parse_image_headers_real_formats(spark):
     assert got[4] == ("bmp", 800, 600)
     assert got[5] == ("unknown", None, None)
     assert got[6] == (None, None, None)
+
+
+def test_incremental_near_dup_matches_self_join_cross_pairs(spark):
+    """delta->base pairs from the incremental path == the cross-side
+    subset of the full self-join path at the same LSH settings, and
+    within-delta pairs are excluded by construction."""
+    from data_management_python_spark.llmdata import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = dedup.incremental_near_dup(
+        base, delta, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.2,
+    ).collect()
+    assert all(r.delta_id % 5 == 0 and r.base_id % 5 != 0 for r in inc)
+    full = dedup.near_dup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
+    ).collect()
+    cross = {
+        (a, b, round(j, 9))
+        for r in full
+        for a, b, j in [(r.id_1, r.id_2, r.jaccard), (r.id_2, r.id_1, r.jaccard)]
+        if a % 5 == 0 and b % 5 != 0
+    }
+    got = {(r.delta_id, r.base_id, round(r.jaccard, 9)) for r in inc}
+    assert got == cross
