@@ -77,6 +77,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    spark_total = duck_total = 0.0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -89,11 +90,13 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        spark_total += time.time() - t0
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(srows)} rows) "
                   f"[{time.time()-t0:.1f}s]")
             n_pass += 1
             continue
+        t1 = time.time()
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
@@ -102,6 +105,7 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        duck_total += time.time() - t1
         ok = True
         msgs = []
         if len(srows) != len(drows):
@@ -123,7 +127,12 @@ def main():
         else:
             n_fail += 1
             print(f"FAIL {name}: " + " | ".join(msgs))
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    ratio = spark_total / duck_total if duck_total else float("nan")
+    print(
+        f"\n{n_pass} pass, {n_fail} fail | spark {spark_total:.1f}s vs "
+        f"duckdb {duck_total:.1f}s sequential (cold, single-pass) = "
+        f"{ratio:.2f}x"
+    )
     spark.stop()
     return 1 if n_fail else 0
 
