@@ -130,8 +130,10 @@ def main():
     ratio = spark_total / duck_total if duck_total else float("nan")
     print(
         f"\n{n_pass} pass, {n_fail} fail | spark {spark_total:.1f}s vs "
-        f"duckdb {duck_total:.1f}s sequential (cold, single-pass) = "
-        f"{ratio:.2f}x"
+        f"duckdb {duck_total:.1f}s sequential at {sf_dir} = {ratio:.2f}x "
+        "(cold single-pass; below sf0.1 this measures per-query fixed "
+        "overhead — JVM job setup vs in-process calls — not plan "
+        "quality; bench.py at sf0.1 is the performance surface)"
     )
     spark.stop()
     return 1 if n_fail else 0
