@@ -809,3 +809,48 @@ def a_fk_orphan_audit(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@_q(
+    "a_value_histogram",
+    """
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)) AS BIGINT),
+                 19) AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+    doc="fixed-width 20-bin value histogram of order totals — the "
+    "equal-INTERVAL profiling twin of the equal-COUNT decile histogram "
+    "(a_decile_histogram).  Bounds are a 1-row min/max aggregate "
+    "broadcast back; the bin expression floor((x-lo)*20/(hi-lo)) is "
+    "the identical IEEE arithmetic in both engines, with the top edge "
+    "clamped into the last bin.  One scan + one tiny hash agg; never "
+    "a sort",
+)
+def a_value_histogram(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bin_col = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) * 20
+            / (F.col("hi") - F.col("lo"))
+        ).cast("bigint"),
+        F.lit(19),
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )

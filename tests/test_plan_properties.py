@@ -84,6 +84,7 @@ AUDITED = [
     "a_abc_classification",
     "d_incremental_dedup",
     "a_fk_orphan_audit",
+    "a_value_histogram",
 ]
 
 

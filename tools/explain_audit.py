@@ -26,7 +26,8 @@ sys.path.insert(0, "/root/repo")
 NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
                   "t_bm25_topk", "q11_important_parts", "t_heavy_hitters",
                   "a_abc_classification", "t_unigram_xent",
-                  "t_perplexity_buckets", "a_fk_orphan_audit"}
+                  "t_perplexity_buckets", "a_fk_orphan_audit",
+                  "a_value_histogram"}
 
 # map-only or tiny-input queries where no exchange at all is fine
 NO_SHUFFLE_OK = True
