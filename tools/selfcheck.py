@@ -131,9 +131,10 @@ def main():
     print(
         f"\n{n_pass} pass, {n_fail} fail | spark {spark_total:.1f}s vs "
         f"duckdb {duck_total:.1f}s sequential at {sf_dir} = {ratio:.2f}x "
-        "(cold single-pass; below sf0.1 this measures per-query fixed "
-        "overhead — JVM job setup vs in-process calls — not plan "
-        "quality; bench.py at sf0.1 is the performance surface)"
+        "(correctness-harness time, NOT a benchmark: includes full "
+        "result collection into Python rows on the Spark side plus "
+        "cold per-query JVM job setup/codegen — bench.py at sf0.1 is "
+        "the performance surface)"
     )
     spark.stop()
     return 1 if n_fail else 0
