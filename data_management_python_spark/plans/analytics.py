@@ -854,3 +854,60 @@ def a_value_histogram(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+@_q(
+    "e_longest_streak",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len,
+             MIN(day) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, len AS longest_streak, streak_start FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, streak_start) AS rk
+      FROM streaks
+    ) WHERE rk = 1
+    """,
+    doc="longest consecutive-day activity streak per user — the "
+    "gaps-and-islands date variant: distinct active days, day minus "
+    "per-user row_number is constant within a consecutive run "
+    "(the anchor), one aggregate per run, keep the longest (earliest "
+    "start on ties).  All stages keyed by user_id: one shuffle "
+    "partitioning serves the distinct, the window, and both "
+    "aggregates",
+)
+def e_longest_streak(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"), "streak_start")
+    )

@@ -85,6 +85,8 @@ AUDITED = [
     "d_incremental_dedup",
     "a_fk_orphan_audit",
     "a_value_histogram",
+    "e_longest_streak",
+    "d_minhash_estimate",
 ]
 
 
