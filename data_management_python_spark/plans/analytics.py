@@ -911,3 +911,78 @@ def e_longest_streak(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("len").alias("longest_streak"), "streak_start")
     )
+
+
+@_q(
+    "e_session_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                 AS duration_us,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           ROUND(AVG(CAST(n_events AS DOUBLE)), 6) AS avg_events,
+           CAST(SUM(duration_us) AS BIGINT) AS total_duration_us,
+           SUM(cents) AS total_cents
+    FROM per_session
+    """,
+    doc="session-level rollup on top of the gap sessionization: bounce "
+    "count (single-event sessions), mean session depth, total dwell "
+    "time in exact integer microseconds, and integer-cents spend — "
+    "the product-analytics layer above e_sessionize, still one "
+    "user-keyed shuffle for the windows and a tiny final aggregate",
+)
+def e_session_stats(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (
+                epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+                > 1800 * 1_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounces"
+        ),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias(
+            "avg_events"
+        ),
+        F.sum("duration_us").cast("bigint").alias("total_duration_us"),
+        F.sum("cents").alias("total_cents"),
+    )
