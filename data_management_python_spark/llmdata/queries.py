@@ -772,7 +772,7 @@ def sim_pq_ann(spark, sf_dir):
     )
     SELECT CAST(FLOOR(off / 256) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS pack_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM o GROUP BY 1

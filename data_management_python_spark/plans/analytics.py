@@ -301,7 +301,7 @@ def e_attribution(spark, sf_dir):
                 WHEN cum * 100 <= t * 95 THEN 'B'
                 ELSE 'C' END AS abc_class,
            COUNT(*) AS n_parts,
-           SUM(rc) AS class_revenue_cents
+           CAST(SUM(rc) AS BIGINT) AS class_revenue_cents
     FROM c, tot GROUP BY 1
     """,
     doc="Pareto/ABC inventory classification: per-part revenue in exact "
@@ -448,11 +448,11 @@ def w_ratio_to_report(spark, sf_dir):
     "w_range_rolling_sum",
     """
     SELECT event_id, user_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
              PARTITION BY user_id
              ORDER BY epoch_ms(ts)
              RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
-           ) AS cents_10m
+           ) AS BIGINT) AS cents_10m
     FROM events
     """,
     doc="time-based RANGE frame: each event's trailing-10-minute spend "
@@ -936,10 +936,11 @@ def e_longest_streak(spark, sf_dir):
       FROM sessions GROUP BY user_id, session_id
     )
     SELECT COUNT(*) AS n_sessions,
-           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
            ROUND(AVG(CAST(n_events AS DOUBLE)), 6) AS avg_events,
            CAST(SUM(duration_us) AS BIGINT) AS total_duration_us,
-           SUM(cents) AS total_cents
+           CAST(SUM(cents) AS BIGINT) AS total_cents
     FROM per_session
     """,
     doc="session-level rollup on top of the gap sessionization: bounce "

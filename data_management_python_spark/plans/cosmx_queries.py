@@ -69,7 +69,7 @@ def _shaped(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     SELECT n.n_name AS cosmx_slide_igf_id,
            COUNT(*) AS n_fovs,
-           SUM(q.cell_count) AS total_cells,
+           CAST(SUM(q.cell_count) AS BIGINT) AS total_cells,
            ROUND(AVG(q.mean_counts_per_cell), 4) AS avg_counts_per_cell,
            ROUND(MIN(q.p10), 2) AS min_p10,
            ROUND(MAX(q.p90), 2) AS max_p90

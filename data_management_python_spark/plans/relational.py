@@ -1025,8 +1025,9 @@ def e_tumbling_window(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
@@ -1839,17 +1840,24 @@ def e_cohort_retention(spark, sf_dir):
 
 @_q(
     "a_sketch_accuracy",
-    None,  # sketch values are engine-specific (HLL++ / KLL registers);
-    # the driver records a rows-only check and the pytest bound-check
-    # (tests/test_operators.py) asserts the measured error
-    doc="sketch aggregates next to their exact counterparts with "
-    "self-reported relative error: approx_count_distinct (HLL++, "
-    "rsd=2%) vs countDistinct and percentile_approx (accuracy 10k) vs "
-    "exact percentile, per order priority.  At 100 TB the sketches ARE "
-    "the practical operators (bounded memory, one pass, mergeable "
-    "across partitions); this query keeps them honest by measuring "
-    "them against the exact aggregates the suite already verifies "
-    "(a15_count_distinct, a_percentile_exact)",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+           TRUE AS distinct_within_tol,
+           TRUE AS p50_within_tol
+    FROM orders GROUP BY 1
+    """,
+    doc="sketch aggregates kept honest against their exact "
+    "counterparts: approx_count_distinct (HLL++, rsd=2%) vs "
+    "countDistinct and percentile_approx (accuracy 10k) vs exact "
+    "percentile, per order priority.  The projection is the exact "
+    "aggregates plus within-tolerance booleans — Spark's sketches are "
+    "deterministic for a fixed input, so the booleans hash-check "
+    "against literal TRUE while the sketch values themselves (engine-"
+    "specific registers) stay out of the comparison.  At 100 TB the "
+    "sketches ARE the practical operators (bounded memory, one pass, "
+    "mergeable across partitions).",
 )
 def a_sketch_accuracy(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
@@ -1864,19 +1872,17 @@ def a_sketch_accuracy(spark, sf_dir):
     return agg.select(
         "o_orderpriority",
         "exact_distinct",
-        "approx_distinct",
-        F.round(
-            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
-            6,
-        ).alias("distinct_rel_err"),
         F.round("exact_p50", 2).alias("exact_p50"),
-        F.round("approx_p50", 2).alias("approx_p50"),
-        F.round(
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= F.lit(0.06)
+        ).alias("distinct_within_tol"),
+        (
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
-            / F.col("exact_p50"),
-            6,
-        ).alias("p50_rel_err"),
+            / F.col("exact_p50")
+            <= F.lit(0.05)  # measured max 1.1% at sf0.001, <0.1% at sf0.01
+        ).alias("p50_within_tol"),
     )
 
 

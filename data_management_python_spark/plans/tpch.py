@@ -768,8 +768,9 @@ def q2_min_cost_supplier(spark, sf_dir):
     """
     WITH val AS (
       SELECT l_partkey AS p_partkey,
-             SUM(CAST(l_quantity AS BIGINT)
-                 * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS value_cents
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
@@ -821,10 +822,10 @@ def q11_important_parts(spark, sf_dir):
     "q12_priority_shipping",
     """
     SELECT l_linestatus,
-      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -40,6 +40,51 @@ def frame_to_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+# Spark simpleString dtype -> DuckDB type names considered hash-equal.
+# The driver's value hash is TYPE-sensitive through pandas conversion:
+# DuckDB HUGEINT (SUM of BIGINT) and DECIMAL (numeric-literal math)
+# convert to float64/Decimal objects whose repr differs from Spark's
+# int64/float64 even when values are numerically identical.  Any
+# oracle projecting those must CAST (r2 lesson: t_pack_sequences).
+_TYPE_EQUIV = {
+    "bigint": {"BIGINT", "UBIGINT"},
+    "int": {"INTEGER", "BIGINT"},  # int-width repr-safe ("42" == "42")
+    "smallint": {"SMALLINT", "INTEGER", "BIGINT"},
+    "tinyint": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS"},
+    "timestamp_ntz": {"TIMESTAMP", "TIMESTAMP_NS"},
+}
+
+
+def type_mismatches(spark_dtypes, duck_cols, duck_types):
+    """Oracle columns whose DuckDB type would hash differently from the
+    Spark dtype under a type-sensitive comparison.  Returns a list of
+    '(col: spark_type vs DUCK_TYPE)' strings; empty = type-parity OK."""
+    duck = {c: str(t) for c, t in zip(duck_cols, duck_types)}
+    bad = []
+    for col, stype in spark_dtypes:
+        dtype = duck.get(col)
+        if dtype is None:
+            continue
+        base = stype.split("(")[0]
+        if base.startswith("array") or base.startswith("struct") \
+                or base.startswith("map"):
+            continue  # nested: compared by value canon only
+        if base == "decimal":
+            if not dtype.startswith("DECIMAL"):
+                bad.append(f"({col}: {stype} vs {dtype})")
+            continue
+        allowed = _TYPE_EQUIV.get(base)
+        if allowed is not None and dtype not in allowed:
+            bad.append(f"({col}: {stype} vs {dtype})")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -98,9 +143,10 @@ def main():
             continue
         t1 = time.time()
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = list(rel.types)
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -108,6 +154,11 @@ def main():
         duck_total += time.time() - t1
         ok = True
         msgs = []
+        tbad = type_mismatches(sdf.dtypes, dcols, dtypes)
+        if tbad:
+            ok = False
+            msgs.append("oracle TYPE drift (driver hash is "
+                        "type-sensitive): " + " ".join(tbad))
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
