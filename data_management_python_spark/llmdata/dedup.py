@@ -791,7 +791,19 @@ def incremental_near_dup(
     sh_d = hashed_shingles(delta, "delta_id").localCheckpoint(eager=True)
     sh_b = hashed_shingles(base, "base_id").localCheckpoint(eager=True)
     n_d = sh_d.groupBy("delta_id").agg(F.count(F.lit(1)).alias("n_a"))
-    n_b = sh_b.groupBy("base_id").agg(F.count(F.lit(1)).alias("n_b"))
+    # base-side sizes are one row per BASE document — semi-join down to
+    # the candidate base_ids (bounded by near-dup density, same
+    # envelope as cands itself) BEFORE broadcasting, so driver memory
+    # scales with |delta|'s matches, never with |base|
+    n_b = (
+        sh_b.join(
+            F.broadcast(cands.select("base_id").distinct()),
+            "base_id",
+            "left_semi",
+        )
+        .groupBy("base_id")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
     inter = (
         F.broadcast(cands)
         .join(sh_d, on="delta_id")

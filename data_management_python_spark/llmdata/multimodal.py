@@ -313,15 +313,30 @@ def _sniff_image(b: bytes | None) -> tuple[str | None, int | None, int | None]:
         sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
         i = 2
-        while i + 9 < len(b) and b[i] == 0xFF:
-            marker = b[i + 1]
+        while i < len(b) and b[i] == 0xFF:
+            # spec-legal: any run of 0xFF fill bytes may pad a marker
+            j = i
+            while j < len(b) and b[j] == 0xFF:
+                j += 1
+            if j >= len(b):
+                break
+            marker = b[j]
             if marker in sof:
-                return (
-                    "jpeg",
-                    int.from_bytes(b[i + 7:i + 9], "big"),
-                    int.from_bytes(b[i + 5:i + 7], "big"),
-                )
-            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+                if j + 8 <= len(b):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[j + 6:j + 8], "big"),
+                        int.from_bytes(b[j + 4:j + 6], "big"),
+                    )
+                break
+            if marker == 0xD9 or marker == 0xDA:
+                break  # EOI / start of entropy-coded scan: no SOF seen
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i = j + 1  # standalone marker: no length field follows
+                continue
+            if j + 3 > len(b):
+                break
+            i = j + 1 + int.from_bytes(b[j + 1:j + 3], "big")
         return ("jpeg", None, None)
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         return (

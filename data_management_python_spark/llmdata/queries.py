@@ -1804,7 +1804,12 @@ def t_weighted_sample(spark, sf_dir):
       SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
     ),
     cent AS (
-      SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n ORDER BY vec_id LIMIT 8
+      SELECT vec_id AS cid, e AS ce, nrm AS cn FROM (
+        SELECT vec_id, e, nrm,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+               COUNT(*) OVER () AS tot
+        FROM n
+      ) WHERE rn <= CAST(CEIL(SQRT(tot)) AS BIGINT)
     ),
     assign AS (
       SELECT vec_id, e, nrm, cid,
@@ -1831,11 +1836,20 @@ def t_weighted_sample(spark, sf_dir):
     "Same deterministic IVF quantizer as sim_ivf_ann, but the join "
     "topology flips: no small probe side to broadcast — a shuffle "
     "SELF-join keyed by cell bounds the all-pairs product per cell "
-    "(similarity.knn_graph; production sizes n_centroids ~ sqrt(N))",
+    "(similarity.knn_graph).  n_centroids is sized ceil(sqrt(N)) from "
+    "the corpus count on BOTH engines, so cell population ~ sqrt(N) "
+    "and the per-cell quadratic term stays linear in N overall — the "
+    "sizing rule SCALE.md measured (35.7x -> 1.1x at 10x data) is the "
+    "registered default, not an off-query footnote",
 )
 def sim_knn_graph(spark, sf_dir):
+    import math  # noqa: PLC0415
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(emb, "vec_id", "embedding", n_centroids=8, k=3)
+    n_centroids = max(1, math.ceil(math.sqrt(emb.count())))
+    return similarity.knn_graph(
+        emb, "vec_id", "embedding", n_centroids=n_centroids, k=3
+    )
 
 
 @_q(

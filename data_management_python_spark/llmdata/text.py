@@ -667,7 +667,15 @@ def heavy_hitters(
 
     import pandas as pd
 
-    cap = capacity or int(math.ceil(1.0 / support)) + 1
+    min_cap = int(math.ceil(1.0 / support))
+    cap = capacity or min_cap + 1
+    if cap < min_cap:
+        # below ceil(1/support) counters the MG superset guarantee
+        # breaks and true heavy hitters drop SILENTLY — refuse
+        raise ValueError(
+            f"capacity={cap} < ceil(1/support)={min_cap}: Misra-Gries "
+            "cannot guarantee a candidate superset at this support"
+        )
     toks = docs.select(F.explode(tokens(text_col)).alias("term"))
 
     def _mg(batches):

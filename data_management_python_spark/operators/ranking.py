@@ -140,9 +140,20 @@ def ordered_prefix_sum(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    parted = parted.withColumn(_PID, F.spark_partition_id()).persist()
+    # eager localCheckpoint, not persist(): the range-shuffled frame is
+    # needed twice (offset job + final scan) but must not stay pinned in
+    # the cache for the session lifetime after the caller materializes
+    # the returned plan — checkpoint blocks release on GC
+    parted = parted.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     partials = parted.groupBy(_PID).agg(F.sum(value_col).alias("__s")).collect()
-    sums = {int(r[_PID]): int(r["__s"]) for r in partials}
+    # a slice whose values are all NULL sums to NULL -> contributes 0,
+    # matching SUM OVER's ignore-nulls accumulation
+    sums = {
+        int(r[_PID]): 0 if r["__s"] is None else int(r["__s"])
+        for r in partials
+    }
     bases: dict[int, int] = {}
     acc = 0
     for pid in sorted(sums):
@@ -157,9 +168,10 @@ def ordered_prefix_sum(
 
     def scan(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(cols).drop(columns=[_PID])
-        run = pdf[value_col].cumsum()
+        vals = pdf[value_col].fillna(0)  # NULLs add 0, as in SUM OVER
+        run = vals.cumsum()
         if not inclusive:
-            run = run - pdf[value_col]
+            run = run - vals
         pdf[out_col] = bases[int(key[0])] + run
         return pdf
 

@@ -817,8 +817,9 @@ def a_fk_orphan_audit(spark, sf_dir):
     WITH b AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     )
-    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)) AS BIGINT),
-                 19) AS bin,
+    SELECT CASE WHEN hi = lo THEN 0
+                ELSE LEAST(CAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo))
+                                AS BIGINT), 19) END AS bin,
            COUNT(*) AS n_orders,
            ROUND(MIN(o_totalprice), 2) AS bin_min,
            ROUND(MAX(o_totalprice), 2) AS bin_max
@@ -838,12 +839,17 @@ def a_value_histogram(spark, sf_dir):
     b = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    bin_col = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("lo")) * 20
-            / (F.col("hi") - F.col("lo"))
-        ).cast("bigint"),
-        F.lit(19),
+    # degenerate all-equal input: hi == lo would divide by zero with
+    # DIVERGENT engine behavior (Spark null vs DuckDB NaN) — both
+    # engines guard to bin 0
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo")) * 20
+                / (F.col("hi") - F.col("lo"))
+            ).cast("bigint"),
+            F.lit(19),
+        )
     )
     return (
         o.crossJoin(F.broadcast(b))

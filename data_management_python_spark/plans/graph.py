@@ -222,7 +222,11 @@ def g_triangle_count(spark, sf_dir):
         .filter(F.col("w") >= 2)
         .select("p1", "p2")
     )
-    e.persist()
+    # eager localCheckpoint (not persist): materializes the pruned edge
+    # set once for the three self-join arms AND releases its blocks
+    # when the frame is GC'd — a bare persist() here leaked a cached
+    # frame per call into a long-lived shared session
+    e = e.localCheckpoint(eager=True)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))

@@ -145,3 +145,84 @@ def test_markov_transitions_single_event_users(spark, tmp_path):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total_pairs == n_events - n_users  # one lost pair per user
+
+
+def test_heavy_hitters_rejects_undersized_capacity(spark):
+    """capacity below ceil(1/support) would silently break the
+    Misra-Gries superset guarantee — must refuse, not drop terms."""
+    import pytest
+
+    from data_management_python_spark.llmdata import text as t
+
+    docs = spark.createDataFrame([("a b c",)], "text string")
+    with pytest.raises(ValueError, match="capacity"):
+        t.heavy_hitters(docs, "text", support=0.01, capacity=10)
+    # at exactly the bound it must be accepted
+    t.heavy_hitters(docs, "text", support=0.5, capacity=2).collect()
+
+
+def test_jpeg_sniff_fill_bytes_and_standalone_markers():
+    """Spec-legal 0xFF padding before a marker and length-less
+    standalone markers (TEM, RSTn) must not derail the SOF walk."""
+    from data_management_python_spark.llmdata.multimodal import _sniff_image
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (100).to_bytes(2, "big") + (200).to_bytes(2, "big") + b"\x03"
+    )
+    assert _sniff_image(b"\xff\xd8" + app0 + sof0) == ("jpeg", 200, 100)
+    # single fill byte before SOF0
+    assert _sniff_image(b"\xff\xd8" + app0 + b"\xff" + sof0) == (
+        "jpeg", 200, 100,
+    )
+    # standalone TEM and RST0 markers between segments
+    assert _sniff_image(b"\xff\xd8" + app0 + b"\xff\x01\xff\xd0" + sof0) == (
+        "jpeg", 200, 100,
+    )
+    # entropy-coded scan begins before any SOF: dimensions unknown
+    assert _sniff_image(b"\xff\xd8" + app0 + b"\xff\xda\x00\x02") == (
+        "jpeg", None, None,
+    )
+
+
+def test_ordered_prefix_sum_null_values(spark):
+    """NULL values accumulate as 0 (SUM OVER ignore-nulls semantics);
+    an all-NULL range slice must not crash the offset job."""
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5), (4, None), (5, 7)],
+        "k long, v long",
+    )
+    got = {
+        r.k: r.cum
+        for r in ordered_prefix_sum(
+            df, ["k"], "v", "cum", num_partitions=3
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 5, 4: 5, 5: 12}
+
+
+def test_value_histogram_degenerate_all_equal(spark, tmp_path):
+    """All-equal values: one bin 0 holding every row, no div-by-zero
+    null/NaN divergence between engines."""
+    import duckdb
+    from data_management_python_spark.plans import collect_queries
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 42.0) for i in range(10)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+    q = collect_queries()["a_value_histogram"]
+    rows = q.fn(spark, sf).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n_orders == 10
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    drows = con.sql(q.oracle).fetchall()
+    assert len(drows) == 1 and drows[0][0] == 0 and drows[0][1] == 10
