@@ -769,11 +769,16 @@ def incremental_near_dup(
             F.col("bs.band_sig").alias("band_sig"),
         )
 
+    # materialize the candidate set once: it feeds THREE consumers
+    # (the verify join's broadcast, the base-size semi-join, and the
+    # final shape) and each broadcast would otherwise re-run the whole
+    # signature + banded-join pipeline
     cands = (
         side_bands(delta, "delta_id")
         .join(side_bands(base, "base_id"), on=["band", "band_sig"])
         .select("delta_id", "base_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # verification uses the NARROW counting join (near_dup_pairs'
     # shape): candidate pairs expand by the delta side's hashed

@@ -24,7 +24,7 @@ say what was substituted for the missing columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -712,9 +712,6 @@ def q2_min_cost_supplier(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
@@ -732,19 +729,33 @@ def q2_min_cost_supplier(spark, sf_dir):
     p = T(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
         "p_partkey", "p_type"
     )
+    # push the selective dims BELOW the aggregation: p_size=15 keeps
+    # ~2% of parts and EUROPE ~20% of suppliers, so filtering lineitem
+    # first shrinks the groupBy shuffle ~100x.  Per-(part,supplier)
+    # min unit cost is unchanged by dropping other parts/suppliers.
+    # No explicit broadcast on p/eu: both are SF-proportional (AQE
+    # converts to broadcast at bench scale; at cluster scale a shuffle
+    # join is the correct plan).  The min-per-part rejoin is a window
+    # over the SAME p_partkey-keyed rows instead of recomputing the
+    # whole pipeline for a second aggregate (measured: the self-join
+    # plan ran lineitem->agg->joins twice per action).
     pc = (
-        cost.join(eu, cost.l_suppkey == eu.s_suppkey)
-        .join(p, cost.l_partkey == p.p_partkey)
-        .select("p_partkey", "p_type", "s_name", "s_acctbal", "n_name", "unit_cost")
-    )
-    mn = pc.groupBy("p_partkey").agg(F.min("unit_cost").alias("min_cost"))
-    mn = mn.withColumnRenamed("p_partkey", "mc_partkey")
-    return (
-        pc.join(
-            mn,
-            (pc.p_partkey == mn.mc_partkey)
-            & (pc.unit_cost == mn.min_cost),
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(eu, li.l_suppkey == eu.s_suppkey)
+        .groupBy(
+            "p_partkey", "p_type", "s_name", "s_acctbal", "n_name",
+            "l_suppkey",
         )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pc.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
