@@ -61,12 +61,11 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
 
 
 def _decode_stub(blob: bytes | None, modality: str, dim: int) -> list[float]:
-    """Deterministic fake feature vector (media libs unavailable here).
-
-    A real implementation decodes the blob (PIL.Image.open /
-    torchaudio.load / frame sampling) and runs feature extraction.
-    Raising ``NotImplementedError`` is the honest alternative; the
-    deterministic fake keeps the plumbing testable end-to-end.
+    """Deterministic fake feature vector for blobs no decoder handles
+    (synthetic stand-ins, unsupported codecs, audio/video without
+    torchaudio/PyAV).  Real decode paths exist above it: pure-Python
+    uncompressed-BMP pixels always, any PIL-supported format when PIL
+    is importable — see :func:`_decode_features`.
     """
     if blob is None:
         return [0.0] * dim
@@ -74,6 +73,91 @@ def _decode_stub(blob: bytes | None, modality: str, dim: int) -> list[float]:
     for b in blob[:256]:
         h = ((h ^ b) * 16777619) & 0xFFFFFFFF
     return [((h >> (i % 24)) & 0xFF) / 255.0 for i in range(dim)]
+
+
+def _decode_bmp_pixels(blob: bytes) -> list[tuple[int, int, int]] | None:
+    """REAL pixel decode for uncompressed 24/32-bit BI_RGB BMPs from
+    raw bytes — no media library.  Returns scan-order (top-to-bottom,
+    left-to-right) RGB tuples, honoring bottom-up row order and 4-byte
+    row padding; None for anything it can't handle (compressed,
+    paletted, truncated)."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(blob[10:14], "little")
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    if data_off + row_stride * height > len(blob):
+        return None
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    px: list[tuple[int, int, int]] = []
+    for r in rows:
+        base = data_off + r * row_stride
+        for c in range(width):
+            i = base + c * bytes_pp
+            # BMP stores BGR(A)
+            px.append((blob[i + 2], blob[i + 1], blob[i]))
+    return px
+
+
+def _try_pil():
+    try:  # noqa: SIM105
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pool_pixel_features(
+    px: list[tuple[int, int, int]], dim: int
+) -> list[float]:
+    """Decoder-agnostic pooling: mean luminance over ``dim`` equal
+    scan-order chunks, in [0, 1].  The SAME function consumes PIL and
+    pure-BMP pixel lists, so a BMP's feature vector is identical
+    whichever decoder produced the pixels."""
+    n = len(px)
+    if n == 0:
+        return [0.0] * dim
+    out = []
+    for i in range(dim):
+        lo = i * n // dim
+        hi = max(lo + 1, (i + 1) * n // dim)
+        s = 0.0
+        for r, g, b in px[lo:hi]:
+            s += 0.299 * r + 0.587 * g + 0.114 * b
+        out.append(round(s / ((hi - lo) * 255.0), 6))
+    return out
+
+
+def _decode_features(blob: bytes | None, modality: str, dim: int) -> list[float]:
+    """Feature vector for one blob: REAL pixel decode where a decoder
+    exists (PIL for any format it supports; pure-Python for
+    uncompressed BMP), deterministic stub otherwise (audio/video need
+    torchaudio/PyAV, absent in this environment)."""
+    if blob is None:
+        return [0.0] * dim
+    if modality == "image":
+        pil = _try_pil()
+        if pil is not None:
+            try:
+                import io  # noqa: PLC0415
+
+                img = pil.open(io.BytesIO(blob)).convert("RGB")
+                return _pool_pixel_features(list(img.getdata()), dim)
+            except Exception:  # noqa: BLE001 - undecodable: fall through
+                pass
+        px = _decode_bmp_pixels(blob)
+        if px is not None:
+            return _pool_pixel_features(px, dim)
+    return _decode_stub(blob, modality, dim)
 
 
 def extract_features(
@@ -104,7 +188,7 @@ def extract_features(
                         for b in pdf["content"]
                     ],
                     "feature": [
-                        _decode_stub(b, m, dim)
+                        _decode_features(b, m, dim)
                         for b, m in zip(pdf["content"], pdf["modality"])
                     ],
                 }
