@@ -178,9 +178,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors for each query vector.
 
-    The query set must be bounded (it is collected and inlined into the
-    scoring UDF — the standard trick for a small probe set against an
-    arbitrarily large corpus).  Scoring is one map-only pass over the
+    BOUND CONTRACT: ``queries`` is collected to the driver and inlined
+    into the scoring UDF, so it must fit in driver memory AND in the
+    serialized task closure — thousands of probe vectors, not millions
+    (Q x dim doubles; ~1k 1024-dim probes = 8 MB).  An unbounded query
+    side belongs in :func:`knn_graph` (shuffle self-join), never here.
+    Scoring is one map-only pass over the
     corpus: each Arrow batch is scored against ALL query vectors at
     once (numpy sequential folds), yielding an array of cosines that is
     posexploded to (q_id, neighbor_id, cos_sim) rows; top-k per query
@@ -530,6 +533,11 @@ def pq_ann(
     approx_d2) top-k per query, smallest distance first, ties to the
     lowest neighbor id on the ROUNDED distance (so rank order is
     insensitive to sub-ulp engine drift).
+
+    BOUND CONTRACT: ``queries`` is collected driver-side to build the
+    per-query LUTs (Q x M x codebook_size doubles, inlined into the
+    task closure) — a bounded probe set, thousands not millions; an
+    unbounded query side belongs in :func:`knn_graph`.
     """
     if codebooks is None:
         codebooks = default_codebooks(
@@ -1038,6 +1046,11 @@ def ivf_pq_ann(
     to the lowest centroid id (strict-max fold), encode argmin ties to
     the lowest code, rank on the ROUNDED ADC distance with neighbor-id
     tie-break — so a SQL oracle reproduces the result bit-for-bit.
+
+    BOUND CONTRACT: ``queries`` is collected driver-side (probes +
+    LUTs inlined into the task closure) — a bounded probe set,
+    thousands not millions; an unbounded query side belongs in
+    :func:`knn_graph`.
 
     The query set is bounded (collected; probes + LUTs are driver
     arithmetic over n_queries x n_centroids / codebook entries), the
