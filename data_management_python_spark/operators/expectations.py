@@ -1,0 +1,168 @@
+"""Declarative data-quality expectations over a DataFrame — the
+Deequ/Great-Expectations-shaped layer a lakehouse runs before
+publishing a table.
+
+The reference hand-rolls the same checks imperatively per file type
+(igf_data/process/metadata/metadata_validation.py row loops;
+igf_data/utils/validation_check/metadata_validation.py column scans);
+here they are ONE declarative rule list compiled into a single
+conditional-aggregate pass:
+
+- every ROW-level rule (not-null ratio, range, regex, accepted
+  values) becomes one ``avg(when(...))`` column in a shared ``agg`` —
+  the table is scanned ONCE regardless of rule count, with map-side
+  partials (the 100 TB shape: rule count never multiplies scans);
+- UNIQUENESS rules add ``count_distinct`` columns to the same agg;
+- REFERENTIAL rules (foreign key into a parent table) are the only
+  ones that need a second input, and run as a left-anti count against
+  the parent's key projection (AQE broadcasts small parents).
+
+Output: one row per rule —
+``(rule, column, metric, threshold, passed)`` — metric rounded to 6
+so the report is engine-stable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative rule.
+
+    ``kind``: not_null | unique | between | matches | accepted_values
+    | fk.  ``threshold``: minimum satisfying ratio in [0, 1] (1.0 =
+    every row).  ``params``: kind-specific (lo/hi, pattern, values,
+    parent DataFrame + key).
+    """
+
+    name: str
+    kind: str
+    column: str
+    threshold: float = 1.0
+    params: dict = field(default_factory=dict)
+
+
+def _row_metric(exp: Expectation) -> Column:
+    c = F.col(exp.column)
+    if exp.kind == "not_null":
+        cond = c.isNotNull()
+    elif exp.kind == "between":
+        cond = c.isNotNull() & (c >= F.lit(exp.params["lo"])) & (
+            c <= F.lit(exp.params["hi"])
+        )
+    elif exp.kind == "matches":
+        cond = c.isNotNull() & c.rlike(exp.params["pattern"])
+    elif exp.kind == "accepted_values":
+        cond = c.isNotNull() & c.isin(list(exp.params["values"]))
+    else:  # pragma: no cover - guarded by evaluate()
+        raise ValueError(exp.kind)
+    # avg over 0/1 = satisfying ratio; empty input -> NULL, coalesced
+    # to 1.0 (an empty table violates nothing)
+    return F.coalesce(
+        F.avg(cond.cast("double")), F.lit(1.0)
+    ).alias(f"__m_{exp.name}")
+
+
+REPORT_COLS = ["rule", "column", "metric", "threshold", "passed"]
+
+
+def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate all rules; returns the (rule, column, metric,
+    threshold, passed) report, one row per rule, in rule order.
+
+    One aggregate job covers every row-level + uniqueness rule; each
+    ``fk`` rule adds one anti-join aggregate (its parent side is a
+    key projection, broadcast when small).  ``passed`` compares the
+    ROUNDED metric against the threshold so both engines classify
+    identically at the boundary.
+    """
+    aggs: list[Column] = []
+    row_rules: list[Expectation] = []
+    fk_rules: list[Expectation] = []
+    for exp in expectations:
+        if exp.kind == "fk":
+            fk_rules.append(exp)
+        elif exp.kind == "unique":
+            aggs.append(
+                F.count_distinct(F.col(exp.column)).alias(f"__d_{exp.name}")
+            )
+            aggs.append(F.count(F.col(exp.column)).alias(f"__n_{exp.name}"))
+            row_rules.append(exp)
+        else:
+            aggs.append(_row_metric(exp))
+            row_rules.append(exp)
+
+    spark = df.sparkSession
+    parts = []
+    if aggs:
+        wide = df.agg(*aggs)
+        report_cols = []
+        for exp in row_rules:
+            if exp.kind == "unique":
+                metric = F.round(
+                    F.when(F.col(f"__n_{exp.name}") == 0, F.lit(1.0)).otherwise(
+                        F.col(f"__d_{exp.name}").cast("double")
+                        / F.col(f"__n_{exp.name}")
+                    ),
+                    6,
+                )
+            else:
+                metric = F.round(F.col(f"__m_{exp.name}"), 6)
+            report_cols.append(
+                F.struct(
+                    F.lit(exp.name).alias("rule"),
+                    F.lit(exp.column).alias("column"),
+                    metric.alias("metric"),
+                    F.lit(float(exp.threshold)).alias("threshold"),
+                    (metric >= F.lit(float(exp.threshold))).alias("passed"),
+                )
+            )
+        parts.append(
+            wide.select(F.explode(F.array(*report_cols)).alias("r")).select(
+                "r.*"
+            )
+        )
+
+    for exp in fk_rules:
+        parent: DataFrame = exp.params["parent"]
+        parent_key: str = exp.params["parent_key"]
+        child = df.select(F.col(exp.column).alias("__k")).filter(
+            F.col("__k").isNotNull()
+        )
+        matched = child.join(
+            parent.select(F.col(parent_key).alias("__k")),
+            on="__k",
+            how="left_semi",
+        )
+        tot = child.agg(F.count(F.lit(1)).alias("__n"))
+        ok = matched.agg(F.count(F.lit(1)).alias("__ok"))
+        metric = F.round(
+            F.when(F.col("__n") == 0, F.lit(1.0)).otherwise(
+                F.col("__ok").cast("double") / F.col("__n")
+            ),
+            6,
+        )
+        parts.append(
+            tot.crossJoin(ok).select(
+                F.lit(exp.name).alias("rule"),
+                F.lit(exp.column).alias("column"),
+                metric.alias("metric"),
+                F.lit(float(exp.threshold)).alias("threshold"),
+                (metric >= F.lit(float(exp.threshold))).alias("passed"),
+            )
+        )
+
+    if not parts:
+        return spark.createDataFrame(
+            [], "rule string, column string, metric double, "
+            "threshold double, passed boolean"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -97,7 +97,12 @@ def collect_queries() -> dict[str, Query]:
             return 1
         return 2
 
-    ordered = sorted(out, key=lambda n: (_prio(n), _REG_ORDER.get(n, 0)))
+    # names absent from _REG_ORDER (e.g. queries added after the map
+    # was drawn) rank LAST within their tier — they must not leapfrog
+    # the explicitly-prioritized backlog in a truncated driver window
+    ordered = sorted(
+        out, key=lambda n: (_prio(n), _REG_ORDER.get(n, 1_000_000))
+    )
     return {n: out[n] for n in ordered}
 
 
@@ -105,7 +110,7 @@ def collect_queries() -> dict[str, Query]:
 # highest-frequency user surface lands inside a truncated driver
 # window first: TPC-H shapes, then windowed/rollup analytics, then
 # graph/cosmx, then llmdata.  Names absent from this map keep their
-# module order (rank 0, stable sort).
+# module order after all ranked names (stable sort).
 _REG_ORDER: dict[str, int] = {}
 
 

@@ -993,3 +993,333 @@ def e_session_stats(spark, sf_dir):
         F.sum("duration_us").cast("bigint").alias("total_duration_us"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+@_q(
+    "e_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS step_order, 'view' AS step, n1 AS n_users,
+           CASE WHEN n1 = 0 THEN NULL ELSE CAST(1.0 AS DOUBLE) END
+             AS conversion
+    FROM n
+    UNION ALL
+    SELECT 2, 'click', n2,
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END
+    FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3,
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE ROUND(CAST(n3 AS DOUBLE) / n1, 6) END
+    FROM n
+    """,
+    doc="ordered conversion funnel view -> click -> purchase: each "
+    "step counts users whose FIRST qualifying event strictly follows "
+    "their first event of the previous step (min-timestamp cascade, "
+    "one per-user aggregate per step on progressively smaller "
+    "inputs — never a sort of the event stream or a window over all "
+    "events).  The ClickHouse windowFunnel / product-analytics "
+    "staple, absent from both Spark and the reference",
+)
+def e_funnel(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    wide = n1.crossJoin(n2).crossJoin(n3)  # three 1-row scalar frames
+    conv = lambda c: F.when(  # noqa: E731
+        F.col("n1") == 0, F.lit(None).cast("double")
+    ).otherwise(F.round(F.col(c).cast("double") / F.col("n1"), 6))
+    steps = F.array(
+        F.struct(
+            F.lit(1).alias("step_order"),
+            F.lit("view").alias("step"),
+            F.col("n1").alias("n_users"),
+            F.when(F.col("n1") == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(1.0))
+            .alias("conversion"),
+        ),
+        F.struct(
+            F.lit(2).alias("step_order"),
+            F.lit("click").alias("step"),
+            F.col("n2").alias("n_users"),
+            conv("n2").alias("conversion"),
+        ),
+        F.struct(
+            F.lit(3).alias("step_order"),
+            F.lit("purchase").alias("step"),
+            F.col("n3").alias("n_users"),
+            conv("n3").alias("conversion"),
+        ),
+    )
+    return wide.select(F.explode(steps).alias("s")).select("s.*")
+
+
+@_q(
+    "e_peak_concurrency",
+    """
+    WITH pts AS (
+      SELECT epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + 300000000, -1, event_id FROM events
+    ),
+    c AS (
+      SELECT t, CAST(SUM(delta) OVER (
+               ORDER BY t, delta, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM pts
+    )
+    SELECT conc AS peak_concurrency, t AS peak_at_us
+    FROM c ORDER BY conc DESC, t LIMIT 1
+    """,
+    doc="sweep-line peak concurrency: each event opens a 5-minute "
+    "interval; +1/-1 deltas in global time order, running sum, max.  "
+    "The oracle's global ORDER BY window is a SinglePartition sort — "
+    "the Spark plan instead runs operators.ranking.ordered_prefix_sum "
+    "(range shuffle + O(partitions) driver offsets + per-slice local "
+    "cumsum), the same 100x-safe shape as a_abc_classification; ends "
+    "sort before starts at the same microsecond (half-open intervals)",
+)
+def e_peak_concurrency(spark, sf_dir):
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        epoch_us("ts").alias("t"), "event_id"
+    )
+    pts = ev.select("t", F.lit(1).alias("delta"), "event_id").unionAll(
+        ev.select(
+            (F.col("t") + F.lit(300_000_000)).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    cum = ordered_prefix_sum(pts, ["t", "delta", "event_id"], "delta", "conc")
+    return (
+        cum.orderBy(F.col("conc").desc(), F.col("t"))
+        .limit(1)
+        .select(
+            F.col("conc").alias("peak_concurrency"),
+            F.col("t").alias("peak_at_us"),
+        )
+    )
+
+
+@_q(
+    "e_decayed_engagement",
+    """
+    WITH t AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    m AS (SELECT MAX(t) AS mx FROM t)
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(POWER(0.5,
+                 FLOOR((mx - t) / 86400000000.0) / 7.0)), 6)
+             AS decayed_score
+    FROM t CROSS JOIN m GROUP BY user_id
+    """,
+    doc="exponential time-decay engagement score per user (7-day "
+    "half-life, decay anchored at the corpus max timestamp so the "
+    "result is deterministic): the recency-weighted activity metric "
+    "feature stores serve.  A plain conditional aggregate — decay "
+    "weights are row-local once the 1-row max broadcasts back, so the "
+    "plan is one scan + one per-user hash agg; age is whole days so "
+    "both engines exponentiate identical rationals",
+)
+def e_decayed_engagement(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("t")
+    )
+    mx = ev.agg(F.max("t").alias("mx"))
+    age_days = F.floor((F.col("mx") - F.col("t")) / F.lit(86400000000.0))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.pow(F.lit(0.5), age_days / F.lit(7.0))), 6
+            ).alias("decayed_score"),
+        )
+    )
+
+
+@_q(
+    "a_skew_profile",
+    """
+    WITH k AS (
+      SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'l_orderkey' AS key_col,
+           COUNT(*) AS n_keys,
+           MAX(cnt) AS max_rows_per_key,
+           ROUND(AVG(CAST(cnt AS DOUBLE)), 6) AS avg_rows_per_key,
+           ROUND(quantile_cont(cnt, 0.90), 6) AS p90,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99,
+           ROUND(MAX(cnt) / AVG(CAST(cnt AS DOUBLE)), 6) AS skew_ratio,
+           CAST(CEIL(MAX(cnt) / GREATEST(quantile_cont(cnt, 0.99), 1.0))
+                AS BIGINT) AS recommended_salt
+    FROM k
+    """,
+    doc="join-key skew diagnostic: per-key row counts -> distribution "
+    "stats (max, mean, p90/p99 exact percentiles) plus the derived "
+    "salt factor (max/p99) a salted-join repair would use "
+    "(operators.joins.salted_join).  The planning query you run "
+    "BEFORE a 100 TB shuffle join: two hash aggregates, the second "
+    "over one row per key; no sort, no window",
+)
+def a_skew_profile(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return k.agg(
+        F.lit("l_orderkey").alias("key_col"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_rows_per_key"),
+        F.round(F.avg(F.col("cnt").cast("double")), 6).alias(
+            "avg_rows_per_key"
+        ),
+        F.round(F.expr("percentile(cnt, 0.90)"), 6).alias("p90"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
+        F.round(
+            F.max("cnt") / F.avg(F.col("cnt").cast("double")), 6
+        ).alias("skew_ratio"),
+        F.ceil(
+            F.max("cnt")
+            / F.greatest(F.expr("percentile(cnt, 0.99)"), F.lit(1.0))
+        )
+        .cast("bigint")
+        .alias("recommended_salt"),
+    )
+
+
+_EXPECT_PRIORITIES = (
+    "'1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'"
+)
+
+
+@_q(
+    "v_expectations",
+    f"""
+    WITH m AS (
+      SELECT
+        ROUND(AVG(CASE WHEN o_orderkey IS NOT NULL
+                       THEN 1.0 ELSE 0.0 END), 6) AS m_nn,
+        ROUND(CASE WHEN COUNT(o_orderkey) = 0 THEN 1.0
+                   ELSE CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                        / COUNT(o_orderkey) END, 6) AS m_uq,
+        ROUND(AVG(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice BETWEEN 0 AND 1000000
+                       THEN 1.0 ELSE 0.0 END), 6) AS m_rng,
+        ROUND(AVG(CASE WHEN o_orderpriority IN ({_EXPECT_PRIORITIES})
+                       THEN 1.0 ELSE 0.0 END), 6) AS m_dom,
+        ROUND(AVG(CASE WHEN o_orderstatus IS NOT NULL
+                        AND regexp_matches(o_orderstatus, '^[OFP]$')
+                       THEN 1.0 ELSE 0.0 END), 6) AS m_re
+      FROM orders
+    ),
+    fk AS (
+      SELECT ROUND(CASE WHEN COUNT(*) = 0 THEN 1.0
+                   ELSE CAST(COUNT(c.c_custkey) AS DOUBLE) / COUNT(*)
+                   END, 6) AS m_fk
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL
+    )
+    SELECT 'orderkey_not_null' AS rule, 'o_orderkey' AS "column",
+           m_nn AS metric, CAST(1.0 AS DOUBLE) AS threshold,
+           m_nn >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'orderkey_unique', 'o_orderkey', m_uq,
+           CAST(1.0 AS DOUBLE), m_uq >= 1.0 FROM m
+    UNION ALL
+    SELECT 'totalprice_range', 'o_totalprice', m_rng,
+           CAST(1.0 AS DOUBLE), m_rng >= 1.0 FROM m
+    UNION ALL
+    SELECT 'priority_domain', 'o_orderpriority', m_dom,
+           CAST(1.0 AS DOUBLE), m_dom >= 1.0 FROM m
+    UNION ALL
+    SELECT 'status_regex', 'o_orderstatus', m_re,
+           CAST(1.0 AS DOUBLE), m_re >= 1.0 FROM m
+    UNION ALL
+    SELECT 'custkey_fk', 'o_custkey', m_fk,
+           CAST(1.0 AS DOUBLE), m_fk >= 1.0 FROM fk
+    """,
+    doc="declarative data-quality expectations (Deequ/Great-"
+    "Expectations shape) compiled into ONE conditional-aggregate scan "
+    "regardless of rule count, plus one semi-join count per foreign-"
+    "key rule: not-null / uniqueness / range / accepted-values / "
+    "regex over orders and FK integrity into customer "
+    "(operators.expectations.evaluate).  The reference hand-rolls "
+    "the same checks per file type in row loops "
+    "(igf_data/process/metadata/metadata_validation.py)",
+)
+def v_expectations(spark, sf_dir):
+    from data_management_python_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rules = [
+        Expectation("orderkey_not_null", "not_null", "o_orderkey"),
+        Expectation("orderkey_unique", "unique", "o_orderkey"),
+        Expectation(
+            "totalprice_range", "between", "o_totalprice",
+            params={"lo": 0, "hi": 1_000_000},
+        ),
+        Expectation(
+            "priority_domain", "accepted_values", "o_orderpriority",
+            params={"values": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                "5-LOW",
+            ]},
+        ),
+        Expectation(
+            "status_regex", "matches", "o_orderstatus",
+            params={"pattern": "^[OFP]$"},
+        ),
+        Expectation(
+            "custkey_fk", "fk", "o_custkey",
+            params={"parent": c, "parent_key": "c_custkey"},
+        ),
+    ]
+    return evaluate(o, rules)

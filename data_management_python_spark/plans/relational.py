@@ -1928,6 +1928,64 @@ def m_scd2_changelog(spark, sf_dir):
     )
 
 
+_ASOF_TS = "2024-06-01 00:00:00"
+
+
+@_q(
+    "m_scd2_asof",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM seq
+    ),
+    spans AS (
+      SELECT user_id, version, event_type AS status, MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, version, event_type
+    ),
+    hist AS (
+      SELECT user_id, version, status, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM spans
+    )
+    SELECT user_id, version, status, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_TS}')
+    """,
+    doc="point-in-time (AS OF) snapshot over the SCD2 history: each "
+    "user's status span covering the snapshot instant — the time-"
+    "travel read every SCD2 dimension exists to serve.  Same plan as "
+    "m_scd2_changelog plus one row-local span-containment filter; "
+    "exactly one span per user matches by construction (spans "
+    "partition the timeline)",
+)
+def m_scd2_asof(spark, sf_dir):
+    from data_management_python_spark.operators.upsert import scd2_from_changelog
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_from_changelog(
+        ev, key="user_id", attr="event_type", ts="ts", tiebreak="event_id"
+    )
+    at = F.lit(_ASOF_TS).cast("timestamp_ntz")
+    return hist.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).select("user_id", "version", "status", "valid_from")
+
+
 @_q(
     "e_rolling_active_users",
     """

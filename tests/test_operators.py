@@ -479,3 +479,140 @@ def test_operator_width_caps_at_cores_and_conf(spark):
         assert operator_width(spark) == 2
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_expectations_detects_planted_violations(spark):
+    """Each rule kind must measure the exact violating ratio and fail
+    when below threshold; the clean column passes."""
+    from data_management_python_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x-1"),
+            (2, 20.0, "A", "x-2"),
+            (2, -5.0, "B", "bad"),   # dup id, out-of-range, bad pattern
+            (None, 30.0, "Z", "x-3"),  # null id, bad domain
+        ],
+        "id long, v double, cat string, code string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    rules = [
+        Expectation("id_not_null", "not_null", "id"),
+        Expectation("id_unique", "unique", "id"),
+        Expectation("v_range", "between", "v", params={"lo": 0, "hi": 100}),
+        Expectation(
+            "cat_domain", "accepted_values", "cat",
+            params={"values": ["A", "B"]},
+        ),
+        Expectation(
+            "code_pattern", "matches", "code", params={"pattern": r"^x-\d$"},
+        ),
+        Expectation(
+            "id_fk", "fk", "id", threshold=1.0,
+            params={"parent": parent, "parent_key": "pid"},
+        ),
+    ]
+    got = {r.rule: r for r in evaluate(df, rules).collect()}
+    assert got["id_not_null"].metric == 0.75 and not got["id_not_null"].passed
+    # 2 distinct of 3 non-null
+    assert round(got["id_unique"].metric, 6) == round(2 / 3, 6)
+    assert got["v_range"].metric == 0.75
+    assert got["cat_domain"].metric == 0.75
+    assert got["code_pattern"].metric == 0.75
+    assert got["id_fk"].metric == 1.0 and got["id_fk"].passed
+
+
+def test_expectations_empty_table_passes(spark):
+    from data_management_python_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    empty = spark.createDataFrame([], "id long, v double")
+    rows = evaluate(
+        empty,
+        [
+            Expectation("nn", "not_null", "id"),
+            Expectation("uq", "unique", "id"),
+        ],
+    ).collect()
+    assert all(r.passed and r.metric == 1.0 for r in rows)
+
+
+def test_funnel_requires_step_order(spark):
+    """A user whose purchase precedes their click must not count as
+    converted at step 3; step events AT the same instant don't count
+    (strict >)."""
+    from data_management_python_spark.plans import collect_queries
+
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 01:00:00", "click"),
+        (3, 1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: purchase BEFORE click
+        (4, 2, "2024-01-01 00:00:00", "view"),
+        (5, 2, "2024-01-01 00:30:00", "purchase"),
+        (6, 2, "2024-01-01 01:00:00", "click"),
+        # user 3: click only, no view -> not even step 2
+        (7, 3, "2024-01-01 00:00:00", "click"),
+    ]
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        q = collect_queries()["e_funnel"]
+        got = {r.step: r for r in q.fn(spark, d).collect()}
+    assert got["view"].n_users == 2       # users 1, 2
+    assert got["click"].n_users == 2      # users 1, 2 (click after view)
+    assert got["purchase"].n_users == 1   # only user 1
+    assert got["purchase"].conversion == 0.5
+
+
+def test_peak_concurrency_hand_built(spark):
+    """Three overlapping 5-min intervals -> peak 3 at the third start;
+    an interval ending exactly when another starts does not overlap it
+    (end sorts before start at the same instant)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.plans import collect_queries
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:01:00"),
+        (3, 1, "2024-01-01 00:02:00"),
+        # starts exactly at event 1's end (00:05:00): not concurrent
+        # with it (half-open), concurrent with 2 and 3 -> still 3
+        (4, 1, "2024-01-01 00:05:00"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        q = collect_queries()["e_peak_concurrency"]
+        r = q.fn(spark, d).collect()[0]
+    assert r.peak_concurrency == 3
+    # first instant reaching 3: the third start
+    import datetime
+
+    expect_us = int(
+        datetime.datetime(
+            2024, 1, 1, 0, 2, 0, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    assert r.peak_at_us == expect_us

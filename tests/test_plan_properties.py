@@ -87,6 +87,13 @@ AUDITED = [
     "a_value_histogram",
     "e_longest_streak",
     "d_minhash_estimate",
+    # round-3 additions: funnel/concurrency/decay/skew/expectations/asof
+    "e_funnel",
+    "e_peak_concurrency",
+    "e_decayed_engagement",
+    "a_skew_profile",
+    "v_expectations",
+    "m_scd2_asof",
 ]
 
 

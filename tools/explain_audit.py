@@ -27,7 +27,10 @@ NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
                   "t_bm25_topk", "q11_important_parts", "t_heavy_hitters",
                   "a_abc_classification", "t_unigram_xent",
                   "t_perplexity_buckets", "a_fk_orphan_audit",
-                  "a_value_histogram"}
+                  "a_value_histogram",
+                  # round-3: 1-row scalar crossJoins (funnel step counts,
+                  # decay anchor max, expectations FK ratio)
+                  "e_funnel", "e_decayed_engagement", "v_expectations"}
 
 # map-only or tiny-input queries where no exchange at all is fine
 NO_SHUFFLE_OK = True
