@@ -1,0 +1,120 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+The lakehouse OPTIMIZE ZORDER primitive: interleave the bits of
+several scaled key columns into one locality-preserving value, range-
+partition and sort files by it, and a reader filtering on ANY subset
+of those columns prunes most files from their min/max footer stats —
+the layout answer to "we filter this 100 TB table by two different
+keys and can only sort by one".
+
+Everything here is expression-level (no UDF, no collect beyond one
+1-row min/max aggregate), and the bit math is generated from ONE
+Python loop for both the Spark Column and an equivalent SQL string
+(:func:`zorder_sql_expr`) so an oracle can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scale_to_grid(
+    col: Column, lo: Column, hi: Column, bits: int
+) -> Column:
+    """Min-max scale a numeric column onto the integer grid
+    [0, 2^bits): floor((v - lo) / (hi - lo) * (2^bits - 1)).
+
+    The (v-lo)/(hi-lo) ratio is computed BEFORE the grid multiply so
+    v == hi lands exactly on 1.0 (same-operand division) and the top
+    cell needs no epsilon; a degenerate lo == hi range maps to 0.
+    Identical IEEE double sequence as the SQL twin below.
+    """
+    g = float(2**bits - 1)
+    return F.when(hi == lo, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor(
+                (col.cast("double") - lo) / (hi - lo) * F.lit(g)
+            ).cast("bigint"),
+            F.lit(2**bits - 1),
+        )
+    )
+
+
+def interleave_bits(cols: list[Column], bits: int) -> Column:
+    """Morton interleave: bit b of column i lands at position
+    b * len(cols) + i.  Pure shift/mask arithmetic on longs — stays in
+    whole-stage codegen; 2 cols x 16 bits fits comfortably in a long
+    (32 bits), up to 4 cols x 16 = 64."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def zorder_sql_expr(
+    scaled_cols: list[str], bits: int
+) -> str:
+    """The SQL twin of :func:`interleave_bits` over already-scaled
+    integer column names — one formula, two engines, so Z-values are
+    oracle-checkable."""
+    n = len(scaled_cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(scaled_cols)
+    ]
+    return " + ".join(terms)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, str]:
+    """Attach a ``__z`` Morton key over ``cols`` (min-max scaled per
+    column from one 1-row aggregate broadcast back).  Returns the
+    augmented frame and the key column name."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    )
+    withb = df.crossJoin(F.broadcast(bounds))
+    scaled = [
+        scale_to_grid(
+            F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"), bits
+        )
+        for c in cols
+    ]
+    out = withb.withColumn("__z", interleave_bits(scaled, bits)).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+    return out, "__z"
+
+
+def write_zordered_dataset(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of
+    ``zorder_by``: range-partition on the Morton key (balanced files
+    via range sampling), sort within files, drop the key.  Readers
+    filtering on any zorder column skip most files from footer
+    min/max stats — the multi-column answer to
+    ``write_partitioned_dataset``'s single-hierarchy layout.
+    """
+    keyed, z = zorder_key(df, zorder_by, bits)
+    parted = (
+        keyed.repartitionByRange(num_files, z)
+        if num_files
+        else keyed.repartitionByRange(z)
+    )
+    parted.sortWithinPartitions(z).drop(z).write.mode(mode).parquet(path)

@@ -1323,3 +1323,166 @@ def v_expectations(spark, sf_dir):
         ),
     ]
     return evaluate(o, rules)
+
+
+def _zorder_oracle() -> str:
+    from data_management_python_spark.operators.layout import zorder_sql_expr
+
+    zx = zorder_sql_expr(["x", "y"], 16)
+    scale = (
+        "CASE WHEN {hi} = {lo} THEN 0 ELSE LEAST(CAST(FLOOR("
+        "(CAST({c} AS DOUBLE) - {lo}) / ({hi} - {lo}) * 65535.0"
+        ") AS BIGINT), 65535) END"
+    )
+    sx = scale.format(c="l_orderkey", lo="lo1", hi="hi1")
+    sy = scale.format(c="l_partkey", lo="lo2", hi="hi2")
+    return f"""
+    WITH b AS (
+      SELECT CAST(MIN(l_orderkey) AS DOUBLE) AS lo1,
+             CAST(MAX(l_orderkey) AS DOUBLE) AS hi1,
+             CAST(MIN(l_partkey) AS DOUBLE) AS lo2,
+             CAST(MAX(l_partkey) AS DOUBLE) AS hi2
+      FROM lineitem
+    ),
+    s AS (
+      SELECT {sx} AS x, {sy} AS y
+      FROM lineitem CROSS JOIN b
+    ),
+    z AS (SELECT x, y, ({zx}) AS zv FROM s)
+    SELECT zv >> 22 AS cell, COUNT(*) AS n_rows,
+           MIN(x) AS min_gx, MAX(x) AS max_gx,
+           MIN(y) AS min_gy, MAX(y) AS max_gy
+    FROM z GROUP BY 1
+    """
+
+
+@_q(
+    "a_zorder_cells",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering cells over (l_orderkey, "
+    "l_partkey): both keys min-max scaled to a 16-bit grid, bits "
+    "interleaved into one locality-preserving value, top 10 bits = "
+    "the cell a zordered writer (operators.layout."
+    "write_zordered_dataset) would group into a file.  Per-cell "
+    "min/max of BOTH grid coordinates demonstrate the point of the "
+    "layout: every cell is tight in x AND y, so a reader filtering "
+    "on either column prunes most files from footer stats.  Pure "
+    "shift/mask codegen arithmetic — the bit formula is generated "
+    "from one Python loop for both engines (layout.zorder_sql_expr)",
+)
+def a_zorder_cells(spark, sf_dir):
+    from data_management_python_spark.operators.layout import (
+        interleave_bits,
+        scale_to_grid,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").cast("double").alias("lo1"),
+        F.max("l_orderkey").cast("double").alias("hi1"),
+        F.min("l_partkey").cast("double").alias("lo2"),
+        F.max("l_partkey").cast("double").alias("hi2"),
+    )
+    withb = li.crossJoin(F.broadcast(bounds))
+    gx = scale_to_grid(F.col("l_orderkey"), F.col("lo1"), F.col("hi1"), 16)
+    gy = scale_to_grid(F.col("l_partkey"), F.col("lo2"), F.col("hi2"), 16)
+    zv = interleave_bits([gx, gy], 16)
+    return (
+        withb.select(
+            F.shiftright(zv, 22).alias("cell"),
+            gx.alias("x"),
+            gy.alias("y"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_gx"),
+            F.max("x").alias("max_gx"),
+            F.min("y").alias("min_gy"),
+            F.max("y").alias("max_gy"),
+        )
+    )
+
+
+@_q(
+    "v_drift_psi",
+    """
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    x AS (
+      SELECT o_orderkey % 2 AS side,
+             CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((o_totalprice - lo) * 10 / (hi - lo))
+                                  AS BIGINT), 9) END AS bin
+      FROM orders CROSS JOIN b
+    ),
+    c AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM x GROUP BY bin
+    ),
+    t AS (
+      SELECT CAST(SUM(n_base) AS DOUBLE) AS tb,
+             CAST(SUM(n_cur) AS DOUBLE) AS tc
+      FROM c
+    )
+    SELECT bin, n_base, n_cur,
+           ROUND(pb, 6) AS p_base, ROUND(pc, 6) AS p_cur,
+           ROUND((pc - pb) * LN(pc / pb), 8) AS psi_term
+    FROM (
+      SELECT bin, n_base, n_cur,
+             GREATEST(n_base / tb, 0.000001) AS pb,
+             GREATEST(n_cur / tc, 0.000001) AS pc
+      FROM c CROSS JOIN t
+    )
+    """,
+    doc="population-stability-index drift report: the baseline/current "
+    "split (even/odd order keys stand in for yesterday/today "
+    "partitions) is binned on ONE shared fixed-width grid and each "
+    "bin contributes (p_cur - p_base) * ln(p_cur/p_base); the sum is "
+    "the PSI the monitoring alert thresholds on (0.1 drifting / 0.25 "
+    "drifted).  One scan + one 10-row aggregate + a 1-row total "
+    "broadcast — the model-input drift check every feature pipeline "
+    "schedules, epsilon-floored so empty bins stay finite",
+)
+def v_drift_psi(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo")) * 10
+                / (F.col("hi") - F.col("lo"))
+            ).cast("bigint"),
+            F.lit(9),
+        )
+    )
+    c = (
+        o.crossJoin(F.broadcast(b))
+        .select((F.col("o_orderkey") % 2).alias("side"), bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    t = c.agg(
+        F.sum("n_base").cast("double").alias("tb"),
+        F.sum("n_cur").cast("double").alias("tc"),
+    )
+    pb = F.greatest(F.col("n_base") / F.col("tb"), F.lit(0.000001))
+    pc = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(0.000001))
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round(pb, 6).alias("p_base"),
+        F.round(pc, 6).alias("p_cur"),
+        F.round((pc - pb) * F.log(pc / pb), 8).alias("psi_term"),
+    )

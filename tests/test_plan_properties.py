@@ -94,6 +94,8 @@ AUDITED = [
     "a_skew_profile",
     "v_expectations",
     "m_scd2_asof",
+    "a_zorder_cells",
+    "v_drift_psi",
 ]
 
 

@@ -471,3 +471,72 @@ def test_columnar_roundtrip_orc_and_zstd_parquet(spark, tmp_path):
         )
         assert "PushedFilters: [" in plan
         assert "grp" in plan.split("PushedFilters: [", 1)[1][:120]
+
+
+def test_zordered_write_tightens_file_bounds(spark, tmp_path):
+    """Z-ordered files must be tight in BOTH clustering columns at
+    once: average per-file normalized range shrinks vs a random
+    (hash-partitioned) layout for each column — which is exactly what
+    footer-stats pruning needs for two-key workloads."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.operators.layout import (
+        write_zordered_dataset,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    zpath = str(tmp_path / "zord")
+    rpath = str(tmp_path / "rand")
+    write_zordered_dataset(li, zpath, ["l_orderkey", "l_partkey"],
+                           num_files=8)
+    li.repartition(8).write.parquet(rpath)
+
+    def avg_ranges(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = (
+            df.groupBy("f")
+            .agg(
+                (F.max("l_orderkey") - F.min("l_orderkey")).alias("ro"),
+                (F.max("l_partkey") - F.min("l_partkey")).alias("rp"),
+            )
+            .collect()
+        )
+        return (
+            sum(r.ro for r in rows) / len(rows),
+            sum(r.rp for r in rows) / len(rows),
+        )
+
+    zo, zp = avg_ranges(zpath)
+    ro, rp = avg_ranges(rpath)
+    # random layout: every file spans ~the full range of both columns.
+    # 8 z-ordered files ~ 3 extra bits of locality split across 2 dims
+    assert zo < ro * 0.6, (zo, ro)
+    assert zp < rp * 0.6, (zp, rp)
+    # row fidelity: clustering must not lose or duplicate rows
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_key_locality_roundtrip(spark):
+    """Morton key basics: monotone in each dim when the other is fixed,
+    and adjacent grid cells differ in few key bits (locality)."""
+    from data_management_python_spark.operators.layout import (
+        interleave_bits,
+        zorder_key,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    keyed, z = zorder_key(df, ["x", "y"], bits=2)
+    rows = {(r.x, r.y): r["__z"] for r in keyed.collect()}
+    # scaled to 2-bit grid: x,y in {0..3} map to themselves
+    # (0,0)->0, (1,0)->1, (0,1)->2, (1,1)->3: the Morton curve
+    assert rows[(0, 0)] == 0
+    assert rows[(1, 0)] == 1
+    assert rows[(0, 1)] == 2
+    assert rows[(1, 1)] == 3
+    assert rows[(3, 3)] == 15

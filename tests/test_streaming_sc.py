@@ -713,3 +713,115 @@ def test_windowed_ohlc_stream_matches_batch(spark, tmp_path):
     cutoff = horizon - datetime.timedelta(minutes=10)
     assert all(s > cutoff for s, _ in missing)
     assert len(got) >= 0.9 * len(expect)
+
+
+def test_stream_expectation_report_batch_parity(spark, tmp_path):
+    """Each micro-batch's streamed rule report must equal the batch
+    engine's report over the same rows (evaluate() is shared, so this
+    pins the wiring: per-batch scoping + batch_id column)."""
+    from data_management_python_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+    from data_management_python_spark.streaming.expectations import (
+        stream_expectation_report,
+    )
+
+    rules = [
+        Expectation("v_nonneg", "between", "v", params={"lo": 0, "hi": 100}),
+        Expectation("id_not_null", "not_null", "id"),
+    ]
+    b1 = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0)], "id long, v double"
+    )
+    b2 = spark.createDataFrame(
+        [(None, 50.0), (4, 200.0)], "id long, v double"
+    )
+    src = tmp_path / "exp_src"
+    b1.coalesce(1).write.parquet(str(src / "a"))
+    b2.coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    reports = {}
+
+    def sink(df, batch_id):
+        reports[batch_id] = {r.rule: r for r in df.collect()}
+
+    q = stream_expectation_report(
+        stream, rules, sink, str(tmp_path / "ckpt_exp")
+    )
+    # availableNow semantics: drain with processAllAvailable then stop
+    q.processAllAvailable()
+    q.stop()
+    assert len(reports) == 2
+    # batches may arrive in either order; match by metric signature
+    flat = list(reports.values())
+    metrics = sorted(
+        (rep["v_nonneg"].metric, rep["id_not_null"].metric) for rep in flat
+    )
+    # one batch: v violation (0.5 ok), ids all present (1.0)
+    # other batch: v violation (0.5), one null id (0.5)
+    assert metrics == [(0.5, 0.5), (0.5, 1.0)]
+    # parity vs the batch engine on the same rows
+    batch_rep = {r.rule: r.metric for r in evaluate(b1, rules).collect()}
+    assert batch_rep == {"v_nonneg": 0.5, "id_not_null": 1.0}
+
+
+def test_windowed_violation_counts_stream(spark, tmp_path):
+    """Tumbling-window violation counts: row-local rules aggregated per
+    window, one output row per (window, rule)."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.operators.expectations import Expectation
+    from data_management_python_spark.streaming.expectations import (
+        windowed_violation_counts,
+    )
+
+    rows = [
+        ("2024-01-01 00:00:10", 5.0),
+        ("2024-01-01 00:00:40", -3.0),   # violation, window 0
+        ("2024-01-01 00:01:20", 7.0),
+        ("2024-01-01 00:01:30", -1.0),   # violation, window 1
+        ("2024-01-01 00:01:50", -2.0),   # violation, window 1
+    ]
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # a later second batch advances the watermark past both windows so
+    # append mode emits them (a single batch would leave all open)
+    late = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1.0)], "ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "viol_src"
+    df.coalesce(1).write.parquet(str(src / "a"))
+    late.coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = windowed_violation_counts(
+        stream,
+        [Expectation("v_nonneg", "between", "v", params={"lo": 0, "hi": 100})],
+        event_time_col="ts",
+        window="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("viol_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_viol"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.minute, r.rule): (r.n_rows, r.n_violations)
+        for r in spark.sql("select * from viol_out").collect()
+    }
+    # append mode only emits CLOSED windows (watermark passed)
+    assert got[(0, "v_nonneg")] == (2, 1)
+    assert got[(1, "v_nonneg")] == (3, 2)

@@ -30,7 +30,8 @@ NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
                   "a_value_histogram",
                   # round-3: 1-row scalar crossJoins (funnel step counts,
                   # decay anchor max, expectations FK ratio)
-                  "e_funnel", "e_decayed_engagement", "v_expectations"}
+                  "e_funnel", "e_decayed_engagement", "v_expectations",
+                  "a_zorder_cells", "v_drift_psi"}
 
 # map-only or tiny-input queries where no exchange at all is fine
 NO_SHUFFLE_OK = True
