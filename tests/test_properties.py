@@ -182,3 +182,145 @@ def test_asof_join_matches_pandas_merge_asof(left_rows, right_rows, direction):
     for _, row in merged.iterrows():
         expect = None if pd.isna(row["payload"]) else int(row["payload"])
         assert got[row["row_id"]] == expect
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.one_of(
+                st.none(), st.integers(min_value=-1000, max_value=1000)
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_ordered_prefix_sum_matches_window_property(spark, rows, nparts):
+    """For any frame (unique keys, NULLs allowed), the distributed
+    prefix sum equals the SinglePartition window it replaces, with
+    NULLs contributing zero."""
+    from pyspark.sql import Window
+
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cum
+        for r in ordered_prefix_sum(
+            df, ["k"], "v", "cum", num_partitions=nparts
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.cum
+        for r in df.withColumn(
+            "cum", F.sum(F.coalesce("v", F.lit(0))).over(w)
+        ).collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_interleave_bijective_on_grid(spark, pts):
+    """interleave_bits is injective on the grid (deinterleaving bits
+    recovers both coordinates), so sorting by Z never conflates cells."""
+    from data_management_python_spark.operators.layout import interleave_bits
+
+    df = spark.createDataFrame(pts, "x long, y long").distinct()
+    z = interleave_bits([F.col("x"), F.col("y")], bits=2)
+    rows = df.select("x", "y", z.alias("z")).collect()
+    for r in rows:
+        back_x = sum(((r.z >> (2 * b)) & 1) << b for b in range(2))
+        back_y = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(2))
+        assert (back_x, back_y) == (r.x, r.y)
+    assert len({r.z for r in rows}) == len(rows)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user
+            st.integers(min_value=0, max_value=1000),  # minute offset
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_funnel_step_counts_monotone(spark, tmp_path_factory, evs):
+    """For ANY event set the funnel is monotone: n_view >= n_click >=
+    n_purchase, and conversion is within [0, 1]."""
+    import datetime as dt
+
+    from data_management_python_spark.plans import collect_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), t)
+        for i, (u, m, t) in enumerate(evs)
+    ]
+    d = tmp_path_factory.mktemp("funnel_prop")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r.step: r for r in collect_queries()["e_funnel"].fn(spark, str(d)).collect()
+    }
+    n1, n2, n3 = (
+        got["view"].n_users,
+        got["click"].n_users,
+        got["purchase"].n_users,
+    )
+    assert n1 >= n2 >= n3 >= 0
+    for r in got.values():
+        if r.conversion is not None:
+            assert 0.0 <= r.conversion <= 1.0
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_expectation_metrics_always_in_unit_interval(spark, rows):
+    """Every rule metric is a ratio in [0, 1] for any input, including
+    empty frames and all-NULL columns."""
+    from data_management_python_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    df = spark.createDataFrame(rows, "id long, v double")
+    rules = [
+        Expectation("nn", "not_null", "id"),
+        Expectation("uq", "unique", "id"),
+        Expectation("rng", "between", "v", params={"lo": -10, "hi": 10}),
+    ]
+    for r in evaluate(df, rules).collect():
+        assert 0.0 <= r.metric <= 1.0
