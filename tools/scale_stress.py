@@ -73,6 +73,15 @@ HEAVY = [
     "u_except_intersect_all",
     "d_incremental_dedup",
     "a_fk_orphan_audit",
+    # round-3 additions
+    "e_funnel",
+    "e_peak_concurrency",
+    "e_decayed_engagement",
+    "a_skew_profile",
+    "v_expectations",
+    "m_scd2_asof",
+    "a_zorder_cells",
+    "v_drift_psi",
 ]
 
 KEY_SHIFT = {
