@@ -378,6 +378,74 @@ def write_media_shards(
     )
 
 
+_EXT_MIME = {v: k for k, v in _MIME_EXT.items()}
+
+
+def read_media_shards(
+    spark,
+    shard_glob: str,
+) -> DataFrame:
+    """Read WebDataset-style tar shards back into (media_id, modality,
+    content, mime_type, meta_json) rows — the inverse of
+    :func:`write_media_shards`, closing the shard round-trip.
+
+    Plan shape: ``binaryFile`` scan of the tar files (one row per
+    shard, Spark handles listing/distribution/locality) into a
+    ``mapInPandas`` that untars IN MEMORY and pairs each media member
+    with its sibling ``{id}.json`` metadata member.  One shard is one
+    task — the same sequential-read granularity training loaders use;
+    shard size, not row count, bounds executor memory (size shards at
+    write time, the knob ``n_shards`` exists for).
+    """
+    import json as _json
+
+    schema = (
+        "media_id long, modality string, content binary, "
+        "mime_type string, meta_json string"
+    )
+
+    def untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                blobs: dict[int, bytes] = {}
+                mimes: dict[int, str] = {}
+                metas: dict[int, dict] = {}
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(row["content"])), mode="r"
+                ) as tar:
+                    for m in tar.getmembers():
+                        stem, _, ext = m.name.rpartition(".")
+                        mid = int(stem)
+                        data = tar.extractfile(m).read()
+                        if ext == "json":
+                            metas[mid] = _json.loads(data)
+                        else:
+                            blobs[mid] = data
+                            mimes[mid] = _EXT_MIME.get(
+                                ext, "application/octet-stream"
+                            )
+                ids = sorted(blobs)
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "modality": [
+                            metas.get(i, {}).get("modality") for i in ids
+                        ],
+                        "content": [blobs[i] for i in ids],
+                        "mime_type": [mimes[i] for i in ids],
+                        "meta_json": [
+                            metas.get(i, {}).get("meta") for i in ids
+                        ],
+                    }
+                )
+
+    shards = spark.read.format("binaryFile").load(shard_glob).select("content")
+    return shards.mapInPandas(untar, schema=schema)
+
+
 def _sniff_image(b: bytes | None) -> tuple[str | None, int | None, int | None]:
     """(format, width, height) from raw image bytes — REAL header
     parsing, no media libraries: PNG IHDR, JPEG SOF segment walk,
