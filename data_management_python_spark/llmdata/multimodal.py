@@ -81,6 +81,15 @@ def _decode_bmp_pixels(blob: bytes) -> list[tuple[int, int, int]] | None:
     left-to-right) RGB tuples, honoring bottom-up row order and 4-byte
     row padding; None for anything it can't handle (compressed,
     paletted, truncated)."""
+    whp = _decode_bmp_wh_pixels(blob)
+    return None if whp is None else whp[2]
+
+
+def _decode_bmp_wh_pixels(
+    blob: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]] | None:
+    """(width, height, scan-order RGB pixels) for uncompressed BMPs;
+    None when unparseable (see :func:`_decode_bmp_pixels`)."""
     if len(blob) < 54 or blob[:2] != b"BM":
         return None
     data_off = int.from_bytes(blob[10:14], "little")
@@ -104,7 +113,142 @@ def _decode_bmp_pixels(blob: bytes) -> list[tuple[int, int, int]] | None:
             i = base + c * bytes_pp
             # BMP stores BGR(A)
             px.append((blob[i + 2], blob[i + 1], blob[i]))
-    return px
+    return width, height, px
+
+
+def _encode_bmp24(
+    width: int, height: int, pixels_rgb: list[tuple[int, int, int]]
+) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP from scan-order RGB —
+    the encode twin of :func:`_decode_bmp_wh_pixels`, so resized
+    images stay decodable by this module (and by everything else;
+    it's a spec-conformant BI_RGB file)."""
+    row_raw = width * 3
+    stride = (row_raw + 3) & ~3
+    data_off = 54
+    size = data_off + stride * height
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (stride * height).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up storage
+        for c in range(width):
+            rr, gg, bb = pixels_rgb[r * width + c]
+            body += bytes((bb, gg, rr))
+        body += b"\x00" * (stride - row_raw)
+    return hdr + bytes(body)
+
+
+def _resize_nearest(
+    px: list[tuple[int, int, int]],
+    w: int,
+    h: int,
+    out_w: int,
+    out_h: int,
+) -> list[tuple[int, int, int]]:
+    """Nearest-neighbor resample (floor sampling, the deterministic
+    classic) — identical output whichever decoder produced the
+    pixels."""
+    out = []
+    for oy in range(out_h):
+        sy = min(h - 1, oy * h // out_h)
+        row = sy * w
+        for ox in range(out_w):
+            sx = min(w - 1, ox * w // out_w)
+            out.append(px[row + sx])
+    return out
+
+
+def _decode_image_pixels(
+    blob: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]] | None:
+    """(w, h, RGB pixels) via PIL when importable (any format it
+    supports), else the pure-Python BMP parser; None if undecodable."""
+    pil = _try_pil()
+    if pil is not None:
+        try:
+            import io  # noqa: PLC0415
+
+            img = pil.open(io.BytesIO(blob)).convert("RGB")
+            w, h = img.size
+            return w, h, list(img.getdata())
+        except Exception:  # noqa: BLE001 - fall through to BMP
+            pass
+    return _decode_bmp_wh_pixels(blob)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """REAL image resize over the binary column: decode (PIL or the
+    pure-Python BMP path), nearest-neighbor resample to
+    ``out_w x out_h``, re-encode as uncompressed BMP — the
+    normalize-resolution pass a vision-training pipeline runs before
+    sharding.  Undecodable blobs pass through with ``resized=false``
+    and their original bytes, so the operator never drops rows.
+
+    Arrow-batched ``mapInPandas``; blobs never leave the executor,
+    and output size is bounded (out_w x out_h x 3 + header per row)
+    regardless of input resolution.
+    """
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+    )
+    schema = (
+        f"{id_col} long, content binary, mime_type string, "
+        "width int, height int, resized boolean"
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, mimes, ws, hs, flags = [], [], [], [], [], []
+            for _, row in pdf.iterrows():
+                blob = row[content_col]
+                ids.append(row[id_col])
+                whp = (
+                    _decode_image_pixels(bytes(blob))
+                    if blob is not None
+                    else None
+                )
+                if whp is None:
+                    blobs.append(blob)
+                    mimes.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    flags.append(False)
+                else:
+                    w, h, px = whp
+                    small = _resize_nearest(px, w, h, out_w, out_h)
+                    blobs.append(_encode_bmp24(out_w, out_h, small))
+                    mimes.append("image/bmp")
+                    ws.append(out_w)
+                    hs.append(out_h)
+                    flags.append(True)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "content": blobs,
+                    "mime_type": mimes,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "resized": flags,
+                }
+            )
+
+    return df.mapInPandas(process, schema=schema)
 
 
 def _try_pil():

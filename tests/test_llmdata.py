@@ -961,3 +961,36 @@ def test_read_media_shards_inverts_write(spark, tmp_path):
         assert r.mime_type == "image/png"
         assert r.modality == "image"
         assert json.loads(r.meta_json) == {"i": i}
+
+
+def test_resize_images_real_bmp(spark):
+    """End-to-end REAL resize: a 4x2 BMP downsamples to 2x1 with
+    nearest-neighbor pixels, re-encoded as a valid BMP the sniffer and
+    decoder both agree on; undecodable blobs pass through untouched."""
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_bmp_pixels,
+        _encode_bmp24,
+        _sniff_image,
+        resize_images,
+    )
+
+    px = [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9),
+        (1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4),
+    ]
+    blob = _encode_bmp24(4, 2, px)
+    assert _sniff_image(blob) == ("bmp", 4, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not an image"))],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in resize_images(df, 2, 1).collect()}
+    ok = got[1]
+    assert ok.resized and (ok.width, ok.height) == (2, 1)
+    assert ok.mime_type == "image/bmp"
+    assert _sniff_image(bytes(ok.content)) == ("bmp", 2, 1)
+    # nearest-neighbor floor sampling: rows 0..1 -> row 0; cols {0,2}
+    assert _decode_bmp_pixels(bytes(ok.content)) == [(255, 0, 0), (0, 0, 255)]
+    bad = got[2]
+    assert not bad.resized and bytes(bad.content) == b"not an image"
+    assert bad.width is None and bad.mime_type is None
