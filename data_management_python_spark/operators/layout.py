@@ -96,25 +96,8 @@ def zorder_key(
     return out, "__z"
 
 
-def write_zordered_dataset(
-    df: DataFrame,
-    path: str,
-    zorder_by: list[str],
-    bits: int = 16,
-    num_files: int | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Write ``df`` as parquet clustered by the Z-order of
-    ``zorder_by``: range-partition on the Morton key (balanced files
-    via range sampling), sort within files, drop the key.  Readers
-    filtering on any zorder column skip most files from footer
-    min/max stats — the multi-column answer to
-    ``write_partitioned_dataset``'s single-hierarchy layout.
-    """
-    keyed, z = zorder_key(df, zorder_by, bits)
-    parted = (
-        keyed.repartitionByRange(num_files, z)
-        if num_files
-        else keyed.repartitionByRange(z)
-    )
-    parted.sortWithinPartitions(z).drop(z).write.mode(mode).parquet(path)
+# The dataset WRITER built on this math lives with its siblings:
+# sources.sinks.write_zorder_dataset (range-partition + in-file sort on
+# the Morton key, timestamp-aware quantization).  This module is the
+# expression library it and the oracle-checked a_zorder_cells query
+# share.

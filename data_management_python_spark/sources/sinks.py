@@ -240,21 +240,24 @@ def write_zorder_dataset(
         *[F.max(numeric(c)).alias(f"mx_{i}") for i, c in enumerate(zorder_by)],
     ).first()  # bounded: one row
 
+    from data_management_python_spark.operators.layout import (  # noqa: PLC0415
+        interleave_bits,
+    )
+
     top = (1 << bits) - 1
-    z = F.lit(0).cast("long")
+    quantized = []
     for i, c in enumerate(zorder_by):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
         span = (mx - mn) or 1.0
-        q = F.least(
-            F.lit(top),
-            F.floor((numeric(c) - F.lit(mn)) / F.lit(span) * (1 << bits)),
-        ).cast("long")
-        for b in range(bits):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ncols + i
-                )
-            )
+        quantized.append(
+            F.least(
+                F.lit(top),
+                F.floor((numeric(c) - F.lit(mn)) / F.lit(span) * (1 << bits)),
+            ).cast("long")
+        )
+    # shared Morton math (operators.layout) — the same formula the
+    # oracle-checked a_zorder_cells query and its SQL twin use
+    z = interleave_bits(quantized, bits)
     cols = df.columns
     zed = df.withColumn("__z", z)
     parted = (

@@ -481,8 +481,8 @@ def test_zordered_write_tightens_file_bounds(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from data_management_python_spark.catalog import load_table
-    from data_management_python_spark.operators.layout import (
-        write_zordered_dataset,
+    from data_management_python_spark.sources.sinks import (
+        write_zorder_dataset,
     )
 
     li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
@@ -490,8 +490,8 @@ def test_zordered_write_tightens_file_bounds(spark, tmp_path):
     )
     zpath = str(tmp_path / "zord")
     rpath = str(tmp_path / "rand")
-    write_zordered_dataset(li, zpath, ["l_orderkey", "l_partkey"],
-                           num_files=8)
+    write_zorder_dataset(li, zpath, ["l_orderkey", "l_partkey"],
+                         num_files=8)
     li.repartition(8).write.parquet(rpath)
 
     def avg_ranges(path):
