@@ -825,3 +825,56 @@ def test_windowed_violation_counts_stream(spark, tmp_path):
     # append mode only emits CLOSED windows (watermark passed)
     assert got[(0, "v_nonneg")] == (2, 1)
     assert got[(1, "v_nonneg")] == (3, 2)
+
+
+def test_stream_funnel_matches_batch_query(spark, tmp_path):
+    """Streaming funnel completions, fed in event-time-ordered batches,
+    aggregate to EXACTLY the batch e_funnel step counts on the same
+    events — and a cross-batch completion (view in batch 1, click in
+    batch 2) is credited."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.plans import collect_queries
+    from data_management_python_spark.streaming.funnel import stream_funnel
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    cut = ev.agg(
+        F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP_LTZ)), 0.5)")
+    ).first()[0]
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    src = tmp_path / "funnel_src"
+    # event-time-ordered batches: all of batch a precedes batch b
+    ev.filter(us <= cut).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(us > cut).coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select step, count(distinct user_id) as n from funnel_out group by step"
+    ).collect()
+    stream_counts = {r.step: r.n for r in got}
+    batch = {
+        r.step: r.n_users
+        for r in collect_queries()["e_funnel"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for step in ("view", "click", "purchase"):
+        assert stream_counts.get(step, 0) == batch[step], (
+            step, stream_counts, batch,
+        )
