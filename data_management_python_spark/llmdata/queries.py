@@ -2099,3 +2099,65 @@ def d_minhash_estimate(spark, sf_dir):
             (inter.cast("double") / union).alias("exact_jaccard"),
         )
     )
+
+
+@_q(
+    "t_bigram_pairs",
+    """
+    WITH w AS (
+      SELECT u.word AS word, COUNT(*) AS cnt
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(word)
+      WHERE u.word <> ''
+      GROUP BY u.word
+    ),
+    s AS (
+      SELECT list_append(regexp_split_to_array(word, ''), '</w>') AS syms,
+             cnt
+      FROM w
+    ),
+    p AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, cnt
+      FROM s, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+    )
+    SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM p GROUP BY l, r
+    ORDER BY n DESC, l, r LIMIT 20
+    """,
+    doc="the first BPE training iteration as a standalone query: "
+    "corpus -> distinct-word frequency table (the Zipf-small reduction "
+    "all tokenizer training runs on) -> adjacent symbol-pair counts "
+    "weighted by word frequency -> top-20 with the trainer's exact "
+    "tie-break (count desc, pair lexicographic).  The full iterative "
+    "trainer (llmdata.bpe.bpe_train, k rounds of argmax + broadcast "
+    "merge, O(k) driver state) is parity-tested merge-for-merge "
+    "against the classic single-machine algorithm; its round-1 "
+    "candidate table is what this oracle hash-checks",
+)
+def t_bigram_pairs(spark, sf_dir):
+    from data_management_python_spark.llmdata.bpe import (
+        END,
+        word_frequency_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = word_frequency_table(docs, "text")
+    syms = w.select(
+        F.concat(F.split("word", ""), F.array(F.lit(END))).alias("syms"),
+        "cnt",
+    )
+    return (
+        syms.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "l", "r")
+        .limit(20)
+    )

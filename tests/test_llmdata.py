@@ -994,3 +994,45 @@ def test_resize_images_real_bmp(spark):
     bad = got[2]
     assert not bad.resized and bytes(bad.content) == b"not an image"
     assert bad.width is None and bad.mime_type is None
+
+
+def test_bpe_train_matches_reference_exactly(spark):
+    """Distributed BPE merges are merge-for-merge identical to the
+    classic single-machine algorithm on the same corpus, including the
+    (count desc, pair lexicographic) tie-break."""
+    from data_management_python_spark.llmdata.bpe import (
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low new wide slow slower",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = bpe_train(docs, num_merges=8)
+    want = bpe_train_reference(texts, num_merges=8)
+    assert got == want
+
+
+def test_bpe_train_on_driver_corpus(spark):
+    """Trainer runs on the real documents table and learns plausible
+    merges (counts non-increasing is NOT guaranteed by BPE, but counts
+    are positive and rules are distinct)."""
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.llmdata.bpe import apply_bpe, bpe_train
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = bpe_train(docs, num_merges=5)
+    assert len(merges) == 5
+    assert all(n > 0 for _, _, n in merges)
+    assert len({(l, r) for l, r, _ in merges}) == 5
+    toks = apply_bpe(docs.limit(10), merges).select("bpe_tokens").collect()
+    assert all(len(r.bpe_tokens) > 0 for r in toks)
+    # every learned joined symbol actually appears somewhere post-merge
+    joined = {l + r for l, r, _ in merges}
+    seen = {s for r in toks for s in r.bpe_tokens}
+    assert joined & seen  # at least some rules fire on real text

@@ -96,6 +96,7 @@ AUDITED = [
     "m_scd2_asof",
     "a_zorder_cells",
     "v_drift_psi",
+    "t_bigram_pairs",
 ]
 
 
