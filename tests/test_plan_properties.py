@@ -154,3 +154,35 @@ def test_pagerank_fixed_sums_to_one(spark):
     )
     got = {r.node: r.pr for r in pagerank_fixed(star, iterations=5).collect()}
     assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):
+    """A hive-partitioned fact joined to a selectively-filtered dim must
+    plan a dynamic partition pruning subquery — at 100 TB this is what
+    keeps a dim-filtered star join from scanning every partition."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.sources.sinks import (
+        write_partitioned_dataset,
+    )
+
+    d = tmp_path_factory.mktemp("dpp")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(d / "li_parted")
+    write_partitioned_dataset(li, path, ["ship_year"])
+
+    years = li.select("ship_year").distinct().withColumn(
+        "flag", (F.col("ship_year") % 3 == 0)
+    )
+    fact = spark.read.parquet(path)
+    joined = fact.join(
+        years.filter("flag"), "ship_year"
+    ).agg(F.sum("l_quantity").alias("q"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    joined.count()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, (
+        plan[:2000]
+    )
