@@ -1486,3 +1486,89 @@ def v_drift_psi(spark, sf_dir):
         F.round(pc, 6).alias("p_cur"),
         F.round((pc - pb) * F.log(pc / pb), 8).alias("psi_term"),
     )
+
+
+@_q(
+    "e_top_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sessions
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+    doc="top user journeys: the first five event types of every "
+    "session (gap sessionization, same flag+cumsum as e_sessionize) "
+    "concatenated into a path string, counted, top-15.  All stages "
+    "before the final tiny path aggregate share ONE user_id "
+    "partitioning — the windows, the per-session truncation, and the "
+    "per-session concat never reshuffle; the path-frequency table is "
+    "bounded by event-type-arity^5 regardless of corpus size",
+)
+def e_top_paths(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (
+                epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+                > 1800 * 1_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    ranked = sessions.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 5
+    )
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )

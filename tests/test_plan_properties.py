@@ -97,6 +97,7 @@ AUDITED = [
     "a_zorder_cells",
     "v_drift_psi",
     "t_bigram_pairs",
+    "e_top_paths",
 ]
 
 
