@@ -274,6 +274,41 @@ def write_zorder_dataset(
     )
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent partition-level backfill: replace ONLY the hive
+    partitions present in ``df``, leaving every other partition
+    untouched — Spark's dynamic ``partitionOverwriteMode``, the
+    incremental-load primitive behind "re-run yesterday" jobs.
+
+    With static overwrite (the default) a one-day backfill would
+    DELETE the whole dataset first; dynamic mode scopes the overwrite
+    to the partitions the frame actually contains, so re-running the
+    same day's load is a no-op-equivalent replace.  Rows are
+    pre-clustered per partition value (same small-files discipline as
+    ``write_partitioned_dataset``).  The session conf is restored
+    afterwards: mode is per-write semantics, not engine state.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 def compact_dataset(
     df: DataFrame,
     dest_path: str,

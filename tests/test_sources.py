@@ -540,3 +540,48 @@ def test_zorder_key_locality_roundtrip(spark):
     assert rows[(0, 1)] == 2
     assert rows[(1, 1)] == 3
     assert rows[(3, 3)] == 15
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    """Dynamic partition overwrite: backfilling one partition replaces
+    it and leaves the others byte-identical; re-running the same
+    backfill is idempotent."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.sources.sinks import (
+        overwrite_partitions,
+        write_partitioned_dataset,
+    )
+
+    path = str(tmp_path / "parted")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in (1, 2, 3) for i in range(5)],
+        "day int, id int, v double",
+    )
+    write_partitioned_dataset(full, path, ["day"])
+    before = {
+        (r.day, r.id): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert len(before) == 15
+
+    # backfill day 2 with corrected values (and one fewer row)
+    fix = spark.createDataFrame(
+        [(2, i, float(i) * 100) for i in range(4)], "day int, id int, v double"
+    )
+    overwrite_partitions(fix, path, ["day"])
+    after = {(r.day, r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert len(after) == 14
+    for (d, i), v in after.items():
+        assert v == (float(i) * 100 if d == 2 else before[(d, i)])
+    # untouched partitions really are untouched
+    assert all(after[(d, i)] == before[(d, i)] for d in (1, 3) for i in range(5))
+
+    # idempotence: same backfill again -> same result
+    overwrite_partitions(fix, path, ["day"])
+    again = {(r.day, r.id): r.v for r in spark.read.parquet(path).collect()}
+    assert again == after
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
