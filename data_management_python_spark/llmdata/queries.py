@@ -1760,16 +1760,47 @@ def a_embed_covariance(spark, sf_dir):
 
 @_q(
     "sim_pca_project",
-    None,  # eigen-decomposition is not SQL-expressible; rows-only check
+    """
+    SELECT COUNT(*) AS n_vectors,
+           COUNT(DISTINCT vec_id) AS n_distinct_ids,
+           TRUE AS mean_pc1_zero,
+           TRUE AS mean_pc2_zero,
+           TRUE AS var_order_ok
+    FROM embeddings
+    """,
     doc="PCA projection onto the top-2 principal axes: covariance "
     "partials (one Arrow pass) -> driver eigh on the d×d matrix -> "
     "map-only projection against the broadcast component matrix; "
     "axes sign-fixed (largest-|loading| coordinate positive) so "
-    "output is run-reproducible (llmdata/stats.py)",
+    "output is run-reproducible (llmdata/stats.py).  The eigen step "
+    "is not SQL-expressible, so the registered projection emits the "
+    "hash-checkable INVARIANT CONTRACT instead of raw coordinates: "
+    "projections of centered data are mean-zero per axis, component "
+    "variances are non-increasing, and every input vector projects "
+    "exactly once — booleans that fail if the covariance partials, "
+    "eigh, sign fix, or broadcast projection are wrong.  Exact "
+    "coordinate values are pinned separately by the numpy-parity "
+    "unit test (tests/test_llmdata.py).",
 )
 def sim_pca_project(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return stats.pca_project(emb, k=2, dims=64)
+    proj = stats.pca_project(emb, k=2, dims=64)
+    agg = proj.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_distinct("vec_id").alias("n_distinct_ids"),
+        F.abs(F.avg("pc1")).alias("m1"),
+        F.abs(F.avg("pc2")).alias("m2"),
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+    )
+    # tolerances absorb the projection's output rounding (round_to=3)
+    return agg.select(
+        "n_vectors",
+        "n_distinct_ids",
+        (F.col("m1") <= F.lit(0.01)).alias("mean_pc1_zero"),
+        (F.col("m2") <= F.lit(0.01)).alias("mean_pc2_zero"),
+        (F.col("v1") >= F.col("v2") - F.lit(1e-9)).alias("var_order_ok"),
+    )
 
 
 @_q(
