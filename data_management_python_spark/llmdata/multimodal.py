@@ -289,18 +289,9 @@ def _decode_features(blob: bytes | None, modality: str, dim: int) -> list[float]
     if blob is None:
         return [0.0] * dim
     if modality == "image":
-        pil = _try_pil()
-        if pil is not None:
-            try:
-                import io  # noqa: PLC0415
-
-                img = pil.open(io.BytesIO(blob)).convert("RGB")
-                return _pool_pixel_features(list(img.getdata()), dim)
-            except Exception:  # noqa: BLE001 - undecodable: fall through
-                pass
-        px = _decode_bmp_pixels(blob)
-        if px is not None:
-            return _pool_pixel_features(px, dim)
+        whp = _decode_image_pixels(bytes(blob))
+        if whp is not None:
+            return _pool_pixel_features(whp[2], dim)
     return _decode_stub(blob, modality, dim)
 
 
@@ -449,6 +440,7 @@ SHARD_MANIFEST_SCHEMA = StructType(
 _MIME_EXT = {
     "image/jpeg": "jpg",
     "image/png": "png",
+    "image/bmp": "bmp",  # resize_images re-encodes to BMP
     "audio/wav": "wav",
     "video/mp4": "mp4",
     "application/octet-stream": "bin",
@@ -561,9 +553,17 @@ def read_media_shards(
                     fileobj=io.BytesIO(bytes(row["content"])), mode="r"
                 ) as tar:
                     for m in tar.getmembers():
-                        stem, _, ext = m.name.rpartition(".")
+                        if not m.isfile():
+                            continue  # dir / PAX / link entries
+                        base = m.name.rsplit("/", 1)[-1]
+                        stem, _, ext = base.rpartition(".")
+                        if not stem.isdigit():
+                            continue  # foreign member naming: skip, not crash
                         mid = int(stem)
-                        data = tar.extractfile(m).read()
+                        f = tar.extractfile(m)
+                        if f is None:
+                            continue
+                        data = f.read()
                         if ext == "json":
                             metas[mid] = _json.loads(data)
                         else:

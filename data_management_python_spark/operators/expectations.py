@@ -47,24 +47,34 @@ class Expectation:
     params: dict = field(default_factory=dict)
 
 
-def _row_metric(exp: Expectation) -> Column:
+def rule_condition(exp: Expectation) -> Column:
+    """The row-local satisfying condition for one rule — THE single
+    definition both the batch metric (:func:`evaluate`) and the
+    streaming violation flag (streaming.expectations) compile from,
+    so batch and stream can never measure a rule differently.
+    Raises for kinds that need cross-row state (unique, fk)."""
     c = F.col(exp.column)
     if exp.kind == "not_null":
-        cond = c.isNotNull()
-    elif exp.kind == "between":
-        cond = c.isNotNull() & (c >= F.lit(exp.params["lo"])) & (
+        return c.isNotNull()
+    if exp.kind == "between":
+        return c.isNotNull() & (c >= F.lit(exp.params["lo"])) & (
             c <= F.lit(exp.params["hi"])
         )
-    elif exp.kind == "matches":
-        cond = c.isNotNull() & c.rlike(exp.params["pattern"])
-    elif exp.kind == "accepted_values":
-        cond = c.isNotNull() & c.isin(list(exp.params["values"]))
-    else:  # pragma: no cover - guarded by evaluate()
-        raise ValueError(exp.kind)
+    if exp.kind == "matches":
+        return c.isNotNull() & c.rlike(exp.params["pattern"])
+    if exp.kind == "accepted_values":
+        return c.isNotNull() & c.isin(list(exp.params["values"]))
+    raise ValueError(
+        f"kind {exp.kind!r} is not row-local (unique/fk need cross-row "
+        "state)"
+    )
+
+
+def _row_metric(exp: Expectation) -> Column:
     # avg over 0/1 = satisfying ratio; empty input -> NULL, coalesced
     # to 1.0 (an empty table violates nothing)
     return F.coalesce(
-        F.avg(cond.cast("double")), F.lit(1.0)
+        F.avg(rule_condition(exp).cast("double")), F.lit(1.0)
     ).alias(f"__m_{exp.name}")
 
 

@@ -811,15 +811,37 @@ def a_fk_orphan_audit(spark, sf_dir):
     return out
 
 
+def fixed_width_bin(col, lo, hi, nbins: int):
+    """Shared fixed-width binning Column: floor((x-lo)*n/(hi-lo))
+    clamped to the top bin, degenerate hi==lo range guarded to bin 0
+    (divide-by-zero diverges between engines: Spark null vs DuckDB
+    NaN).  ONE definition with a SQL twin (:func:`fixed_width_bin_sql`)
+    so every binning oracle guards identically."""
+    return F.when(hi == lo, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((col - lo) * nbins / (hi - lo)).cast("bigint"),
+            F.lit(nbins - 1),
+        )
+    )
+
+
+def fixed_width_bin_sql(c: str, lo: str, hi: str, nbins: int) -> str:
+    """The SQL twin of :func:`fixed_width_bin` — same guard, same
+    IEEE arithmetic order."""
+    return (
+        f"CASE WHEN {hi} = {lo} THEN 0 "
+        f"ELSE LEAST(CAST(FLOOR(({c} - {lo}) * {nbins} / ({hi} - {lo})) "
+        f"AS BIGINT), {nbins - 1}) END"
+    )
+
+
 @_q(
     "a_value_histogram",
-    """
+    f"""
     WITH b AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     )
-    SELECT CASE WHEN hi = lo THEN 0
-                ELSE LEAST(CAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo))
-                                AS BIGINT), 19) END AS bin,
+    SELECT {fixed_width_bin_sql("o_totalprice", "lo", "hi", 20)} AS bin,
            COUNT(*) AS n_orders,
            ROUND(MIN(o_totalprice), 2) AS bin_min,
            ROUND(MAX(o_totalprice), 2) AS bin_max
@@ -839,17 +861,8 @@ def a_value_histogram(spark, sf_dir):
     b = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    # degenerate all-equal input: hi == lo would divide by zero with
-    # DIVERGENT engine behavior (Spark null vs DuckDB NaN) — both
-    # engines guard to bin 0
-    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo")) * 20
-                / (F.col("hi") - F.col("lo"))
-            ).cast("bigint"),
-            F.lit(19),
-        )
+    bin_col = fixed_width_bin(
+        F.col("o_totalprice"), F.col("lo"), F.col("hi"), 20
     )
     return (
         o.crossJoin(F.broadcast(b))
@@ -1196,7 +1209,8 @@ def e_decayed_engagement(spark, sf_dir):
            ROUND(quantile_cont(cnt, 0.90), 6) AS p90,
            ROUND(quantile_cont(cnt, 0.99), 6) AS p99,
            ROUND(MAX(cnt) / AVG(CAST(cnt AS DOUBLE)), 6) AS skew_ratio,
-           CAST(CEIL(MAX(cnt) / GREATEST(quantile_cont(cnt, 0.99), 1.0))
+           CAST(CEIL(ROUND(
+                MAX(cnt) / GREATEST(quantile_cont(cnt, 0.99), 1.0), 6))
                 AS BIGINT) AS recommended_salt
     FROM k
     """,
@@ -1222,9 +1236,14 @@ def a_skew_profile(spark, sf_dir):
         F.round(
             F.max("cnt") / F.avg(F.col("cnt").cast("double")), 6
         ).alias("skew_ratio"),
+        # round before CEIL: a sub-ulp interpolation divergence at an
+        # exact integer ratio must not flip the discrete salt by 1
         F.ceil(
-            F.max("cnt")
-            / F.greatest(F.expr("percentile(cnt, 0.99)"), F.lit(1.0))
+            F.round(
+                F.max("cnt")
+                / F.greatest(F.expr("percentile(cnt, 0.99)"), F.lit(1.0)),
+                6,
+            )
         )
         .cast("bigint")
         .alias("recommended_salt"),
@@ -1362,8 +1381,8 @@ def _zorder_oracle() -> str:
     doc="Z-order (Morton) clustering cells over (l_orderkey, "
     "l_partkey): both keys min-max scaled to a 16-bit grid, bits "
     "interleaved into one locality-preserving value, top 10 bits = "
-    "the cell a zordered writer (operators.layout."
-    "write_zordered_dataset) would group into a file.  Per-cell "
+    "the cell the zordered writer (sources.sinks.write_zorder_dataset) "
+    "would group into a file.  Per-cell "
     "min/max of BOTH grid coordinates demonstrate the point of the "
     "layout: every cell is tight in x AND y, so a reader filtering "
     "on either column prunes most files from footer stats.  Pure "
@@ -1406,15 +1425,13 @@ def a_zorder_cells(spark, sf_dir):
 
 @_q(
     "v_drift_psi",
-    """
+    f"""
     WITH b AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     ),
     x AS (
       SELECT o_orderkey % 2 AS side,
-             CASE WHEN hi = lo THEN 0
-                  ELSE LEAST(CAST(FLOOR((o_totalprice - lo) * 10 / (hi - lo))
-                                  AS BIGINT), 9) END AS bin
+             {fixed_width_bin_sql("o_totalprice", "lo", "hi", 10)} AS bin
       FROM orders CROSS JOIN b
     ),
     c AS (
@@ -1454,14 +1471,8 @@ def v_drift_psi(spark, sf_dir):
     b = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo")) * 10
-                / (F.col("hi") - F.col("lo"))
-            ).cast("bigint"),
-            F.lit(9),
-        )
+    bin_col = fixed_width_bin(
+        F.col("o_totalprice"), F.col("lo"), F.col("hi"), 10
     )
     c = (
         o.crossJoin(F.broadcast(b))

@@ -69,25 +69,15 @@ def stream_expectation_report(
 
 
 def _violation_flag(exp: Expectation) -> F.Column:
-    c = F.col(exp.column)
-    if exp.kind == "not_null":
-        ok = c.isNotNull()
-    elif exp.kind == "between":
-        ok = c.isNotNull() & (c >= F.lit(exp.params["lo"])) & (
-            c <= F.lit(exp.params["hi"])
-        )
-    elif exp.kind == "matches":
-        ok = c.isNotNull() & c.rlike(exp.params["pattern"])
-    elif exp.kind == "accepted_values":
-        ok = c.isNotNull() & c.isin(list(exp.params["values"]))
-    else:
-        raise ValueError(
-            f"kind {exp.kind!r} is not row-local; windowed streaming "
-            "violation counts support not_null/between/matches/"
-            "accepted_values (unique and fk need cross-row state — "
-            "use stream_expectation_report or the batch engine)"
-        )
-    return (~ok).cast("long")
+    """1 when the row violates the rule — compiled from the SAME
+    rule_condition the batch engine uses (parity by shared code); the
+    helper raises for non-row-local kinds (unique/fk) — use
+    stream_expectation_report or the batch engine for those."""
+    from data_management_python_spark.operators.expectations import (  # noqa: PLC0415
+        rule_condition,
+    )
+
+    return (~rule_condition(exp)).cast("long")
 
 
 def windowed_violation_counts(

@@ -1036,3 +1036,45 @@ def test_bpe_train_on_driver_corpus(spark):
     joined = {l + r for l, r, _ in merges}
     seen = {s for r in toks for s in r.bpe_tokens}
     assert joined & seen  # at least some rules fire on real text
+
+
+def test_resized_bmp_survives_shard_roundtrip(spark, tmp_path):
+    """The review-flagged gap: resized images (mime image/bmp) must
+    keep their mime through write_media_shards -> read_media_shards,
+    and a foreign-named tar member must be skipped, not crash the
+    reader."""
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.llmdata import multimodal as mm
+    from data_management_python_spark.llmdata.multimodal import _encode_bmp24
+
+    blob = _encode_bmp24(4, 4, [(i, i, i) for i in range(16)])
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    resized = mm.resize_images(media, 2, 2).select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        "content",
+        "mime_type",
+        F.lit("{}").alias("meta_json"),
+    )
+    out = tmp_path / "bmp_shards"
+    mm.write_media_shards(resized, str(out), n_shards=1).collect()
+    # adversarial member: real WebDataset naming the reader must skip
+    shard = next(p for p in os.listdir(out) if p.endswith(".tar"))
+    with tarfile.open(out / shard, "a") as tar:
+        import io
+
+        info = tarfile.TarInfo("sample_000.jpg")
+        info.size = 3
+        tar.addfile(info, io.BytesIO(b"xxx"))
+    back = mm.read_media_shards(spark, str(out / "*.tar")).collect()
+    assert len(back) == 1
+    assert back[0].mime_type == "image/bmp"
+    from data_management_python_spark.llmdata.multimodal import _sniff_image
+
+    assert _sniff_image(bytes(back[0].content)) == ("bmp", 2, 2)
