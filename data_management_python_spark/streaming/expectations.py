@@ -80,6 +80,77 @@ def _violation_flag(exp: Expectation) -> F.Column:
     return (~rule_condition(exp)).cast("long")
 
 
+def windowed_drift_psi(
+    stream: DataFrame,
+    baseline_probs: list[float],
+    lo: float,
+    hi: float,
+    value_col: str,
+    event_time_col: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Per-window population-stability-index against a FROZEN baseline
+    distribution — the streaming counterpart of the batch v_drift_psi
+    query (plans/analytics.py): the baseline's bin probabilities and
+    grid bounds are computed once offline (e.g. from yesterday's
+    partition) and ride along as literals, so the stream side is one
+    watermarked windowed count per bin and a row-local PSI fold.
+
+    Emits (window_start, window_end, n_rows, psi) per closed window —
+    alert when psi crosses 0.1/0.25.  State is O(open windows x bins);
+    bins outside [lo, hi] clamp into the edge bins, matching the
+    shared fixed-width rule.
+    """
+    nbins = len(baseline_probs)
+    c = F.col(value_col)
+    # same guarded fixed-width rule as the batch twin, with constant
+    # bounds: clamp below lo to bin 0 (floor of a negative would
+    # otherwise go negative)
+    bin_col = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor((c - F.lit(lo)) * nbins / F.lit(hi - lo)).cast(
+                "bigint"
+            ),
+            F.lit(nbins - 1),
+        ),
+    )
+    binned = (
+        stream.withColumn(
+            event_time_col, F.col(event_time_col).cast("timestamp_ltz")
+        )
+        .withWatermark(event_time_col, watermark)
+        .select(event_time_col, bin_col.alias("__bin"))
+    )
+    counts = binned.groupBy(
+        F.window(event_time_col, window).alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(
+                F.when(F.col("__bin") == b, 1).otherwise(0)
+            ).alias(f"__b{b}")
+            for b in range(nbins)
+        ],
+    )
+    psi = None
+    for b, p_base in enumerate(baseline_probs):
+        p_cur = F.greatest(
+            F.col(f"__b{b}") / F.col("n_rows"), F.lit(epsilon)
+        )
+        pb = max(p_base, epsilon)
+        term = (p_cur - F.lit(pb)) * F.log(p_cur / F.lit(pb))
+        psi = term if psi is None else psi + term
+    return counts.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_rows",
+        F.round(psi, 6).alias("psi"),
+    )
+
+
 def windowed_violation_counts(
     stream: DataFrame,
     expectations: list[Expectation],

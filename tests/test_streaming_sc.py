@@ -878,3 +878,60 @@ def test_stream_funnel_matches_batch_query(spark, tmp_path):
         assert stream_counts.get(step, 0) == batch[step], (
             step, stream_counts, batch,
         )
+
+
+def test_windowed_drift_psi_stream(spark, tmp_path):
+    """Streaming PSI vs a frozen baseline: a window matching the
+    baseline distribution scores ~0; a shifted window scores high."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.streaming.expectations import (
+        windowed_drift_psi,
+    )
+
+    # baseline: uniform over [0, 10) in 2 bins -> p = [0.5, 0.5]
+    rows = []
+    # window 0 (00:00): matches baseline — 2 low, 2 high
+    for i, v in enumerate([1.0, 2.0, 8.0, 9.0]):
+        rows.append((f"2024-01-01 00:00:{10 + i:02d}", v))
+    # window 1 (00:01): all in the low bin — drifted
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append((f"2024-01-01 00:01:{10 + i:02d}", v))
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    late = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 5.0)], "ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "psi_src"
+    df.coalesce(1).write.parquet(str(src / "a"))
+    late.coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = windowed_drift_psi(
+        stream, [0.5, 0.5], lo=0.0, hi=10.0, value_col="v",
+        event_time_col="ts", window="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start.minute: r.psi
+        for r in spark.sql("select * from psi_out").collect()
+    }
+    assert got[0] == 0.0  # matches baseline exactly
+    # fully drifted: p_cur = [1, eps] vs [0.5, 0.5]
+    eps = 1e-6
+    want = (1 - 0.5) * math.log(1 / 0.5) + (eps - 0.5) * math.log(eps / 0.5)
+    assert abs(got[1] - round(want, 6)) < 1e-6
