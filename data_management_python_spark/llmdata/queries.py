@@ -2192,3 +2192,111 @@ def t_bigram_pairs(spark, sf_dir):
         .orderBy(F.col("n").desc(), "l", "r")
         .limit(20)
     )
+
+
+@_q(
+    "d_source_priority_dedup",
+    """
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS h, 0 AS source_rank FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, md5(text), 1
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, h, source_rank,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY source_rank, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY h) AS n_copies
+      FROM tagged
+    )
+    SELECT h AS content_hash,
+           doc_id AS keep_id,
+           source_rank AS kept_source,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rk = 1 AND n_copies > 1
+    """,
+    doc="multi-source priority dedup: the curated feed (rank 0) vs a "
+    "partial re-crawl of the same content under new ids (rank 1, "
+    "every third document) — keep the copy from the HIGHEST-priority "
+    "source, ties to lowest id, and report the duplicate groups.  "
+    "The source-of-truth rule every multi-corpus training mix needs "
+    "on top of plain exact dedup (d_exact_dedup keeps lowest id "
+    "unconditionally).  One hash-keyed shuffle serves the winner "
+    "window and the copy count together",
+)
+def d_source_priority_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = docs.select(
+        "doc_id", F.md5("text").alias("h"), F.lit(0).alias("source_rank")
+    )
+    recrawl = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.md5("text").alias("h"),
+        F.lit(1).alias("source_rank"),
+    )
+    tagged = feed.unionAll(recrawl)
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    w = wh.orderBy("source_rank", "doc_id")
+    return (
+        tagged.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wh))
+        .filter((F.col("rk") == 1) & (F.col("n_copies") > 1))
+        .select(
+            F.col("h").alias("content_hash"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("source_rank").alias("kept_source"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+@_q(
+    "t_budget_select",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 50000
+    """,
+    doc="token-budget corpus selection: rank documents by a quality "
+    "proxy (n_chars desc, id tiebreak), running token total in that "
+    "order, keep while the 50k budget holds — how a training mix "
+    "fills a token quota from the best documents first.  The "
+    "oracle's global ORDER BY window is a SinglePartition sort; the "
+    "Spark plan reuses operators.ranking.ordered_prefix_sum on a "
+    "negated quality key (range shuffle + per-slice cumsum), the "
+    "same 100x-safe shape as e_peak_concurrency and "
+    "a_abc_classification",
+)
+def t_budget_select(spark, sf_dir):
+    from data_management_python_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", text.token_count("text").alias("n_tokens")
+    )
+    # ordered_prefix_sum requires ascending unique keys: negate the
+    # quality proxy so "best first" becomes ascending order
+    keyed = docs.withColumn("__negq", -F.col("n_chars"))
+    cum = ordered_prefix_sum(
+        keyed, ["__negq", "doc_id"], "n_tokens", "cum_tokens"
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= 50_000)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

@@ -98,6 +98,8 @@ AUDITED = [
     "v_drift_psi",
     "t_bigram_pairs",
     "e_top_paths",
+    "d_source_priority_dedup",
+    "t_budget_select",
 ]
 
 
