@@ -82,6 +82,10 @@ HEAVY = [
     "m_scd2_asof",
     "a_zorder_cells",
     "v_drift_psi",
+    "e_top_paths",
+    "t_bigram_pairs",
+    "d_source_priority_dedup",
+    "t_budget_select",
 ]
 
 KEY_SHIFT = {
