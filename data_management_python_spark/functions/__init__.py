@@ -185,3 +185,47 @@ def is_tenx_kit_code(col: Column | str) -> Column:
     """10X Genomics index-kit code, e.g. SI-GA-A1 (samplesheet.py:67)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.rlike("^SI-[GNT][ATN]-[A-Z][0-9]+$")
+
+
+def password_hash(
+    password: Column | str,
+    salt: Column | str,
+    iterations: int = 100_000,
+) -> Column:
+    """PBKDF2-HMAC-SHA256 credential hash as a column expression (F17:
+    the reference bcrypt-hashes portal passwords row-at-a-time,
+    igf_portal useradaptor.py:20-59).  In an analytics engine this is
+    the INGEST-side protection for any credential/PII column: hash
+    with a per-row salt before the row ever lands in the lake.
+
+    Arrow-batched pandas UDF over hashlib.pbkdf2_hmac (C speed per
+    row; there is no JVM builtin for PBKDF2) — NULL password or salt
+    hashes to NULL.  Verification is equality against the recomputed
+    hash: ``password_hash(candidate, salt) == stored`` as a column
+    predicate, no driver round-trip.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    # no inline type hints: postponed-annotation strings can't resolve
+    # the locally-imported pd at registration time
+    def _pbkdf2_fn(pw, sa):
+        import hashlib  # noqa: PLC0415
+
+        def one(p, s):
+            if p is None or s is None:
+                return None
+            return hashlib.pbkdf2_hmac(
+                "sha256", p.encode(), s.encode(), iterations
+            ).hex()
+
+        return pd.Series([one(p, s) for p, s in zip(pw, sa)])
+
+    _pbkdf2_fn.__annotations__ = {
+        "pw": pd.Series, "sa": pd.Series, "return": pd.Series,
+    }
+    _pbkdf2 = pandas_udf("string")(_pbkdf2_fn)
+
+    p = F.col(password) if isinstance(password, str) else password
+    s = F.col(salt) if isinstance(salt, str) else salt
+    return _pbkdf2(p, s)

@@ -107,3 +107,47 @@ def test_validate_enums(spark):
     bad = validate_enums(df, "project").collect()
     viol = {r.project_id: r.enum_violation for r in bad}
     assert viol == {2: "status", 3: "deliverable"}
+
+
+def test_password_hash_pbkdf2_parity_and_verification(spark):
+    """Column PBKDF2 matches hashlib exactly; verification is a plain
+    column predicate; NULLs hash to NULL."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.functions import password_hash
+
+    df = spark.createDataFrame(
+        [("hunter2", "salt-a"), ("pässwörd", "salt-b"), (None, "salt-c")],
+        "pw string, salt string",
+    )
+    got = df.select(
+        "pw", "salt", password_hash("pw", "salt", iterations=1000).alias("h")
+    ).collect()
+    by_salt = {r.salt: r for r in got}
+    for pw, salt in [("hunter2", "salt-a"), ("pässwörd", "salt-b")]:
+        want = hashlib.pbkdf2_hmac(
+            "sha256", pw.encode(), salt.encode(), 1000
+        ).hex()
+        assert by_salt[salt].h == want
+    assert by_salt["salt-c"].h is None
+
+    stored = df.filter(F.col("pw").isNotNull()).select(
+        "salt", password_hash("pw", "salt", iterations=1000).alias("stored")
+    )
+    attempt = spark.createDataFrame(
+        [("hunter2", "salt-a"), ("wrong", "salt-b")], "cand string, salt string"
+    )
+    ok = (
+        attempt.join(stored, "salt")
+        .select(
+            "salt",
+            (
+                password_hash("cand", "salt", iterations=1000)
+                == F.col("stored")
+            ).alias("ok"),
+        )
+        .collect()
+    )
+    assert {r.salt: r.ok for r in ok} == {"salt-a": True, "salt-b": False}

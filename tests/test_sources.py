@@ -585,3 +585,47 @@ def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_transfer_tree_copies_and_verifies(spark, tmp_path):
+    """Distributed tree copy: layout + bytes preserved, manifest md5s
+    match, verify_transfer returns empty on success and flags
+    corruption."""
+    import hashlib
+    import os
+
+    from data_management_python_spark.sources.transfer import (
+        transfer_tree,
+        verify_transfer,
+    )
+
+    src = tmp_path / "run_src"
+    (src / "fastq").mkdir(parents=True)
+    files = {
+        "RunInfo.xml": b"<RunInfo/>" * 10,
+        "fastq/s1_R1.fastq": b"@r1\nACGT\n+\nFFFF\n" * 50,
+        "fastq/s1_R2.fastq": b"@r1\nTGCA\n+\nFFFF\n" * 50,
+    }
+    for rel, data in files.items():
+        (src / rel).write_bytes(data)
+    dest = tmp_path / "run_dest"
+    manifest = transfer_tree(spark, str(src), str(dest))
+    rows = {r.rel_path: r for r in manifest.collect()}
+    assert set(rows) == set(files)
+    for rel, data in files.items():
+        assert rows[rel].n_bytes == len(data)
+        assert rows[rel].md5 == hashlib.md5(data).hexdigest()
+        assert (dest / rel).read_bytes() == data
+
+    man_df = spark.createDataFrame(
+        [(r.rel_path, r.n_bytes, r.md5) for r in rows.values()],
+        "rel_path string, n_bytes long, md5 string",
+    )
+    assert verify_transfer(spark, man_df, str(dest)).count() == 0
+    # corrupt one file -> exactly that row flags
+    (dest / "RunInfo.xml").write_bytes(b"tampered")
+    bad = verify_transfer(spark, man_df, str(dest)).collect()
+    assert [r.rel_path for r in bad] == ["RunInfo.xml"]
+    os.remove(dest / "fastq" / "s1_R2.fastq")
+    bad2 = {r.rel_path for r in verify_transfer(spark, man_df, str(dest)).collect()}
+    assert bad2 == {"RunInfo.xml", "fastq/s1_R2.fastq"}
