@@ -19,6 +19,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fixed_width_bin(col, lo, hi, nbins: int, clamp_low: bool = False):
+    """Shared fixed-width binning Column: floor((x-lo)*n/(hi-lo))
+    clamped to the top bin, degenerate hi==lo range guarded to bin 0
+    (divide-by-zero diverges between engines: Spark null vs DuckDB
+    NaN).  ONE definition with a SQL twin (:func:`fixed_width_bin_sql`)
+    so every binning consumer — batch histogram/PSI oracles AND the
+    streaming drift monitor — guards identically.  ``clamp_low``
+    additionally floors below-range values into bin 0 (needed when
+    ``lo`` is a frozen baseline bound, not the batch min)."""
+    binned = F.when(hi == lo, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((col - lo) * nbins / (hi - lo)).cast("bigint"),
+            F.lit(nbins - 1),
+        )
+    )
+    if clamp_low:
+        binned = F.greatest(F.lit(0).cast("bigint"), binned)
+    return binned
+
+
+def fixed_width_bin_sql(c: str, lo: str, hi: str, nbins: int) -> str:
+    """The SQL twin of :func:`fixed_width_bin` — same guard, same
+    IEEE arithmetic order."""
+    return (
+        f"CASE WHEN {hi} = {lo} THEN 0 "
+        f"ELSE LEAST(CAST(FLOOR(({c} - {lo}) * {nbins} / ({hi} - {lo})) "
+        f"AS BIGINT), {nbins - 1}) END"
+    )
+
+
 def scale_to_grid(
     col: Column, lo: Column, hi: Column, bits: int
 ) -> Column:

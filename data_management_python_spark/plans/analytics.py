@@ -811,28 +811,11 @@ def a_fk_orphan_audit(spark, sf_dir):
     return out
 
 
-def fixed_width_bin(col, lo, hi, nbins: int):
-    """Shared fixed-width binning Column: floor((x-lo)*n/(hi-lo))
-    clamped to the top bin, degenerate hi==lo range guarded to bin 0
-    (divide-by-zero diverges between engines: Spark null vs DuckDB
-    NaN).  ONE definition with a SQL twin (:func:`fixed_width_bin_sql`)
-    so every binning oracle guards identically."""
-    return F.when(hi == lo, F.lit(0).cast("bigint")).otherwise(
-        F.least(
-            F.floor((col - lo) * nbins / (hi - lo)).cast("bigint"),
-            F.lit(nbins - 1),
-        )
-    )
-
-
-def fixed_width_bin_sql(c: str, lo: str, hi: str, nbins: int) -> str:
-    """The SQL twin of :func:`fixed_width_bin` — same guard, same
-    IEEE arithmetic order."""
-    return (
-        f"CASE WHEN {hi} = {lo} THEN 0 "
-        f"ELSE LEAST(CAST(FLOOR(({c} - {lo}) * {nbins} / ({hi} - {lo})) "
-        f"AS BIGINT), {nbins - 1}) END"
-    )
+# shared with the streaming drift monitor — ONE binning definition
+from data_management_python_spark.operators.layout import (  # noqa: E402
+    fixed_width_bin,
+    fixed_width_bin_sql,
+)
 
 
 @_q(

@@ -4,14 +4,19 @@ igf_data/utils/fileutils.py copy_remote_file / remote_file_checkmd5,
 igf_data/process/seqrun_processing transfer paths).
 
 A Spark cluster does not ssh files around: storage is a shared path
-namespace (file:// locally; hdfs:// / s3a:// / gs:// on a cluster —
-Spark's Hadoop filesystem layer resolves the scheme), so "transfer"
-becomes a DISTRIBUTED COPY: one ``binaryFile`` scan of the source
+namespace, so "transfer" becomes a DISTRIBUTED COPY: one
+``binaryFile`` scan of the source
 tree (Spark lists, splits, and schedules the files across executors),
 one executor-side write per file preserving relative layout, and a
 returned manifest with per-file sizes + md5s — the integrity check
 the reference runs as a separate remote md5sum pass comes free in the
 same job.
+
+Scope: both ends must be LOCALLY-MOUNTED paths (local disk, shared
+filesystem, FUSE mount) — the writer uses plain os/open, and
+:func:`_require_local_path` rejects cloud URIs explicitly; object
+stores get the storage layer's native copy plus this module's
+manifest/verify pass over a mount.
 
 Scale shape: files never route through the driver; per-task memory is
 bounded by the largest single file in its batch (media-sized blobs —
@@ -44,6 +49,37 @@ TRANSFER_MANIFEST_SCHEMA = StructType(
 )
 
 
+def _strip_file_scheme(path: str) -> str:
+    """file:/abs or file:///abs -> /abs; raw paths pass through.
+    Deliberately NOT urllib unquoting: Spark's binaryFile ``path`` is
+    a raw Hadoop Path string (spaces and percent signs appear
+    literally), so decoding would corrupt names containing '%'."""
+    if path.startswith("file:"):
+        rest = path[5:]
+        # collapse any number of leading slashes to one
+        return "/" + rest.lstrip("/")
+    return path
+
+
+def _require_local_path(path: str, what: str) -> str:
+    """This implementation writes with os/open, so both ends must be
+    locally-mounted paths (plain paths or file:// URIs) — a shared
+    filesystem or FUSE mount on a cluster, local disk in local mode.
+    Cloud object-store URIs (s3a://, hdfs://, gs://) need the storage
+    layer's native copy; run the manifest/verify pass on the mount.
+    Raising beats silently creating a literal './s3a:' directory."""
+    from urllib.parse import urlparse  # noqa: PLC0415
+
+    parsed = urlparse(path)
+    if parsed.scheme and parsed.scheme != "file":
+        raise ValueError(
+            f"{what} {path!r}: only locally-mounted paths are supported "
+            "(scheme {parsed.scheme!r}); use the object store's native "
+            "copy for cloud URIs and verify_transfer on a mount"
+        )
+    return os.path.abspath(parsed.path if parsed.scheme else path)
+
+
 def transfer_tree(
     spark: SparkSession,
     src_dir: str,
@@ -55,15 +91,17 @@ def transfer_tree(
     ``dest_dir`` (relative layout preserved) and return the
     (rel_path, n_bytes, md5) manifest.
 
-    The returned DataFrame is the ACTION that drives the copy —
-    collect or write it.  ``dest_dir`` must be writable from the
-    executors (true in local mode and for shared/cluster filesystems,
-    the same contract as write_media_shards).
+    The copy executes EAGERLY inside this call (the returned manifest
+    is checkpointed): a side-effecting plan must run exactly once, not
+    once per downstream action — verify_transfer joining a lazy copy
+    plan would re-copy files WHILE hashing them.  ``dest_dir`` must be
+    writable from the executors (true in local mode and for shared
+    filesystems, the same contract as write_media_shards); see
+    :func:`_require_local_path` for the scheme contract.
     """
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
-    src_root = os.path.abspath(src_dir)
+    src_root = _require_local_path(src_dir, "src_dir")
+    dest_root = _require_local_path(dest_dir, "dest_dir")
+    dest_dir = dest_root
 
     def copy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -71,11 +109,7 @@ def transfer_tree(
         for pdf in batches:
             rels, sizes, sums = [], [], []
             for _, row in pdf.iterrows():
-                # binaryFile paths are URIs (file:/... or file:///...)
-                from urllib.parse import unquote, urlparse  # noqa: PLC0415
-
-                parsed = urlparse(row["path"])
-                local = unquote(parsed.path) if parsed.scheme else row["path"]
+                local = _strip_file_scheme(row["path"])
                 rel = os.path.relpath(local, src_root)
                 blob = bytes(row["content"])
                 dest = os.path.join(dest_dir, rel)
@@ -93,10 +127,20 @@ def transfer_tree(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
-        .load(src_dir)
+        .load(src_root)
         .select("path", "content")
     )
-    return files.mapInPandas(copy, schema=TRANSFER_MANIFEST_SCHEMA)
+    plan = files.mapInPandas(copy, schema=TRANSFER_MANIFEST_SCHEMA)
+    # bound Arrow batches for the blob-sized rows ONLY for this job,
+    # restoring the session value after — and materialize eagerly so
+    # the copy side effect happens exactly once, here
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, "10000")
+    spark.conf.set(key, str(batch_rows))
+    try:
+        return plan.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def verify_transfer(
@@ -107,22 +151,33 @@ def verify_transfer(
     destination (empty = transfer verified) — the reference's
     remote_file_checkmd5 as one distributed comparison instead of a
     per-file ssh round-trip."""
+    from typing import Iterator as _Iter  # noqa: PLC0415
+
     from pyspark.sql import functions as F
 
-    root = os.path.abspath(dest_dir)
+    root = _require_local_path(dest_dir, "dest_dir")
+
+    # rel_path must decode EXACTLY like transfer_tree's
+    # (_strip_file_scheme, NO percent-decoding: Spark's binaryFile
+    # path column is a raw Hadoop Path string, so a literal '%20' in a
+    # filename must stay '%20') or names falsely mismatch
+    def relpaths(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            rels, sums = [], []
+            for _, row in pdf.iterrows():
+                local = _strip_file_scheme(row["path"])
+                rels.append(os.path.relpath(local, root))
+                sums.append(hashlib.md5(bytes(row["content"])).hexdigest())
+            yield pd.DataFrame({"rel_path": rels, "dest_md5": sums})
+
     dest = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .load(dest_dir)
-        .select(
-            # normalize file:/ vs file:/// URIs, then strip the root
-            F.regexp_replace("path", "^file:/+", "/").alias("__p"),
-            F.md5("content").alias("dest_md5"),
-        )
-        .select(
-            F.expr(f"substring(__p, {len(root) + 2})").alias("rel_path"),
-            "dest_md5",
-        )
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(relpaths, schema="rel_path string, dest_md5 string")
     )
     return (
         manifest.join(dest, "rel_path", "left")

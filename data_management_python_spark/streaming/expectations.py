@@ -100,28 +100,30 @@ def windowed_drift_psi(
 
     Emits (window_start, window_end, n_rows, psi) per closed window —
     alert when psi crosses 0.1/0.25.  State is O(open windows x bins);
-    bins outside [lo, hi] clamp into the edge bins, matching the
-    shared fixed-width rule.
+    bins outside [lo, hi] clamp into the edge bins via the SHARED
+    fixed-width rule (operators.layout.fixed_width_bin, clamp_low=True
+    — frozen baseline bounds, unlike the batch min/max).  NULL values
+    carry no distribution information and are EXCLUDED (from n_rows
+    too) rather than silently landing in an edge bin.
     """
+    from data_management_python_spark.operators.layout import (  # noqa: PLC0415
+        fixed_width_bin,
+    )
+
+    if not hi > lo:
+        raise ValueError(f"baseline bounds must satisfy hi > lo, got "
+                         f"[{lo}, {hi}]")
     nbins = len(baseline_probs)
     c = F.col(value_col)
-    # same guarded fixed-width rule as the batch twin, with constant
-    # bounds: clamp below lo to bin 0 (floor of a negative would
-    # otherwise go negative)
-    bin_col = F.greatest(
-        F.lit(0).cast("bigint"),
-        F.least(
-            F.floor((c - F.lit(lo)) * nbins / F.lit(hi - lo)).cast(
-                "bigint"
-            ),
-            F.lit(nbins - 1),
-        ),
+    bin_col = fixed_width_bin(
+        c, F.lit(lo), F.lit(hi), nbins, clamp_low=True
     )
     binned = (
         stream.withColumn(
             event_time_col, F.col(event_time_col).cast("timestamp_ltz")
         )
         .withWatermark(event_time_col, watermark)
+        .filter(c.isNotNull())
         .select(event_time_col, bin_col.alias("__bin"))
     )
     counts = binned.groupBy(

@@ -629,3 +629,52 @@ def test_transfer_tree_copies_and_verifies(spark, tmp_path):
     os.remove(dest / "fastq" / "s1_R2.fastq")
     bad2 = {r.rel_path for r in verify_transfer(spark, man_df, str(dest)).collect()}
     assert bad2 == {"RunInfo.xml", "fastq/s1_R2.fastq"}
+
+
+def test_transfer_tree_special_filenames_and_scheme_guard(spark, tmp_path):
+    """Names with spaces/percent-signs round-trip through the URI
+    decode on BOTH the copy and the verify side; cloud schemes are
+    rejected loudly instead of creating literal 's3a:' dirs."""
+    import pytest
+
+    from data_management_python_spark.sources.transfer import (
+        transfer_tree,
+        verify_transfer,
+    )
+
+    src = tmp_path / "weird src"
+    src.mkdir()
+    (src / "my file %20.txt").write_bytes(b"payload-1")
+    (src / "plain.txt").write_bytes(b"payload-2")
+    dest = tmp_path / "weird dest"
+    manifest = transfer_tree(spark, str(src), str(dest))
+    rows = {r.rel_path for r in manifest.collect()}
+    assert rows == {"my file %20.txt", "plain.txt"}
+    assert (dest / "my file %20.txt").read_bytes() == b"payload-1"
+    assert verify_transfer(spark, manifest, str(dest)).count() == 0
+
+    with pytest.raises(ValueError, match="locally-mounted"):
+        transfer_tree(spark, "s3a://bucket/run", str(dest))
+    with pytest.raises(ValueError, match="locally-mounted"):
+        verify_transfer(spark, manifest, "hdfs://nn/dest")
+
+
+def test_transfer_manifest_is_eager(spark, tmp_path):
+    """The copy happens exactly once, inside transfer_tree — reusing
+    the returned manifest in later actions (e.g. verify_transfer) must
+    not re-run the copy over a since-corrupted destination."""
+    from data_management_python_spark.sources.transfer import (
+        transfer_tree,
+        verify_transfer,
+    )
+
+    src = tmp_path / "eager_src"
+    src.mkdir()
+    (src / "a.txt").write_bytes(b"original")
+    dest = tmp_path / "eager_dest"
+    manifest = transfer_tree(spark, str(src), str(dest))
+    # corrupt AFTER the call returns; a lazy plan would heal this
+    # during the verify join and nondeterministically report success
+    (dest / "a.txt").write_bytes(b"tampered")
+    bad = verify_transfer(spark, manifest, str(dest)).collect()
+    assert [r.rel_path for r in bad] == ["a.txt"]

@@ -896,6 +896,8 @@ def test_windowed_drift_psi_stream(spark, tmp_path):
     # window 0 (00:00): matches baseline — 2 low, 2 high
     for i, v in enumerate([1.0, 2.0, 8.0, 9.0]):
         rows.append((f"2024-01-01 00:00:{10 + i:02d}", v))
+    # NULL carries no distribution info: must be EXCLUDED (not edge-binned)
+    rows.append(("2024-01-01 00:00:30", None))
     # window 1 (00:01): all in the low bin — drifted
     for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
         rows.append((f"2024-01-01 00:01:{10 + i:02d}", v))
@@ -926,10 +928,10 @@ def test_windowed_drift_psi_stream(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = {
-        r.window_start.minute: r.psi
-        for r in spark.sql("select * from psi_out").collect()
-    }
+    out_rows = spark.sql("select * from psi_out").collect()
+    got = {r.window_start.minute: r.psi for r in out_rows}
+    n_rows = {r.window_start.minute: r.n_rows for r in out_rows}
+    assert n_rows[0] == 4  # the NULL row was excluded, not edge-binned
     assert got[0] == 0.0  # matches baseline exactly
     # fully drifted: p_cur = [1, eps] vs [0.5, 0.5]
     eps = 1e-6
