@@ -1566,3 +1566,66 @@ def e_top_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+@_q(
+    "e_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(ABS(e.value - med.m), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN mad.mad > 0
+                          AND ROUND(0.6745 * ABS(e.value - med.m) / mad.mad, 6)
+                              > 3.500001
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MIN(med.m), 6) AS median_value,
+           ROUND(MIN(mad.mad), 6) AS mad
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="robust anomaly gate per event type: median absolute deviation "
+    "-> modified z-score 0.6745*|x-med|/MAD > 3.5 (Iglewicz-Hoaglin), "
+    "the outlier rule that, unlike the IQR fence (a_iqr_outliers) or "
+    "stddev z-scores, is not itself dragged by the outliers it hunts.  "
+    "Two grouped exact-percentile aggregates over a handful of groups, "
+    "fences broadcast back, one counting pass — no sort of the fact "
+    "stream.  The score is ROUNDED before the 3.5 fence with a "
+    "half-grid epsilon so an exactly-on-fence value classifies "
+    "identically in both engines",
+)
+def e_anomaly_mad(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(ABS(value - m), 0.5)").alias("mad"))
+    )
+    score = F.round(
+        0.6745 * F.abs(F.col("value") - F.col("m")) / F.col("mad"), 6
+    )
+    is_anom = (F.col("mad") > 0) & (score > F.lit(3.500001))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
+            F.round(F.min("m"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+    )

@@ -100,6 +100,7 @@ AUDITED = [
     "e_top_paths",
     "d_source_priority_dedup",
     "t_budget_select",
+    "e_anomaly_mad",
 ]
 
 
