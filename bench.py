@@ -119,6 +119,13 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - already recorded sequentially
             pass
 
+    # same GC discipline before the throughput phase as before the
+    # steady pass: the steady loop accumulates checkpoint RDD refs and
+    # a concurrent 8-stream run is exactly where a JVM full-GC pause
+    # lands on the critical path (throughput measured 11-20s across
+    # runs; clearing refs up front removes the mid-run cleanup spike)
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     # longest-first submission: a heavy query dispatched last would set
     # the wall single-handedly (8 streams measured faster than 16 here —
     # deeper overlap just thrashes the shared driver/scheduler)
