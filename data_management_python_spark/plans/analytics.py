@@ -1629,3 +1629,53 @@ def e_anomaly_mad(spark, sf_dir):
             F.round(F.min("mad"), 6).alias("mad"),
         )
     )
+
+
+@_q(
+    "a_benford_check",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+    SELECT d AS first_digit, n,
+           ROUND(n / t, 6) AS observed_share,
+           ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_share,
+           ROUND(POWER(n / t - LOG10(1.0 + 1.0 / d), 2)
+                 / LOG10(1.0 + 1.0 / d), 8) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Benford's-law conformance of order totals: first significant "
+    "digit distribution vs log10(1+1/d), with per-digit chi-square "
+    "terms — the forensic data-quality screen for fabricated or "
+    "truncated monetary columns (naturally-arising amounts follow "
+    "Benford; uniform or clamped synthetic data does not, as this "
+    "table's flat chi2 profile shows).  First digit via integer "
+    "string prefix — no float formatting divergence between engines; "
+    "one scan + 9-row aggregate + 1-row total broadcast",
+)
+def a_benford_check(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_totalprice")
+    # FLOOR explicitly: DuckDB's double->BIGINT cast ROUNDS while
+    # Spark's truncates — a 899.7 would land in different digit bins
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    share = F.col("n") / F.col("t")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.pow(share - benford, 2) / benford, 8).alias("chi2_term"),
+    )

@@ -247,3 +247,111 @@ def g_triangle_count(spark, sf_dir):
         tri.select(F.lit("n_triangles").alias("metric"),
                    F.col("n_triangles").alias("value"))
     )
+
+
+@_q(
+    "g_link_prediction",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT p1 AS a, p2 AS b FROM e
+      UNION ALL SELECT p2, p1 FROM e
+    ),
+    deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+    cn AS (
+      SELECT s1.a AS u, s2.a AS v, COUNT(*) AS common
+      FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+      GROUP BY s1.a, s2.a
+    ),
+    new_links AS (
+      SELECT u, v, common FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.p1 = cn.u AND e.p2 = cn.v)
+    )
+    SELECT u, v, CAST(common AS BIGINT) AS common_neighbors,
+           ROUND(CAST(common AS DOUBLE) / (du.deg + dv.deg - common), 6)
+             AS neighborhood_jaccard
+    FROM new_links
+    JOIN deg du ON du.a = u
+    JOIN deg dv ON dv.a = v
+    ORDER BY common_neighbors DESC, neighborhood_jaccard DESC, u, v
+    LIMIT 15
+    """,
+    doc="link prediction on the co-purchase graph: for part pairs NOT "
+    "yet connected (support >= 2 edges), score by common-neighbor "
+    "count and neighborhood Jaccard — the classic "
+    "recommend-what-co-purchasers-bought heuristic.  Same "
+    "candidate-prune-then-score shape as the dedup family applied to "
+    "graph structure: the support threshold prunes before the "
+    "two-hop self-join (wedge enumeration, the triangle query's "
+    "first half), existing edges drop via anti-join, degrees "
+    "broadcast back.  Edge frame checkpointed once for its three "
+    "consumers, g_triangle_count-style",
+)
+def g_link_prediction(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
+        e.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    cn = (
+        s1.join(
+            s2,
+            (F.col("s1.b") == F.col("s2.b"))
+            & (F.col("s1.a") < F.col("s2.a")),
+        )
+        .groupBy(F.col("s1.a").alias("u"), F.col("s2.a").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    new_links = cn.join(
+        e,
+        (cn.u == e.p1) & (cn.v == e.p2),
+        "left_anti",
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+    return (
+        new_links.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").alias("common_neighbors"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("neighborhood_jaccard"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("neighborhood_jaccard").desc(),
+            "u",
+            "v",
+        )
+        .limit(15)
+    )

@@ -101,6 +101,8 @@ AUDITED = [
     "d_source_priority_dedup",
     "t_budget_select",
     "e_anomaly_mad",
+    "a_benford_check",
+    "g_link_prediction",
 ]
 
 

@@ -31,7 +31,8 @@ NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
                   # round-3: 1-row scalar crossJoins (funnel step counts,
                   # decay anchor max, expectations FK ratio)
                   "e_funnel", "e_decayed_engagement", "v_expectations",
-                  "a_zorder_cells", "v_drift_psi"}
+                  "a_zorder_cells", "v_drift_psi",
+                  "a_benford_check"}
 
 # map-only or tiny-input queries where no exchange at all is fine
 NO_SHUFFLE_OK = True
