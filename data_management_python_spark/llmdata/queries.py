@@ -2300,3 +2300,65 @@ def t_budget_select(spark, sf_dir):
         cum.filter(F.col("cum_tokens") <= 50_000)
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+@_q(
+    "t_exact_contamination",
+    """
+    WITH probes AS (
+      SELECT doc_id AS benchmark_id,
+             substr(trim(lower(text)), 20, 40) AS phrase
+      FROM documents
+      WHERE doc_id % 97 = 0 AND len(trim(lower(text))) >= 60
+    ),
+    corpus AS (
+      SELECT doc_id, trim(lower(text)) AS t
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      -- planted leaks: half the benchmark probes copy-pasted into
+      -- synthetic corpus docs (the scenario the scan exists to catch)
+      SELECT benchmark_id + 20000000,
+             'lorem header ' || phrase || ' trailing text'
+      FROM probes WHERE benchmark_id % 2 = 0
+    )
+    SELECT d.doc_id AS corpus_id, p.benchmark_id, p.phrase
+    FROM corpus d
+    JOIN probes p ON position(p.phrase IN d.t) > 0
+    """,
+    doc="EXACT-substring contamination: a fixed 40-char probe from "
+    "each benchmark document searched verbatim across the corpus — "
+    "catches the literal train/test copy-paste the 5-gram sweep "
+    "(t_contamination) can only score probabilistically.  Probe set "
+    "is benchmark-sized (tiny) -> broadcast nested substring scan, "
+    "map-only over the corpus: the 100 TB shape is scan x |probes| "
+    "char-search, zero shuffle before the (empty-ish) result.  At "
+    "real scale the probe list feeds an Aho-Corasick pandas UDF; the "
+    "per-probe contains() here keeps the oracle exact",
+)
+def t_exact_contamination(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("t")
+    )
+    probes = (
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.length("t") >= 60))
+        .select(
+            F.col("doc_id").alias("benchmark_id"),
+            F.substring("t", 20, 40).alias("phrase"),
+        )
+    )
+    planted = probes.filter(F.col("benchmark_id") % 2 == 0).select(
+        (F.col("benchmark_id") + 20_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("lorem header "), F.col("phrase"), F.lit(" trailing text")
+        ).alias("t"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionAll(planted)
+    return (
+        corpus.join(
+            F.broadcast(probes),
+            F.expr("position(phrase IN t) > 0"),
+        )
+        .select(
+            F.col("doc_id").alias("corpus_id"), "benchmark_id", "phrase"
+        )
+    )

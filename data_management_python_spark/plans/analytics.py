@@ -1679,3 +1679,54 @@ def a_benford_check(spark, sf_dir):
         F.round(benford, 6).alias("benford_share"),
         F.round(F.pow(share - benford, 2) / benford, 8).alias("chi2_term"),
     )
+
+
+@_q(
+    "a_seasonality_profile",
+    """
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_cell
+          FROM cells)
+    SELECT dow, hod, n_events, n_purchases,
+           ROUND(n_events / mean_cell, 6) AS load_ratio
+    FROM cells CROSS JOIN t
+    """,
+    doc="weekly seasonality heatmap: events per (day-of-week, hour) "
+    "cell with purchase counts and load ratio vs the mean cell — the "
+    "capacity-planning / anomaly-baseline profile behind 'is this "
+    "Tuesday 3pm normal?'.  One hash aggregate over at most 168 "
+    "cells + a 1-row mean broadcast; DuckDB dayofweek is 0-6 "
+    "Sunday-first and Spark dayofweek 1-7 Sunday-first, so the Spark "
+    "side subtracts 1 to align the calendars",
+)
+def a_seasonality_profile(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("ts", "event_type")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("n_purchases"),
+    )
+    t = cells.agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "mean_cell"
+        )
+    )
+    return cells.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hod",
+        "n_events",
+        "n_purchases",
+        F.round(F.col("n_events") / F.col("mean_cell"), 6).alias(
+            "load_ratio"
+        ),
+    )

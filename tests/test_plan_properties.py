@@ -103,6 +103,8 @@ AUDITED = [
     "e_anomaly_mad",
     "a_benford_check",
     "g_link_prediction",
+    "t_exact_contamination",
+    "a_seasonality_profile",
 ]
 
 

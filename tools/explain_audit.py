@@ -32,7 +32,10 @@ NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
                   # decay anchor max, expectations FK ratio)
                   "e_funnel", "e_decayed_engagement", "v_expectations",
                   "a_zorder_cells", "v_drift_psi",
-                  "a_benford_check"}
+                  "a_benford_check", "a_seasonality_profile",
+                  # substring-predicate join against a BOUNDED broadcast
+                  # probe set: non-equi by nature, BNLJ is the plan
+                  "t_exact_contamination"}
 
 # map-only or tiny-input queries where no exchange at all is fine
 NO_SHUFFLE_OK = True
