@@ -265,10 +265,18 @@ def g_triangle_count(spark, sf_dir):
       SELECT p1 AS a, p2 AS b FROM e
       UNION ALL SELECT p2, p1 FROM e
     ),
-    deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+    rawdeg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+    -- hub cap: wedges through a center node cost deg^2, so common-
+    -- neighbor evidence only counts through non-hub intermediaries
+    -- (deg <= 32); capped degrees keep the Jaccard consistent
+    symc AS (
+      SELECT s.a, s.b FROM sym s JOIN rawdeg d ON d.a = s.b
+      WHERE d.deg <= 32
+    ),
+    deg AS (SELECT a, COUNT(*) AS deg FROM symc GROUP BY a),
     cn AS (
       SELECT s1.a AS u, s2.a AS v, COUNT(*) AS common
-      FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+      FROM symc s1 JOIN symc s2 ON s1.b = s2.b AND s1.a < s2.a
       GROUP BY s1.a, s2.a
     ),
     new_links AS (
@@ -292,8 +300,15 @@ def g_triangle_count(spark, sf_dir):
     "graph structure: the support threshold prunes before the "
     "two-hop self-join (wedge enumeration, the triangle query's "
     "first half), existing edges drop via anti-join, degrees "
-    "broadcast back.  Edge frame checkpointed once for its three "
-    "consumers, g_triangle_count-style",
+    "broadcast back.  Wedge centers are DEGREE-CAPPED (<=32, the "
+    "same idf-style prune as d_ngram_jaccard's shingle df cap, "
+    "mirrored in the oracle): wedges cost deg^2 per center and a "
+    "super-hub's common-neighbor evidence is weak anyway; capped "
+    "degrees keep the Jaccard consistent.  The cap never binds on "
+    "the real graph at bench scales (max degree 10 at sf0.1) — it "
+    "bounds the adversarial clone-replicated stress corpus "
+    "(SCALE.md).  Edge frame checkpointed once for its consumers, "
+    "g_triangle_count-style",
 )
 def g_link_prediction(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -316,8 +331,16 @@ def g_link_prediction(spark, sf_dir):
     sym = e.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
         e.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    rawdeg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    symc = sym.join(
+        F.broadcast(
+            rawdeg.filter(F.col("deg") <= 32).select(F.col("a").alias("b"))
+        ),
+        "b",
+        "left_semi",
+    )
+    deg = symc.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    s1, s2 = symc.alias("s1"), symc.alias("s2")
     cn = (
         s1.join(
             s2,
