@@ -51,6 +51,30 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _run_with_bounded_arrow_batches(plan: DataFrame, batch_rows: int) -> DataFrame:
+    """Materialize ``plan`` eagerly with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bound to
+    ``batch_rows``, restoring the previous session value after.
+
+    The batch bound only matters while the Arrow job actually runs, so
+    a lazily-returned frame cannot honor it (the conf could be
+    overwritten before the first action) — same contract as
+    transfer_tree (sources/transfer.py): save, set, run eagerly,
+    restore in a finally.  The returned frame is a localCheckpoint of
+    the blob-processing output, which for every caller here is
+    bounded-size (fixed-dim vectors, resized thumbnails, frame
+    slices), so materialization cost is the job the caller asked for.
+    """
+    spark = plan.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, "10000")
+    spark.conf.set(key, str(batch_rows))
+    try:
+        return plan.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Columnar (no-UDF) metadata over a binary column: byte length +
     sha256 — the cheap pass that runs before any decode fan-out."""
@@ -203,10 +227,6 @@ def resize_images(
     and output size is bounded (out_w x out_h x 3 + header per row)
     regardless of input resolution.
     """
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
     schema = (
         f"{id_col} long, content binary, mime_type string, "
         "width int, height int, resized boolean"
@@ -248,7 +268,9 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(process, schema=schema)
+    return _run_with_bounded_arrow_batches(
+        df.mapInPandas(process, schema=schema), batch_rows
+    )
 
 
 def _try_pil():
@@ -304,9 +326,6 @@ def extract_features(
     the output is a fixed-width vector column ready for the similarity
     operators (llmdata.similarity).
     """
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # local import: runs on executors
 
@@ -330,7 +349,9 @@ def extract_features(
             )
             yield out
 
-    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+    return _run_with_bounded_arrow_batches(
+        media.mapInPandas(process, schema=FEATURE_SCHEMA), batch_rows
+    )
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
@@ -397,11 +418,6 @@ def sample_frames(
     :func:`_frame_slices_stub`); swap in a real ffmpeg/PyAV seek
     without touching the distribution strategy.
     """
-    spark = media.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
-
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # local import: runs on executors
 
@@ -426,7 +442,9 @@ def sample_frames(
                 }
             )
 
-    return media.mapInPandas(process, schema=FRAME_SCHEMA)
+    return _run_with_bounded_arrow_batches(
+        media.mapInPandas(process, schema=FRAME_SCHEMA), batch_rows
+    )
 
 
 SHARD_MANIFEST_SCHEMA = StructType(
@@ -493,6 +511,10 @@ def write_media_shards(
                         {
                             "media_id": int(row["media_id"]),
                             "modality": row.get("modality"),
+                            # exact mime recorded so the reader can
+                            # recover types outside _MIME_EXT (which
+                            # all file under the 'bin' extension)
+                            "mime_type": row.get("mime_type"),
                             "meta": row.get("meta_json"),
                         }
                     ).encode()
@@ -579,7 +601,12 @@ def read_media_shards(
                             metas.get(i, {}).get("modality") for i in ids
                         ],
                         "content": [blobs[i] for i in ids],
-                        "mime_type": [mimes[i] for i in ids],
+                        # sidecar mime (exact, survives non-_MIME_EXT
+                        # types) wins over the extension-derived guess
+                        "mime_type": [
+                            metas.get(i, {}).get("mime_type") or mimes[i]
+                            for i in ids
+                        ],
                         "meta_json": [
                             metas.get(i, {}).get("meta") for i in ids
                         ],

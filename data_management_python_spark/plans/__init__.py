@@ -53,12 +53,31 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
+            # green requires at least one POSITIVE signal — a record
+            # lacking every known key (schema drift, partial write)
+            # must count as never-checked, not silently green
+            positive = (
+                rec.get("hash_match") is True
+                or rec.get("rows_match") is True
+            )
             ok = (
-                rec.get("err") in (None, "")
+                positive
+                and rec.get("err") in (None, "")
                 and rec.get("rows_match") is not False
                 and rec.get("schema_match") is not False
                 and rec.get("hash_match") is not False
             )
+            if not positive and not ok:
+                # unrecognized/partial record: neither green nor failed
+                # unless it carries an explicit failure signal
+                explicit_fail = (
+                    rec.get("err") not in (None, "")
+                    or rec.get("rows_match") is False
+                    or rec.get("schema_match") is False
+                    or rec.get("hash_match") is False
+                )
+                if not explicit_fail:
+                    continue
             # latest round wins: a later green clears an earlier red
             if ok:
                 green.add(name)
@@ -116,6 +135,19 @@ _REG_ORDER: dict[str, int] = {}
 
 def _build_reg_order() -> None:
     tiers = [
+        # tier 0: the round-3 additions never driver-checked through r3.
+        # Pinned explicitly so round-4+ queries (absent from this map →
+        # rank 1_000_000) cannot leapfrog them inside the never-checked
+        # priority tier via module iteration order.
+        ["d_minhash_estimate", "sim_knn_graph", "sim_hybrid_rrf",
+         "sim_pca_project", "a_embed_covariance", "t_train_split",
+         "t_bm25_topk", "t_heavy_hitters", "t_perplexity_buckets",
+         "t_temperature_sample", "t_weighted_sample", "m_scd2_asof",
+         "t_bigram_pairs", "d_source_priority_dedup", "t_budget_select",
+         "t_exact_contamination", "e_funnel", "e_peak_concurrency",
+         "e_decayed_engagement", "a_skew_profile", "v_expectations",
+         "a_zorder_cells", "v_drift_psi", "e_top_paths", "e_anomaly_mad",
+         "a_benford_check", "a_seasonality_profile", "g_link_prediction"],
         # tier 1: TPC-H query shapes (most common user surface)
         ["q2_min_cost_supplier", "q4_priority_exists", "q6_forecast_revenue",
          "q7_nation_volume", "q8_market_share", "q9_product_profit",
@@ -147,7 +179,10 @@ def _build_reg_order() -> None:
     rank = 1
     for tier in tiers:
         for name in tier:
-            _REG_ORDER[name] = rank
+            # first (highest-priority) occurrence wins — tier 0 pins
+            # names that also appear in later thematic tiers
+            if name not in _REG_ORDER:
+                _REG_ORDER[name] = rank
             rank += 1
 
 

@@ -74,7 +74,7 @@ def _require_local_path(path: str, what: str) -> str:
     if parsed.scheme and parsed.scheme != "file":
         raise ValueError(
             f"{what} {path!r}: only locally-mounted paths are supported "
-            "(scheme {parsed.scheme!r}); use the object store's native "
+            f"(scheme {parsed.scheme!r}); use the object store's native "
             "copy for cloud URIs and verify_transfer on a mount"
         )
     return os.path.abspath(parsed.path if parsed.scheme else path)
