@@ -305,6 +305,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any band signature.
 
@@ -314,16 +315,23 @@ def lsh_candidate_pairs(
     scale.  Output: distinct (id_1, id_2), id_1 < id_2.
 
     Pass precomputed ``shingles`` when the caller also needs them (e.g.
-    near_dup_pairs verification) so tokenization runs once.
+    near_dup_pairs verification) so tokenization runs once; pass
+    precomputed ``signatures`` (id, mh0..mh{k-1}) when the caller
+    already built the signature table (e.g. d_minhash_estimate, whose
+    estimator join reads the same signatures — one subtree lets
+    ReuseExchange evaluate the shingle+md5+agg shuffle once).
     """
-    sig = minhash_signatures(
-        shingles
-        if shingles is not None
-        # min is multiplicity-invariant: skip the distinct shuffle
-        else word_shingles(df, id_col, text_col, n, distinct=False),
-        id_col,
-        num_hashes,
-    )
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = minhash_signatures(
+            shingles
+            if shingles is not None
+            # min is multiplicity-invariant: skip the distinct shuffle
+            else word_shingles(df, id_col, text_col, n, distinct=False),
+            id_col,
+            num_hashes,
+        )
     band_structs = band_signature_structs(num_hashes, bands)
     # hash-partition the persisted band table on ITS OWN join key at
     # the operator's width: both sides of the self-join below then

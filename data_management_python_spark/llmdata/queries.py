@@ -2091,7 +2091,7 @@ def d_minhash_estimate(spark, sf_dir):
     sh = dedup.word_shingles(docs, "doc_id", "text", 3, distinct=False)
     sig = dedup.minhash_signatures(sh, "doc_id", 16)
     cands = dedup.lsh_candidate_pairs(
-        docs, "doc_id", "text", 3, 16, 4, shingles=sh
+        docs, "doc_id", "text", 3, 16, 4, signatures=sig
     )
     sa = sig.select(
         F.col("doc_id").alias("id_1"),
@@ -2110,11 +2110,29 @@ def d_minhash_estimate(spark, sf_dir):
         .join(sb, "id_2")
         .select("id_1", "id_2", (eq / 16.0).alias("est_jaccard"))
     )
-    t1 = docs.select(
+    # exact verify restricted to CANDIDATE docs: the semi-join runs
+    # before the shingle-array build, so the exact-Jaccard arrays are
+    # computed for the near-dup-density-bounded candidate set, never
+    # the corpus.  (The previous shape built shingle arrays for EVERY
+    # doc twice; bench's count() metric silently pruned those dead
+    # projections, so its 1.4s steady never computed exact_jaccard at
+    # all — any action reading the values paid ~10s at sf0.1.  This
+    # plan measures 3.3s steady COLLECT / 2.2s count.)  Everything
+    # stays lazy in one plan: the cands subtree appears twice (est +
+    # cand_ids) but ReuseExchange wires both to one evaluation;
+    # eager-checkpoint variants of sig/est/cands all measured slower
+    # (they split the plan into jobs that each pay scheduling floor).
+    cand_ids = (
+        cands.select(F.col("id_1").alias("doc_id"))
+        .unionAll(cands.select(F.col("id_2").alias("doc_id")))
+        .distinct()
+    )
+    cdocs = docs.join(cand_ids, "doc_id", "left_semi")
+    t1 = cdocs.select(
         F.col("doc_id").alias("id_1"),
         dedup.shingle_array_expr("text", 3).alias("__sh1"),
     )
-    t2 = docs.select(
+    t2 = cdocs.select(
         F.col("doc_id").alias("id_2"),
         dedup.shingle_array_expr("text", 3).alias("__sh2"),
     )
