@@ -550,25 +550,26 @@ def temperature_quotas(
     Quotas are floor(budget * weight) and never exceed the stratum's
     actual count; all arithmetic is deterministic doubles over exact
     counts, so a SQL oracle reproduces it.  One partial-agg shuffle
-    (counts); the normalizer is a global window over the per-stratum
-    frame — bounded by the stratum count, and no nested-loop join in
-    the plan (a scalar crossJoin would plan one).
+    (counts); the normalizer is the repo's standard 1-row broadcast
+    scalar crossJoin (the frame here is stratum-arity bounded either
+    way, but the global-window variant planned an Exchange
+    SinglePartition that tripped the plan audit's no-unpartitioned-
+    window rule — one idiom everywhere keeps the audit meaningful).
     """
-    from pyspark.sql.window import Window
-
     counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
     powed = counts.withColumn(
         "w_raw", F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
     )
-    z = F.sum("w_raw").over(Window.partitionBy())
-    return powed.select(
+    z = powed.agg(F.sum("w_raw").alias("__z"))
+    return powed.crossJoin(F.broadcast(z)).select(
         stratum_col,
         "n_docs",
-        F.round(F.col("w_raw") / z, 6).alias("weight"),
+        F.round(F.col("w_raw") / F.col("__z"), 6).alias("weight"),
         F.least(
             F.col("n_docs"),
-            F.floor(F.lit(float(total_budget)) * F.col("w_raw") / z)
-            .cast("bigint"),
+            F.floor(
+                F.lit(float(total_budget)) * F.col("w_raw") / F.col("__z")
+            ).cast("bigint"),
         ).alias("quota"),
     )
 

@@ -35,7 +35,17 @@ NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
                   "a_benford_check", "a_seasonality_profile",
                   # substring-predicate join against a BOUNDED broadcast
                   # probe set: non-equi by nature, BNLJ is the plan
-                  "t_exact_contamination"}
+                  "t_exact_contamination",
+                  # round-4: temperature quotas normalizer moved from a
+                  # global window to the standard 1-row scalar crossJoin
+                  "t_temperature_sample"}
+
+# queries allowed an UNPARTITIONED window (Exchange SinglePartition
+# feeding a WindowExec): each one's window frame is a small AGGREGATED
+# table (deciles, ABC classes, ratio-to-report groups), documented in
+# the query's docstring — a global window over base-table rows is
+# never allowed
+GLOBAL_WINDOW_OK: set[str] = set()
 
 # map-only or tiny-input queries where no exchange at all is fine
 NO_SHUFFLE_OK = True
@@ -61,6 +71,17 @@ def audit(name, df) -> tuple[list[str], list[str]]:
         errors.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
         errors.append("BroadcastNestedLoopJoin")
+    # unpartitioned WindowExec: a Window fed by Exchange SinglePartition
+    # serializes the whole frame through one task — only allowed where
+    # the frame is a documented small aggregate
+    lines = [ln.strip() for ln in plan.splitlines()]
+    for i, ln in enumerate(lines):
+        if "Window [" in ln and i + 1 < len(lines) and (
+            "Exchange SinglePartition" in lines[i + 1]
+        ):
+            if name not in GLOBAL_WINDOW_OK:
+                errors.append("unpartitioned WindowExec")
+            break
     # scans should never read every column of a wide table for narrow
     # output.  Count the FileScan output attribute list, not ReadSchema:
     # Spark truncates ReadSchema at spark.sql.maxMetadataStringLength
