@@ -2380,3 +2380,92 @@ def t_exact_contamination(spark, sf_dir):
             F.col("doc_id").alias("corpus_id"), "benchmark_id", "phrase"
         )
     )
+
+
+# demo merge ruleset for the BPE ENCODER query: fixed (corpus- and
+# sf-independent) so the DuckDB oracle can replay the exact greedy
+# application; ordered so later rules consume earlier rules' outputs
+# (cascading merges — 'e</w>' from rule 1 feeds 'le</w>' in rule 4)
+_BPE_DEMO_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("l", "e</w>"),
+    ("r", "o"),
+    ("w", "</w>"),
+    ("a", "s"),
+    ("s", "t"),
+    ("v", "a"),
+    ("u", "e</w>"),
+]
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Greedy BPE application as a nested-replace chain: each word's
+    symbol sequence is rendered with every token wrapped in sentinel
+    chars (chr(1) tok chr(2), outside the corpus charset), so one SQL
+    ``replace`` of the wrapped pair by the wrapped merge IS the greedy
+    left-to-right non-overlapping merge rule — fully-wrapped tokens
+    share no delimiter, so adjacent matches never interfere."""
+    expr = "s"
+    for left, right in _BPE_DEMO_MERGES:
+        pat = f"chr(1) || '{left}' || chr(2) || chr(1) || '{right}' || chr(2)"
+        rep = f"chr(1) || '{left}{right}' || chr(2)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, i, t[i] AS word
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    sym AS (
+      SELECT doc_id, i,
+             array_to_string(list_transform(
+               regexp_split_to_array(word, ''),
+               c -> chr(1) || c || chr(2)), '')
+               || chr(1) || '</w>' || chr(2) AS s
+      FROM w
+    ),
+    merged AS (SELECT doc_id, i, {expr} AS m FROM sym),
+    agg AS (
+      SELECT doc_id, string_agg(m, '' ORDER BY i) AS allm
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(a.allm) - len(replace(a.allm, chr(1), '')), 0)
+             AS BIGINT) AS n_bpe_tokens,
+           coalesce(trim(replace(a.allm, chr(2) || chr(1), '|'),
+                         chr(1) || chr(2)), '')
+             AS tokens_str
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_q(
+    "t_bpe_encode",
+    _bpe_encode_oracle_sql(),
+    doc="BPE ENCODE as a column operator (llmdata.bpe.apply_bpe): the "
+    "map-side tokenize a 100 TB pipeline runs per document once the "
+    "merge table is trained — rules broadcast in the Arrow-batched "
+    "UDF closure, each word re-merged greedily in rule order, zero "
+    "shuffle.  The ruleset here is a fixed 10-merge demo table "
+    "(corpus-independent, so the oracle can replay it) including "
+    "cascading merges; the oracle expresses the same greedy "
+    "left-to-right application as a sentinel-wrapped nested-replace "
+    "chain.  Output: per-doc token count + '|'-joined token stream, "
+    "hash-checked end to end",
+)
+def t_bpe_encode(spark, sf_dir):
+    from data_management_python_spark.llmdata.bpe import apply_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(left, right, 0) for left, right in _BPE_DEMO_MERGES]
+    enc = apply_bpe(docs, merges, "text", "bpe_tokens")
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.array_join("bpe_tokens", "|").alias("tokens_str"),
+    )

@@ -1038,6 +1038,91 @@ def test_bpe_train_on_driver_corpus(spark):
     assert joined & seen  # at least some rules fire on real text
 
 
+def test_apply_bpe_matches_reference_encoder(spark):
+    """The distributed encoder (apply_bpe, Arrow-batched, rules in the
+    UDF closure) produces token-for-token the same stream as a pure-
+    Python greedy encoder applying the same TRAINED rules — including
+    cascading merges where later rules consume earlier outputs."""
+    from data_management_python_spark.llmdata.bpe import (
+        END,
+        _merge_word,
+        apply_bpe,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low new wide slow slower",
+        "",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    merges = bpe_train(docs, num_merges=10)
+
+    def encode_reference(t: str) -> list[str]:
+        out = []
+        for w in t.strip().lower().split():
+            syms = list(w) + [END]
+            for left, right, _ in merges:
+                if len(syms) < 2:
+                    break
+                syms = _merge_word(syms, left, right, left + right)
+            out.extend(syms)
+        return out
+
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in apply_bpe(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == encode_reference(t), f"doc {i}"
+    assert got[4] == []  # empty text encodes to an empty stream
+
+
+def test_bpe_encode_oracle_replace_chain_parity(spark):
+    """The t_bpe_encode oracle's sentinel-wrapped nested-replace chain
+    is semantically the greedy merge: SQL replace() is left-to-right
+    non-overlapping, and fully-wrapped tokens share no delimiter, so
+    consecutive merges ('a a a a' -> 'aa aa') behave identically."""
+    import duckdb
+
+    from data_management_python_spark.llmdata.bpe import END, _merge_word
+    from data_management_python_spark.llmdata.queries import (
+        _BPE_DEMO_MERGES,
+        _bpe_encode_oracle_sql,
+    )
+
+    texts = [
+        "the table was stable",
+        "a a a a aa",           # consecutive-merge stress
+        "tata tab taba",        # cascading ta -> tab
+        "value value row",
+    ]
+
+    def encode(t):
+        out = []
+        for w in t.strip().lower().split():
+            syms = list(w) + [END]
+            for left, right in _BPE_DEMO_MERGES:
+                syms = _merge_word(syms, left, right, left + right)
+            out.extend(syms)
+        return out
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS v(doc_id, text)"
+    )
+    rows = con.execute(_bpe_encode_oracle_sql()).fetchall()
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    for i, t in enumerate(texts):
+        want = encode(t)
+        assert got[i] == (len(want), "|".join(want)), f"doc {i}"
+
+
 def test_resized_bmp_survives_shard_roundtrip(spark, tmp_path):
     """The review-flagged gap: resized images (mime image/bmp) must
     keep their mime through write_media_shards -> read_media_shards,

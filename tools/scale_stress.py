@@ -86,6 +86,9 @@ HEAVY = [
     "t_bigram_pairs",
     "d_source_priority_dedup",
     "t_budget_select",
+    # round-4 additions
+    "t_bpe_encode",
+    "d_minhash_estimate",
 ]
 
 KEY_SHIFT = {
