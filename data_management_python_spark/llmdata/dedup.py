@@ -795,28 +795,26 @@ def incremental_near_dup(
     # per-pair duplication measured ~3x this join's cost.  The
     # candidate table broadcasts (bounded by near-dup density, the
     # same envelope as near_dup_pairs' verification).
-    def hashed_shingles(df: DataFrame, out_id: str) -> DataFrame:
-        toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
+    # BOTH sides semi-join down to the ids that appear in any
+    # candidate pair BEFORE the tokenize+explode (bounded by near-dup
+    # density, same envelope as cands itself): the base-side shingle
+    # table used to be checkpointed at FULL corpus size — the largest
+    # materialization in the query — when only candidate base docs are
+    # ever consumed (the counting join meets cands, the size agg is
+    # broadcast per candidate id).  Work and checkpoint size now scale
+    # with |delta|'s matches, never with |base|.
+    def hashed_shingles(df: DataFrame, key: str, out_id: str) -> DataFrame:
+        ids = cands.select(F.col(key).alias(id_col)).distinct()
+        part = df.join(F.broadcast(ids), id_col, "left_semi")
+        toked, shx = _shingle_parts(part, id_col, text_col, n, distinct=True)
         return toked.select(
             F.col(id_col).alias(out_id), F.explode(shx).alias("shingle")
         ).select(F.col(out_id), F.xxhash64("shingle").alias("__sh"))
 
-    sh_d = hashed_shingles(delta, "delta_id").localCheckpoint(eager=True)
-    sh_b = hashed_shingles(base, "base_id").localCheckpoint(eager=True)
+    sh_d = hashed_shingles(delta, "delta_id", "delta_id")
+    sh_b = hashed_shingles(base, "base_id", "base_id")
     n_d = sh_d.groupBy("delta_id").agg(F.count(F.lit(1)).alias("n_a"))
-    # base-side sizes are one row per BASE document — semi-join down to
-    # the candidate base_ids (bounded by near-dup density, same
-    # envelope as cands itself) BEFORE broadcasting, so driver memory
-    # scales with |delta|'s matches, never with |base|
-    n_b = (
-        sh_b.join(
-            F.broadcast(cands.select("base_id").distinct()),
-            "base_id",
-            "left_semi",
-        )
-        .groupBy("base_id")
-        .agg(F.count(F.lit(1)).alias("n_b"))
-    )
+    n_b = sh_b.groupBy("base_id").agg(F.count(F.lit(1)).alias("n_b"))
     inter = (
         F.broadcast(cands)
         .join(sh_d, on="delta_id")
