@@ -1730,3 +1730,98 @@ def a_seasonality_profile(spark, sf_dir):
             "load_ratio"
         ),
     )
+
+
+@_q(
+    "s_ohlc_windowed",
+    """
+    SELECT CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT)
+             AS window_start_ms,
+           user_id,
+           arg_min(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, lpad(CAST(epoch_ms(ts) AS VARCHAR), 15, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY window_start_ms, user_id
+    """,
+    doc="the STREAMING OHLC operator (streaming.windows.windowed_ohlc) "
+    "run in batch mode — the exact code path the readStream pipeline "
+    "executes (tumbling F.window + min_by/max_by bars; the watermark "
+    "branch is a no-op on batch frames), registered so the driver "
+    "hash-checks the streaming semantics' batch contract, not just a "
+    "lookalike query.  Epoch-aligned 5-minute tumbling windows "
+    "projected as epoch ms; one hash agg keyed (window, user), no "
+    "sort.  Stream-vs-batch bar equality is separately pinned by "
+    "tests/test_streaming test_windowed_ohlc_stream_matches_batch",
+)
+def s_ohlc_windowed(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms
+    from data_management_python_spark.streaming.windows import windowed_ohlc
+
+    ev = T(spark, sf_dir, "events")
+    bars = windowed_ohlc(ev, window="5 minutes")
+    return bars.select(
+        epoch_ms("window_start").cast("bigint").alias("window_start_ms"),
+        "user_id",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@_q(
+    "s_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       >= 1800 * 1000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(epoch_ms(ts)) AS BIGINT) AS session_start_ms,
+           CAST(MAX(epoch_ms(ts)) + 1800000 AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="the STREAMING session-window operator "
+    "(streaming.windows.session_window_counts, native "
+    "F.session_window with 30-minute gap) run in batch mode — "
+    "registered so the driver hash-checks the streaming semantics' "
+    "batch contract.  Session merge rule is Spark's: an event joins "
+    "the open session iff its gap from the previous event is "
+    "STRICTLY below the gap duration (diff >= gap starts a new "
+    "session), and session_end = last event + gap — both encoded in "
+    "the oracle's islands rewrite, which differs from e_sessionize's "
+    "lag-sum sessionization exactly at the boundary (that query uses "
+    "diff > gap).  Output in epoch ms",
+)
+def s_session_windows(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms
+    from data_management_python_spark.streaming.windows import (
+        session_window_counts,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    sessions = session_window_counts(ev, gap="30 minutes")
+    return sessions.select(
+        "user_id",
+        epoch_ms("session_start").cast("bigint").alias("session_start_ms"),
+        epoch_ms("session_end").cast("bigint").alias("session_end_ms"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -89,6 +89,8 @@ HEAVY = [
     # round-4 additions
     "t_bpe_encode",
     "d_minhash_estimate",
+    "s_ohlc_windowed",
+    "s_session_windows",
 ]
 
 KEY_SHIFT = {
