@@ -803,28 +803,32 @@ def incremental_near_dup(
     # ever consumed (the counting join meets cands, the size agg is
     # broadcast per candidate id).  Work and checkpoint size now scale
     # with |delta|'s matches, never with |base|.
-    def hashed_shingles(df: DataFrame, key: str, out_id: str) -> DataFrame:
+    def hashed_sized(df: DataFrame, key: str, out_n: str) -> DataFrame:
         ids = cands.select(F.col(key).alias(id_col)).distinct()
         part = df.join(F.broadcast(ids), id_col, "left_semi")
         toked, shx = _shingle_parts(part, id_col, text_col, n, distinct=True)
         return toked.select(
-            F.col(id_col).alias(out_id), F.explode(shx).alias("shingle")
-        ).select(F.col(out_id), F.xxhash64("shingle").alias("__sh"))
+            F.col(id_col).alias(key),
+            F.size(shx).alias(out_n),
+            F.explode(shx).alias("shingle"),
+        ).select(key, out_n, F.xxhash64("shingle").alias("__sh"))
 
-    sh_d = hashed_shingles(delta, "delta_id", "delta_id")
-    sh_b = hashed_shingles(base, "base_id", "base_id")
-    n_d = sh_d.groupBy("delta_id").agg(F.count(F.lit(1)).alias("n_a"))
-    n_b = sh_b.groupBy("base_id").agg(F.count(F.lit(1)).alias("n_b"))
-    inter = (
+    # per-doc sizes ride along map-side (sized_shingles shape), so no
+    # separate size aggregation or join exists; each side materializes
+    # ONCE (tiny: candidate docs only) for its single consumer pair.
+    # The base side BROADCASTS into the counting join — candidate-
+    # bounded by construction — so the only shuffle in the verify is
+    # the pair-level groupBy.  Zero-intersection candidates drop in
+    # the inner join, which is correct here: their jaccard is 0 and
+    # the output filters to >= threshold.
+    sh_d = hashed_sized(delta, "delta_id", "n_a").localCheckpoint(eager=True)
+    sh_b = hashed_sized(base, "base_id", "n_b").localCheckpoint(eager=True)
+    return (
         F.broadcast(cands)
         .join(sh_d, on="delta_id")
-        .join(sh_b.hint("shuffle_hash"), on=["base_id", "__sh"])
-        .groupBy("delta_id", "base_id")
+        .join(F.broadcast(sh_b), on=["base_id", "__sh"])
+        .groupBy("delta_id", "base_id", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(F.broadcast(n_d), "delta_id")
-        .join(F.broadcast(n_b), "base_id")
         .select(
             "delta_id",
             "base_id",
