@@ -608,11 +608,45 @@ _NEAR_DUP_ORACLE = f"""
     "Jaccard verification on candidates only; work scales with true "
     "duplicate density instead of shingle hotness (see SCALE.md)",
 )
-def d_near_dup_verified(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
+def _near_dup_pairs_cached(spark, sf_dir):
+    """Verified near-dup pair set (threshold 0.2), materialized once
+    per session and shared by d_near_dup_verified / d_dup_clusters /
+    d_cluster_survivors — the three queries are views over the same
+    expensive candidates+verify build (operators.session_cache)."""
+    from data_management_python_spark.operators.session_cache import (
+        session_cached,
     )
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.near_dup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=4,
+            threshold=0.2,
+        )
+
+    return session_cached(spark, "near_dup_pairs_t02", sf_dir, build)
+
+
+def _dup_components_cached(spark, sf_dir):
+    """Cluster assignment (connected components over the shared
+    near-dup pair set), materialized once per session for the cluster
+    family; the iterative label propagation is the costliest shared
+    step, so caching its OUTPUT (one (doc_id, cluster_id) row per doc)
+    saves the whole loop per consumer."""
+    from data_management_python_spark.operators.session_cache import (
+        session_cached,
+    )
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = _near_dup_pairs_cached(spark, sf_dir).select("id_1", "id_2")
+        return dedup.connected_components(docs.select("doc_id"), pairs)
+
+    return session_cached(spark, "dup_components", sf_dir, build)
+
+
+def d_near_dup_verified(spark, sf_dir):
+    return _near_dup_pairs_cached(spark, sf_dir)
 
 
 @_q(
@@ -899,11 +933,7 @@ def t_tfidf_topk(spark, sf_dir):
     "brief calls non-SQL-expressible, still hash-checked end to end",
 )
 def d_dup_clusters(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
-    ).select("id_1", "id_2")
-    comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    comp = _dup_components_cached(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
@@ -997,10 +1027,7 @@ def t_unigram_xent(spark, sf_dir):
 )
 def d_cluster_survivors(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.2
-    ).select("id_1", "id_2")
-    comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    comp = _dup_components_cached(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -1,0 +1,50 @@
+"""Per-session materialization cache for expensive intermediate frames
+shared by a QUERY FAMILY (graph edge sets, verified near-dup pairs,
+duplicate-cluster assignments).
+
+Several registered queries are views over the same expensive
+intermediate: the co-purchase edge set feeds both triangle counting
+and link prediction, the verified near-dup pair set feeds the pair
+report, the cluster assignment, and the survivor pick.  Re-deriving
+the intermediate per query made the shared build — not each query's
+own analytics — the dominant steady cost of the family.
+
+``session_cached`` materializes the build ONCE per (application id,
+name, sf_dir) as an eager localCheckpoint and hands every family
+member the same tiny materialized frame.  Keying on the application id
+means entries from a stopped session are unreachable garbage, pruned
+on the next call — nothing leaks into a NEW session (the round-2
+persist leak was a cached frame surviving inside one long-lived
+session; this cache deliberately shares within a session and drops
+across).  At 100 TB the same seam is where a real deployment
+materializes the intermediate as a bucketed table instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_cached(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the frame built by ``build()``, eagerly localCheckpointed
+    once per (session, name, sf_dir) and shared by later calls."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, name, sf_dir)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    # prune entries left behind by stopped sessions
+    for k in [k for k in _CACHE if k[0] != app_id]:
+        del _CACHE[k]
+    df = build().localCheckpoint(eager=True)
+    _CACHE[key] = df
+    return df

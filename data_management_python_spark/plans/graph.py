@@ -47,57 +47,42 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# co-purchase edge sets shared by the graph family, keyed by
-# (spark application id, sf_dir).  Keying on the application id means
-# entries from a stopped session are unreachable garbage, pruned on
-# the next call — no blocks leak into a NEW session (the r2 persist
-# leak was a cached frame surviving inside one long-lived session;
-# this cache deliberately shares within a session and drops across).
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-filtered co-purchase edge set: part pairs (p1 < p2)
-    sharing >= 2 orders, as an eagerly localCheckpointed frame
-    materialized ONCE per (session, sf_dir) and shared by
-    g_triangle_count / g_link_prediction.
+    sharing >= 2 orders, materialized ONCE per (session, sf_dir) and
+    shared by g_triangle_count / g_link_prediction
+    (operators.session_cache).
 
     The build is the per-order bounded self-join of lineitem with the
     support threshold applied BEFORE any quadratic consumer; both
     graph queries previously re-derived it per run, which made the
     edge build (not the analytics) the dominant cost of the family.
     The checkpoint holds |E| narrow long-pairs (~10^5 rows at sf0.1 —
-    KBs), so keeping it for the session is free; at 100 TB the same
-    helper is where a real deployment would swap in a bucketed
-    pre-materialized edge table.
+    KBs), so keeping it for the session is free.
     """
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    cached = _EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    # prune entries left behind by stopped sessions
-    for k in [k for k in _EDGE_CACHE if k[0] != app_id]:
-        del _EDGE_CACHE[k]
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint(eager=True)
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
     )
-    _EDGE_CACHE[key] = e
-    return e
+
+    def build() -> DataFrame:
+        li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("p1"),
+                F.col("b.l_partkey").alias("p2"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+            .select("p1", "p2")
+        )
+
+    return session_cached(spark, "copurchase_edges", sf_dir, build)
 
 
 def pagerank_fixed(
