@@ -1825,3 +1825,49 @@ def s_session_windows(spark, sf_dir):
         epoch_ms("session_end").cast("bigint").alias("session_end_ms"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@_q(
+    "s_interval_join",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ts_ms,
+           c.event_id AS click_id,
+           CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="the STREAM-STREAM interval join "
+    "(streaming.joins.stream_interval_join: purchases matched to "
+    "same-user clicks at most 30 minutes older, the attribution-join "
+    "shape) run in batch mode — the watermark declarations are "
+    "no-ops on batch frames, everything else is the identical code "
+    "path, so the driver hash-checks the streaming semantics' batch "
+    "contract.  The equi-key on user_id keeps the plan a hash join "
+    "with the interval as residual predicates — never a cross "
+    "product; at stream scale the same bounds are what let the "
+    "watermark expire join state.  Timestamps projected as epoch ms",
+)
+def s_interval_join(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms
+    from data_management_python_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = stream_interval_join(clicks, purchases, 30, 10, "inner")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        epoch_ms("purchase_ts").cast("bigint").alias("purchase_ts_ms"),
+        "click_id",
+        epoch_ms("click_ts").cast("bigint").alias("click_ts_ms"),
+    )

@@ -91,6 +91,7 @@ HEAVY = [
     "d_minhash_estimate",
     "s_ohlc_windowed",
     "s_session_windows",
+    "s_interval_join",
 ]
 
 KEY_SHIFT = {
