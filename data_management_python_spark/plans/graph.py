@@ -381,3 +381,89 @@ def g_link_prediction(spark, sf_dir):
         )
         .limit(15)
     )
+
+
+def _label_prop_oracle_sql(rounds: int = 6) -> str:
+    """Fixed-round min-label propagation as chained CTEs: each round
+    is exactly the Spark iteration (neighbor labels unioned with own,
+    MIN per node), so labels match round-for-round."""
+    # MATERIALIZED: without it DuckDB inlines the edge CTE into every
+    # round's join and re-derives the lineitem self-join per round —
+    # measured 158s vs ~2s at sf0.1 (Spark's localCheckpoint is the
+    # same materialization decision on its side)
+    ctes = ["""e AS MATERIALIZED (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )""", """sym AS MATERIALIZED (
+      SELECT p1 AS a, p2 AS b FROM e
+      UNION ALL SELECT p2, p1 FROM e
+    )""", """l0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM sym
+    )"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT s.a AS node, l.label
+        FROM sym s JOIN l{i - 1} l ON l.node = s.b
+        UNION ALL
+        SELECT node, label FROM l{i - 1}
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT label AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_node,
+           MAX(node) AS max_node
+    FROM l{rounds}
+    GROUP BY label
+    """
+    )
+
+
+@_q(
+    "g_label_propagation",
+    _label_prop_oracle_sql(6),
+    doc="fixed-round min-label propagation over the co-purchase graph "
+    "(6 rounds): each round joins neighbor labels across the edge set "
+    "and takes the per-node MIN — the bounded-cost form of connected "
+    "components, exactly as g_pagerank is the bounded-cost form of "
+    "power iteration (the converge-until-done variant is "
+    "llmdata.dedup.connected_components, pytest-verified; a FIXED "
+    "round count makes this one SQL-expressible so the oracle checks "
+    "labels round-for-round).  Per round: one |E|-bounded join with "
+    "the node-sized label frame broadcast + a partial-agg MIN — "
+    "shuffle volume O(V) per round, never edge-squared.  Labels "
+    "checkpointed every 3 rounds to truncate lineage.  Edge set "
+    "shared with the graph family via copurchase_edges "
+    "(operators.session_cache).  Output is per-component rollup "
+    "(size, min/max member), so result size is bounded by component "
+    "count",
+)
+def g_label_propagation(spark, sf_dir, rounds: int = 6):
+    e = copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
+        e.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(rounds):
+        nbr = sym.join(
+            F.broadcast(labels.select(F.col("node").alias("b"), "label")),
+            "b",
+        ).select(F.col("a").alias("node"), "label")
+        labels = (
+            nbr.unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if i % 3 == 2:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -92,6 +92,7 @@ HEAVY = [
     "s_ohlc_windowed",
     "s_session_windows",
     "s_interval_join",
+    "g_label_propagation",
 ]
 
 KEY_SHIFT = {
