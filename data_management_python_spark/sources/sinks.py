@@ -343,6 +343,138 @@ def compact_dataset(
     return n_files
 
 
+def plan_partition_compaction(
+    spark,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+    min_small_files: int = 2,
+) -> DataFrame:
+    """Partition-aware compaction PLAN for a hive-partitioned dataset:
+    one row per leaf partition with its file census and whether it
+    needs compaction — the metadata pass an OPTIMIZE job runs before
+    touching any data.
+
+    At 100 TB the point is what this does NOT do: it reads zero data
+    bytes (Hadoop FileSystem listing only, any scheme) and the
+    executor-side rewrite that follows (:func:`compact_partitions`)
+    touches ONLY flagged partitions — a single hot streaming partition
+    does not trigger a whole-table rewrite.  A partition needs
+    compaction when it holds at least ``min_small_files`` files below
+    ``small_file_bytes`` (default: half the target size).
+
+    Reference analog: igf_data/utils/disk_usage_utils.py:5-141 walks
+    directories per server to report usage; this is the same census
+    distilled to the decision a lake maintenance job needs.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(conf)
+
+    rows = []
+
+    def walk(path, rel):
+        files, dirs = [], []
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                dirs.append((st.getPath(), name))
+            elif not name.startswith(("_", ".")):
+                files.append(st.getLen())
+        if files:
+            small = [b for b in files if b < small_file_bytes]
+            rows.append(
+                (
+                    rel or ".",
+                    len(files),
+                    len(small),
+                    int(sum(files)),
+                    int(sum(small)),
+                )
+            )
+        for sub, name in dirs:
+            walk(sub, f"{rel}/{name}" if rel else name)
+
+    walk(root_path, "")
+    schema = StructType(
+        [
+            StructField("partition", StringType(), False),
+            StructField("n_files", LongType(), False),
+            StructField("n_small_files", LongType(), False),
+            StructField("total_bytes", LongType(), False),
+            StructField("small_bytes", LongType(), False),
+        ]
+    )
+    plan = spark.createDataFrame(rows, schema)
+    return plan.withColumn(
+        "needs_compaction", F.col("n_small_files") >= min_small_files
+    ).withColumn(
+        "target_n_files",
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("total_bytes") / F.lit(target_file_bytes)).cast(
+                "long"
+            ),
+        ),
+    )
+
+
+def compact_partitions(
+    spark,
+    root: str,
+    plan: DataFrame,
+    fmt: str = "parquet",
+) -> list[str]:
+    """Execute a :func:`plan_partition_compaction` plan: rewrite ONLY
+    the flagged partitions, each coalesced to its planned file count,
+    atomically per partition (write to a sibling temp dir, then swap).
+    Returns the rewritten partition names.
+
+    Each partition's rewrite is one bounded Spark job (read the
+    partition's files, coalesce, write); untouched partitions keep
+    their files byte-identical, so re-running after a partial failure
+    re-plans and finishes the remainder — the idempotence contract
+    overwrite_partitions established for backfills, applied to
+    layout maintenance.
+    """
+    todo = [
+        (r["partition"], int(r["target_n_files"]))
+        for r in plan.filter("needs_compaction").collect()
+    ]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    done = []
+    for part, n_files in todo:
+        src_dir = root if part == "." else f"{root}/{part}"
+        tmp_dir = f"{src_dir}__compacting"
+        (
+            spark.read.format(fmt)
+            .load(src_dir)
+            .coalesce(n_files)
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(tmp_dir)
+        )
+        src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+        fs = src_path.getFileSystem(conf)
+        fs.delete(src_path, True)
+        fs.rename(tmp_path, src_path)
+        done.append(part)
+    return done
+
+
 def write_columnar_dataset(
     df: DataFrame,
     path: str,

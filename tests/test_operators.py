@@ -417,6 +417,59 @@ def test_compact_dataset_reduces_files(spark, tmp_path):
     assert out.count() == orders.count()
 
 
+def test_partition_compaction_plan_and_execute(spark, tmp_path):
+    """Planner flags only fragmented partitions; executor rewrites only
+    those, preserves every row, and leaves healthy partitions' files
+    byte-identical (the incremental-OPTIMIZE contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.sources.sinks import (
+        compact_partitions,
+        plan_partition_compaction,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    root = str(tmp_path / "lake")
+    # partition A: fragmented (16 tiny files); partition B: healthy (1)
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    a.repartition(16).write.parquet(f"{root}/day=A")
+    b.coalesce(1).write.parquet(f"{root}/day=B")
+    healthy_files = sorted(
+        f for f in os.listdir(f"{root}/day=B") if f.endswith(".parquet")
+    )
+
+    plan = plan_partition_compaction(
+        spark, root, target_file_bytes=64 * 1024 * 1024, min_small_files=4
+    )
+    by_part = {r["partition"]: r for r in plan.collect()}
+    assert by_part["day=A"]["needs_compaction"] is True
+    assert by_part["day=A"]["n_files"] == 16
+    assert by_part["day=B"]["needs_compaction"] is False
+
+    done = compact_partitions(spark, root, plan)
+    assert done == ["day=A"]
+    # flagged partition compacted to its planned count; rows intact
+    out_a = spark.read.parquet(f"{root}/day=A")
+    assert len(out_a.inputFiles()) == by_part["day=A"]["target_n_files"]
+    assert out_a.count() == a.count()
+    # healthy partition untouched, same files on disk
+    assert (
+        sorted(
+            f for f in os.listdir(f"{root}/day=B") if f.endswith(".parquet")
+        )
+        == healthy_files
+    )
+    # idempotence: re-plan flags nothing, re-execute is a no-op
+    plan2 = plan_partition_compaction(
+        spark, root, target_file_bytes=64 * 1024 * 1024, min_small_files=4
+    )
+    assert plan2.filter("needs_compaction").count() == 0
+    assert compact_partitions(spark, root, plan2) == []
+
+
 def test_ordered_prefix_sum_matches_window(spark):
     """ordered_prefix_sum == the SinglePartition window it replaces,
     for inclusive and exclusive modes, across a multi-partition input."""
