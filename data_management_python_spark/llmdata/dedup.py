@@ -815,18 +815,21 @@ def incremental_near_dup(
 
     # per-doc sizes ride along map-side (sized_shingles shape), so no
     # separate size aggregation or join exists; each side materializes
-    # ONCE (tiny: candidate docs only) for its single consumer pair.
-    # The base side BROADCASTS into the counting join — candidate-
-    # bounded by construction — so the only shuffle in the verify is
-    # the pair-level groupBy.  Zero-intersection candidates drop in
-    # the inner join, which is correct here: their jaccard is 0 and
-    # the output filters to >= threshold.
+    # ONCE (candidate docs only) for its single consumer pair.  The
+    # base side stays a shuffle-hash join, NOT a broadcast: candidate
+    # density bounds the PAIR count but sh_b is shingle-level fan-out
+    # (candidate base docs x shingles per doc) — on a re-crawl where
+    # nearly every base doc is a candidate, a forced broadcast would
+    # bypass autoBroadcastJoinThreshold and OOM a job the shuffle-hash
+    # shape completes.  Zero-intersection candidates drop in the inner
+    # join, which is correct here: their jaccard is 0 and the output
+    # filters to >= threshold.
     sh_d = hashed_sized(delta, "delta_id", "n_a").localCheckpoint(eager=True)
     sh_b = hashed_sized(base, "base_id", "n_b").localCheckpoint(eager=True)
     return (
         F.broadcast(cands)
         .join(sh_d, on="delta_id")
-        .join(F.broadcast(sh_b), on=["base_id", "__sh"])
+        .join(sh_b.hint("shuffle_hash"), on=["base_id", "__sh"])
         .groupBy("delta_id", "base_id", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .select(

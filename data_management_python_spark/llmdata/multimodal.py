@@ -51,22 +51,34 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _run_with_bounded_arrow_batches(plan: DataFrame, batch_rows: int) -> DataFrame:
-    """Materialize ``plan`` eagerly with
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bound to
-    ``batch_rows``, restoring the previous session value after.
+def _run_with_bounded_arrow_batches(
+    plan: DataFrame, batch_rows: int, eager: bool
+) -> DataFrame:
+    """Apply the ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    bound for a blob-processing plan.
 
-    The batch bound only matters while the Arrow job actually runs, so
-    a lazily-returned frame cannot honor it (the conf could be
-    overwritten before the first action) — same contract as
-    transfer_tree (sources/transfer.py): save, set, run eagerly,
-    restore in a finally.  The returned frame is a localCheckpoint of
-    the blob-processing output, which for every caller here is
-    bounded-size (fixed-dim vectors, resized thumbnails, frame
-    slices), so materialization cost is the job the caller asked for.
+    Eager (the batch default): save the conf, set it, materialize the
+    plan as a localCheckpoint, restore in a finally — same contract as
+    transfer_tree (sources/transfer.py).  The bound only matters while
+    the Arrow job actually runs, and a lazily-returned frame cannot
+    guarantee it (the conf could be overwritten before the first
+    action).  The materialized output is bounded-size for every caller
+    here (fixed-dim vectors, resized thumbnails, frame slices).
+
+    Lazy (``eager=False``, and ALWAYS for streaming frames — a
+    streaming Dataset cannot be checkpointed or materialized here):
+    set the conf and return the plan untouched.  The bound then
+    applies only as long as the session conf survives until the
+    action/stream runs — best-effort, and deliberately NOT restored,
+    since there is no job boundary to restore after.  Callers that
+    need incremental evaluation (``.limit`` probes, direct streaming
+    into a sink) choose this and own the conf.
     """
     spark = plan.sparkSession
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    if plan.isStreaming or not eager:
+        spark.conf.set(key, str(batch_rows))
+        return plan
     prev = spark.conf.get(key, "10000")
     spark.conf.set(key, str(batch_rows))
     try:
@@ -215,6 +227,7 @@ def resize_images(
     content_col: str = "content",
     id_col: str = "media_id",
     batch_rows: int = 64,
+    eager: bool = True,
 ) -> DataFrame:
     """REAL image resize over the binary column: decode (PIL or the
     pure-Python BMP path), nearest-neighbor resample to
@@ -269,7 +282,7 @@ def resize_images(
             )
 
     return _run_with_bounded_arrow_batches(
-        df.mapInPandas(process, schema=schema), batch_rows
+        df.mapInPandas(process, schema=schema), batch_rows, eager
     )
 
 
@@ -318,7 +331,7 @@ def _decode_features(blob: bytes | None, modality: str, dim: int) -> list[float]
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, batch_rows: int = 64
+    media: DataFrame, dim: int = 8, batch_rows: int = 64, eager: bool = True
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
@@ -350,7 +363,7 @@ def extract_features(
             yield out
 
     return _run_with_bounded_arrow_batches(
-        media.mapInPandas(process, schema=FEATURE_SCHEMA), batch_rows
+        media.mapInPandas(process, schema=FEATURE_SCHEMA), batch_rows, eager
     )
 
 
@@ -405,6 +418,7 @@ def sample_frames(
     n_frames: int = 4,
     duration_ms: int = 10_000,
     batch_rows: int = 16,
+    eager: bool = True,
 ) -> DataFrame:
     """Video frame sampling as a mapInPandas fan-out: each media row
     yields up to ``n_frames`` frame rows (frame index, timestamp,
@@ -443,7 +457,7 @@ def sample_frames(
             )
 
     return _run_with_bounded_arrow_batches(
-        media.mapInPandas(process, schema=FRAME_SCHEMA), batch_rows
+        media.mapInPandas(process, schema=FRAME_SCHEMA), batch_rows, eager
     )
 
 

@@ -53,38 +53,27 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            # green requires at least one POSITIVE signal — a record
-            # lacking every known key (schema drift, partial write)
-            # must count as never-checked, not silently green
+            # one classification, three buckets: explicit failure wins;
+            # green requires a POSITIVE match signal (a record lacking
+            # every known key — schema drift, partial write — counts as
+            # never-checked, not silently green); latest round wins.
+            explicit_fail = (
+                rec.get("err") not in (None, "")
+                or rec.get("rows_match") is False
+                or rec.get("schema_match") is False
+                or rec.get("hash_match") is False
+            )
             positive = (
                 rec.get("hash_match") is True
                 or rec.get("rows_match") is True
             )
-            ok = (
-                positive
-                and rec.get("err") in (None, "")
-                and rec.get("rows_match") is not False
-                and rec.get("schema_match") is not False
-                and rec.get("hash_match") is not False
-            )
-            if not positive and not ok:
-                # unrecognized/partial record: neither green nor failed
-                # unless it carries an explicit failure signal
-                explicit_fail = (
-                    rec.get("err") not in (None, "")
-                    or rec.get("rows_match") is False
-                    or rec.get("schema_match") is False
-                    or rec.get("hash_match") is False
-                )
-                if not explicit_fail:
-                    continue
-            # latest round wins: a later green clears an earlier red
-            if ok:
-                green.add(name)
-                failed.discard(name)
-            else:
+            if explicit_fail:
                 failed.add(name)
                 green.discard(name)
+            elif positive:
+                green.add(name)
+                failed.discard(name)
+            # else: unrecognized/partial record -> never-checked
     return failed, green
 
 

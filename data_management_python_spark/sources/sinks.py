@@ -389,7 +389,10 @@ def plan_partition_compaction(
         for st in fs.listStatus(path):
             name = st.getPath().getName()
             if st.isDirectory():
-                dirs.append((st.getPath(), name))
+                # stranded compaction temp dirs are recovery artifacts,
+                # not partitions
+                if not name.endswith(("__compacting", "__precompact")):
+                    dirs.append((st.getPath(), name))
             elif not name.startswith(("_", ".")):
                 files.append(st.getLen())
         if files:
@@ -457,6 +460,26 @@ def compact_partitions(
     done = []
     for part, n_files in todo:
         src_dir = root if part == "." else f"{root}/{part}"
+        src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
+        fs = src_path.getFileSystem(conf)
+        if part == ".":
+            # loose files at the ROOT of a tree that also has partition
+            # subdirs: rewriting "the root" would read whatever layout
+            # Spark tolerates and then replace the whole tree with it —
+            # refuse rather than risk the dataset (clean the stragglers
+            # into a real partition first)
+            has_subdirs = any(
+                st.isDirectory()
+                and not st.getPath().getName().endswith("__compacting")
+                for st in fs.listStatus(src_path)
+            )
+            if has_subdirs:
+                raise ValueError(
+                    "refusing to compact root-level files of a "
+                    f"partitioned tree ({root}): move or remove the "
+                    "loose files, or compact the whole dataset with "
+                    "compact_dataset"
+                )
         tmp_dir = f"{src_dir}__compacting"
         (
             spark.read.format(fmt)
@@ -466,11 +489,21 @@ def compact_partitions(
             .format(fmt)
             .save(tmp_dir)
         )
-        src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
+        # crash-safe swap: the original is RENAMED aside (recoverable),
+        # never deleted before the replacement is in place; every
+        # Hadoop rename reports failure by returning false, so each
+        # return is checked
         tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_dir)
-        fs = src_path.getFileSystem(conf)
-        fs.delete(src_path, True)
-        fs.rename(tmp_path, src_path)
+        old_path = jvm.org.apache.hadoop.fs.Path(f"{src_dir}__precompact")
+        if fs.exists(old_path):
+            fs.delete(old_path, True)  # leftover from a prior crash
+        if not fs.rename(src_path, old_path):
+            raise OSError(f"rename {src_dir} -> {src_dir}__precompact failed")
+        if not fs.rename(tmp_path, src_path):
+            # roll back so the partition is never missing
+            fs.rename(old_path, src_path)
+            raise OSError(f"rename {tmp_dir} -> {src_dir} failed; rolled back")
+        fs.delete(old_path, True)
         done.append(part)
     return done
 

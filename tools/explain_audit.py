@@ -73,14 +73,23 @@ def audit(name, df) -> tuple[list[str], list[str]]:
         errors.append("BroadcastNestedLoopJoin")
     # unpartitioned WindowExec: a Window fed by Exchange SinglePartition
     # serializes the whole frame through one task — only allowed where
-    # the frame is a documented small aggregate
+    # the frame is a documented small aggregate.  The exchange is not
+    # necessarily adjacent: ORDERED global windows (row_number/rank
+    # over the whole table — the common dangerous case) interpose a
+    # Sort between Window and the exchange, so scan the Window's
+    # child chain, not just the next line.
     lines = [ln.strip() for ln in plan.splitlines()]
     for i, ln in enumerate(lines):
-        if "Window [" in ln and i + 1 < len(lines) and (
-            "Exchange SinglePartition" in lines[i + 1]
-        ):
-            if name not in GLOBAL_WINDOW_OK:
-                errors.append("unpartitioned WindowExec")
+        if "Window [" not in ln:
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Exchange SinglePartition" in nxt:
+                if name not in GLOBAL_WINDOW_OK:
+                    errors.append("unpartitioned WindowExec")
+                break
+            if "Exchange " in nxt or "Window [" in nxt:
+                break  # a different (partitioned) exchange feeds it
+        if "unpartitioned WindowExec" in errors:
             break
     # scans should never read every column of a wide table for narrow
     # output.  Count the FileScan output attribute list, not ReadSchema:
