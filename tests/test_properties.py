@@ -324,3 +324,109 @@ def test_expectation_metrics_always_in_unit_interval(spark, rows):
     ]
     for r in evaluate(df, rules).collect():
         assert 0.0 <= r.metric <= 1.0
+
+
+WORD = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(WORD, min_size=1, max_size=12),
+    st.lists(st.tuples(WORD, WORD), min_size=1, max_size=6),
+)
+def test_merge_word_matches_wrapped_replace_chain(words, rules):
+    """The lemma the t_bpe_encode oracle rests on: greedy left-to-right
+    non-overlapping pair merge over a symbol list equals a string
+    replace over fully-wrapped tokens — for ANY symbols and ANY rule
+    sequence (cascades, self-pairs 'a a', overlapping runs)."""
+    from data_management_python_spark.llmdata.bpe import _merge_word
+
+    syms = list(words)
+    wrapped = "".join(f"\x01{t}\x02" for t in syms)
+    for left, right in rules:
+        joined = left + right
+        syms = _merge_word(syms, left, right, joined)
+        wrapped = wrapped.replace(
+            f"\x01{left}\x02\x01{right}\x02", f"\x01{joined}\x02"
+        )
+    assert wrapped == "".join(f"\x01{t}\x02" for t in syms)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.randoms(use_true_random=False),
+)
+def test_bmp_encode_decode_roundtrip_random(w, h, rnd):
+    """_encode_bmp24 and _decode_bmp_wh_pixels are exact inverses for
+    arbitrary pixel content and any width (4-byte row padding paths
+    included: widths 1-9 cover every stride remainder)."""
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_bmp_wh_pixels,
+        _encode_bmp24,
+    )
+
+    px = [
+        (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(w * h)
+    ]
+    got = _decode_bmp_wh_pixels(_encode_bmp24(w, h, px))
+    assert got == (w, h, px)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user_id
+            st.integers(min_value=0, max_value=7200),   # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_session_window_counts_match_gap_reference(spark, evs):
+    """Spark's native session_window (as wrapped by
+    streaming.windows.session_window_counts) follows the strict-gap
+    merge rule: events join the open session iff the gap to the
+    previous event is STRICTLY below the gap duration, and
+    session_end = last event + gap — checked against a pure-Python
+    sweep for arbitrary event sets (including equal-gap boundaries,
+    multiple users, single-event sessions)."""
+    import datetime as dt
+
+    from data_management_python_spark.streaming.windows import (
+        session_window_counts,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    gap = 600  # 10 minutes
+    rows = [
+        (i, uid, base + dt.timedelta(seconds=off))
+        for i, (uid, off) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in session_window_counts(df, gap=f"{gap} seconds").collect()
+    }
+
+    want = {}
+    by_user: dict[int, list[dt.datetime]] = {}
+    for _, uid, ts in rows:
+        by_user.setdefault(uid, []).append(ts)
+    for uid, tss in by_user.items():
+        tss.sort()
+        start, last, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if (ts - last).total_seconds() < gap:
+                last, n = ts, n + 1
+            else:
+                want[(uid, start, last + dt.timedelta(seconds=gap))] = n
+                start, last, n = ts, ts, 1
+        want[(uid, start, last + dt.timedelta(seconds=gap))] = n
+    assert got == want
