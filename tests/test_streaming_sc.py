@@ -937,3 +937,55 @@ def test_windowed_drift_psi_stream(spark, tmp_path):
     eps = 1e-6
     want = (1 - 0.5) * math.log(1 / 0.5) + (eps - 0.5) * math.log(eps / 0.5)
     assert abs(got[1] - round(want, 6)) < 1e-6
+
+
+def test_session_window_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming session windows == the same session_window aggregation
+    run in batch: every emitted (user, start, end, count) exactly, with
+    only watermark-withheld tail sessions allowed missing — pins the
+    batch contract s_session_windows registers to the actual
+    readStream path."""
+    import datetime
+
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.streaming.windows import (
+        session_window_counts,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id"
+    )
+    src_dir = tmp_path / "sess_src"
+    ev.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src_dir)).schema
+    ).parquet(str(src_dir))
+    q = (
+        session_window_counts(stream, gap="30 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def key(r):
+        return (r.user_id, r.session_start, r.session_end)
+
+    got = {
+        key(r): r.n_events
+        for r in spark.sql("select * from sess_windows").collect()
+    }
+    expect = {
+        key(r): r.n_events
+        for r in session_window_counts(ev, gap="30 minutes").collect()
+    }
+    for k, v in got.items():
+        assert expect[k] == v, k
+    missing = set(expect) - set(got)
+    horizon = max(e for _, _, e in expect)
+    cutoff = horizon - datetime.timedelta(minutes=60)
+    assert all(e > cutoff for _, _, e in missing)
+    assert len(got) >= 0.8 * len(expect)
