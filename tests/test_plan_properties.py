@@ -105,6 +105,12 @@ AUDITED = [
     "g_link_prediction",
     "t_exact_contamination",
     "a_seasonality_profile",
+    # round-4 additions
+    "t_bpe_encode",
+    "s_ohlc_windowed",
+    "s_session_windows",
+    "s_interval_join",
+    "g_label_propagation",
 ]
 
 
