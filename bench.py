@@ -84,7 +84,11 @@ def main() -> None:
         # (also measured and rejected: per-query gc.collect() to let
         # ContextCleaner unpersist localCheckpoint RDDs eagerly — the
         # mid-run cleanup traffic made the same 120 queries ~10%
-        # slower, 72.3s -> 79.4s)
+        # slower, 72.3s -> 79.4s; runtime bloom-filter join pruning
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled) — neutral
+        # to slightly SLOWER on the TPC-H heavies at sf0.1 (q9 steady
+        # 0.65s -> 0.85s): the filter build isn't amortized at this
+        # scale, though it's the right knob at 100x)
     ok = {n: t for n, t in timings.items() if t is not None}
     sequential = round(sum(ok.values()), 4)
     # Steady-state second pass: the first pass pays one-time Janino
