@@ -727,6 +727,32 @@ def verify_candidates_against_corpus(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """The (id, band, band_sig) LSH band table for a corpus — the
+    asset a standing-corpus dedup deployment MATERIALIZES once (write
+    it with sources.sinks.write_bucketed_table, or hold it in
+    operators.session_cache for a session) and probes with every new
+    batch.  Map-only: signatures via the no-shuffle array-fold
+    variant, bands exploded from the signature struct."""
+    sig = minhash_signature_map_side(df, id_col, text_col, n, num_hashes)
+    bs = band_signature_structs(num_hashes, bands)
+    return sig.select(
+        F.col(id_col).alias(out_id), F.explode(bs).alias("bs")
+    ).select(
+        out_id,
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+
 def incremental_near_dup(
     base: DataFrame,
     delta: DataFrame,
@@ -736,6 +762,7 @@ def incremental_near_dup(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Which DELTA documents near-duplicate an existing BASE document —
     the incremental form every production dedup actually runs (today's
@@ -751,7 +778,12 @@ def incremental_near_dup(
     the base side contributes one signature pass that a real
     deployment would have materialized already (write the base band
     table with :func:`sources.sinks.write_bucketed_table` and the
-    per-batch cost drops to delta-only).
+    per-batch cost drops to delta-only).  Pass that materialized
+    table as ``base_bands`` (columns (base_id, band, band_sig), e.g.
+    from :func:`minhash_band_table`) and the base-side signature pass
+    is skipped — the registered d_incremental_dedup query holds it in
+    operators.session_cache, the session-scoped stand-in for the
+    bucketed table a deployment keeps on disk.
 
     Output: (delta_id, base_id, jaccard >= threshold).  Pairs within
     delta are NOT reported (run the self-join path for those).
@@ -766,24 +798,22 @@ def incremental_near_dup(
     base = base.repartition(width)
     delta = delta.repartition(width)
 
-    def side_bands(df: DataFrame, out_id: str) -> DataFrame:
-        sig = minhash_signature_map_side(df, id_col, text_col, n, num_hashes)
-        bs = band_signature_structs(num_hashes, bands)
-        return sig.select(
-            F.col(id_col).alias(out_id), F.explode(bs).alias("bs")
-        ).select(
-            out_id,
-            F.col("bs.band").alias("band"),
-            F.col("bs.band_sig").alias("band_sig"),
+    b_bands = (
+        base_bands
+        if base_bands is not None
+        else minhash_band_table(
+            base, id_col, text_col, n, num_hashes, bands, out_id="base_id"
         )
-
+    )
     # materialize the candidate set once: it feeds THREE consumers
     # (the verify join's broadcast, the base-size semi-join, and the
     # final shape) and each broadcast would otherwise re-run the whole
     # signature + banded-join pipeline
     cands = (
-        side_bands(delta, "delta_id")
-        .join(side_bands(base, "base_id"), on=["band", "band_sig"])
+        minhash_band_table(
+            delta, id_col, text_col, n, num_hashes, bands, out_id="delta_id"
+        )
+        .join(b_bands, on=["band", "band_sig"])
         .select("delta_id", "base_id")
         .distinct()
         .localCheckpoint(eager=True)
