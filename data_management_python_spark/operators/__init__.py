@@ -28,3 +28,6 @@ from data_management_python_spark.operators.upsert import (  # noqa: F401
     cascade_delete,
     merge_upsert,
 )
+from data_management_python_spark.operators.session_cache import (  # noqa: F401
+    session_cached,
+)

@@ -669,3 +669,36 @@ def test_peak_concurrency_hand_built(spark):
         ).timestamp() * 1_000_000
     )
     assert r.peak_at_us == expect_us
+
+
+def test_session_cache_shares_and_prunes(spark):
+    """session_cached builds once per (session, name, sf_dir), returns
+    the same materialized frame on later calls, keeps distinct keys
+    separate, and prunes entries left by stopped sessions (different
+    application id) on the next call."""
+    from data_management_python_spark.operators.session_cache import (
+        _CACHE,
+        session_cached,
+    )
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    a1 = session_cached(spark, "t_cache_a", "sfX", build)
+    a2 = session_cached(spark, "t_cache_a", "sfX", build)
+    assert calls["n"] == 1 and a1 is a2
+    assert a1.count() == 5
+    # a different sf_dir is a different asset
+    session_cached(spark, "t_cache_a", "sfY", build)
+    assert calls["n"] == 2
+    # entries from a stopped session (stale app id) are pruned
+    _CACHE[("app-from-a-previous-life", "t_cache_old", "sfX")] = a1
+    session_cached(spark, "t_cache_b", "sfX", build)
+    assert ("app-from-a-previous-life", "t_cache_old", "sfX") not in _CACHE
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _CACHE if k[1].startswith("t_cache_")]:
+        del _CACHE[key]  # leave no test entries for other tests
+    assert all(k[0] == app_id or not k[1].startswith("t_cache_") for k in _CACHE)
