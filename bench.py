@@ -107,14 +107,23 @@ def main() -> None:
 
     gc.collect()
     spark.sparkContext._jvm.System.gc()
+    # steady = per-query MIN over two warm passes: single-pass steady
+    # numbers moved +-10% run to run (GC pauses, OS scheduling landing
+    # on different queries each time), which is noise on top of the
+    # plan cost this pass exists to measure.  min-of-two is the
+    # standard steady-state estimator — transient stalls inflate a
+    # sample, nothing deflates one below the true plan cost.
     steady: dict[str, float] = {}
-    for name in ok:
-        t0 = time.time()
-        try:
-            qs[name].fn(spark, sf_dir).count()
-            steady[name] = round(time.time() - t0, 4)
-        except Exception:  # noqa: BLE001 - cold pass already recorded it
-            pass
+    for _pass in range(2):
+        for name in ok:
+            t0 = time.time()
+            try:
+                qs[name].fn(spark, sf_dir).count()
+                dt = round(time.time() - t0, 4)
+                if name not in steady or dt < steady[name]:
+                    steady[name] = dt
+            except Exception:  # noqa: BLE001 - cold pass already recorded it
+                pass
     steady_sequential = round(sum(steady.values()), 4)
 
     def run(name: str) -> None:
