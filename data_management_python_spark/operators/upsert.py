@@ -289,3 +289,43 @@ def table_diff(
         .filter(F.col("diff_status").isNotNull())
         .select(*keys, "diff_status")
     )
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    version_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the current snapshot from an insert/update/delete
+    CDC changelog: per key, the highest-version event wins; if that
+    event is a delete, the key is absent from the snapshot.
+
+    The replication-consumer primitive (Debezium/DMS-style feeds):
+    one key-partitioned window ranks events by ``version_cols``
+    descending (callers must pass a total order per key — ship a
+    unique tiebreaker like the event id as the last column, or
+    same-version events pick an arbitrary winner), one filter keeps
+    rank 1, one filter drops tombstones.  Shuffle is a single
+    key-partitioned exchange regardless of how many times a key was
+    rewritten — at 100 TB the changelog is typically much larger than
+    the key space, and the window's map-side ranking discards
+    superseded events before anything wider happens.  No unpartitioned
+    window, no driver state.
+
+    Reference analog: the adaptor store/update/delete cycle
+    (baseadaptor.py store/modify/delete records applied row-at-a-time
+    via the ORM session) — here the whole history applies in one pass.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in version_cols]
+    )
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col(op_col) != delete_op)
+    )

@@ -2059,3 +2059,59 @@ def a_grouping_sets(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@_q(
+    "m_cdc_snapshot",
+    """
+    WITH log AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, event_id, ts, value, op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS last_ts_ms,
+           value AS last_value,
+           op
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC changelog -> current snapshot "
+    "(operators.upsert.cdc_apply): per key the highest-version event "
+    "wins, tombstones drop the key — the Debezium-consumer primitive "
+    "the reference performs row-at-a-time through ORM "
+    "store/modify/delete cycles (baseadaptor.py).  Synthetic "
+    "changelog: events per user ordered by (ts, event_id), 'error' "
+    "events as deletes.  One key-partitioned window (ranking "
+    "discards superseded events map-side), one filter pair; no "
+    "unpartitioned window, no driver state",
+)
+def m_cdc_snapshot(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms
+    from data_management_python_spark.operators.upsert import cdc_apply
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    log = ev.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    ).drop("event_type")
+    snap = cdc_apply(
+        log, key_cols=["user_id"], version_cols=["ts", "event_id"]
+    )
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        epoch_ms("ts").cast("bigint").alias("last_ts_ms"),
+        F.col("value").alias("last_value"),
+        "op",
+    )

@@ -702,3 +702,32 @@ def test_session_cache_shares_and_prunes(spark):
     for key in [k for k in _CACHE if k[1].startswith("t_cache_")]:
         del _CACHE[key]  # leave no test entries for other tests
     assert all(k[0] == app_id or not k[1].startswith("t_cache_") for k in _CACHE)
+
+
+def test_cdc_apply_latest_wins_and_tombstones_drop(spark):
+    """cdc_apply: highest version wins per key; a tombstone as the
+    latest event removes the key; a tombstone superseded by a later
+    upsert resurrects it."""
+    from data_management_python_spark.operators.upsert import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            # key 1: U(v1) -> U(v2): latest value wins
+            (1, 1, "U", "a"),
+            (1, 2, "U", "b"),
+            # key 2: U(v1) -> D(v2): deleted
+            (2, 1, "U", "x"),
+            (2, 2, "D", None),
+            # key 3: D(v1) -> U(v2): resurrected
+            (3, 1, "D", None),
+            (3, 2, "U", "z"),
+            # key 4: single delete: never appears
+            (4, 1, "D", None),
+        ],
+        "k long, v long, op string, payload string",
+    )
+    got = {
+        r.k: (r.v, r.payload)
+        for r in cdc_apply(log, ["k"], ["v"]).collect()
+    }
+    assert got == {1: (2, "b"), 3: (2, "z")}

@@ -93,6 +93,7 @@ HEAVY = [
     "s_session_windows",
     "s_interval_join",
     "g_label_propagation",
+    "m_cdc_snapshot",
 ]
 
 KEY_SHIFT = {
