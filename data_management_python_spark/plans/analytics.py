@@ -1871,3 +1871,65 @@ def s_interval_join(spark, sf_dir):
         "click_id",
         epoch_ms("click_ts").cast("bigint").alias("click_ts_ms"),
     )
+
+
+@_q(
+    "a_rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(monetary), 2) AS total_monetary,
+           CAST(SUM(frequency) AS BIGINT) AS total_orders
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary "
+    "quartiles): one customer-grain aggregate, then THREE equi-depth "
+    "quartile scores each via the two-pass distributed global rank "
+    "(operators/ranking.py: range partition + offset fold, NTILE "
+    "semantics matched closed-form) — never a SinglePartition NTILE "
+    "window; final rollup to the 4x4x4 segment grid so output is "
+    "bounded.  The classic CRM/marketing warehouse segmentation, "
+    "grid-aggregated the way a 100 TB customer table needs",
+)
+def a_rfm_segments(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    n = cust.count()  # scalar; drives the closed-form bucket math
+
+    def score(df, order_col, out):
+        ranked = global_row_number(df, [order_col, "o_custkey"], "__rn")
+        return ranked.withColumn(out, ntile_from_rank("__rn", n, 4)).drop(
+            "__rn"
+        )
+
+    scored = score(
+        score(score(cust, "last_order", "r_score"), "frequency", "f_score"),
+        "monetary",
+        "m_score",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        F.sum("frequency").cast("bigint").alias("total_orders"),
+    )

@@ -94,6 +94,7 @@ HEAVY = [
     "s_interval_join",
     "g_label_propagation",
     "m_cdc_snapshot",
+    "a_rfm_segments",
 ]
 
 KEY_SHIFT = {
