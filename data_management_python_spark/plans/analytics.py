@@ -1933,3 +1933,73 @@ def a_rfm_segments(spark, sf_dir):
         F.round(F.sum("monetary"), 2).alias("total_monetary"),
         F.sum("frequency").cast("bigint").alias("total_orders"),
     )
+
+
+@_q(
+    "e_ab_conversion",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                  THEN 'control' ELSE 'treatment' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    agg AS (
+      SELECT a.variant,
+             e.user_id,
+             MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+               AS viewed,
+             MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events e JOIN assigned a ON a.user_id = e.user_id
+      GROUP BY a.variant, e.user_id
+    )
+    SELECT variant,
+           COUNT(*) AS n_users,
+           CAST(SUM(viewed) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN viewed = 1 THEN purchased ELSE 0 END)
+             AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN viewed = 1 THEN purchased ELSE 0 END)
+                   AS DOUBLE)
+                 / NULLIF(SUM(viewed), 0), 6) AS conversion_rate
+    FROM agg GROUP BY variant
+    """,
+    doc="A/B experiment readout: users assigned to control/treatment "
+    "by the same deterministic id-hash prefix t_train_split uses "
+    "(~50/50, seedless, stable across re-runs and incremental loads "
+    "— the property an experiment assignment MUST have), conversion "
+    "= purchased among viewers, per-variant rates.  One user-grain "
+    "conditional aggregate + a final 2-row rollup; the assignment is "
+    "a pure column expression so the plan is one events shuffle on "
+    "user_id.  Beyond-reference: the experimentation readout every "
+    "event warehouse serves",
+)
+def e_ab_conversion(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "80",
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("viewed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchased"),
+        )
+        .withColumn("variant", variant)
+    )
+    converted = F.when(F.col("viewed") == 1, F.col("purchased")).otherwise(0)
+    return per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("viewed").cast("bigint").alias("n_viewers"),
+        F.sum(converted).cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum(converted).cast("double")
+            / F.nullif(F.sum("viewed"), F.lit(0)),
+            6,
+        ).alias("conversion_rate"),
+    )

@@ -95,6 +95,7 @@ HEAVY = [
     "g_label_propagation",
     "m_cdc_snapshot",
     "a_rfm_segments",
+    "e_ab_conversion",
 ]
 
 KEY_SHIFT = {
