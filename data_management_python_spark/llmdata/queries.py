@@ -2516,3 +2516,64 @@ def t_bpe_encode(spark, sf_dir):
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
         F.array_join("bpe_tokens", "|").alias("tokens_str"),
     )
+
+
+def _kcenter_oracle_sql(k: int = 5) -> str:
+    """Greedy k-center replay as chained CTEs: round i's argmax over
+    the ROUNDED min squared distance to centers 0..i-1 (ties to lowest
+    id) — the same trajectory the Spark operator walks, distance
+    formula nrm2_v - 2*dot + nrm2_c with the identical sequential
+    folds the sim_* oracles already rely on."""
+    parts = ["""v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )""", """n AS (
+      SELECT vec_id, e,
+             list_sum(list_transform(e, x -> x * x)) AS n2
+      FROM v
+    )""", """c0 AS (SELECT vec_id, e, n2 FROM n ORDER BY vec_id LIMIT 1)""",
+    """d0 AS (
+      SELECT n.vec_id, n.e, n.n2,
+             ROUND(n.n2 - 2 * list_dot_product(n.e, c0.e) + c0.n2, 6) AS md
+      FROM n, c0 WHERE n.vec_id <> c0.vec_id
+    )"""]
+    for i in range(1, k):
+        parts.append(
+            f"""c{i} AS (SELECT vec_id, e, n2, md FROM d{i - 1}
+             ORDER BY md DESC, vec_id LIMIT 1)"""
+        )
+        if i < k - 1:
+            parts.append(
+                f"""d{i} AS (
+      SELECT d.vec_id, d.e, d.n2,
+             LEAST(d.md,
+                   ROUND(d.n2 - 2 * list_dot_product(d.e, c{i}.e)
+                         + c{i}.n2, 6)) AS md
+      FROM d{i - 1} d, c{i} WHERE d.vec_id <> c{i}.vec_id
+    )"""
+            )
+    selects = ["SELECT 0 AS selection_order, vec_id, 0.0 AS min_dist_sq FROM c0"]
+    selects += [
+        f"SELECT {i} AS selection_order, vec_id, md AS min_dist_sq FROM c{i}"
+        for i in range(1, k)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@_q(
+    "sim_kcenter_diverse",
+    _kcenter_oracle_sql(5),
+    doc="greedy k-center (farthest-point) diversity selection over the "
+    "embedding corpus (llmdata.similarity.kcenter_select, k=5): the "
+    "2-approximate k-center cover, i.e. the diversity-aware subset "
+    "selector that replaces random sampling where density would "
+    "dominate.  Each round is one map-only pass (chosen vectors ride "
+    "as literals — no join, no shuffle, O(k x d) driver state) plus a "
+    "1-row argmax; per-center distances rounded to 6 before min/"
+    "argmax with id tie-breaks, so the greedy trajectory is bit-"
+    "stable across engines and the oracle replays it round-for-round "
+    "via chained CTEs",
+)
+def sim_kcenter_diverse(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, "vec_id", "embedding", k=5)

@@ -1171,3 +1171,73 @@ def ivf_pq_ann(
         .filter(F.col("rk") <= k)
         .select("q_id", "neighbor_id", "approx_d2")
     )
+
+
+def kcenter_select(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection: seed with
+    the lowest id, then k-1 rounds of "pick the point farthest from
+    every chosen center" — the classic 2-approximation to the k-center
+    cover, and the diversity-aware subset selector a training-data
+    pipeline uses where random sampling over-picks dense clusters.
+
+    Scale shape: driver state is O(k x d) (the chosen vectors travel
+    as LITERALS in each round's expression — no join, no shuffle);
+    each round is ONE map-only pass computing the min squared distance
+    to the chosen set plus a 1-row TakeOrdered argmax, so the total
+    cost is k scans with no lineage growth and nothing checkpointed.
+    Per-center distances are ROUNDED to 6 places before the min/argmax
+    (ties then break on id), the repo's standard engine-boundary
+    discipline, so the greedy trajectory is bit-stable across engines.
+
+    Returns (selection_order, vec_id, min_dist_sq) — min_dist_sq is
+    the distance to the previously-chosen set at selection time (the
+    coverage radius sequence; 0.0 for the seed).
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    nrm2 = F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    v = v.withColumn("__n2", nrm2)
+    seed = v.orderBy(id_col).limit(1).collect()
+    if not seed:
+        return spark.createDataFrame(
+            [], f"selection_order int, {id_col} long, min_dist_sq double"
+        )
+    chosen = [(int(seed[0][id_col]), list(seed[0]["__v"]),
+               float(seed[0]["__n2"]), 0.0)]
+    for _ in range(1, k):
+        dists = [
+            F.round(
+                F.col("__n2")
+                - 2.0 * dot(F.col("__v"), F.array(*[F.lit(x) for x in cv]))
+                + F.lit(cn2),
+                6,
+            )
+            for _, cv, cn2, _ in chosen
+        ]
+        mind = dists[0]
+        for d in dists[1:]:
+            mind = F.least(mind, d)
+        cand = (
+            v.filter(~F.col(id_col).isin([cid for cid, _, _, _ in chosen]))
+            .select(id_col, "__v", "__n2", mind.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break  # corpus smaller than k
+        r = cand[0]
+        chosen.append(
+            (int(r[id_col]), list(r["__v"]), float(r["__n2"]), float(r["__d"]))
+        )
+    return spark.createDataFrame(
+        [(i, cid, d) for i, (cid, _, _, d) in enumerate(chosen)],
+        f"selection_order int, {id_col} long, min_dist_sq double",
+    )

@@ -1163,3 +1163,63 @@ def test_resized_bmp_survives_shard_roundtrip(spark, tmp_path):
     from data_management_python_spark.llmdata.multimodal import _sniff_image
 
     assert _sniff_image(bytes(back[0].content)) == ("bmp", 2, 2)
+
+
+def test_kcenter_select_matches_greedy_reference(spark):
+    """Distributed k-center replays the single-machine greedy exactly:
+    same trajectory (seed = lowest id, then farthest-from-chosen with
+    rounded distances and id tie-breaks), non-increasing coverage
+    radii after the first picked point."""
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.llmdata.similarity import kcenter_select
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sub = emb.filter("vec_id < 60")  # limit() without order is not
+    # deterministic across the two evaluations below
+    rows = {
+        r.vec_id: [float(x) for x in r.embedding] for r in sub.collect()
+    }
+
+    def n2(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    k = 5
+    chosen = [min(rows)]
+    radii = [0.0]
+    for _ in range(1, k):
+        best = None
+        for vid, v in rows.items():
+            if vid in chosen:
+                continue
+            md = min(
+                round(n2(v) - 2 * dot(v, rows[c]) + n2(rows[c]), 6)
+                for c in chosen
+            )
+            key = (-md, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, md)
+        chosen.append(best[1])
+        radii.append(best[2])
+
+    got = kcenter_select(sub, "vec_id", "embedding", k=k).collect()
+    got_ids = [r.vec_id for r in sorted(got, key=lambda r: r.selection_order)]
+    got_radii = [
+        r.min_dist_sq for r in sorted(got, key=lambda r: r.selection_order)
+    ]
+    assert got_ids == chosen
+    import pytest
+
+    assert got_radii == pytest.approx(radii)
+    # coverage radius is non-increasing across greedy picks
+    assert all(
+        got_radii[i] >= got_radii[i + 1] for i in range(1, len(got_radii) - 1)
+    )

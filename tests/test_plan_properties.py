@@ -111,6 +111,10 @@ AUDITED = [
     "s_session_windows",
     "s_interval_join",
     "g_label_propagation",
+    "m_cdc_snapshot",
+    "a_rfm_segments",
+    "e_ab_conversion",
+    "sim_kcenter_diverse",
 ]
 
 
