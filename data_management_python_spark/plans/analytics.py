@@ -1880,7 +1880,7 @@ def s_interval_join(spark, sf_dir):
       SELECT o_custkey,
              MAX(o_orderdate) AS last_order,
              COUNT(*) AS frequency,
-             ROUND(SUM(o_totalprice), 2) AS monetary
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -1892,7 +1892,7 @@ def s_interval_join(spark, sf_dir):
     )
     SELECT r_score, f_score, m_score,
            COUNT(*) AS n_customers,
-           ROUND(SUM(monetary), 2) AS total_monetary,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary,
            CAST(SUM(frequency) AS BIGINT) AS total_orders
     FROM scored
     GROUP BY r_score, f_score, m_score
@@ -1910,10 +1910,15 @@ def a_rfm_segments(spark, sf_dir):
     o = T(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
+    # monetary sums as DECIMAL(18,2): decimal addition is EXACT and
+    # order-independent, so the quartile ORDER KEY cannot flip on a
+    # one-ulp double-summation difference between engines (a rounded
+    # double sum near a half-cent boundary could land a customer in a
+    # different bucket per engine and break hash parity row-wide)
     cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
     n = cust.count()  # scalar; drives the closed-form bucket math
 
@@ -1930,7 +1935,7 @@ def a_rfm_segments(spark, sf_dir):
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
         F.sum("frequency").cast("bigint").alias("total_orders"),
     )
 

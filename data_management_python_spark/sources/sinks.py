@@ -389,9 +389,17 @@ def plan_partition_compaction(
         for st in fs.listStatus(path):
             name = st.getPath().getName()
             if st.isDirectory():
-                # stranded compaction temp dirs are recovery artifacts,
-                # not partitions
-                if not name.endswith(("__compacting", "__precompact")):
+                if name.endswith(("__compacting", "__precompact")):
+                    # a stranded temp dir means a prior compaction
+                    # crashed mid-swap; plain reads would double-count
+                    # the pre-swap copy, so surface it instead of
+                    # silently planning around it
+                    raise ValueError(
+                        f"stranded compaction temp dir {st.getPath()}: "
+                        "run cleanup_compaction_leftovers before "
+                        "planning"
+                    )
+                if not name.startswith(("_", ".")):
                     dirs.append((st.getPath(), name))
             elif not name.startswith(("_", ".")):
                 files.append(st.getLen())
@@ -449,7 +457,11 @@ def compact_partitions(
     their files byte-identical, so re-running after a partial failure
     re-plans and finishes the remainder — the idempotence contract
     overwrite_partitions established for backfills, applied to
-    layout maintenance.
+    layout maintenance.  A crash AFTER a partition's swap can strand a
+    ``{part}__precompact`` copy of the old files; plain Spark reads of
+    the tree would double-count it, which is why the planner REFUSES
+    to plan over a tree with stranded temp dirs — run
+    :func:`cleanup_compaction_leftovers` first.
     """
     todo = [
         (r["partition"], int(r["target_n_files"]))
@@ -457,29 +469,37 @@ def compact_partitions(
     ]
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+
+    def _is_real_subdir(name: str) -> bool:
+        # hidden/metadata dirs (_spark_metadata, .hive-staging) and
+        # this operator's temp dirs are not partitions — same filter
+        # the planner applies
+        return not (
+            name.startswith(("_", "."))
+            or name.endswith(("__compacting", "__precompact"))
+        )
+
+    # the root-partition guard runs BEFORE any rewrite: aborting
+    # mid-loop would strand the plan half-applied
+    if any(part == "." for part, _ in todo):
+        root_path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = root_path.getFileSystem(conf)
+        if any(
+            st.isDirectory() and _is_real_subdir(st.getPath().getName())
+            for st in fs.listStatus(root_path)
+        ):
+            raise ValueError(
+                "refusing to compact root-level files of a "
+                f"partitioned tree ({root}): move or remove the "
+                "loose files, or compact the whole dataset with "
+                "compact_dataset"
+            )
+
     done = []
     for part, n_files in todo:
         src_dir = root if part == "." else f"{root}/{part}"
         src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
         fs = src_path.getFileSystem(conf)
-        if part == ".":
-            # loose files at the ROOT of a tree that also has partition
-            # subdirs: rewriting "the root" would read whatever layout
-            # Spark tolerates and then replace the whole tree with it —
-            # refuse rather than risk the dataset (clean the stragglers
-            # into a real partition first)
-            has_subdirs = any(
-                st.isDirectory()
-                and not st.getPath().getName().endswith("__compacting")
-                for st in fs.listStatus(src_path)
-            )
-            if has_subdirs:
-                raise ValueError(
-                    "refusing to compact root-level files of a "
-                    f"partitioned tree ({root}): move or remove the "
-                    "loose files, or compact the whole dataset with "
-                    "compact_dataset"
-                )
         tmp_dir = f"{src_dir}__compacting"
         (
             spark.read.format(fmt)
@@ -491,21 +511,67 @@ def compact_partitions(
         )
         # crash-safe swap: the original is RENAMED aside (recoverable),
         # never deleted before the replacement is in place; every
-        # Hadoop rename reports failure by returning false, so each
-        # return is checked
+        # Hadoop rename/delete reports failure by returning false, so
+        # every return is checked
         tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_dir)
         old_path = jvm.org.apache.hadoop.fs.Path(f"{src_dir}__precompact")
-        if fs.exists(old_path):
-            fs.delete(old_path, True)  # leftover from a prior crash
+        if fs.exists(old_path) and not fs.delete(old_path, True):
+            raise OSError(
+                f"cannot clear leftover {src_dir}__precompact; aborting "
+                "before touching live data"
+            )
         if not fs.rename(src_path, old_path):
             raise OSError(f"rename {src_dir} -> {src_dir}__precompact failed")
         if not fs.rename(tmp_path, src_path):
-            # roll back so the partition is never missing
-            fs.rename(old_path, src_path)
-            raise OSError(f"rename {tmp_dir} -> {src_dir} failed; rolled back")
-        fs.delete(old_path, True)
+            if fs.rename(old_path, src_path):
+                raise OSError(
+                    f"rename {tmp_dir} -> {src_dir} failed; original "
+                    "restored, compacted output left in the temp dir"
+                )
+            raise OSError(
+                f"rename {tmp_dir} -> {src_dir} failed AND rollback "
+                f"failed: the partition's data is in "
+                f"{src_dir}__precompact and {src_dir} is ABSENT — "
+                "restore it manually before reading the dataset"
+            )
+        if not fs.delete(old_path, True):
+            raise OSError(
+                f"compaction of {part} succeeded but deleting the "
+                f"superseded copy {src_dir}__precompact failed; remove "
+                "it (cleanup_compaction_leftovers) before plain reads "
+                "of the tree, which would double-count the partition"
+            )
         done.append(part)
     return done
+
+
+def cleanup_compaction_leftovers(spark, root: str) -> list[str]:
+    """Delete stranded ``*__compacting`` / ``*__precompact`` temp dirs
+    under ``root`` (recovery artifacts of a crashed
+    :func:`compact_partitions` run).  The planner refuses to plan over
+    a tree containing them — a stranded pre-swap copy would be
+    double-counted by plain Spark reads — so this is the first step of
+    crash recovery.  Returns the deleted paths."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(conf)
+    deleted = []
+
+    def walk(path):
+        for st in fs.listStatus(path):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.endswith(("__compacting", "__precompact")):
+                if not fs.delete(st.getPath(), True):
+                    raise OSError(f"cannot delete {st.getPath()}")
+                deleted.append(str(st.getPath()))
+            else:
+                walk(st.getPath())
+
+    walk(root_path)
+    return deleted
 
 
 def write_columnar_dataset(

@@ -114,7 +114,11 @@ AUDITED = [
     "m_cdc_snapshot",
     "a_rfm_segments",
     "e_ab_conversion",
-    "sim_kcenter_diverse",
+    # sim_kcenter_diverse is NOT auditable here: the query returns a
+    # driver-local createDataFrame (k rows), so the audit would see a
+    # bare LocalTableScan, not the k per-round distributed scans —
+    # those plans are map-only projections + TakeOrdered by
+    # construction (see kcenter_select's docstring + parity test)
 ]
 
 

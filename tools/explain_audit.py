@@ -74,21 +74,35 @@ def audit(name, df) -> tuple[list[str], list[str]]:
     # unpartitioned WindowExec: a Window fed by Exchange SinglePartition
     # serializes the whole frame through one task — only allowed where
     # the frame is a documented small aggregate.  The exchange is not
-    # necessarily adjacent: ORDERED global windows (row_number/rank
-    # over the whole table — the common dangerous case) interpose a
-    # Sort between Window and the exchange, so scan the Window's
-    # child chain, not just the next line.
-    lines = [ln.strip() for ln in plan.splitlines()]
-    for i, ln in enumerate(lines):
+    # necessarily adjacent (ORDERED global windows interpose a Sort,
+    # AQE wraps stages), so walk the Window's SUBTREE by indentation:
+    # descendants print at a deeper offset; the subtree ends at the
+    # first line back at or above the Window's own offset.  The first
+    # Exchange met inside the subtree is the one feeding the window —
+    # SinglePartition there means a global frame.
+    raw = plan.splitlines()
+
+    def _node_offset(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*":
+            i += 1
+        return i
+
+    for i, ln in enumerate(raw):
         if "Window [" not in ln:
             continue
-        for nxt in lines[i + 1 : i + 4]:
+        w_off = _node_offset(ln)
+        for nxt in raw[i + 1 :]:
+            if not nxt.strip():
+                continue
+            if _node_offset(nxt) <= w_off:
+                break  # left the Window's subtree
             if "Exchange SinglePartition" in nxt:
                 if name not in GLOBAL_WINDOW_OK:
                     errors.append("unpartitioned WindowExec")
                 break
             if "Exchange " in nxt or "Window [" in nxt:
-                break  # a different (partitioned) exchange feeds it
+                break  # a partitioned exchange / nested window feeds it
         if "unpartitioned WindowExec" in errors:
             break
     # scans should never read every column of a wide table for narrow
