@@ -731,3 +731,30 @@ def test_cdc_apply_latest_wins_and_tombstones_drop(spark):
         for r in cdc_apply(log, ["k"], ["v"]).collect()
     }
     assert got == {1: (2, "b"), 3: (2, "z")}
+
+
+def test_compaction_stranded_dir_refusal_and_cleanup(spark, tmp_path):
+    """A stranded pre-swap copy makes plain reads double-count, so the
+    planner refuses to plan over it; cleanup_compaction_leftovers
+    removes the stranded dirs and planning resumes."""
+    import pytest
+
+    from data_management_python_spark.sources.sinks import (
+        cleanup_compaction_leftovers,
+        plan_partition_compaction,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    root = str(tmp_path / "lake")
+    orders.coalesce(1).write.parquet(f"{root}/day=A")
+    # simulate a crash that left both temp-dir flavors behind
+    orders.coalesce(1).write.parquet(f"{root}/day=A__precompact")
+    orders.coalesce(1).write.parquet(f"{root}/day=B__compacting")
+
+    with pytest.raises(ValueError, match="stranded compaction temp dir"):
+        plan_partition_compaction(spark, root)
+
+    deleted = cleanup_compaction_leftovers(spark, root)
+    assert len(deleted) == 2
+    plan = plan_partition_compaction(spark, root)
+    assert [r["partition"] for r in plan.collect()] == ["day=A"]
