@@ -226,3 +226,53 @@ def test_value_histogram_degenerate_all_equal(spark, tmp_path):
     )
     drows = con.sql(q.oracle).fetchall()
     assert len(drows) == 1 and drows[0][0] == 0 and drows[0][1] == 10
+
+
+def test_driver_history_classification_buckets():
+    """_driver_history: explicit failure wins, green needs a positive
+    match signal, unrecognized/partial records stay never-checked, and
+    a later green clears an earlier red (latest round wins)."""
+    import json
+
+    from data_management_python_spark.plans import _driver_history
+
+    root = __import__("os").path.dirname(
+        __import__("os").path.dirname(
+            __import__("data_management_python_spark").__file__
+        )
+    )
+    tmp1 = f"{root}/CORRECTNESS_r98.json"
+    tmp2 = f"{root}/CORRECTNESS_r99.json"
+    try:
+        with open(tmp1, "w") as f:
+            json.dump(
+                {
+                    "zz_red_then_green": {"err": "boom"},
+                    "zz_red_stays": {"hash_match": False},
+                    "zz_partial": {"some_future_key": 1},
+                },
+                f,
+            )
+        with open(tmp2, "w") as f:
+            json.dump(
+                {
+                    "zz_red_then_green": {
+                        "rows_match": True,
+                        "hash_match": True,
+                        "err": None,
+                    }
+                },
+                f,
+            )
+        failed, green = _driver_history()
+        assert "zz_red_then_green" in green
+        assert "zz_red_then_green" not in failed
+        assert "zz_red_stays" in failed
+        # partial record: neither bucket -> ordering treats it as
+        # never-checked
+        assert "zz_partial" not in failed and "zz_partial" not in green
+    finally:
+        import os
+
+        os.remove(tmp1)
+        os.remove(tmp2)
