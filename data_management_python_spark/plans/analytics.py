@@ -2008,3 +2008,38 @@ def e_ab_conversion(spark, sf_dir):
             6,
         ).alias("conversion_rate"),
     )
+
+
+@_q(
+    "s_windowed_counts",
+    """
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT)
+             AS window_start_ms,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start_ms, event_type
+    """,
+    doc="the STREAMING tumbling-window aggregate "
+    "(streaming.windows.windowed_event_counts, F.window + watermark) "
+    "run in batch mode — the exact readStream code path, completing "
+    "the batch-contract family (OHLC, session windows, interval join, "
+    "windowed counts): every batch-capable streaming operator now has "
+    "a driver-hash-checked registered twin.  Epoch-aligned 1-hour "
+    "tumbling windows as epoch ms; one hash agg keyed (window, type)",
+)
+def s_windowed_counts(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms
+    from data_management_python_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        epoch_ms("window_start").cast("bigint").alias("window_start_ms"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+    )

@@ -114,6 +114,7 @@ AUDITED = [
     "m_cdc_snapshot",
     "a_rfm_segments",
     "e_ab_conversion",
+    "s_windowed_counts",
     # sim_kcenter_diverse is NOT auditable here: the query returns a
     # driver-local createDataFrame (k rows), so the audit would see a
     # bare LocalTableScan, not the k per-round distributed scans —

@@ -96,6 +96,8 @@ HEAVY = [
     "m_cdc_snapshot",
     "a_rfm_segments",
     "e_ab_conversion",
+    "sim_kcenter_diverse",
+    "s_windowed_counts",
 ]
 
 KEY_SHIFT = {
