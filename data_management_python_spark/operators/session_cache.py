@@ -22,11 +22,14 @@ materializes the intermediate as a bucketed table instead.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CACHE_LOCK = threading.Lock()  # guards _CACHE and _KEY_LOCKS maps
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
 
 
 def session_cached(
@@ -36,15 +39,31 @@ def session_cached(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the frame built by ``build()``, eagerly localCheckpointed
-    once per (session, name, sf_dir) and shared by later calls."""
+    once per (session, name, sf_dir) and shared by later calls.
+
+    Concurrency-safe once-per-key: the miss path holds a PER-KEY lock
+    (bench's 8-stream throughput phase can race two family members
+    into the same build; without the lock one eager localCheckpoint
+    per racer is orphaned).  Distinct keys build concurrently — the
+    global lock only guards the map lookups, never a build.
+    """
     app_id = spark.sparkContext.applicationId
     key = (app_id, name, sf_dir)
-    hit = _CACHE.get(key)
-    if hit is not None:
-        return hit
-    # prune entries left behind by stopped sessions
-    for k in [k for k in _CACHE if k[0] != app_id]:
-        del _CACHE[k]
-    df = build().localCheckpoint(eager=True)
-    _CACHE[key] = df
-    return df
+    with _CACHE_LOCK:
+        hit = _CACHE.get(key)
+        if hit is not None:
+            return hit
+        # prune entries left behind by stopped sessions
+        for k in [k for k in _CACHE if k[0] != app_id]:
+            del _CACHE[k]
+            _KEY_LOCKS.pop(k, None)
+        key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with key_lock:
+        with _CACHE_LOCK:
+            hit = _CACHE.get(key)  # a concurrent builder may have won
+        if hit is not None:
+            return hit
+        df = build().localCheckpoint(eager=True)
+        with _CACHE_LOCK:
+            _CACHE[key] = df
+        return df

@@ -450,9 +450,21 @@ def g_label_propagation(spark, sf_dir, rounds: int = 6):
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    # broadcast of the node-sized label frame is forced only below a
+    # measured node-count gate (~16 bytes/row -> well under executor
+    # memory); on a large graph the O(V) frame must NOT bypass
+    # autoBroadcastJoinThreshold — let AQE pick the join there (the
+    # same forced-broadcast hazard incremental_near_dup documents).
+    # One count against the session-cached edge frame, amortized over
+    # all rounds.
+    small_labels = labels.count() <= 4_000_000
+
+    def _maybe_bcast(df):
+        return F.broadcast(df) if small_labels else df
+
     for i in range(rounds):
         nbr = sym.join(
-            F.broadcast(labels.select(F.col("node").alias("b"), "label")),
+            _maybe_bcast(labels.select(F.col("node").alias("b"), "label")),
             "b",
         ).select(F.col("a").alias("node"), "label")
         labels = (

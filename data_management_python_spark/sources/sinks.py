@@ -546,32 +546,84 @@ def compact_partitions(
 
 
 def cleanup_compaction_leftovers(spark, root: str) -> list[str]:
-    """Delete stranded ``*__compacting`` / ``*__precompact`` temp dirs
-    under ``root`` (recovery artifacts of a crashed
-    :func:`compact_partitions` run).  The planner refuses to plan over
-    a tree containing them — a stranded pre-swap copy would be
-    double-counted by plain Spark reads — so this is the first step of
-    crash recovery.  Returns the deleted paths."""
+    """Recover stranded ``*__compacting`` / ``*__precompact`` temp dirs
+    under ``root`` (artifacts of a crashed :func:`compact_partitions`
+    run).  The planner refuses to plan over a tree containing them — a
+    stranded pre-swap copy would be double-counted by plain Spark
+    reads — so this is the first step of crash recovery.
+
+    NOT a blind delete: a crash BETWEEN the two swap renames leaves the
+    live partition dir ABSENT, with ``{part}__precompact`` holding the
+    ONLY copy of the original data (and the compacted copy complete in
+    ``{part}__compacting``).  In that state the original is RESTORED —
+    ``__precompact`` is renamed back into place — and only then are
+    temp dirs deleted.  A ``__precompact``/``__compacting`` dir is
+    deleted only when the corresponding live partition dir exists (the
+    data it shadows is safely in place).  Returns the handled paths
+    (restores listed with a ``restored:`` prefix)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root_path = jvm.org.apache.hadoop.fs.Path(root)
     fs = root_path.getFileSystem(conf)
-    deleted = []
+    handled = []
 
     def walk(path):
         for st in fs.listStatus(path):
             if not st.isDirectory():
                 continue
             name = st.getPath().getName()
-            if name.endswith(("__compacting", "__precompact")):
-                if not fs.delete(st.getPath(), True):
-                    raise OSError(f"cannot delete {st.getPath()}")
-                deleted.append(str(st.getPath()))
-            else:
+            if not name.endswith(("__compacting", "__precompact")):
                 walk(st.getPath())
+                continue
+            suffix = (
+                "__precompact"
+                if name.endswith("__precompact")
+                else "__compacting"
+            )
+            live = jvm.org.apache.hadoop.fs.Path(
+                path, name[: -len(suffix)]
+            )
+            if not fs.exists(live):
+                if suffix == "__precompact":
+                    # crash between the two renames: this dir is the
+                    # only copy of the partition — restore it, never
+                    # delete it
+                    if not fs.rename(st.getPath(), live):
+                        raise OSError(
+                            f"cannot restore {st.getPath()} -> {live}"
+                        )
+                    handled.append(f"restored:{live}")
+                # a live-absent __compacting is left for the SECOND
+                # walk pass below: its sibling __precompact (processed
+                # in listing order, possibly after it) restores the
+                # live dir first; deleting it now would be safe but
+                # deleting it before checking the sibling would race
+                # the restore
+                continue
+            if not fs.delete(st.getPath(), True):
+                raise OSError(f"cannot delete {st.getPath()}")
+            handled.append(str(st.getPath()))
 
     walk(root_path)
-    return deleted
+    # second pass: temp dirs skipped because their live dir was absent
+    # at first sight are re-checked now that every restorable
+    # __precompact has been renamed back.  A __compacting whose live
+    # dir is STILL absent means the partition never existed pre-crash
+    # (a crashed first-time write) — deleting it loses nothing.
+    def sweep(path):
+        for st in fs.listStatus(path):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.endswith("__compacting"):
+                if not fs.delete(st.getPath(), True):
+                    raise OSError(f"cannot delete {st.getPath()}")
+                handled.append(str(st.getPath()))
+            elif not name.endswith("__precompact"):
+                sweep(st.getPath())
+
+    sweep(root_path)
+    return handled
 
 
 def write_columnar_dataset(

@@ -758,3 +758,37 @@ def test_compaction_stranded_dir_refusal_and_cleanup(spark, tmp_path):
     assert len(deleted) == 2
     plan = plan_partition_compaction(spark, root)
     assert [r["partition"] for r in plan.collect()] == ["day=A"]
+
+
+def test_compaction_cleanup_restores_crash_between_renames(spark, tmp_path):
+    """Crash state BETWEEN the two swap renames: the live partition dir
+    is ABSENT and {part}__precompact holds the ONLY copy (the compacted
+    copy sits in {part}__compacting).  The documented recovery path
+    (cleanup_compaction_leftovers) must RESTORE the partition, never
+    delete the sole surviving copy."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.sources.sinks import (
+        cleanup_compaction_leftovers,
+        plan_partition_compaction,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    root = str(tmp_path / "lake")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    n_a = a.count()
+    # simulate compact_partitions crashing after rename(src ->
+    # __precompact) but before rename(__compacting -> src): original
+    # data only in __precompact, compacted copy in __compacting, live
+    # dir absent
+    a.coalesce(2).write.parquet(f"{root}/day=A__precompact")
+    a.coalesce(1).write.parquet(f"{root}/day=A__compacting")
+
+    handled = cleanup_compaction_leftovers(spark, root)
+    assert any(h.startswith("restored:") for h in handled)
+    # the partition is back, with every row, and planning resumes clean
+    assert spark.read.parquet(f"{root}/day=A").count() == n_a
+    plan = plan_partition_compaction(spark, root)
+    assert [r["partition"] for r in plan.collect()] == ["day=A"]
+    # second invocation is a no-op (idempotent recovery)
+    assert cleanup_compaction_leftovers(spark, root) == []

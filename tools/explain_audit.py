@@ -88,6 +88,7 @@ def audit(name, df) -> tuple[list[str], list[str]]:
             i += 1
         return i
 
+    plan_has_single = "Exchange SinglePartition" in plan
     for i, ln in enumerate(raw):
         if "Window [" not in ln:
             continue
@@ -98,12 +99,26 @@ def audit(name, df) -> tuple[list[str], list[str]]:
             if _node_offset(nxt) <= w_off:
                 break  # left the Window's subtree
             if "Exchange SinglePartition" in nxt:
+                # covers both a direct exchange and a ReusedExchange
+                # line whose description names the reused target
                 if name not in GLOBAL_WINDOW_OK:
                     errors.append("unpartitioned WindowExec")
                 break
+            if "ReusedExchange" in nxt:
+                # deduplicated exchange whose description does NOT
+                # name the target: resolve conservatively — if the
+                # plan contains any SinglePartition exchange the
+                # reused one may be it, so treat as unpartitioned
+                # (unknown), never silently as partitioned
+                if plan_has_single and name not in GLOBAL_WINDOW_OK:
+                    errors.append(
+                        "unpartitioned WindowExec (unresolved "
+                        "ReusedExchange)"
+                    )
+                break
             if "Exchange " in nxt or "Window [" in nxt:
                 break  # a partitioned exchange / nested window feeds it
-        if "unpartitioned WindowExec" in errors:
+        if any(e.startswith("unpartitioned WindowExec") for e in errors):
             break
     # scans should never read every column of a wide table for narrow
     # output.  Count the FileScan output attribute list, not ReadSchema:
