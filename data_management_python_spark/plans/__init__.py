@@ -25,14 +25,19 @@ class Query:
     doc: str = ""
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(failed, green) query names across all driver CORRECTNESS runs.
+def _driver_history() -> tuple[set[str], dict[str, int]]:
+    """(failed, green-with-staleness) across all driver CORRECTNESS runs.
 
     The driver's correctness gate truncates at 50 queries per round in
     registration order, so ordering matters: previously-FAILED queries
     must re-run first (to convert red rows to green), never-checked
     queries next (to grow the verified union), and already-green last.
     A query is "green" only if its most recent driver check passed.
+    ``green`` maps each green name to the INDEX of the round that last
+    verified it — the staleness key: with every query green, the
+    50-slot window should re-check the LONGEST-unverified greens first
+    so a silent regression cannot hide behind an old green row for
+    more than ~ceil(N/50) rounds.
     Reads CORRECTNESS_r*.json from the repo root; self-maintains as
     rounds accumulate.  Full (untruncated) runs see the same set with
     the same per-query results, so ordering is correctness-neutral.
@@ -43,8 +48,9 @@ def _driver_history() -> tuple[set[str], set[str]]:
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     failed: set[str] = set()
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    green: dict[str, int] = {}
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    for round_idx, path in enumerate(paths):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -69,9 +75,9 @@ def _driver_history() -> tuple[set[str], set[str]]:
             )
             if explicit_fail:
                 failed.add(name)
-                green.discard(name)
+                green.pop(name, None)
             elif positive:
-                green.add(name)
+                green[name] = round_idx
                 failed.discard(name)
             # else: unrecognized/partial record -> never-checked
     return failed, green
@@ -107,9 +113,19 @@ def collect_queries() -> dict[str, Query]:
 
     # names absent from _REG_ORDER (e.g. queries added after the map
     # was drawn) rank LAST within their tier — they must not leapfrog
-    # the explicitly-prioritized backlog in a truncated driver window
+    # the explicitly-prioritized backlog in a truncated driver window.
+    # Within the GREEN tier, staleness rules: the green verified
+    # longest ago sorts first, so the truncated window rotates through
+    # every green in ~ceil(N/window) rounds and a silent regression
+    # cannot hide indefinitely behind an old green row.
     ordered = sorted(
-        out, key=lambda n: (_prio(n), _REG_ORDER.get(n, 1_000_000))
+        out,
+        key=lambda n: (
+            _prio(n),
+            green.get(n, 0),
+            _REG_ORDER.get(n, 1_000_000),
+            n,
+        ),
     )
     return {n: out[n] for n in ordered}
 

@@ -276,3 +276,58 @@ def test_driver_history_classification_buckets():
 
         os.remove(tmp1)
         os.remove(tmp2)
+
+
+def test_registry_rotates_greens_oldest_verified_first():
+    """With every query green, the truncated driver window must
+    re-verify the LONGEST-unverified greens first: _driver_history
+    records the round that last verified each green, and
+    collect_queries orders the green tier by that staleness index
+    (non-decreasing), so every green rotates through a 50-slot window
+    within ~ceil(N/50) rounds."""
+    import json
+    import os
+
+    from data_management_python_spark.plans import (
+        _driver_history,
+        collect_queries,
+    )
+
+    root = os.path.dirname(
+        os.path.dirname(
+            __import__("data_management_python_spark").__file__
+        )
+    )
+    tmp1 = f"{root}/CORRECTNESS_r98.json"
+    tmp2 = f"{root}/CORRECTNESS_r99.json"
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "err": None}
+    try:
+        # q6 last verified one synthetic round BEFORE q7
+        with open(tmp1, "w") as f:
+            json.dump({"q6_forecast_revenue": ok}, f)
+        with open(tmp2, "w") as f:
+            json.dump({"q7_nation_volume": ok}, f)
+        failed, green = _driver_history()
+        assert green["q6_forecast_revenue"] < green["q7_nation_volume"]
+        names = list(collect_queries())
+        # both still green; the staler one re-runs first
+        assert names.index("q6_forecast_revenue") < names.index(
+            "q7_nation_volume"
+        )
+        # global invariant: within the green tier, staleness is
+        # non-decreasing over the emitted order
+        stale = [green[n] for n in names if n in green and n not in failed]
+        assert stale == sorted(stale)
+        # and the driver's 50-slot window holds the 50 longest-
+        # unverified registered greens (failed/never-checked tiers are
+        # empty when everything is green)
+        if not failed and all(n in green for n in names):
+            window = set(names[:50])
+            by_staleness = sorted(names, key=lambda n: green[n])
+            assert max(green[n] for n in window) <= min(
+                green[n] for n in by_staleness[50:]
+            )
+    finally:
+        os.remove(tmp1)
+        os.remove(tmp2)
