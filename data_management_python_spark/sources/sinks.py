@@ -498,8 +498,6 @@ def compact_partitions(
     done = []
     for part, n_files in todo:
         src_dir = root if part == "." else f"{root}/{part}"
-        src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
-        fs = src_path.getFileSystem(conf)
         tmp_dir = f"{src_dir}__compacting"
         (
             spark.read.format(fmt)
@@ -509,40 +507,65 @@ def compact_partitions(
             .format(fmt)
             .save(tmp_dir)
         )
-        # crash-safe swap: the original is RENAMED aside (recoverable),
-        # never deleted before the replacement is in place; every
-        # Hadoop rename/delete reports failure by returning false, so
-        # every return is checked
-        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_dir)
-        old_path = jvm.org.apache.hadoop.fs.Path(f"{src_dir}__precompact")
-        if fs.exists(old_path) and not fs.delete(old_path, True):
-            raise OSError(
-                f"cannot clear leftover {src_dir}__precompact; aborting "
-                "before touching live data"
-            )
-        if not fs.rename(src_path, old_path):
-            raise OSError(f"rename {src_dir} -> {src_dir}__precompact failed")
-        if not fs.rename(tmp_path, src_path):
-            if fs.rename(old_path, src_path):
-                raise OSError(
-                    f"rename {tmp_dir} -> {src_dir} failed; original "
-                    "restored, compacted output left in the temp dir"
-                )
-            raise OSError(
-                f"rename {tmp_dir} -> {src_dir} failed AND rollback "
-                f"failed: the partition's data is in "
-                f"{src_dir}__precompact and {src_dir} is ABSENT — "
-                "restore it manually before reading the dataset"
-            )
-        if not fs.delete(old_path, True):
-            raise OSError(
-                f"compaction of {part} succeeded but deleting the "
-                f"superseded copy {src_dir}__precompact failed; remove "
-                "it (cleanup_compaction_leftovers) before plain reads "
-                "of the tree, which would double-count the partition"
-            )
+        swap_directory(spark, src_dir, tmp_dir)
         done.append(part)
     return done
+
+
+def swap_directory(spark, src_dir: str, tmp_dir: str) -> None:
+    """Crash-safe atomic-enough replace of ``src_dir`` with the
+    already-written ``tmp_dir`` — the shared swap primitive behind
+    partition compaction AND partition-scoped MERGE
+    (:meth:`TableStore.upsert` on a bucketed table).
+
+    The original is RENAMED aside to ``{src_dir}__precompact``
+    (recoverable), never deleted before the replacement is in place;
+    every Hadoop rename/delete reports failure by returning false, so
+    every return is checked.  A crash between the two renames leaves
+    the only copy in ``__precompact`` — exactly the state
+    :func:`cleanup_compaction_leftovers` RESTORES (never deletes).
+    An absent ``src_dir`` (a brand-new partition) degrades to a plain
+    rename of the temp dir into place.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = src_path.getFileSystem(conf)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    old_path = jvm.org.apache.hadoop.fs.Path(f"{src_dir}__precompact")
+    if fs.exists(old_path) and not fs.delete(old_path, True):
+        raise OSError(
+            f"cannot clear leftover {src_dir}__precompact; aborting "
+            "before touching live data"
+        )
+    had_src = fs.exists(src_path)
+    if had_src and not fs.rename(src_path, old_path):
+        raise OSError(f"rename {src_dir} -> {src_dir}__precompact failed")
+    if not fs.rename(tmp_path, src_path):
+        if had_src and fs.rename(old_path, src_path):
+            raise OSError(
+                f"rename {tmp_dir} -> {src_dir} failed; original "
+                "restored, replacement output left in the temp dir"
+            )
+        if not had_src:
+            raise OSError(
+                f"rename {tmp_dir} -> {src_dir} failed (new partition); "
+                "replacement output left in the temp dir"
+            )
+        raise OSError(
+            f"rename {tmp_dir} -> {src_dir} failed AND rollback "
+            f"failed: the partition's data is in "
+            f"{src_dir}__precompact and {src_dir} is ABSENT — "
+            "run cleanup_compaction_leftovers to restore it before "
+            "reading the dataset"
+        )
+    if had_src and not fs.delete(old_path, True):
+        raise OSError(
+            f"swap of {src_dir} succeeded but deleting the superseded "
+            f"copy {src_dir}__precompact failed; remove it "
+            "(cleanup_compaction_leftovers) before plain reads of the "
+            "tree, which would double-count the partition"
+        )
 
 
 def cleanup_compaction_leftovers(spark, root: str) -> list[str]:

@@ -27,6 +27,7 @@ parquet implementation keeps the same call contract.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import Any
@@ -55,9 +56,13 @@ from data_management_python_spark.operators.upsert import merge_upsert
 class TableStore:
     """Parquet-backed catalog of the reference's core tables."""
 
+    #: reserved hash-bucket partition column on partitioned tables
+    BUCKET_COL = "kb"
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._part_info: dict[str, tuple[list[str], int]] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- storage primitives -------------------------------------------------
@@ -67,9 +72,20 @@ class TableStore:
 
     def table(self, name: str) -> DataFrame:
         """Read a table; empty frame with the declared schema if never
-        written."""
+        written.  On a partitioned table the internal bucket column is
+        dropped — callers see the logical schema either way."""
+        df = self._read_raw(name)
+        if self.partitioning_of(name) is not None:
+            df = df.drop(self.BUCKET_COL)
+        return df
+
+    def _read_raw(self, name: str) -> DataFrame:
         p = self._path(name)
-        if os.path.exists(p):
+        if os.path.exists(p) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(p)
+            for f in files
+        ):
             return self.spark.read.parquet(p)
         if name in CORE_SCHEMAS:
             return self.spark.createDataFrame([], CORE_SCHEMAS[name])
@@ -79,14 +95,155 @@ class TableStore:
         raise KeyError(f"unknown table {name!r}")
 
     def _swap(self, name: str, df: DataFrame) -> None:
-        """Atomic-enough table replace: write to a temp dir, then move
-        into place (Delta MERGE territory; same call contract)."""
+        """Atomic-enough FULL-table replace: write to a temp dir, then
+        move into place.  The default physical path for small dims;
+        big mutable facts should :meth:`enable_partitioning` so
+        upsert/delete rewrite only touched buckets."""
         tmp = self._path(name) + "__tmp"
         df.write.mode("overwrite").parquet(tmp)
         final = self._path(name)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+
+    # -- hash-bucket partitioning (partition-scoped MERGE substrate) --------
+
+    def _sidecar(self, name: str) -> str:
+        return os.path.join(self._path(name), "_partitioning.json")
+
+    def partitioning_of(self, name: str) -> tuple[list[str], int] | None:
+        """(bucket key columns, n_buckets) if ``name`` is partitioned.
+        Persisted as an underscore-prefixed sidecar INSIDE the table
+        dir (invisible to Spark reads), so a new TableStore over an
+        existing root sees the same layout."""
+        hit = self._part_info.get(name)
+        if hit is not None:
+            return hit
+        try:
+            with open(self._sidecar(name)) as f:
+                spec = json.load(f)
+        except (OSError, ValueError):
+            return None
+        info = (list(spec["keys"]), int(spec["n_buckets"]))
+        self._part_info[name] = info
+        return info
+
+    def _bucket_expr(self, keys: list[str], n_buckets: int):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+        ).cast("int")
+
+    def enable_partitioning(
+        self, name: str, keys: list[str], n_buckets: int
+    ) -> None:
+        """Convert ``name`` to a hash-bucketed layout: rows live under
+        ``kb=<pmod(xxhash64(keys), n_buckets)>`` partition dirs, so a
+        mutation touching k keys rewrites ONLY the buckets containing
+        them — the physical fix for the 100-TB fact-table problem
+        where a 1-row upsert through the full-table swap rewrites
+        everything.  The logical schema is unchanged (:meth:`table`
+        drops the bucket column).  Reference analog: the ORM adaptors'
+        row-scoped UPDATE (collectionadaptor.py:101-261,
+        pipelineadaptor.py:293-494) — a lake's unit of rewrite is a
+        partition, so bucket count bounds write amplification at
+        |table| / n_buckets per touched key.
+        """
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        existing = self.partitioning_of(name)
+        if existing is not None:
+            if existing == (list(keys), n_buckets):
+                return
+            raise ValueError(
+                f"{name} already partitioned as {existing}; "
+                "repartitioning in place is not supported"
+            )
+        current = self.table(name)  # resolves schema even if unwritten
+        if self.BUCKET_COL in current.columns:
+            raise ValueError(
+                f"{name} has a {self.BUCKET_COL!r} column — the bucket "
+                "column name is reserved on partitioned tables"
+            )
+        missing = [k for k in keys if k not in current.columns]
+        if missing:
+            raise KeyError(f"bucket keys absent from {name}: {missing}")
+        tmp = self._path(name) + "__tmp"
+        (
+            current.withColumn(
+                self.BUCKET_COL, self._bucket_expr(list(keys), n_buckets)
+            )
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(tmp)
+        )
+        final = self._path(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        with open(self._sidecar(name), "w") as f:
+            json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
+        self._part_info[name] = (list(keys), n_buckets)
+
+    def _touched_buckets(
+        self, frame: DataFrame, keys: list[str], n_buckets: int
+    ) -> list[int]:
+        """Distinct bucket ids a key frame lands in — O(n_buckets)
+        driver rows, the only thing MERGE ever collects."""
+        return sorted(
+            r[0]
+            for r in frame.select(
+                self._bucket_expr(keys, n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+
+    def _merge_partitioned(
+        self,
+        name: str,
+        touched: list[int],
+        rewrite,
+    ) -> None:
+        """Shared partition-scoped mutation driver: read ONLY the
+        touched buckets (partition-pruned scan), apply ``rewrite``
+        (logical rows -> logical rows), write the result bucketed to a
+        temp tree, then crash-safe swap each touched bucket dir via
+        :func:`swap_directory` — the same primitive partition
+        compaction uses, with the same recovery story
+        (:func:`cleanup_compaction_leftovers` restores a crash between
+        renames).  Untouched bucket dirs are never read, never
+        written."""
+        from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
+            swap_directory,
+        )
+
+        keys, n_buckets = self.partitioning_of(name)
+        path = self._path(name)
+        raw = self._read_raw(name)
+        if self.BUCKET_COL in raw.columns:
+            current = raw.filter(
+                F.col(self.BUCKET_COL).isin([int(b) for b in touched])
+            ).drop(self.BUCKET_COL)
+        else:  # partitioned but dataless: declared logical schema
+            current = raw
+        out = rewrite(current).withColumn(
+            self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+        )
+        tmp_root = path + "__merging"
+        if os.path.exists(tmp_root):
+            shutil.rmtree(tmp_root)
+        out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+            tmp_root
+        )
+        for b in touched:
+            live = f"{path}/{self.BUCKET_COL}={b}"
+            tmp = f"{tmp_root}/{self.BUCKET_COL}={b}"
+            if os.path.exists(tmp):
+                swap_directory(self.spark, live, tmp)
+            elif os.path.exists(live):
+                # every row in the bucket was deleted
+                shutil.rmtree(live)
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     # -- reference-adaptor verbs --------------------------------------------
 
@@ -108,6 +265,21 @@ class TableStore:
         for c in current.columns:  # absent columns load as NULL, as the
             if c not in data.columns:  # reference's serial store does
                 padded = padded.withColumn(c, F.lit(None).cast(dtypes[c]))
+        part = self.partitioning_of(name)
+        if part is not None and os.path.exists(self._path(name)):
+            # bucketed layout: a true APPEND — only the new rows'
+            # buckets gain files; nothing existing is read or rewritten
+            keys, n_buckets = part
+            (
+                padded.select(*current.columns)
+                .withColumn(
+                    self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+                )
+                .write.mode("append")
+                .partitionBy(self.BUCKET_COL)
+                .parquet(self._path(name))
+            )
+            return
         self._swap(name, current.unionByName(padded.select(*current.columns)))
 
     def store_with_attributes(
@@ -159,12 +331,54 @@ class TableStore:
         on: list[str],
         update_columns: list[str] | None = None,
     ) -> None:
-        """create-or-update by natural key (M3/M5; Delta MERGE analog)."""
+        """create-or-update by natural key (M3/M5; Delta MERGE analog).
+
+        On a partitioned table this is a PARTITION-SCOPED merge: only
+        the buckets containing the update keys are read, merged, and
+        crash-safe swapped; every other bucket's files stay
+        byte-identical on disk (asserted by test).  Requires the
+        bucket keys to be a subset of ``on`` — otherwise a matched
+        target row could live in a bucket the updates don't name."""
+        part = self.partitioning_of(name)
+        if part is not None and os.path.exists(self._path(name)):
+            keys, n_buckets = part
+            if not set(keys) <= set(on):
+                raise ValueError(
+                    f"partition-scoped upsert on {name} needs bucket "
+                    f"keys {keys} to be a subset of the merge keys {on}"
+                )
+            touched = self._touched_buckets(updates, keys, n_buckets)
+            if not touched:
+                return
+            self._merge_partitioned(
+                name,
+                touched,
+                lambda cur: merge_upsert(cur, updates, on, update_columns),
+            )
+            return
         merged = merge_upsert(self.table(name), updates, on, update_columns)
         self._swap(name, merged)
 
     def delete_where(self, name: str, keys: DataFrame, on: list[str]) -> None:
-        """Key-addressed delete (M7 building block)."""
+        """Key-addressed delete (M7 building block).  Partition-scoped
+        on a bucketed table, same contract as :meth:`upsert`."""
+        part = self.partitioning_of(name)
+        if part is not None and os.path.exists(self._path(name)):
+            bkeys, n_buckets = part
+            if not set(bkeys) <= set(on):
+                raise ValueError(
+                    f"partition-scoped delete on {name} needs bucket "
+                    f"keys {bkeys} to be a subset of the delete keys {on}"
+                )
+            touched = self._touched_buckets(keys, bkeys, n_buckets)
+            if not touched:
+                return
+            self._merge_partitioned(
+                name,
+                touched,
+                lambda cur: cur.join(keys, on=on, how="left_anti"),
+            )
+            return
         self._swap(name, self.table(name).join(keys, on=on, how="left_anti"))
 
     def attributes_of(

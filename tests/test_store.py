@@ -114,3 +114,136 @@ def test_store_rerun_read_after_swap(store, spark):
     )
     store.store_records("file", more)
     assert store.table("file").count() == 2
+
+
+def _listing(root):
+    """{relative parquet path: (size, mtime_ns)} under a table dir."""
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_partitioned_upsert_rewrites_only_touched_buckets(store, spark):
+    """The 100-TB MERGE contract: on a bucketed table, an upsert of k
+    rows rewrites ONLY the bucket dirs containing them — every other
+    bucket's files stay byte-identical on disk (names, sizes, mtimes),
+    proven by file listing, and the logical result equals the
+    full-table merge."""
+    import os
+
+    rows = [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+            for i in range(1, 201)]
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records("project", spark.createDataFrame(rows, schema))
+    store.enable_partitioning("project", ["project_id"], n_buckets=8)
+    root = store._path("project")
+    bucket_dirs = sorted(
+        d for d in os.listdir(root) if d.startswith("kb=")
+    )
+    assert len(bucket_dirs) == 8  # 200 keys cover all 8 buckets
+    before = _listing(root)
+
+    # update 2 rows + insert 1 -> at most 3 touched buckets
+    ups = spark.createDataFrame(
+        [(5, "IGFQ0005", None, None, None, "WITHDRAWN", "FASTQ"),
+         (17, "IGFQ0017", None, None, None, "WITHDRAWN", "FASTQ"),
+         (999, "IGFQ0999", None, None, None, "ACTIVE", "FASTQ")],
+        schema,
+    )
+    touched = store._touched_buckets(ups, ["project_id"], 8)
+    store.upsert("project", ups, on=["project_id"])
+
+    after = _listing(root)
+    untouched_before = {
+        p: v for p, v in before.items()
+        if int(p.split(os.sep)[0].split("=")[1]) not in touched
+    }
+    untouched_after = {
+        p: v for p, v in after.items()
+        if int(p.split(os.sep)[0].split("=")[1]) not in touched
+    }
+    assert untouched_before == untouched_after  # byte-identical files
+    assert untouched_before  # the assertion above is not vacuous
+    changed = set(after) ^ set(before) | {
+        p for p in set(after) & set(before) if after[p] != before[p]
+    }
+    assert changed  # touched buckets actually rewrote
+    assert all(
+        int(p.split(os.sep)[0].split("=")[1]) in touched for p in changed
+    )
+    # logical correctness: merge semantics + no bucket column leaks
+    got = store.table("project")
+    assert "kb" not in got.columns
+    assert got.count() == 201
+    assert (
+        got.filter("project_id = 5").first()["status"] == "WITHDRAWN"
+    )
+    assert store.exists("project", project_id=999)
+
+    # partition-scoped delete: same contract
+    before = _listing(root)
+    keys = spark.createDataFrame([(5,), (999,)], "project_id long")
+    touched = store._touched_buckets(keys, ["project_id"], 8)
+    store.delete_where("project", keys, on=["project_id"])
+    after = _listing(root)
+    assert {
+        p: v for p, v in before.items()
+        if int(p.split(os.sep)[0].split("=")[1]) not in touched
+    } == {
+        p: v for p, v in after.items()
+        if int(p.split(os.sep)[0].split("=")[1]) not in touched
+    }
+    assert store.table("project").count() == 199
+    assert not store.exists("project", project_id=5)
+
+    # appends only ADD files in the new rows' buckets
+    before = _listing(root)
+    new = spark.createDataFrame(
+        [(300, "IGFQ0300", None, None, None, "ACTIVE", "FASTQ")], schema
+    )
+    store.store_records("project", new)
+    after = _listing(root)
+    assert set(before) <= set(after)
+    assert all(before[p] == after[p] for p in before)  # nothing rewritten
+    assert store.table("project").count() == 200
+
+
+def test_partitioned_layout_survives_new_store_instance(store, spark):
+    """The sidecar persists the bucket spec: a fresh TableStore over
+    the same root sees the partitioning and keeps merges scoped."""
+    from data_management_python_spark.store import TableStore
+
+    rows = [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+            for i in range(1, 21)]
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records("project", spark.createDataFrame(rows, schema))
+    store.enable_partitioning("project", ["project_id"], n_buckets=4)
+    s2 = TableStore(spark, store.root)
+    assert s2.partitioning_of("project") == (["project_id"], 4)
+    assert s2.table("project").count() == 20
+    # bucket keys must be a subset of the merge keys
+    import pytest
+
+    with pytest.raises(ValueError, match="subset of the merge keys"):
+        s2.upsert(
+            "project",
+            spark.createDataFrame(
+                [("IGFQ0001", "X")], "project_igf_id string, status string"
+            ),
+            on=["project_igf_id"],
+        )
