@@ -126,17 +126,22 @@ def ngram_jaccard_pairs(
         ~m^2/2^65 for m distinct shingles, negligible below trillions
         of shingles; the DuckDB oracle joins on the exact strings, so
         the correctness gate would surface one instantly.)
-      - the self-join and pair-count aggregation stay NARROW — only
-        (id_1, id_2) plus the hashed join key.  Carrying per-doc sizes
-        through the join+agg measured 5x slower (wider shuffle rows and
-        three aggregate buffers per group instead of one); sizes are
-        applied AFTER the pair-count agg via broadcast joins — one tiny
-        row per doc.  (At corpus sizes where a per-doc table no longer
-        broadcasts, use :func:`near_dup_pairs` — this exact variant is
-        inherently a verification-scale tool.)
-      - the self-join is hinted shuffle-hash: both sides are the same
-        size so sort-merge's double sort buys nothing (measured 2x
-        slower), and the hash side is bounded by the shingle partition.
+      - candidate pairs come from a PREFIX-FILTERED self-join (the
+        All-Pairs/PPJoin positional filter): only each doc's
+        |s| - ceil(t*|s|) + 1 rarest shingles (global df order) enter
+        the pair-generating join, which provably loses no pair with
+        Jaccard >= t.  Exact intersection counts are then computed for
+        candidates only — linear in candidates x set size.  The join
+        is hinted shuffle-hash: both sides are the same size so
+        sort-merge's double sort buys nothing, and the hash side is
+        bounded by the shingle partition.
+      - pair rows stay NARROW through the candidate stage — only
+        (id_1, id_2) plus the hashed join key; sizes and the full sets
+        ride on ONE per-doc materialization (a df-sorted array per
+        document) that serves prefix, size, and the array_intersect
+        verification — no window sort over occurrences, no occurrence
+        re-join.  (For corpus-scale near-dup use :func:`near_dup_pairs`
+        — this exact variant is inherently a verification-scale tool.)
 
     ``max_doc_freq``: the scale governor.  A shingle appearing in d
     documents yields O(d^2) pairs in the shared-shingle join, so one
@@ -165,37 +170,128 @@ def ngram_jaccard_pairs(
         .repartition(width, "__sh")
         .localCheckpoint(eager=True)
     )
+    # one df table serves both the hot-set cap and the prefix order;
+    # computed on the colocated (__sh-partitioned) checkpoint, so the
+    # groupBy and the rejoin below add no exchange on the big side
+    dfreq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     if max_doc_freq is not None:
         # hot set is tiny by construction (few shingles exceed the cap)
         # -> broadcast anti-join, no extra shuffle of the big side; an
         # EMPTY hot set makes the anti-join a no-op, so no fallback
         # branch (and no extra isEmpty job) is needed.
-        hot = (
-            sh.groupBy("__sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("__sh")
-        )
+        hot = dfreq.filter(F.col("__df") > max_doc_freq).select("__sh")
         sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_1"), "__sh")
-    b = sh.select(F.col(id_col).alias("id_2"), "__sh")
+    # POSITIONAL (prefix) FILTER — the All-Pairs/PPJoin pruning
+    # (Bayardo et al. 2007): under ANY global total order of shingles,
+    # a pair with Jaccard >= t must share a shingle inside BOTH docs'
+    # first |s| - ceil(t*|s|) + 1 shingles (the smallest common
+    # shingle is forced into each prefix, else the >= ceil(t*|s|)
+    # common shingles cannot fit in the suffix).  Ordering by
+    # (document frequency asc, hash) puts the RAREST shingles in the
+    # prefix, so the candidate join runs on the least-shared tokens —
+    # the hot-shingle quadratic never reaches the pair stage.  The
+    # filter is lossless under any consistent order, so the DuckDB
+    # oracle mirrors it with its own (df, string) order and converges
+    # to the identical pair set.
+    #
+    # ONE groupBy(id) materializes everything per-doc: the df-sorted
+    # shingle array yields the prefix (map-side slice), the set size,
+    # and the full set the verification stage intersects — no window
+    # sort over all occurrences, no re-join of the occurrence frame.
+    per_doc = (
+        sh.join(dfreq, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__df", "__sh"))
+            ).alias("__a")
+        )
+        .select(
+            F.col(id_col),
+            F.size("__a").alias("n_sh"),
+            F.col("__a.__sh").alias("__set"),
+        )
+        .withColumn(
+            "__pref",
+            F.slice(
+                F.col("__set"),
+                1,
+                (
+                    F.col("n_sh")
+                    - F.ceil(F.lit(threshold) * F.col("n_sh"))
+                    + 1
+                ).cast("int"),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # exploded prefix, materialized ONCE pre-partitioned on the join
+    # key: both sides of the candidate self-join read it with no
+    # exchange (and no second explode)
+    pref = (
+        per_doc.select(
+            F.col(id_col), "n_sh", F.explode("__pref").alias("__sh")
+        )
+        .repartition(width, "__sh")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        pref.select(
+            F.col(id_col).alias("id_1"), F.col("n_sh").alias("__n1"), "__sh"
+        )
+        .join(
+            pref.select(
+                F.col(id_col).alias("id_2"),
+                F.col("n_sh").alias("__n2"),
+                "__sh",
+            ).hint("shuffle_hash"),
+            on="__sh",
+        )
+        .filter(
+            (F.col("id_1") < F.col("id_2"))
+            # length filter: J >= t forces t*max(|a|,|b|) <= min — a
+            # lossless necessary condition, applied before the
+            # distinct shuffle
+            & (
+                F.least("__n1", "__n2")
+                >= F.lit(threshold) * F.greatest("__n1", "__n2")
+            )
+        )
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    # exact verification for the surviving candidates only: two joins
+    # against the per-doc set arrays (each candidate row carries two
+    # bounded arrays), intersection counted map-side — linear in
+    # candidates x set size, never quadratic in a shingle's document
+    # frequency
     inter = (
-        a.join(b.hint("shuffle_hash"), on="__sh")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = F.broadcast(
-        sizes.select(F.col(id_col).alias("id_1"), F.col("n_sh").alias("n_a"))
-    )
-    nb = F.broadcast(
-        sizes.select(F.col(id_col).alias("id_2"), F.col("n_sh").alias("n_b"))
+        cand.join(
+            per_doc.select(
+                F.col(id_col).alias("id_1"),
+                F.col("__set").alias("__s1"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_1",
+        )
+        .join(
+            per_doc.select(
+                F.col(id_col).alias("id_2"),
+                F.col("__set").alias("__s2"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_2",
+        )
+        .select(
+            "id_1",
+            "id_2",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("__s1", "__s2")).alias("n_inter"),
+        )
     )
     return (
-        inter.join(na, "id_1")
-        .join(nb, "id_2")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),

@@ -68,10 +68,28 @@ def d_exact_dedup(spark, sf_dir):
       WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 100)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh2 GROUP BY s),
+    ranked AS (
+      SELECT sh2.doc_id, sh2.s,
+             ROW_NUMBER() OVER (PARTITION BY sh2.doc_id
+                                ORDER BY d.df, sh2.s) AS rk,
+             COUNT(*) OVER (PARTITION BY sh2.doc_id) AS n_sh
+      FROM sh2 JOIN dfreq d ON d.s = sh2.s
+    ),
+    pref AS (
+      SELECT doc_id, s FROM ranked
+      WHERE rk <= n_sh - CEIL(0.2 * n_sh) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
     inter AS (
-      SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS n_inter
-      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.id_1, c.id_2, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh2 a ON a.doc_id = c.id_1
+      JOIN sh2 b ON b.doc_id = c.id_2 AND b.s = a.s
+      GROUP BY c.id_1, c.id_2
     )
     SELECT id_1, id_2,
            CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
@@ -80,11 +98,14 @@ def d_exact_dedup(spark, sf_dir):
     JOIN sizes nb ON nb.doc_id = id_2
     WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
     """,
-    doc="near-dup pairs by word-3-gram Jaccard; candidates from the "
-    "shared-shingle bucket join (never all-pairs), with a document-"
-    "frequency cap (df>100 shingles pruned from intersection AND union "
-    "— idf-pruned Jaccard) bounding the join quadratic at scale; the "
-    "oracle applies the identical cap",
+    doc="near-dup pairs by word-3-gram Jaccard; candidates from a "
+    "prefix-filtered (All-Pairs positional filter, rarest-shingles-"
+    "first) shared-shingle bucket join — never all-pairs, and the "
+    "hot-shingle quadratic never reaches the pair stage — plus a "
+    "document-frequency cap (df>100 shingles pruned from intersection "
+    "AND union — idf-pruned Jaccard); the filter is lossless at any "
+    "consistent shingle order, so the oracle mirrors it with its own "
+    "order and converges to the identical pair set",
 )
 def d_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
