@@ -1178,6 +1178,7 @@ def kcenter_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    literal_max_terms: int = 4096,
 ) -> DataFrame:
     """Greedy k-center (farthest-point) diversity selection: seed with
     the lowest id, then k-1 rounds of "pick the point farthest from
@@ -1185,14 +1186,21 @@ def kcenter_select(
     cover, and the diversity-aware subset selector a training-data
     pipeline uses where random sampling over-picks dense clusters.
 
-    Scale shape: driver state is O(k x d) (the chosen vectors travel
-    as LITERALS in each round's expression — no join, no shuffle);
-    each round is ONE map-only pass computing the min squared distance
-    to the chosen set plus a 1-row TakeOrdered argmax, so the total
-    cost is k scans with no lineage growth and nothing checkpointed.
-    Per-center distances are ROUNDED to 6 places before the min/argmax
-    (ties then break on id), the repo's standard engine-boundary
-    discipline, so the greedy trajectory is bit-stable across engines.
+    Scale shape: driver state is O(k x d); each round is ONE map-only
+    pass computing the min squared distance to the chosen set plus a
+    1-row TakeOrdered argmax, so the total cost is k scans with no
+    lineage growth, no join, and no shuffle.  Below
+    ``literal_max_terms`` chosen-set doubles (k x d), the centers
+    travel as plan LITERALS in a codegen'd expression; past it, the
+    same computation switches to an Arrow-batched pandas UDF whose
+    closure carries the centers as a numpy matrix — an O(k x d) plan
+    would otherwise blow up analysis/codegen at k=1000 (task-closure
+    broadcast keeps the plan O(1)).  Per-center distances are ROUNDED
+    to 6 places (HALF_UP away from zero — replicated in numpy, which
+    natively rounds half-to-even) before the min/argmax (ties then
+    break on id), the repo's standard engine-boundary discipline, so
+    the greedy trajectory is stable across engines AND across the two
+    physical paths (pinned by test).
 
     Returns (selection_order, vec_id, min_dist_sq) — min_dist_sq is
     the distance to the previously-chosen set at selection time (the
@@ -1211,7 +1219,10 @@ def kcenter_select(
         )
     chosen = [(int(seed[0][id_col]), list(seed[0]["__v"]),
                float(seed[0]["__n2"]), 0.0)]
-    for _ in range(1, k):
+    dim = len(chosen[0][1])
+    use_literals = k * dim <= literal_max_terms
+
+    def _mind_literal():
         dists = [
             F.round(
                 F.col("__n2")
@@ -1224,6 +1235,33 @@ def kcenter_select(
         mind = dists[0]
         for d in dists[1:]:
             mind = F.least(mind, d)
+        return mind
+
+    def _mind_udf():
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+        C = np.asarray([cv for _, cv, _, _ in chosen], dtype=np.float64)
+        CN = np.asarray([cn2 for _, _, cn2, _ in chosen], dtype=np.float64)
+
+        @pandas_udf("double")
+        def mind(vv: pd.Series, n2: pd.Series) -> pd.Series:
+            V = np.asarray(vv.tolist(), dtype=np.float64)
+            D = (
+                n2.to_numpy(dtype=np.float64)[:, None]
+                - 2.0 * (V @ C.T)
+                + CN[None, :]
+            )
+            # HALF_UP (away from zero), matching Spark's round — numpy
+            # rounds half-to-even
+            D = np.sign(D) * np.floor(np.abs(D) * 1e6 + 0.5) / 1e6
+            return pd.Series(D.min(axis=1) + 0.0)
+
+        return mind(F.col("__v"), F.col("__n2"))
+
+    for _ in range(1, k):
+        mind = _mind_literal() if use_literals else _mind_udf()
         cand = (
             v.filter(~F.col(id_col).isin([cid for cid, _, _, _ in chosen]))
             .select(id_col, "__v", "__n2", mind.alias("__d"))

@@ -1266,3 +1266,40 @@ def test_kcenter_select_matches_greedy_reference(spark):
     assert all(
         got_radii[i] >= got_radii[i + 1] for i in range(1, len(got_radii) - 1)
     )
+
+
+def test_kcenter_udf_path_matches_literal_path_at_k200(spark):
+    """Past the literal_max_terms gate the chosen centers travel in a
+    pandas-UDF closure instead of as O(k*d) plan literals; the two
+    physical paths must produce the identical greedy trajectory
+    (rounding is HALF_UP on both), and k=200 must run without blowing
+    the plan."""
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.llmdata.similarity import (
+        kcenter_select,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sub = emb.filter("vec_id < 120")
+    # same k, both paths forced via the gate
+    lit = kcenter_select(
+        sub, "vec_id", "embedding", k=12, literal_max_terms=10**9
+    ).collect()
+    udf = kcenter_select(
+        sub, "vec_id", "embedding", k=12, literal_max_terms=0
+    ).collect()
+    key = lambda r: r.selection_order  # noqa: E731
+    assert [r.vec_id for r in sorted(lit, key=key)] == [
+        r.vec_id for r in sorted(udf, key=key)
+    ]
+    assert [r.min_dist_sq for r in sorted(lit, key=key)] == [
+        r.min_dist_sq for r in sorted(udf, key=key)
+    ]
+
+    # k=200 exceeds the default gate (k*d > 4096 for d=32) -> UDF path
+    big = kcenter_select(emb, "vec_id", "embedding", k=200).collect()
+    assert len(big) == 200
+    ids = [r.vec_id for r in sorted(big, key=key)]
+    assert len(set(ids)) == 200
+    radii = [r.min_dist_sq for r in sorted(big, key=key)]
+    assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
