@@ -2043,3 +2043,36 @@ def s_windowed_counts(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         "sum_value",
     )
+
+
+@_q(
+    "s_running_user_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="batch-contract twin of the Spark-4 transformWithStateInPandas "
+    "running-totals operator (streaming.stateful_v2."
+    "running_user_totals_v2): drives the SAME RunningTotalsProcessor "
+    "(init + handleInputRows per-key arithmetic) through an in-memory "
+    "value-state handle inside applyInPandas — everything but the "
+    "protobuf state-server transport, which minimal containers lack "
+    "(the streaming test importorskips).  Output = the streaming "
+    "query's final per-user state; sum rounded to 2 at the engine "
+    "boundary",
+)
+def s_running_user_totals(spark, sf_dir):
+    from data_management_python_spark.streaming.stateful_v2 import (
+        running_user_totals_v2_batch,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    out = running_user_totals_v2_batch(ev)
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )

@@ -95,3 +95,53 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+class _LocalValueState:
+    """In-memory ValueState with the StatefulProcessorHandle value-state
+    API surface the processors above touch (exists/get/update)."""
+
+    def __init__(self) -> None:
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class _LocalHandle:
+    """Minimal StatefulProcessorHandle stand-in for batch-contract
+    execution: hands out in-memory value states."""
+
+    def getValueState(self, name, schema):
+        return _LocalValueState()
+
+
+def running_user_totals_v2_batch(events: DataFrame) -> DataFrame:
+    """Batch-contract twin of :func:`running_user_totals_v2`: drives
+    the SAME ``RunningTotalsProcessor`` (init + handleInputRows, the
+    exact per-key arithmetic the streaming query runs) through an
+    in-memory state handle inside ``applyInPandas``.  The only thing
+    not exercised is the protobuf state-server transport to the
+    RocksDB store — absent in minimal containers, which is why the
+    typed-state path needs a batch twin for a driver-checkable
+    CORRECTNESS row at all.  Output equals the streaming query's
+    final per-user state after all input is consumed."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        proc = RunningTotalsProcessor()
+        proc.init(_LocalHandle())
+        out = list(proc.handleInputRows(key, iter([pdf]), None))
+        proc.close()
+        return out[-1]
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(run, TOTALS_OUTPUT)
+    )

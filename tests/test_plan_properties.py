@@ -115,6 +115,8 @@ AUDITED = [
     "a_rfm_segments",
     "e_ab_conversion",
     "s_windowed_counts",
+    # round-5 additions
+    "s_running_user_totals",
     # sim_kcenter_diverse is NOT auditable here: the query returns a
     # driver-local createDataFrame (k rows), so the audit would see a
     # bare LocalTableScan, not the k per-round distributed scans —
