@@ -331,3 +331,56 @@ def test_registry_rotates_greens_oldest_verified_first():
     finally:
         os.remove(tmp1)
         os.remove(tmp2)
+
+
+def test_eav_unmelt_hostile_attribute_cardinality(spark):
+    """SURVEY §7 risk register: EAV pivot at thousands of distinct
+    attribute names.  With an EXPLICIT pivot-value list the planner
+    never distinct-scans for values, the plan stays one hash aggregate
+    (no per-attribute joins), and a 2000-column unmelt round-trips
+    correct cell values — the planner-blowup guard, exercised at the
+    width a real metadata table reaches."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.eav import unmelt_attributes
+
+    n_attrs, n_parents = 2000, 300
+    names = [f"attr_{i:04d}" for i in range(n_attrs)]
+    # each parent carries a deterministic 1/20 slice of the attributes
+    eav = (
+        spark.range(n_parents)
+        .withColumnRenamed("id", "sample_id")
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(n_attrs // 20 - 1))))
+        .select(
+            "sample_id",
+            F.format_string(
+                "attr_%04d", (F.col("i") * 20 + F.col("sample_id") % 20)
+            ).alias("attribute_name"),
+            F.concat(
+                F.lit("v"), F.col("sample_id"), F.lit("_"), F.col("i")
+            ).alias("attribute_value"),
+        )
+    )
+    wide = unmelt_attributes(eav, "sample_id", attribute_names=names)
+    assert len(wide.columns) == n_attrs + 1
+    # the explicit value list keeps the pivot a single aggregate: no
+    # distinct-scan subquery, exactly one shuffle exchange in the plan
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("+- Exchange") <= 1
+    row = wide.filter("sample_id = 7").first()
+    assert row["attr_0007"] == "v7_0"
+    assert row["attr_0027"] == "v7_1"
+    assert row["attr_0008"] is None  # parent 7 never wrote attr_0008
+    # population: every parent got exactly n_attrs/20 non-null cells
+    # (flat array constructor — a folded 2000-deep Add tree would
+    # overflow Catalyst's recursion, and that's a test bug, not a
+    # pivot bug)
+    non_null = wide.select(
+        F.size(
+            F.filter(
+                F.array(*[F.col(c) for c in names]),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("n")
+    ).agg(F.min("n"), F.max("n")).first()
+    assert non_null[0] == non_null[1] == n_attrs // 20
