@@ -239,6 +239,12 @@ def resize_images(
     Arrow-batched ``mapInPandas``; blobs never leave the executor,
     and output size is bounded (out_w x out_h x 3 + header per row)
     regardless of input resolution.
+
+    ``eager=False`` (and any streaming input) returns the plan lazily
+    with the Arrow ``maxRecordsPerBatch`` session conf set and
+    deliberately NOT restored — there is no job boundary to restore
+    after, so the CALLER owns the conf from then on (see
+    :func:`_run_with_bounded_arrow_batches`).
     """
     schema = (
         f"{id_col} long, content binary, mime_type string, "
@@ -338,6 +344,11 @@ def extract_features(
     ``mapInPandas`` so each Python worker sees bounded pandas batches;
     the output is a fixed-width vector column ready for the similarity
     operators (llmdata.similarity).
+
+    ``eager=False`` (and any streaming input) returns the plan lazily
+    with the Arrow ``maxRecordsPerBatch`` session conf set and
+    deliberately NOT restored — no job boundary to restore after; the
+    caller owns the conf (see :func:`_run_with_bounded_arrow_batches`).
     """
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # local import: runs on executors
@@ -431,6 +442,11 @@ def sample_frames(
     (batch_rows x blob size).  Decode is stubbed (see
     :func:`_frame_slices_stub`); swap in a real ffmpeg/PyAV seek
     without touching the distribution strategy.
+
+    ``eager=False`` (and any streaming input) returns the plan lazily
+    with the Arrow ``maxRecordsPerBatch`` session conf set and
+    deliberately NOT restored — no job boundary to restore after; the
+    caller owns the conf (see :func:`_run_with_bounded_arrow_batches`).
     """
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # local import: runs on executors

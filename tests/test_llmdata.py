@@ -633,30 +633,44 @@ def test_write_media_shards_roundtrip(spark, tmp_path):
 
     from data_management_python_spark.llmdata import multimodal as mm
 
-    media = spark.createDataFrame(
-        [
-            (i, "image", bytes([i] * 50), "image/png", json.dumps({"i": i}))
-            for i in range(20)
-        ],
-        mm.MEDIA_SCHEMA,
-    )
+    # mixed modalities: images plus audio (unmapped-extension mime) —
+    # the sidecar must carry the EXACT mime either way, because
+    # unmapped types all file under the generic 'bin' member extension
+    rows = [
+        (i, "image", bytes([i] * 50), "image/png", json.dumps({"i": i}))
+        for i in range(20)
+    ] + [
+        (i, "audio", bytes([i] * 30), "audio/x-flac", json.dumps({"i": i}))
+        for i in range(20, 25)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = tmp_path / "shards"
     manifest = mm.write_media_shards(media, str(out), n_shards=3).collect()
-    assert sum(r.n_members for r in manifest) == 20
+    assert sum(r.n_members for r in manifest) == 25
     seen = {}
+    mimes = {}
     for r in manifest:
         with tarfile.open(r.shard_path) as tar:
             names = tar.getnames()
-            pngs = [n for n in names if n.endswith(".png")]
-            assert len(names) == 2 * len(pngs)  # sidecar per blob
-            for n in pngs:
+            blobs = [n for n in names if not n.endswith(".json")]
+            assert len(names) == 2 * len(blobs)  # sidecar per blob
+            for n in blobs:
                 mid = int(n.split(".")[0])
                 blob = tar.extractfile(n).read()
-                assert blob == bytes([mid] * 50)
+                size = 50 if mid < 20 else 30
+                assert blob == bytes([mid] * size)
                 side = json.loads(tar.extractfile(f"{mid}.json").read())
                 assert side["media_id"] == mid
                 seen[mid] = seen.get(mid, 0) + 1
-    assert seen == {i: 1 for i in range(20)}
+                mimes[mid] = (n.rsplit(".", 1)[1], side["mime_type"])
+    assert seen == {i: 1 for i in range(25)}
+    # image members keep their mapped extension + mime
+    assert all(mimes[i] == ("png", "image/png") for i in range(20))
+    # non-image, unmapped mime: generic member extension, but the
+    # sidecar round-trips the exact mime for the reader
+    assert all(
+        mimes[i] == ("bin", "audio/x-flac") for i in range(20, 25)
+    )
 
 
 def test_embedding_covariance_matches_numpy(spark):
