@@ -163,9 +163,13 @@ def ngram_jaccard_pairs(
     from data_management_python_spark.session import operator_width  # noqa: PLC0415
 
     width = operator_width(df.sparkSession)
+    # no leading repartition: the trailing repartition(width, __sh)
+    # already provides the checkpoint's parallelism, and a single-split
+    # scan (the only case the extra shuffle would parallelize) is by
+    # definition small enough to explode in one task — measured 1.4s ->
+    # 1.1s warm at sf0.1 and neutral at 10x for dropping it
     sh = (
-        toked.repartition(width)  # parallelize the Generate stage itself
-        .select(F.col(id_col), F.explode(shx).alias("shingle"))
+        toked.select(F.col(id_col), F.explode(shx).alias("shingle"))
         .select(F.col(id_col), F.xxhash64("shingle").alias("__sh"))
         .repartition(width, "__sh")
         .localCheckpoint(eager=True)
