@@ -347,6 +347,13 @@ class TableStore:
                     f"partition-scoped upsert on {name} needs bucket "
                     f"keys {keys} to be a subset of the merge keys {on}"
                 )
+            if update_columns and set(update_columns) & set(keys):
+                # a matched row whose bucket key changes would land in
+                # a bucket the swap never touches — silent row loss
+                raise ValueError(
+                    f"partition-scoped upsert on {name} cannot update "
+                    f"bucket key columns {sorted(set(update_columns) & set(keys))}"
+                )
             touched = self._touched_buckets(updates, keys, n_buckets)
             if not touched:
                 return

@@ -247,3 +247,32 @@ def test_partitioned_layout_survives_new_store_instance(store, spark):
             ),
             on=["project_igf_id"],
         )
+
+
+def test_partitioned_upsert_rejects_bucket_key_update(store, spark):
+    """update_columns naming a bucket key would move a matched row to
+    a bucket the swap never touches — silent row loss; must refuse."""
+    import pytest
+
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    store.enable_partitioning("project", ["project_id"], n_buckets=4)
+    ups = spark.createDataFrame(
+        [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")], schema
+    )
+    with pytest.raises(ValueError, match="cannot update bucket key"):
+        store.upsert(
+            "project", ups, on=["project_id"],
+            update_columns=["project_id", "status"],
+        )
+    # non-key update_columns still fine
+    store.upsert("project", ups, on=["project_id"], update_columns=["status"])
