@@ -276,3 +276,57 @@ def test_partitioned_upsert_rejects_bucket_key_update(store, spark):
         )
     # non-key update_columns still fine
     store.upsert("project", ups, on=["project_id"], update_columns=["status"])
+
+
+def test_bucketed_table_compaction_integration(store, spark):
+    """Append-heavy bucketed tables fragment into many small files per
+    kb= dir; the generic partition-compaction machinery must plan over
+    the bucketed layout (ignoring the underscore sidecar), rewrite the
+    fragmented buckets in place, and leave the TableStore fully
+    functional — reads, the partitioning spec, and partition-scoped
+    upserts."""
+    from data_management_python_spark.sources.sinks import (
+        compact_partitions,
+        plan_partition_compaction,
+    )
+
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(0, "IGFQ0000", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    store.enable_partitioning("project", ["project_id"], n_buckets=2)
+    # fragment: each append adds a file per touched bucket
+    for i in range(1, 9):
+        store.store_records(
+            "project",
+            spark.createDataFrame(
+                [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")],
+                schema,
+            ),
+        )
+    root = store._path("project")
+    plan = plan_partition_compaction(
+        spark, root, target_file_bytes=64 * 1024 * 1024, min_small_files=3
+    )
+    flagged = [r["partition"] for r in plan.filter("needs_compaction").collect()]
+    assert flagged and all(p.startswith("kb=") for p in flagged)
+    done = compact_partitions(spark, root, plan)
+    assert sorted(done) == sorted(flagged)
+    # table intact, sidecar spec intact, one file per compacted bucket
+    assert store.table("project").count() == 9
+    assert store.partitioning_of("project") == (["project_id"], 2)
+    # partition-scoped mutation still works on the compacted layout
+    ups = spark.createDataFrame(
+        [(3, "IGFQ0003", None, None, None, "WITHDRAWN", "FASTQ")], schema
+    )
+    store.upsert("project", ups, on=["project_id"])
+    got = store.table("project")
+    assert got.count() == 9
+    assert got.filter("project_id = 3").first()["status"] == "WITHDRAWN"
