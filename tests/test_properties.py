@@ -430,3 +430,68 @@ def test_session_window_counts_match_gap_reference(spark, evs):
                 start, last, n = ts, ts, 1
         want[(uid, start, last + dt.timedelta(seconds=gap))] = n
     assert got == want
+
+
+def test_prefix_filtered_jaccard_is_lossless_vs_bruteforce(spark):
+    """The All-Pairs positional filter must lose NO qualifying pair —
+    and this cannot be checked by the DuckDB oracle, which mirrors the
+    same filter (a flaw in the prefix theorem would make both engines
+    miss the same pairs and still hash-match).  Property: over random
+    small-vocabulary corpora (adversarial for prefix filtering — high
+    shingle overlap), the distributed prefix-filtered operator equals
+    a brute-force all-pairs Python reference, exactly, across several
+    thresholds including ones that make prefixes very short."""
+    import itertools
+    import random
+
+    from data_management_python_spark.llmdata import dedup
+
+    rng = random.Random(20260815)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+    def brute(texts, n, t, cap):
+        shingle_sets = {}
+        for i, txt in enumerate(texts):
+            toks = txt.strip().lower().split()
+            shingle_sets[i] = {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            } if len(toks) >= n else set()
+        if cap is not None:
+            from collections import Counter
+
+            df = Counter(s for ss in shingle_sets.values() for s in ss)
+            hot = {s for s, c in df.items() if c > cap}
+            shingle_sets = {
+                i: ss - hot for i, ss in shingle_sets.items()
+            }
+        out = {}
+        for a, b in itertools.combinations(sorted(shingle_sets), 2):
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter / union >= t:
+                out[(a, b)] = inter / union
+        return out
+
+    for trial in range(4):
+        texts = [
+            " ".join(rng.choices(vocab, k=rng.randint(3, 14)))
+            for _ in range(rng.randint(8, 16))
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        for t, cap in ((0.1, None), (0.35, None), (0.7, 3)):
+            got = {
+                (r.id_1, r.id_2): r.jaccard
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, "doc_id", "text", n=2, threshold=t,
+                    max_doc_freq=cap,
+                ).collect()
+            }
+            want = brute(texts, 2, t, cap)
+            assert set(got) == set(want), (trial, t, cap)
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-12, (trial, t, cap, k)
