@@ -1317,3 +1317,35 @@ def test_kcenter_udf_path_matches_literal_path_at_k200(spark):
     assert len(set(ids)) == 200
     radii = [r.min_dist_sq for r in sorted(big, key=key)]
     assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
+
+
+def test_bpe_batched_parity_property_random_corpora(spark):
+    """The batched trainer's safety bound (mutually-unaffected prefix
+    + created-pair count bound) must replay sequential greedy exactly
+    on ARBITRARY corpora, not just the fixtures — random corpora land
+    in the regimes that stress it: heavy count ties, merge cascades,
+    and symbols colliding with joined strings."""
+    import random
+
+    from data_management_python_spark.llmdata.bpe import (
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    rng = random.Random(5150)
+    for trial in range(3):
+        vocab = [
+            "".join(rng.choices("abcdef", k=rng.randint(2, 6)))
+            for _ in range(rng.randint(6, 20))
+        ]
+        texts = [
+            " ".join(rng.choices(vocab, k=rng.randint(2, 30)))
+            for _ in range(rng.randint(2, 8))
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        n = rng.randint(5, 14)
+        got = bpe_train(docs, num_merges=n, batch=8)
+        want = bpe_train_reference(texts, num_merges=n)
+        assert got == want, (trial, texts, n)

@@ -792,3 +792,44 @@ def test_compaction_cleanup_restores_crash_between_renames(spark, tmp_path):
     assert [r["partition"] for r in plan.collect()] == ["day=A"]
     # second invocation is a no-op (idempotent recovery)
     assert cleanup_compaction_leftovers(spark, root) == []
+
+
+def test_session_cache_builds_once_under_concurrency(spark):
+    """The per-key lock must hold the once-per-key contract under the
+    8-stream bench shape: concurrent callers for the SAME key share
+    one build; distinct keys build independently."""
+    import threading
+
+    from data_management_python_spark.operators.session_cache import (
+        session_cached,
+    )
+
+    builds = {"a": 0, "b": 0}
+    lock = threading.Lock()
+
+    def make_build(name):
+        def build():
+            with lock:
+                builds[name] += 1
+            return spark.range(5).withColumnRenamed("id", name)
+
+        return build
+
+    results = []
+
+    def worker(name):
+        df = session_cached(
+            spark, f"test_cc_{name}", "/tmp/test_cc", make_build(name)
+        )
+        results.append((name, df.count()))
+
+    threads = [
+        threading.Thread(target=worker, args=(n,))
+        for n in ("a", "a", "a", "b", "b", "a")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert builds == {"a": 1, "b": 1}
+    assert all(c == 5 for _, c in results)
