@@ -1211,9 +1211,14 @@ def kcenter_select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
     nrm2 = F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    v = v.withColumn("__n2", nrm2)
+    # persist for the k scans (each round re-reading + re-projecting
+    # the source measured ~2x the loop cost at sf0.1); safe to
+    # unpersist before returning because the RESULT is a driver-local
+    # frame built from `chosen` — nothing downstream references v
+    v = v.withColumn("__n2", nrm2).persist()
     seed = v.orderBy(id_col).limit(1).collect()
     if not seed:
+        v.unpersist()
         return spark.createDataFrame(
             [], f"selection_order int, {id_col} long, min_dist_sq double"
         )
@@ -1275,6 +1280,7 @@ def kcenter_select(
         chosen.append(
             (int(r[id_col]), list(r["__v"]), float(r["__n2"]), float(r["__d"]))
         )
+    v.unpersist()
     return spark.createDataFrame(
         [(i, cid, d) for i, (cid, _, _, d) in enumerate(chosen)],
         f"selection_order int, {id_col} long, min_dist_sq double",
