@@ -122,16 +122,19 @@ def bpe_train(
       commute with count (and tie-break) preservation, so the prefix
       applied in rank order replays sequential greedy exactly;
     * the batch is then shrunk until every pair a batch merge could
-      CREATE is strictly below the batch's last count.  Merging (a,b)
-      never increases any existing pair's count (old-symbol
-      adjacencies are untouched or destroyed), and existing non-batch
+      CREATE or BOOST is strictly below the batch's last count.
+      Merging (a,b) never increases a pair's count unless the pair
+      names the joined string: a new (x, ab) is bounded by
+      count(x, a) and (ab, y) by count(b, y) [bound A]; and when the
+      joined string ab COLLIDES with an existing symbol (exact check
+      against the driver-maintained symbol vocabulary — initial
+      symbols collected once, every joined string added), a
+      pre-existing pair naming it can ADD those occurrences to its
+      current count [bound B].  Existing non-colliding non-batch
       pairs already rank after the whole batch (the selection is a
-      rank PREFIX), so the only threat is a NEW pair containing the
-      joined symbol: (x, ab) is bounded by count(x, a) and (ab, y) by
-      count(b, y).  The shrink condition is therefore
-      max(count of collected pairs with right == a_j or left == b_j
-      for an earlier batch member j, count of the last collected row
-      as the bound for uncollected pairs) < n_m — exact greedy parity
+      rank PREFIX).  The shrink condition is A + B < n_m (B = 0 when
+      no collision), with the last collected row's count bounding
+      everything uncollected — exact greedy parity
       by induction over the batch's sequential application, without
       collapsing on mere count ties between independent pairs.
 
@@ -174,6 +177,19 @@ def _train_loop(
 ) -> list[tuple[str, str, int]]:
     merges: list[tuple[str, str, int]] = []
     rounds = 0
+    # the exact symbol vocabulary, maintained driver-side: initial
+    # symbols collected once (distinct chars + sentinel — Zipf-tiny),
+    # every joined string added as it is created.  Membership tells
+    # the safety bound whether a merge's joined string COLLIDES with
+    # an existing symbol (then pre-existing pairs naming it can gain
+    # occurrences and need the additive bound); symbols that die out
+    # are kept — stale members only make the check more conservative.
+    symbols: set[str] = {
+        r[0]
+        for r in words.select(
+            F.explode("syms").alias("s")
+        ).distinct().collect()
+    }
     while len(merges) < num_merges:
         m_cap = min(batch, num_merges - len(merges))
         pairs = (
@@ -225,20 +241,38 @@ def _train_loop(
         while m >= 2:
             mergers = sel[: m - 1]
             sel_keys = {(p["l"], p["r"]) for p in sel[:m]}
-            bound = tail_bound
+            colliding = {
+                j
+                for j in (p["l"] + p["r"] for p in mergers)
+                if j in symbols
+            }
+            # A bounds occurrences CREATED by a merger (each created
+            # (x, j)/(j, y) site consumes an (x, p.l)/(p.r, y) site).
+            # When a merger's joined string COLLIDES with an existing
+            # symbol (exact driver-side vocabulary check), a
+            # pre-existing pair naming it can gain occurrences too:
+            # its post-merge count is <= B + A where B is its current
+            # count — B covers collected colliding pairs plus the tail
+            # bound for uncollected ones.  No collision (the usual
+            # case) => B = 0 and the bound stays tight.
+            bound_a = tail_bound
+            bound_b = tail_bound if colliding else 0
             for q in top:
                 if (q["l"], q["r"]) in sel_keys:
                     continue
                 if any(
                     q["r"] == p["l"] or q["l"] == p["r"] for p in mergers
                 ):
-                    bound = max(bound, int(q["n"]))
-            if bound < int(sel[m - 1]["n"]):
+                    bound_a = max(bound_a, int(q["n"]))
+                if q["l"] in colliding or q["r"] in colliding:
+                    bound_b = max(bound_b, int(q["n"]))
+            if bound_a + bound_b < int(sel[m - 1]["n"]):
                 break
             m -= 1
         sel = sel[:m]
         batch_rules = [(r["l"], r["r"], int(r["n"])) for r in sel]
         merges.extend(batch_rules)
+        symbols.update(l + r for l, r, _ in batch_rules)
         # LAZY checkpoint: lineage is truncated when the next round's
         # collect materializes it — no extra eager job per round
         words = words.select(

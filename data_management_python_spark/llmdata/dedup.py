@@ -216,13 +216,21 @@ def ngram_jaccard_pairs(
             F.col("__a.__sh").alias("__set"),
         )
         .withColumn(
+            # round the product to 6 places BEFORE ceil: IEEE fuzz can
+            # land t*n a hair ABOVE the exact integer (0.07*100 =
+            # 7.000000000000001), and a raw ceil would then shorten the
+            # prefix by one and silently drop boundary pairs.  Rounding
+            # first errs toward a LONGER prefix (weaker pruning, never
+            # lossy); the oracle mirrors the same expression.
             "__pref",
             F.slice(
                 F.col("__set"),
                 1,
                 (
                     F.col("n_sh")
-                    - F.ceil(F.lit(threshold) * F.col("n_sh"))
+                    - F.ceil(
+                        F.round(F.lit(threshold) * F.col("n_sh"), 6)
+                    )
                     + 1
                 ).cast("int"),
             ),
@@ -255,10 +263,14 @@ def ngram_jaccard_pairs(
             (F.col("id_1") < F.col("id_2"))
             # length filter: J >= t forces t*max(|a|,|b|) <= min — a
             # lossless necessary condition, applied before the
-            # distinct shuffle
+            # distinct shuffle.  RHS rounded to 6 so IEEE fuzz in
+            # t*max can never exclude an exact-boundary pair (same
+            # discipline as the prefix length above)
             & (
                 F.least("__n1", "__n2")
-                >= F.lit(threshold) * F.greatest("__n1", "__n2")
+                >= F.round(
+                    F.lit(threshold) * F.greatest("__n1", "__n2"), 6
+                )
             )
         )
         .select("id_1", "id_2")

@@ -78,7 +78,7 @@ def d_exact_dedup(spark, sf_dir):
     ),
     pref AS (
       SELECT doc_id, s FROM ranked
-      WHERE rk <= n_sh - CEIL(0.2 * n_sh) + 1
+      WHERE rk <= n_sh - CEIL(ROUND(0.2 * n_sh, 6)) + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2

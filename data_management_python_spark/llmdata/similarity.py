@@ -1253,14 +1253,48 @@ def kcenter_select(
         @pandas_udf("double")
         def mind(vv: pd.Series, n2: pd.Series) -> pd.Series:
             V = np.asarray(vv.tolist(), dtype=np.float64)
-            D = (
+            raw = (
                 n2.to_numpy(dtype=np.float64)[:, None]
                 - 2.0 * (V @ C.T)
                 + CN[None, :]
             )
             # HALF_UP (away from zero), matching Spark's round — numpy
-            # rounds half-to-even
-            D = np.sign(D) * np.floor(np.abs(D) * 1e6 + 0.5) / 1e6
+            # rounds half-to-even.  The floor trick needs |d|*1e6 to
+            # stay integer-exact; past 2^52 it silently truncates and
+            # diverges from Spark (which rounds the shortest decimal
+            # repr via BigDecimal.valueOf) — those rare huge distances
+            # take the exact Decimal path instead.
+            D = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            # numpy's pairwise matmul differs from Spark's sequential
+            # fold by ~d ulps; once d * ulp(|raw|) nears the 1e-6
+            # rounding grid the difference can cross a boundary the
+            # rounding cannot absorb (and past 2^46-ish the floor
+            # trick itself truncates).  Cells with d*|raw|*2^-52 >
+            # 1e-7 are recomputed with Spark's exact arithmetic —
+            # never triggered by normalized/typical embeddings, so the
+            # vectorized path keeps its cost in the cases that matter.
+            big = np.abs(raw) >= (1e-7 * 2.0**52) / max(V.shape[1], 1)
+            if big.any():
+                # Spark-exact: the sequential left fold of F.aggregate
+                # (acc + x*y from 0.0), the same expression
+                # association ((n2 - 2*dot) + cn2), and shortest-repr
+                # HALF_UP rounding (BigDecimal.valueOf semantics).
+                from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+                q = Decimal("0.000001")
+                n2np = n2.to_numpy(dtype=np.float64)
+                for bi, ci in zip(*np.nonzero(big)):
+                    acc = 0.0
+                    vrow = V[bi]
+                    crow = C[ci]
+                    for j in range(vrow.shape[0]):
+                        acc = acc + float(vrow[j]) * float(crow[j])
+                    exact = (float(n2np[bi]) - 2.0 * acc) + float(CN[ci])
+                    D[bi, ci] = float(
+                        Decimal(repr(exact)).quantize(
+                            q, rounding=ROUND_HALF_UP
+                        )
+                    )
             return pd.Series(D.min(axis=1) + 0.0)
 
         return mind(F.col("__v"), F.col("__n2"))

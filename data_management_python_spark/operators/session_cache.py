@@ -53,10 +53,14 @@ def session_cached(
         hit = _CACHE.get(key)
         if hit is not None:
             return hit
-        # prune entries left behind by stopped sessions
+        # prune CACHE entries left behind by stopped sessions — but
+        # never the lock objects: a second live SparkSession in the
+        # same process would otherwise pop a lock a concurrent builder
+        # still holds, hand out a fresh one for the same key, and
+        # double-build.  Locks are ~100 bytes; the frames are what
+        # must not leak.
         for k in [k for k in _CACHE if k[0] != app_id]:
             del _CACHE[k]
-            _KEY_LOCKS.pop(k, None)
         key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
     with key_lock:
         with _CACHE_LOCK:

@@ -98,13 +98,34 @@ class TableStore:
         """Atomic-enough FULL-table replace: write to a temp dir, then
         move into place.  The default physical path for small dims;
         big mutable facts should :meth:`enable_partitioning` so
-        upsert/delete rewrite only touched buckets."""
+        upsert/delete rewrite only touched buckets.
+
+        Partitioning-aware: on a bucketed table the replacement is
+        written in the bucketed layout and the sidecar re-created —
+        otherwise any full-rewrite caller (store_with_attributes' EAV
+        dedup, a direct _swap) would silently flatten the table while
+        the cached spec still claims it is bucketed, corrupting the
+        next partition-scoped mutation."""
+        part = self.partitioning_of(name)
         tmp = self._path(name) + "__tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df
+        if part is not None:
+            keys, n_buckets = part
+            w = df.withColumn(
+                self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+            )
+        writer = w.write.mode("overwrite")
+        if part is not None:
+            writer = writer.partitionBy(self.BUCKET_COL)
+        writer.parquet(tmp)
         final = self._path(name)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        if part is not None:
+            keys, n_buckets = part
+            with open(self._sidecar(name), "w") as f:
+                json.dump({"keys": keys, "n_buckets": n_buckets}, f)
 
     # -- hash-bucket partitioning (partition-scoped MERGE substrate) --------
 

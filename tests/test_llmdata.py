@@ -1333,9 +1333,15 @@ def test_bpe_batched_parity_property_random_corpora(spark):
     )
 
     rng = random.Random(5150)
-    for trial in range(3):
+    for trial in range(5):
+        # trials 3-4 use the sentinel-forming alphabet: merges over
+        # words containing <, /, w, > can CREATE the string "</w>",
+        # colliding with the end-of-word sentinel symbol — the one
+        # case where a batch merge boosts a pre-existing pair's count
+        # and the safety bound's additive B term must engage
+        alphabet = "abcdef" if trial < 3 else "</w>a"
         vocab = [
-            "".join(rng.choices("abcdef", k=rng.randint(2, 6)))
+            "".join(rng.choices(alphabet, k=rng.randint(2, 6)))
             for _ in range(rng.randint(6, 20))
         ]
         texts = [
@@ -1349,3 +1355,34 @@ def test_bpe_batched_parity_property_random_corpora(spark):
         got = bpe_train(docs, num_merges=n, batch=8)
         want = bpe_train_reference(texts, num_merges=n)
         assert got == want, (trial, texts, n)
+
+
+def test_kcenter_path_parity_at_hostile_magnitudes(spark):
+    """Unnormalized vectors with 1e4-scale components put squared
+    distances where the double ulp rivals the 1e-6 rounding grid —
+    numpy's pairwise matmul and the floor-trick round both diverge
+    from Spark's sequential fold there.  The UDF path must recompute
+    such cells Spark-exactly so both physical paths still walk the
+    identical trajectory WITH identical rounded radii."""
+    import random
+
+    from data_management_python_spark.llmdata.similarity import (
+        kcenter_select,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-40000, 40000) for _ in range(4)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    key = lambda r: r.selection_order  # noqa: E731
+    lit = kcenter_select(
+        emb, "vec_id", "embedding", k=8, literal_max_terms=10**9
+    ).collect()
+    udf = kcenter_select(
+        emb, "vec_id", "embedding", k=8, literal_max_terms=0
+    ).collect()
+    assert [(r.vec_id, r.min_dist_sq) for r in sorted(lit, key=key)] == [
+        (r.vec_id, r.min_dist_sq) for r in sorted(udf, key=key)
+    ]

@@ -475,15 +475,29 @@ def test_prefix_filtered_jaccard_is_lossless_vs_bruteforce(spark):
                 out[(a, b)] = inter / union
         return out
 
-    for trial in range(4):
-        texts = [
-            " ".join(rng.choices(vocab, k=rng.randint(3, 14)))
-            for _ in range(rng.randint(8, 16))
-        ]
+    for trial in range(5):
+        if trial == 4:
+            # FP-boundary regime: threshold*n_sh lands a hair above an
+            # exact integer in IEEE (0.07*100 = 7.000000000000001); a
+            # raw ceil would shorten the prefix and lose boundary
+            # pairs.  Long docs over a bigger vocabulary produce
+            # shingle counts near 100.
+            big_vocab = [f"w{i}" for i in range(140)]
+            texts = [
+                " ".join(rng.choices(big_vocab, k=rng.randint(90, 120)))
+                for _ in range(10)
+            ]
+            thresholds = ((0.07, None), (0.07, 30))
+        else:
+            texts = [
+                " ".join(rng.choices(vocab, k=rng.randint(3, 14)))
+                for _ in range(rng.randint(8, 16))
+            ]
+            thresholds = ((0.1, None), (0.35, None), (0.7, 3))
         docs = spark.createDataFrame(
             list(enumerate(texts)), "doc_id long, text string"
         )
-        for t, cap in ((0.1, None), (0.35, None), (0.7, 3)):
+        for t, cap in thresholds:
             got = {
                 (r.id_1, r.id_2): r.jaccard
                 for r in dedup.ngram_jaccard_pairs(

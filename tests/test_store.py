@@ -330,3 +330,43 @@ def test_bucketed_table_compaction_integration(store, spark):
     got = store.table("project")
     assert got.count() == 9
     assert got.filter("project_id = 3").first()["status"] == "WITHDRAWN"
+
+
+def test_full_rewrite_preserves_bucketed_layout(store, spark):
+    """_swap callers (store_with_attributes' EAV dedup rewrite) must
+    keep a bucketed table bucketed: layout, sidecar, and subsequent
+    partition-scoped mutations all survive a full rewrite."""
+    import os
+
+    projects = spark.createDataFrame(
+        [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")],
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string",
+    )
+    store.store_records("project", projects)
+    # bucket the ATTRIBUTE table, then store wide rows -> the EAV
+    # append path rewrites project_attribute through _swap
+    store.enable_partitioning("project_attribute", ["project_id"], 4)
+    wide = spark.createDataFrame(
+        [(1, "IGFQ0001", "96", "batch7")],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    store.store_with_attributes("project", wide, key_column="project_id")
+    root = store._path("project_attribute")
+    assert os.path.exists(store._sidecar("project_attribute"))
+    assert any(d.startswith("kb=") for d in os.listdir(root))
+    assert store.partitioning_of("project_attribute") == (
+        ["project_id"], 4,
+    )
+    eav = store.table("project_attribute")
+    assert "kb" not in eav.columns
+    got = {
+        r.attribute_name: r.attribute_value for r in eav.collect()
+    }
+    assert got == {"expected_read": "96", "batch": "batch7"}
+    # partition-scoped delete still works on the rewritten layout
+    keys = spark.createDataFrame([(1,)], "project_id long")
+    store.delete_where("project_attribute", keys, on=["project_id"])
+    assert store.table("project_attribute").count() == 0

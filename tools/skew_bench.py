@@ -87,10 +87,9 @@ def main() -> None:
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
-        print(f"{label:34s} {dt:7.2f}s  rows={out}")
+        # checksum, not a row count: strategies must agree on it
+        print(f"{label:34s} {dt:7.2f}s  checksum={out}")
         return dt
-
-    sj = F.broadcast  # silence linters; not used
 
     def consume(j):
         # force the joined rows through: length(body) touches the wide
