@@ -81,6 +81,25 @@ class TableStore:
 
     def _read_raw(self, name: str) -> DataFrame:
         p = self._path(name)
+        if os.path.exists(p):
+            stranded = [
+                d
+                for d in os.listdir(p)
+                if os.path.isdir(os.path.join(p, d))
+                and d.endswith(("__precompact", "__compacting", "__tmp"))
+            ]
+            if stranded:
+                # a crashed swap left recovery artifacts; plain reads
+                # would mis-discover partitions or double-count —
+                # surface the documented recovery path instead of a
+                # cryptic partition-inference error
+                raise RuntimeError(
+                    f"table {name!r} has stranded swap temp dirs "
+                    f"{stranded}: a mutation crashed mid-swap; run "
+                    "sources.sinks.cleanup_compaction_leftovers on "
+                    f"{p} (it RESTORES a live-absent __precompact) "
+                    "before reading"
+                )
         if os.path.exists(p) and any(
             f.endswith(".parquet")
             for _, _, files in os.walk(p)

@@ -370,3 +370,42 @@ def test_full_rewrite_preserves_bucketed_layout(store, spark):
     keys = spark.createDataFrame([(1,)], "project_id long")
     store.delete_where("project_attribute", keys, on=["project_id"])
     assert store.table("project_attribute").count() == 0
+
+
+def test_read_surfaces_stranded_swap_state_with_recovery_path(
+    store, spark, tmp_path
+):
+    """A crashed bucket swap leaves {part}__precompact next to the kb=
+    dirs; a plain read would mis-discover partitions (the temp name
+    parses as a partition value and flips the column type).  The store
+    must surface the crash state with the documented recovery command
+    — and the recovery must actually work."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_management_python_spark.sources.sinks import (
+        cleanup_compaction_leftovers,
+    )
+
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    rows = [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+            for i in range(12)]
+    store.store_records("project", spark.createDataFrame(rows, schema))
+    store.enable_partitioning("project", ["project_id"], n_buckets=2)
+    root = store._path("project")
+    bucket = sorted(d for d in os.listdir(root) if d.startswith("kb="))[0]
+    # simulate the crash-between-renames state for one bucket
+    shutil.move(
+        os.path.join(root, bucket), os.path.join(root, f"{bucket}__precompact")
+    )
+    with pytest.raises(RuntimeError, match="cleanup_compaction_leftovers"):
+        store.table("project")
+    handled = cleanup_compaction_leftovers(spark, root)
+    assert any(h.startswith("restored:") for h in handled)
+    assert store.table("project").count() == 12
