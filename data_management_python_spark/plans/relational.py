@@ -982,6 +982,64 @@ def m4_insert_if_absent(spark, sf_dir):
     return insert_if_absent(target, c, on=["c_custkey"])
 
 
+@_q(
+    "m_partitioned_merge",
+    """
+    WITH target AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 3 <> 0
+    ), upd AS (
+      SELECT c_custkey, 'U' AS c_name, c_acctbal * 1.1 AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT t.c_custkey,
+           COALESCE(u.c_name, t.c_name) AS c_name,
+           COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal
+    FROM target t LEFT JOIN upd u ON t.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_acctbal
+    FROM upd u WHERE NOT EXISTS (
+      SELECT 1 FROM target t WHERE t.c_custkey = u.c_custkey
+    )
+    """,
+    doc="the PARTITION-SCOPED physical MERGE end to end (M3/M5 on the "
+    "bucketed substrate): a hash-bucketed TableStore is materialized "
+    "in a per-call temp dir, upserted through the touched-buckets-"
+    "only path (partition-pruned read + crash-safe per-bucket swap — "
+    "the 100-TB mutation shape; untouched-bucket byte-identity is "
+    "pinned separately by file-listing test), and the table read back "
+    "FROM THE BUCKETED FILES is hash-checked against the logical "
+    "MERGE oracle.  The result is checkpointed so the temp store is "
+    "removed before returning — per-call isolation, no leftover "
+    "state, safe under the bench's 8-stream concurrency",
+)
+def m_partitioned_merge(spark, sf_dir):
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_management_python_spark.store import TableStore  # noqa: PLC0415
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="pmerge_")
+    try:
+        store = TableStore(spark, root)
+        c.filter(F.col("c_custkey") % 3 != 0).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/cust")
+        store.enable_partitioning("cust", ["c_custkey"], n_buckets=8)
+        updates = c.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey",
+            F.lit("U").alias("c_name"),
+            (F.col("c_acctbal") * 1.1).alias("c_acctbal"),
+        )
+        store.upsert("cust", updates, on=["c_custkey"])
+        return store.table("cust").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # E — event/incremental semantics (§2.9)
 # ---------------------------------------------------------------------------

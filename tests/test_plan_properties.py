@@ -121,7 +121,12 @@ AUDITED = [
     # driver-local createDataFrame (k rows), so the audit would see a
     # bare LocalTableScan, not the k per-round distributed scans —
     # those plans are map-only projections + TakeOrdered by
-    # construction (see kcenter_select's docstring + parity test)
+    # construction (see kcenter_select's docstring + parity test).
+    # m_partitioned_merge is excluded for the same reason: it returns
+    # an eager checkpoint of the post-merge table (the temp store is
+    # removed before returning), so the audit would see only the
+    # checkpoint scan; the merge plan's partition pruning and bucket
+    # swaps are pinned by the file-listing tests in test_store.py
 ]
 
 
