@@ -98,6 +98,9 @@ HEAVY = [
     "e_ab_conversion",
     "sim_kcenter_diverse",
     "s_windowed_counts",
+    # round-5 additions
+    "s_running_user_totals",
+    "m_partitioned_merge",
 ]
 
 KEY_SHIFT = {
