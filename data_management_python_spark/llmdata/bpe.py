@@ -118,9 +118,16 @@ def bpe_train(
       naming the joined string a+b (a rare symbol collision), and
       (a, b) itself; every other pair's occurrence set is untouched —
       two pairs merely SHARING a symbol (e.g. both ending in the
-      end-of-word sentinel) are independent.  Unaffected merges
-      commute with count (and tie-break) preservation, so the prefix
-      applied in rank order replays sequential greedy exactly;
+      end-of-word sentinel) are independent.  Two further conflicts
+      close gaps the endpoint rule misses: two mergers with EQUAL
+      joined strings ((a,bc) and (ab,c) both forming "abc") would
+      jointly feed a created pair like (x,"abc") that the per-merger
+      bound sees only once; and a SELF-OVERLAPPING merger (a,a) ends
+      its batch, because on runs "aaa" it creates ("aa","a") out of
+      its own occurrence mass, which the bound scan excludes as a
+      batch member.  Unaffected merges commute with count (and
+      tie-break) preservation, so the prefix applied in rank order
+      replays sequential greedy exactly;
     * the batch is then shrunk until every pair a batch merge could
       CREATE or BOOST is strictly below the batch's last count.
       Merging (a,b) never increases a pair's count unless the pair
@@ -223,7 +230,27 @@ def _train_loop(
                 or ql == pr
                 or ql == j
                 or qr == j
-                or (ql, qr) == (pl, pr)
+                # equal JOINED strings — e.g. (a,bc) and (ab,c) both
+                # forming "abc" — are a conflict even though neither
+                # shares an endpoint symbol: a pair created against
+                # the joined string, like (x, "abc"), would accrue
+                # occurrences from BOTH mergers, and the A+B safety
+                # bound below only sees one of them (their join is not
+                # in `symbols` yet, so bound B stays 0).  Keeping one
+                # per batch restores the per-merger bound's premise.
+                or ql + qr == j
+                # a SELF-OVERLAPPING merger (left == right, e.g.
+                # ('a','a')) ends its batch: on a run "aaa" it creates
+                # ('aa','a') whose donor sites belong to the merger
+                # ITSELF, which the bound-A scan excludes via
+                # sel_keys — so the created pair can tie or outrank a
+                # later batch member unseen (found by randomized
+                # search: 'baaabb...' corpus, where created ('aa','a')
+                # at 21 ties ('b','</w>') at 21 and wins the lex
+                # tie-break that sequential greedy would have given
+                # it).  As the LAST batch member it is always safe:
+                # its created pairs are recounted next round.
+                or pl == pr
             )
 
         sel = []

@@ -1781,7 +1781,7 @@ def s_ohlc_windowed(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                       >= 1800 * 1000000
+                       > 1800 * 1000000
                   OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -1803,13 +1803,15 @@ def s_ohlc_windowed(spark, sf_dir):
     "(streaming.windows.session_window_counts, native "
     "F.session_window with 30-minute gap) run in batch mode — "
     "registered so the driver hash-checks the streaming semantics' "
-    "batch contract.  Session merge rule is Spark's: an event joins "
-    "the open session iff its gap from the previous event is "
-    "STRICTLY below the gap duration (diff >= gap starts a new "
-    "session), and session_end = last event + gap — both encoded in "
-    "the oracle's islands rewrite, which differs from e_sessionize's "
-    "lag-sum sessionization exactly at the boundary (that query uses "
-    "diff > gap).  Output in epoch ms",
+    "batch contract.  Session merge rule is Spark's INCLUSIVE one: "
+    "an event joins the open session iff its gap from the previous "
+    "event is <= the gap duration (only diff > gap starts a new "
+    "session — verified against Spark 4.1 by probe and pinned by "
+    "tests/test_properties.py), and session_end = last event + gap "
+    "— both encoded in the oracle's islands rewrite.  This matches "
+    "e_sessionize's lag-sum sessionization (diff > gap) and "
+    "stream_session_gap's event-time-timeout path at the boundary.  "
+    "Output in epoch ms",
 )
 def s_session_windows(spark, sf_dir):
     from data_management_python_spark.functions import epoch_ms

@@ -76,7 +76,15 @@ def session_window_counts(
     """Session windows: per (user, activity session) event counts using
     Spark's native session_window (gap-based close).  The streaming
     analog of the batch lag/running-sum sessionization in
-    plans.relational.e_sessionize."""
+    plans.relational.e_sessionize.
+
+    Boundary semantics (pinned by a hypothesis property test against a
+    pure-Python sweep): Spark's session merge is INCLUSIVE — an event
+    exactly ``gap`` after the previous one still joins the open
+    session; only ``diff > gap`` starts a new session.  Session end is
+    last event + gap.  This matches e_sessionize and
+    stream_session_gap, which both use the ``diff > gap`` split rule.
+    """
     src = (
         ensure_event_time_ltz(events, "ts").withWatermark("ts", watermark)
         if events.isStreaming

@@ -1357,6 +1357,52 @@ def test_bpe_batched_parity_property_random_corpora(spark):
         assert got == want, (trial, texts, n)
 
 
+def test_bpe_batched_parity_selfoverlap_and_equal_join(spark):
+    """Round-6 regression pins for two batch-conflict gaps the endpoint
+    rule missed (found by a 200k-trial randomized search of a pure-
+    Python sim against the sequential reference):
+
+    * SELF-OVERLAPPING merger: ('a','a') on runs "aaa" creates
+      ('aa','a') out of its own occurrence mass — the bound-A scan
+      excludes batch members, so the created pair (count 21 below)
+      tied ('b','</w>') (21) and should win the lex tie-break, but the
+      old batch had already emitted ('b','</w>') first.
+    * EQUAL JOINED strings: (a,bc) and (ab,c) both forming "abc"
+      jointly feed a created (x,"abc") the per-merger bound sees once.
+
+    Corpora are the actual divergence-minimal finds; alphabet {a,b,c}
+    with long same-char runs is maximally adversarial."""
+    from data_management_python_spark.llmdata.bpe import (
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    corpora = [
+        # self-overlap divergence: old batch emitted ('b','</w>')
+        # before the created ('aa','a') that sequential greedy ranks
+        # first on the 21-21 tie
+        ([
+            "baaabb aaacb baaabb baaabb cbc aaacb aaacb aaacb baaabb "
+            "cbc baaabb aaacb cbc aaacb baaabb",
+            "aaacb baaabb baaabb cbc",
+            "aaacb cbc aaacb aaacb baaabb cbc baaabb baaabb",
+        ], 6),
+        ([
+            "bbbbab aaaaaa aaaaaa abbaa bbbbab bb aaaaaa bbabab bb",
+            "aaaaaa aaaaaa aaaaaa aaaaaa bbabab aaaaaa abbaa",
+        ], 9),
+        (["aaacc aaacc ba ccbb bcbbcb baaa aaacc cbaaa aaacc aaacc "
+          "bbacca"], 4),
+    ]
+    for texts, n in corpora:
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = bpe_train(docs, num_merges=n, batch=8)
+        want = bpe_train_reference(texts, num_merges=n)
+        assert got == want, (texts, n, got, want)
+
+
 def test_kcenter_path_parity_at_hostile_magnitudes(spark):
     """Unnormalized vectors with 1e4-scale components put squared
     distances where the double ulp rivals the 1e-6 rounding grid —

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from data_management_python_spark import functions as fn
@@ -387,14 +387,19 @@ def test_bmp_encode_decode_roundtrip_random(w, h, rnd):
         unique=True,
     )
 )
+@example([(0, 0), (0, 600)])  # exact-boundary pair: merges (inclusive)
+@example([(0, 0), (0, 600), (0, 1201)])  # boundary merge then > gap split
 def test_session_window_counts_match_gap_reference(spark, evs):
     """Spark's native session_window (as wrapped by
-    streaming.windows.session_window_counts) follows the strict-gap
-    merge rule: events join the open session iff the gap to the
-    previous event is STRICTLY below the gap duration, and
-    session_end = last event + gap — checked against a pure-Python
+    streaming.windows.session_window_counts) follows the INCLUSIVE
+    merge rule: an event exactly ``gap`` after the previous one still
+    joins the open session (only diff > gap starts a new session),
+    and session_end = last event + gap — checked against a pure-Python
     sweep for arbitrary event sets (including equal-gap boundaries,
-    multiple users, single-event sessions)."""
+    multiple users, single-event sessions).  Round-5 history: this
+    test caught the operator family documenting the STRICT rule while
+    Spark actually merges at diff == gap; the falsifying example
+    [(0,0),(0,600)] is kept below as a hard regression case."""
     import datetime as dt
 
     from data_management_python_spark.streaming.windows import (
@@ -423,13 +428,78 @@ def test_session_window_counts_match_gap_reference(spark, evs):
         tss.sort()
         start, last, n = tss[0], tss[0], 1
         for ts in tss[1:]:
-            if (ts - last).total_seconds() < gap:
+            if (ts - last).total_seconds() <= gap:
                 last, n = ts, n + 1
             else:
                 want[(uid, start, last + dt.timedelta(seconds=gap))] = n
                 start, last, n = ts, ts, 1
         want[(uid, start, last + dt.timedelta(seconds=gap))] = n
     assert got == want
+
+
+def test_session_window_oracle_parity_on_boundary_corpus(spark, tmp_path):
+    """s_session_windows vs its DuckDB oracle on a corpus that CONTAINS
+    same-user pairs exactly gap (1800 s) apart — the round-5 verdict's
+    green-by-luck closure: the shared sf0.01/sf0.1 corpus happens to
+    have no exact-boundary pair, so the driver's hash check could not
+    distinguish the strict rule from Spark's actual inclusive rule.
+    This fixture plants boundary pairs (merge), just-over pairs
+    (split), and a boundary chain, then runs the REGISTERED query and
+    its REGISTERED oracle SQL side by side."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+
+    def ev(uid, sec):
+        rows.append(
+            (len(rows), base + dt.timedelta(seconds=sec), uid,
+             "click", 1.0, "{}")
+        )
+
+    ev(1, 0); ev(1, 1800)                      # exact boundary: one session
+    ev(2, 0); ev(2, 1801)                      # just over: two sessions
+    ev(3, 0); ev(3, 1800); ev(3, 3600)         # boundary chain: one session
+    ev(4, 0); ev(4, 900); ev(4, 2700)          # interior merges
+    ev(5, 0)                                   # singleton
+    ev(1, 7200); ev(1, 9000); ev(1, 9001)      # second session for user 1
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got_df = entrymod.queries()["s_session_windows"](spark, sf_dir)
+    got = sorted(tuple(r) for r in got_df.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            entrymod.oracle_sql()["s_session_windows"]
+        ).fetchall()
+    )
+    assert got == want
+    # the inclusive rule's signature facts, asserted directly so a
+    # future mirrored regression in BOTH engines cannot slip through:
+    per_user = {}
+    for uid, *_ in got:
+        per_user[uid] = per_user.get(uid, 0) + 1
+    assert per_user[1] == 2   # boundary pair merged; later trio separate
+    assert per_user[2] == 2   # 1801 s splits
+    assert per_user[3] == 1   # boundary chain merges end-to-end
+    assert per_user[4] == 1
 
 
 def test_prefix_filtered_jaccard_is_lossless_vs_bruteforce(spark):

@@ -135,6 +135,29 @@ def build(spark, src: str, dst: str, factor: int) -> None:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            if t == "events":
+                # plant same-user pairs exactly 1800 s (the session
+                # gap) apart: the shared corpus has none, which let a
+                # strict-vs-inclusive boundary bug stay oracle-green
+                # for four rounds (round-5 verdict).  With these rows
+                # any regression in the session family goes hash-red.
+                import datetime as dt
+
+                b = dt.datetime(2024, 6, 1, 0, 0, 0)
+                eid = factor * 10_000_000 + 1
+                uid = factor * 1_000_000 + 1
+                boundary = spark.createDataFrame(
+                    [
+                        (eid, b, uid, "click", 1.0, "{}"),
+                        (eid + 1, b + dt.timedelta(seconds=1800),
+                         uid, "click", 1.0, "{}"),
+                        (eid + 2, b, uid + 1, "click", 1.0, "{}"),
+                        (eid + 3, b + dt.timedelta(seconds=1801),
+                         uid + 1, "click", 1.0, "{}"),
+                    ],
+                    out.schema,
+                )
+                out = out.unionByName(boundary)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
 
 
