@@ -569,11 +569,13 @@ def swap_directory(spark, src_dir: str, tmp_dir: str) -> None:
 
 
 def cleanup_compaction_leftovers(spark, root: str) -> list[str]:
-    """Recover stranded ``*__compacting`` / ``*__precompact`` temp dirs
-    under ``root`` (artifacts of a crashed :func:`compact_partitions`
-    run).  The planner refuses to plan over a tree containing them — a
-    stranded pre-swap copy would be double-counted by plain Spark
-    reads — so this is the first step of crash recovery.
+    """Recover stranded ``*__compacting`` / ``*__precompact`` /
+    ``*__tmp`` / ``*__merging`` temp dirs under ``root`` (artifacts of
+    a crashed :func:`compact_partitions`, ``TableStore._swap``,
+    ``enable_partitioning``, or ``_merge_partitioned`` run).  The
+    planner refuses to plan over a tree containing them — a stranded
+    pre-swap copy would be double-counted by plain Spark reads — so
+    this is the first step of crash recovery.
 
     NOT a blind delete: a crash BETWEEN the two swap renames leaves the
     live partition dir ABSENT, with ``{part}__precompact`` holding the
@@ -595,13 +597,17 @@ def cleanup_compaction_leftovers(spark, root: str) -> list[str]:
             if not st.isDirectory():
                 continue
             name = st.getPath().getName()
-            if not name.endswith(("__compacting", "__precompact")):
+            if not name.endswith(
+                ("__compacting", "__precompact", "__tmp", "__merging")
+            ):
                 walk(st.getPath())
                 continue
-            suffix = (
-                "__precompact"
-                if name.endswith("__precompact")
-                else "__compacting"
+            suffix = next(
+                s
+                for s in (
+                    "__precompact", "__compacting", "__tmp", "__merging"
+                )
+                if name.endswith(s)
             )
             live = jvm.org.apache.hadoop.fs.Path(
                 path, name[: -len(suffix)]
@@ -616,12 +622,12 @@ def cleanup_compaction_leftovers(spark, root: str) -> list[str]:
                             f"cannot restore {st.getPath()} -> {live}"
                         )
                     handled.append(f"restored:{live}")
-                # a live-absent __compacting is left for the SECOND
-                # walk pass below: its sibling __precompact (processed
-                # in listing order, possibly after it) restores the
-                # live dir first; deleting it now would be safe but
-                # deleting it before checking the sibling would race
-                # the restore
+                # a live-absent __compacting/__tmp/__merging is left
+                # for the SECOND walk pass below: its sibling
+                # __precompact (processed in listing order, possibly
+                # after it) restores the live dir first; deleting it
+                # now would be safe but deleting it before checking
+                # the sibling would race the restore
                 continue
             if not fs.delete(st.getPath(), True):
                 raise OSError(f"cannot delete {st.getPath()}")
@@ -638,7 +644,14 @@ def cleanup_compaction_leftovers(spark, root: str) -> list[str]:
             if not st.isDirectory():
                 continue
             name = st.getPath().getName()
-            if name.endswith("__compacting"):
+            if name.endswith(("__compacting", "__tmp", "__merging")):
+                # replacement/merge temp copies are never the only
+                # copy of acknowledged data: live-absent means a
+                # crashed first-time write (nothing acknowledged) —
+                # deleting loses nothing.  __merging additionally
+                # holds __deleted_kb= dirs renamed aside by a
+                # partition-scoped delete, whose removal COMPLETES
+                # the crashed delete's durable intent.
                 if not fs.delete(st.getPath(), True):
                     raise OSError(f"cannot delete {st.getPath()}")
                 handled.append(str(st.getPath()))

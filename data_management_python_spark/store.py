@@ -14,13 +14,21 @@ so a user of data-management-python can switch with familiar verbs:
   get_attributes_by_dbid (EAV read)           attributes_of
 
 Transaction semantics: the reference wraps one ORM session per call
-(dbconnect.py:122-141); a lake gives per-table atomicity (each write is
-one full-table swap).  ``store_records``/``store_with_attributes`` are
-APPENDS — like the reference's bulk insert, re-running them duplicates
-rows unless the caller goes through ``upsert`` or pre-filters with
+(dbconnect.py:122-141); a lake gives per-table atomicity.
+``store_records`` is a TRUE file append on every layout (nothing
+existing is read or rewritten); mutations (``upsert``/``delete_where``
+and the EAV dedup) rewrite whole tables only when unbucketed — on a
+bucketed table (``enable_partitioning``; ``*_attribute`` tables are
+bucketed by parent id BY DEFAULT on first ``store_with_attributes``)
+they read and crash-safe swap ONLY the touched ``kb=`` buckets.
+``store_records``/``store_with_attributes`` are APPENDS — like the
+reference's bulk insert, re-running them duplicates rows unless the
+caller goes through ``upsert`` or pre-filters with
 ``exists``/``tag_existing`` (the reference's own idempotency mechanism,
 M6).  EAV appends ARE deduplicated on (parent, name, value) — the
-uniq constraint the reference's schema enforces (igfTables.py:1037+).
+uniq constraint the reference's schema enforces (igfTables.py:1037+) —
+and because the bucket key (parent id) is part of that constraint, the
+dedup is per-bucket and still globally exact.
 On Delta, `_swap` becomes a MERGE and the read-back is versioned; the
 parquet implementation keeps the same call contract.
 """
@@ -59,9 +67,16 @@ class TableStore:
     #: reserved hash-bucket partition column on partitioned tables
     BUCKET_COL = "kb"
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, attr_n_buckets: int = 64
+    ):
         self.spark = spark
         self.root = root
+        #: bucket count for auto-bucketed ``*_attribute`` tables —
+        #: bounds EAV write amplification at |table| / attr_n_buckets
+        #: per touched parent; size it so one bucket fits an executor
+        #: (at 100 TB of attributes, thousands, not 64)
+        self.attr_n_buckets = attr_n_buckets
         self._part_info: dict[str, tuple[list[str], int]] = {}
         os.makedirs(root, exist_ok=True)
 
@@ -81,6 +96,20 @@ class TableStore:
 
     def _read_raw(self, name: str) -> DataFrame:
         p = self._path(name)
+        if os.path.exists(p + "__precompact"):
+            # a crashed TABLE-LEVEL swap (_swap / enable_partitioning)
+            # left the previous copy renamed aside — and possibly the
+            # live dir ABSENT, in which case a plain read would
+            # silently return an empty declared-schema frame and a
+            # subsequent full-rewrite mutation would persist the loss.
+            # Refuse until the documented recovery restores/clears it.
+            raise RuntimeError(
+                f"table {name!r} has a stranded sibling "
+                f"{p}__precompact: a table swap crashed mid-rename; "
+                "run sources.sinks.cleanup_compaction_leftovers on "
+                "the store root (it RESTORES a live-absent "
+                "__precompact) before reading"
+            )
         if os.path.exists(p):
             stranded = [
                 d
@@ -125,6 +154,10 @@ class TableStore:
         dedup, a direct _swap) would silently flatten the table while
         the cached spec still claims it is bucketed, corrupting the
         next partition-scoped mutation."""
+        from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
+            swap_directory,
+        )
+
         part = self.partitioning_of(name)
         tmp = self._path(name) + "__tmp"
         w = df
@@ -137,14 +170,20 @@ class TableStore:
         if part is not None:
             writer = writer.partitionBy(self.BUCKET_COL)
         writer.parquet(tmp)
-        final = self._path(name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
         if part is not None:
+            # the sidecar travels INSIDE the temp dir so spec + data
+            # move atomically: a crash can never leave bucketed data
+            # with no spec (which would silently flatten the layout —
+            # table() would stop dropping the internal kb column)
             keys, n_buckets = part
-            with open(self._sidecar(name), "w") as f:
+            with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
                 json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+        # crash-safe replace: the old copy is renamed aside (never
+        # deleted before the replacement is in place) and every crash
+        # state is recoverable by cleanup_compaction_leftovers; the
+        # old rmtree-then-replace left a window where the table dir
+        # was simply ABSENT and reads returned an empty frame
+        swap_directory(self.spark, self._path(name), tmp)
 
     # -- hash-bucket partitioning (partition-scoped MERGE substrate) --------
 
@@ -207,6 +246,10 @@ class TableStore:
         missing = [k for k in keys if k not in current.columns]
         if missing:
             raise KeyError(f"bucket keys absent from {name}: {missing}")
+        from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
+            swap_directory,
+        )
+
         tmp = self._path(name) + "__tmp"
         (
             current.withColumn(
@@ -216,12 +259,11 @@ class TableStore:
             .partitionBy(self.BUCKET_COL)
             .parquet(tmp)
         )
-        final = self._path(name)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
-        with open(self._sidecar(name), "w") as f:
+        # sidecar INSIDE the temp dir: spec + data swap in atomically
+        # (see _swap), then crash-safe replace via the shared primitive
+        with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
             json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
+        swap_directory(self.spark, self._path(name), tmp)
         self._part_info[name] = (list(keys), n_buckets)
 
     def _touched_buckets(
@@ -281,8 +323,17 @@ class TableStore:
             if os.path.exists(tmp):
                 swap_directory(self.spark, live, tmp)
             elif os.path.exists(live):
-                # every row in the bucket was deleted
-                shutil.rmtree(live)
+                # every row in the bucket was deleted: rename the live
+                # dir INTO the merge temp tree (atomic, same fs) before
+                # anything is removed — a crash mid-delete then leaves
+                # the data under {path}__merging (a sibling Spark never
+                # reads, swept by cleanup_compaction_leftovers), never
+                # a half-deleted live bucket that reads as a random
+                # subset of the old rows
+                os.replace(
+                    live,
+                    os.path.join(tmp_root, f"__deleted_{self.BUCKET_COL}={b}"),
+                )
         shutil.rmtree(tmp_root, ignore_errors=True)
 
     # -- reference-adaptor verbs --------------------------------------------
@@ -291,7 +342,14 @@ class TableStore:
         self, name: str, data: DataFrame, validate: bool = True
     ) -> None:
         """Append rows (bulk path; S4).  Enum domains are checked the
-        way the reference's SQL Enum columns would reject bad rows."""
+        way the reference's SQL Enum columns would reject bad rows.
+
+        TRUE append on every layout: new files land next to the
+        existing ones (bucketed tables under the new rows' ``kb=``
+        dirs); nothing existing is read or rewritten — an append to a
+        100-TB table costs O(new rows), not a table rewrite.  Columns
+        are cast to the table schema so the parquet dir never mixes
+        physical types across files."""
         if validate and name in CORE_SCHEMAS:
             bad = validate_enums(data, name)
             if not bad.isEmpty():
@@ -301,26 +359,32 @@ class TableStore:
                 )
         current = self.table(name)
         dtypes = dict(current.dtypes)
-        padded = data
-        for c in current.columns:  # absent columns load as NULL, as the
-            if c not in data.columns:  # reference's serial store does
-                padded = padded.withColumn(c, F.lit(None).cast(dtypes[c]))
+        aligned = data.select(  # absent columns load as NULL, as the
+            *[  # reference's serial store does
+                F.col(c).cast(dtypes[c]).alias(c)
+                if c in data.columns
+                else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in current.columns
+            ]
+        )
         part = self.partitioning_of(name)
-        if part is not None and os.path.exists(self._path(name)):
-            # bucketed layout: a true APPEND — only the new rows'
-            # buckets gain files; nothing existing is read or rewritten
+        writer = aligned
+        if part is not None:
             keys, n_buckets = part
-            (
-                padded.select(*current.columns)
-                .withColumn(
-                    self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-                )
-                .write.mode("append")
-                .partitionBy(self.BUCKET_COL)
-                .parquet(self._path(name))
+            writer = aligned.withColumn(
+                self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
             )
-            return
-        self._swap(name, current.unionByName(padded.select(*current.columns)))
+        w = writer.write.mode("append")
+        if part is not None:
+            w = w.partitionBy(self.BUCKET_COL)
+        w.parquet(self._path(name))
+        if part is not None and not os.path.exists(self._sidecar(name)):
+            # first write into a spec'd-but-dataless table (or a dir
+            # recreated externally): re-materialize the sidecar so a
+            # fresh TableStore over this root sees the layout
+            keys, n_buckets = part
+            with open(self._sidecar(name), "w") as f:
+                json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
 
     def store_with_attributes(
         self,
@@ -346,14 +410,43 @@ class TableStore:
         )
         self.store_records(name, main)
         attr_table = f"{name}_attribute"
+        key = f"{name}_id"
+        if self.partitioning_of(attr_table) is None:
+            # EAV attribute tables are the reference's hottest mutable
+            # facts (run_attribute read counts, projectutils.py:52-64):
+            # bucket them by parent id BY DEFAULT so the
+            # uniq(parent, name, value) dedup below reads and rewrites
+            # only the touched parents' buckets — never the whole
+            # table.  An existing unbucketed table pays one conversion
+            # rewrite here, then every later store is partition-scoped.
+            self.enable_partitioning(attr_table, [key], self.attr_n_buckets)
         current = self.table(attr_table)
-        eav_named = eav.withColumnRenamed(key_column, f"{name}_id")
-        out = current.unionByName(
-            eav_named.withColumn(
-                f"{name}_attribute_id", F.lit(None).cast("long")
-            ).select(*current.columns)
-        ).dropDuplicates([f"{name}_id", "attribute_name", "attribute_value"])
-        self._swap(attr_table, out)
+        incoming = (
+            eav.withColumnRenamed(key_column, key)
+            .withColumn(f"{name}_attribute_id", F.lit(None).cast("long"))
+            .select(*current.columns)
+        )
+        dedup_keys = [key, "attribute_name", "attribute_value"]
+        bkeys, n_buckets = self.partitioning_of(attr_table)
+        if not set(bkeys) <= set(dedup_keys):
+            # custom layout whose bucket keys exceed the uniq
+            # constraint: per-bucket dedup would not be global — fall
+            # back to the full-table rewrite
+            out = current.unionByName(incoming).dropDuplicates(dedup_keys)
+            self._swap(attr_table, out)
+            return
+        touched = self._touched_buckets(incoming, bkeys, n_buckets)
+        if not touched:
+            return
+        # bucket keys ⊆ dedup keys, so a duplicate can only live in
+        # the same bucket as its twin: per-bucket union+dedup enforces
+        # the global uniq(parent, name, value) constraint while only
+        # the touched buckets are read and crash-safe swapped
+        self._merge_partitioned(
+            attr_table,
+            touched,
+            lambda cur: cur.unionByName(incoming).dropDuplicates(dedup_keys),
+        )
 
     def fetch_by(self, name: str, **filters: Any) -> DataFrame:
         """Equality/IN fetch (fetch_records_by_column /

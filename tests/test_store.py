@@ -409,3 +409,227 @@ def test_read_surfaces_stranded_swap_state_with_recovery_path(
     handled = cleanup_compaction_leftovers(spark, root)
     assert any(h.startswith("restored:") for h in handled)
     assert store.table("project").count() == 12
+
+
+def test_attribute_store_is_partition_scoped_by_default(store, spark):
+    """Round-6 contract: *_attribute tables are hash-bucketed by parent
+    id automatically, and a store_with_attributes touching k parents
+    rewrites ONLY their buckets — every other bucket's files stay
+    byte-identical (the reference's hottest write, run_attribute, must
+    not be a 100-TB rewrite)."""
+    import os
+
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(1, 41)],
+            schema,
+        ),
+    )
+    wide = spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", str(i * 2), f"batch{i % 3}")
+         for i in range(1, 41)],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    store.store_with_attributes("project", wide, key_column="project_id")
+    # bucketed automatically, logical schema clean
+    bkeys, n_buckets = store.partitioning_of("project_attribute")
+    assert bkeys == ["project_id"] and n_buckets == store.attr_n_buckets
+    assert "kb" not in store.table("project_attribute").columns
+    assert store.table("project_attribute").count() == 80
+
+    root = store._path("project_attribute")
+    before = _listing(root)
+    two = spark.createDataFrame(
+        [(5, "IGFQ0005", "999", "batch9"),
+         (17, "IGFQ0017", "34", "batch0")],  # (17, batch0) is a DUP
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    touched = store._touched_buckets(
+        two.withColumnRenamed("project_id", "pid").selectExpr(
+            "pid as project_id"
+        ),
+        ["project_id"],
+        n_buckets,
+    )
+    store.store_with_attributes("project", two, key_column="project_id")
+    after = _listing(root)
+
+    untouched = lambda d: {  # noqa: E731
+        p: v for p, v in d.items()
+        if int(p.split(os.sep)[0].split("=")[1]) not in touched
+    }
+    assert untouched(before) == untouched(after)
+    assert untouched(before)  # non-vacuous
+    # dedup on (parent, name, value) held: exactly three NEW values
+    # appended (5: expected_read=999, batch=batch9; 17: batch=batch0);
+    # 17's expected_read=34 duplicates the existing row and is dropped
+    got = store.table("project_attribute")
+    assert got.count() == 80 + 3
+    p17 = {
+        (r.attribute_name, r.attribute_value)
+        for r in got.filter("project_id = 17").collect()
+    }
+    assert ("batch", "batch0") in p17  # deduped, present once
+    assert (
+        got.filter(
+            "project_id = 17 AND attribute_name = 'batch' "
+            "AND attribute_value = 'batch0'"
+        ).count()
+        == 1
+    )
+
+
+def test_unbucketed_store_records_is_true_append(store, spark):
+    """store_records on an UNBUCKETED table must not read or rewrite
+    existing files — appends add files, old ones stay byte-identical
+    (round-5 verdict: the default path was a full-table rewrite per
+    append)."""
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    root = store._path("project")
+    before = _listing(root)
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(2, "IGFQ0002", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    after = _listing(root)
+    assert set(before) <= set(after)
+    assert all(before[p] == after[p] for p in before)
+    assert len(after) > len(before)
+    assert store.table("project").count() == 2
+
+
+def test_crashed_table_swap_is_detected_and_recovered(store, spark):
+    """Crash states of the table-level swap (round-6: _swap went
+    through swap_directory, sidecar travels inside the temp dir):
+
+    * live ABSENT + {table}__precompact present (crash between the two
+      renames) -> reads REFUSE (previously: silent empty frame), and
+      cleanup restores the original with its sidecar intact;
+    * stale {table}__tmp next to an intact live table -> swept."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_management_python_spark.sources.sinks import (
+        cleanup_compaction_leftovers,
+    )
+
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(10)],
+            schema,
+        ),
+    )
+    store.enable_partitioning("project", ["project_id"], n_buckets=2)
+    path = store._path("project")
+    # crash between renames: the only copy is the aside
+    shutil.move(path, path + "__precompact")
+    with pytest.raises(RuntimeError, match="cleanup_compaction_leftovers"):
+        store.table("project")
+    handled = cleanup_compaction_leftovers(spark, store.root)
+    assert any(h.startswith("restored:") for h in handled)
+    s2 = TableStore(spark, store.root)  # fresh: no cached spec
+    assert s2.partitioning_of("project") == (["project_id"], 2)
+    assert s2.table("project").count() == 10
+
+    # stale __tmp with live intact: swept, live untouched
+    os.makedirs(path + "__tmp/kb=0", exist_ok=True)
+    before = _listing(path)
+    cleanup_compaction_leftovers(spark, store.root)
+    assert not os.path.exists(path + "__tmp")
+    assert _listing(path) == before
+
+
+def test_crashed_partition_merge_leftovers_swept(store, spark):
+    """A crash in _merge_partitioned before/during the final temp-tree
+    removal leaves a sibling {table}__merging (possibly holding a
+    __deleted_kb= dir renamed aside by an all-rows-deleted bucket).
+    Reads stay correct (live tree per-bucket consistent) and cleanup
+    sweeps the leftover."""
+    import os
+
+    from data_management_python_spark.sources.sinks import (
+        cleanup_compaction_leftovers,
+    )
+
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(10)],
+            schema,
+        ),
+    )
+    store.enable_partitioning("project", ["project_id"], n_buckets=2)
+    path = store._path("project")
+    os.makedirs(path + "__merging/kb=1", exist_ok=True)
+    os.makedirs(path + "__merging/__deleted_kb=0", exist_ok=True)
+    assert store.table("project").count() == 10  # reads unaffected
+    handled = cleanup_compaction_leftovers(spark, store.root)
+    assert any(h.endswith("__merging") for h in handled)
+    assert not os.path.exists(path + "__merging")
+    assert store.table("project").count() == 10
+
+
+def test_all_rows_deleted_bucket_never_half_deleted(store, spark):
+    """Deleting every row of a bucket renames the live dir into the
+    merge temp tree before anything is removed — at no point can a
+    crash leave a live bucket dir holding a partial subset of the old
+    rows."""
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    rows = [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+            for i in range(40)]
+    store.store_records("project", spark.createDataFrame(rows, schema))
+    store.enable_partitioning("project", ["project_id"], n_buckets=4)
+    # delete EVERY row of one bucket
+    victims = (
+        store._read_raw("project")
+        .filter(F.col("kb") == 0)
+        .select("project_id")
+    )
+    n_victims = victims.count()
+    assert n_victims > 0
+    store.delete_where("project", victims, on=["project_id"])
+    import os
+
+    assert not os.path.exists(store._path("project") + "/kb=0")
+    assert not os.path.exists(store._path("project") + "__merging")
+    assert store.table("project").count() == 40 - n_victims
