@@ -1274,6 +1274,17 @@ def kcenter_select(
             # never triggered by normalized/typical embeddings, so the
             # vectorized path keeps its cost in the cases that matter.
             big = np.abs(raw) >= (1e-7 * 2.0**52) / max(V.shape[1], 1)
+            # HALF-GRID cells: Spark rounds the SHORTEST DECIMAL REPR
+            # via BigDecimal.valueOf, the floor trick rounds the raw
+            # binary double — when |raw|*1e6's fraction sits within a
+            # hair of 0.5 the two can land one grid step apart (e.g. a
+            # double whose repr is exactly '...5e-06' but whose binary
+            # value is just below the half).  Such cells are ~1e-6 of
+            # all cells; route them through the exact Decimal(repr)
+            # path regardless of magnitude.
+            scaled = np.abs(raw) * 1e6
+            frac = scaled - np.floor(scaled)
+            big = big | (np.abs(frac - 0.5) <= 1e-6)
             if big.any():
                 # Spark-exact: the sequential left fold of F.aggregate
                 # (acc + x*y from 0.0), the same expression

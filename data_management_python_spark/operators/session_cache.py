@@ -30,6 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CACHE_LOCK = threading.Lock()  # guards _CACHE and _KEY_LOCKS maps
 _KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+# keys whose build() is running on THIS thread — re-entrant/nested
+# session_cached calls from inside a build must not take a second key
+# lock (same key: self-deadlock; another build's key: lock-order
+# inversion between two threads whose builds nest on each other's keys)
+_BUILDING = threading.local()
 
 
 def session_cached(
@@ -46,6 +51,14 @@ def session_cached(
     into the same build; without the lock one eager localCheckpoint
     per racer is orphaned).  Distinct keys build concurrently — the
     global lock only guards the map lookups, never a build.
+
+    Re-entrancy-safe: a ``build`` that itself calls ``session_cached``
+    (for its own key or another family's) is detected via a
+    thread-local build stack and falls through to an UNLOCKED build —
+    no self-deadlock, no lock-order inversion.  The cost is that a
+    concurrent thread may duplicate the nested build; the loser's
+    checkpoint is orphaned session-local garbage and the cache keeps
+    exactly one winner (``setdefault``).
     """
     app_id = spark.sparkContext.applicationId
     key = (app_id, name, sf_dir)
@@ -62,12 +75,22 @@ def session_cached(
         for k in [k for k in _CACHE if k[0] != app_id]:
             del _CACHE[k]
         key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    held: list = getattr(_BUILDING, "held", None) or []
+    _BUILDING.held = held
+    if held:
+        # nested call from inside another build on this thread
+        df = build().localCheckpoint(eager=True)
+        with _CACHE_LOCK:
+            return _CACHE.setdefault(key, df)
     with key_lock:
         with _CACHE_LOCK:
             hit = _CACHE.get(key)  # a concurrent builder may have won
         if hit is not None:
             return hit
-        df = build().localCheckpoint(eager=True)
+        held.append(key)
+        try:
+            df = build().localCheckpoint(eager=True)
+        finally:
+            held.pop()
         with _CACHE_LOCK:
-            _CACHE[key] = df
-        return df
+            return _CACHE.setdefault(key, df)

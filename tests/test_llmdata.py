@@ -1403,6 +1403,43 @@ def test_bpe_batched_parity_selfoverlap_and_equal_join(spark):
         assert got == want, (texts, n, got, want)
 
 
+def test_kcenter_path_parity_on_half_grid_distance(spark):
+    """Round-6 regression: a distance whose binary double sits a hair
+    off the 0.0000005 half-grid (raw = 2.4999999999999998e-06 here —
+    found by randomized search) rounds DIFFERENTLY under the UDF's old
+    floor trick (|x|*1e6 rounds up to 2.5 exactly -> 3e-6) than under
+    Spark's shortest-decimal-repr HALF_UP (2.4999999999999998 -> 2e-6).
+    Half-grid-adjacent cells must take the exact Decimal(repr) path
+    regardless of magnitude so both physical paths agree."""
+    from data_management_python_spark.llmdata.similarity import (
+        kcenter_select,
+    )
+
+    # seed (id 1) is the 'chosen' vector; id 2's distance to it is the
+    # half-grid raw value above
+    emb = spark.createDataFrame(
+        [
+            (1, [0.001847, 0.000693]),
+            (2, [0.000347, 0.001193]),
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    lit = kcenter_select(
+        emb, "vec_id", "embedding", k=3, literal_max_terms=10**9
+    ).collect()
+    udf = kcenter_select(
+        emb, "vec_id", "embedding", k=3, literal_max_terms=0
+    ).collect()
+    key = lambda r: r.selection_order  # noqa: E731
+    assert [(r.vec_id, r.min_dist_sq) for r in sorted(lit, key=key)] == [
+        (r.vec_id, r.min_dist_sq) for r in sorted(udf, key=key)
+    ]
+    # and the half-grid distance itself must be the repr-HALF_UP value
+    by_id = {r.vec_id: r.min_dist_sq for r in udf}
+    assert by_id[2] == 2e-06
+
+
 def test_kcenter_path_parity_at_hostile_magnitudes(spark):
     """Unnormalized vectors with 1e4-scale components put squared
     distances where the double ulp rivals the 1e-6 rounding grid —

@@ -704,6 +704,54 @@ def test_session_cache_shares_and_prunes(spark):
     assert all(k[0] == app_id or not k[1].startswith("t_cache_") for k in _CACHE)
 
 
+def test_session_cache_reentrant_build_no_deadlock(spark):
+    """A build() that itself calls session_cached — for ANOTHER family
+    key and even for its OWN key — must complete instead of
+    self-deadlocking on the per-key lock (round-5 advice: build runs
+    under the key lock; nested calls now take an unlocked path via a
+    thread-local build stack)."""
+    from data_management_python_spark.operators.session_cache import (
+        _CACHE,
+        session_cached,
+    )
+
+    def inner():
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    def build_nested_other():
+        base = session_cached(spark, "t_reent_inner", "sfX", inner)
+        return base.selectExpr("v * 2 AS v")
+
+    def build_nested_same():
+        # same-key re-entry: previously a hard self-deadlock
+        base = session_cached(spark, "t_reent_same", "sfX", inner)
+        return base.selectExpr("v + 1 AS v")
+
+    import threading
+
+    results = {}
+
+    def drive():  # worker thread so a deadlock regression fails the
+        results["other"] = session_cached(  # test instead of hanging it
+            spark, "t_reent_outer", "sfX", build_nested_other
+        )
+        results["same"] = session_cached(
+            spark, "t_reent_same", "sfX", build_nested_same
+        )
+
+    t = threading.Thread(target=drive, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "re-entrant session_cached deadlocked"
+    assert results["other"].count() == 3
+    assert results["same"].count() == 3
+    # the nested winner is cached and shared
+    again = session_cached(spark, "t_reent_inner", "sfX", inner)
+    assert again.count() == 3
+    for key in [k for k in _CACHE if k[1].startswith("t_reent_")]:
+        del _CACHE[key]
+
+
 def test_cdc_apply_latest_wins_and_tombstones_drop(spark):
     """cdc_apply: highest version wins per key; a tombstone as the
     latest event removes the key; a tombstone superseded by a later
