@@ -105,7 +105,13 @@ def d_exact_dedup(spark, sf_dir):
     "document-frequency cap (df>100 shingles pruned from intersection "
     "AND union — idf-pruned Jaccard); the filter is lossless at any "
     "consistent shingle order, so the oracle mirrors it with its own "
-    "order and converges to the identical pair set",
+    "order and converges to the identical pair set.  The Spark side "
+    "AUTO-GATES the filter on corpus size (>20k docs): below that the "
+    "direct-count shared-shingle join is ~3.5x cheaper (2.8s vs 10s "
+    "at sf0.1) and the filter's fixed per-doc array build dominates; "
+    "losslessness makes the branches result-identical (both pinned "
+    "against a brute-force reference in tests), so the one oracle "
+    "serves both",
 )
 def d_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

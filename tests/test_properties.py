@@ -568,14 +568,20 @@ def test_prefix_filtered_jaccard_is_lossless_vs_bruteforce(spark):
             list(enumerate(texts)), "doc_id long, text string"
         )
         for t, cap in thresholds:
-            got = {
-                (r.id_1, r.id_2): r.jaccard
-                for r in dedup.ngram_jaccard_pairs(
-                    docs, "doc_id", "text", n=2, threshold=t,
-                    max_doc_freq=cap,
-                ).collect()
-            }
             want = brute(texts, 2, t, cap)
-            assert set(got) == set(want), (trial, t, cap)
-            for k in want:
-                assert abs(got[k] - want[k]) < 1e-12, (trial, t, cap, k)
+            # pin BOTH physical branches: the corpus-size auto-gate
+            # (round 6) would otherwise route these tiny corpora to
+            # the plain join and silently un-test the prefix filter
+            for filtered in (True, False):
+                got = {
+                    (r.id_1, r.id_2): r.jaccard
+                    for r in dedup.ngram_jaccard_pairs(
+                        docs, "doc_id", "text", n=2, threshold=t,
+                        max_doc_freq=cap, prefix_filter=filtered,
+                    ).collect()
+                }
+                assert set(got) == set(want), (trial, t, cap, filtered)
+                for k in want:
+                    assert abs(got[k] - want[k]) < 1e-12, (
+                        trial, t, cap, filtered, k,
+                    )
