@@ -83,6 +83,75 @@ def _driver_history() -> tuple[set[str], dict[str, int]]:
     return failed, green
 
 
+def _plan_since_rounds() -> dict[str, int]:
+    """name -> round count at which the query's plan digest last
+    changed, from PLAN_HASHES.json (written by tools/plan_hashes.py).
+    A green query whose plan changed AFTER its last verification must
+    re-enter the driver window ahead of merely-stale greens — a plan
+    change on an unrotated green would otherwise ship unverified for
+    ~ceil(N/window) rounds.  Missing/unreadable sidecar -> empty map
+    (ordering degrades to pure staleness)."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    try:
+        with open(os.path.join(root, "PLAN_HASHES.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out: dict[str, int] = {}
+    for name, rec in data.items():
+        if isinstance(rec, dict) and isinstance(
+            rec.get("since_round"), int
+        ):
+            out[name] = rec["since_round"]
+    return out
+
+
+def _order_names(
+    names,
+    failed: set[str],
+    green: dict[str, int],
+    plan_since: dict[str, int],
+    reg_order: dict[str, int],
+) -> list[str]:
+    """Deterministic driver-window ordering (pure; unit-tested):
+    failed first, never-checked next, then greens — and within greens,
+    PLAN-CHANGED-since-verification first, then oldest-verified."""
+
+    def _prio(name: str) -> int:
+        if name in failed:
+            return 0
+        if name not in green:
+            return 1
+        return 2
+
+    def _plan_stale(name: str) -> int:
+        # a green verified at round index r (0-based over CORRECTNESS
+        # files) is plan-stale iff the digest change was detected when
+        # the file for round r already existed (since_round is a FILE
+        # COUNT, r+1 files exist through round r): the code change
+        # postdates the verification, so the green row no longer
+        # covers the shipped plan
+        r = green.get(name)
+        since = plan_since.get(name)
+        if r is None or since is None:
+            return 1
+        return 0 if since > r else 1
+
+    return sorted(
+        names,
+        key=lambda n: (
+            _prio(n),
+            _plan_stale(n),
+            green.get(n, 0),
+            reg_order.get(n, 1_000_000),
+            n,
+        ),
+    )
+
+
 def collect_queries() -> dict[str, Query]:
     """All registered queries across plan modules.
 
@@ -103,29 +172,16 @@ def collect_queries() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name {q.name}")
             out[q.name] = q
     failed, green = _driver_history()
-
-    def _prio(name: str) -> int:
-        if name in failed:
-            return 0
-        if name not in green:
-            return 1
-        return 2
-
     # names absent from _REG_ORDER (e.g. queries added after the map
     # was drawn) rank LAST within their tier — they must not leapfrog
     # the explicitly-prioritized backlog in a truncated driver window.
-    # Within the GREEN tier, staleness rules: the green verified
-    # longest ago sorts first, so the truncated window rotates through
-    # every green in ~ceil(N/window) rounds and a silent regression
-    # cannot hide indefinitely behind an old green row.
-    ordered = sorted(
-        out,
-        key=lambda n: (
-            _prio(n),
-            green.get(n, 0),
-            _REG_ORDER.get(n, 1_000_000),
-            n,
-        ),
+    # Within the GREEN tier, plan-changed-since-verification queries
+    # rule (tools/plan_hashes.py sidecar), then staleness: the green
+    # verified longest ago sorts first, so the truncated window rotates
+    # through every green in ~ceil(N/window) rounds and a silent
+    # regression cannot hide indefinitely behind an old green row.
+    ordered = _order_names(
+        out, failed, green, _plan_since_rounds(), _REG_ORDER
     )
     return {n: out[n] for n in ordered}
 

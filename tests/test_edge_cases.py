@@ -311,26 +311,61 @@ def test_registry_rotates_greens_oldest_verified_first():
         failed, green = _driver_history()
         assert green["q6_forecast_revenue"] < green["q7_nation_volume"]
         names = list(collect_queries())
-        # both still green; the staler one re-runs first
+        # both still green; the staler one re-runs first (same
+        # plan-staleness class: both digests predate the synthetic
+        # rounds 98/99, so neither is plan-stale)
         assert names.index("q6_forecast_revenue") < names.index(
             "q7_nation_volume"
         )
-        # global invariant: within the green tier, staleness is
-        # non-decreasing over the emitted order
-        stale = [green[n] for n in names if n in green and n not in failed]
-        assert stale == sorted(stale)
-        # and the driver's 50-slot window holds the 50 longest-
-        # unverified registered greens (failed/never-checked tiers are
-        # empty when everything is green)
-        if not failed and all(n in green for n in names):
-            window = set(names[:50])
-            by_staleness = sorted(names, key=lambda n: green[n])
-            assert max(green[n] for n in window) <= min(
-                green[n] for n in by_staleness[50:]
-            )
+        # global invariant: within the green tier, (plan-stale,
+        # verification staleness) is lexicographically non-decreasing
+        # over the emitted order — plan-changed greens jump the queue
+        from data_management_python_spark.plans import _plan_since_rounds
+
+        since = _plan_since_rounds()
+
+        def key(n):
+            plan_stale = 0 if since.get(n, -1) > green[n] else 1
+            return (plan_stale, green[n])
+
+        keys = [key(n) for n in names if n in green and n not in failed]
+        assert keys == sorted(keys)
     finally:
         os.remove(tmp1)
         os.remove(tmp2)
+
+
+def test_registry_orders_plan_changed_greens_ahead_of_stale_greens():
+    """Round-6 registry hygiene: a green query whose PLAN DIGEST
+    changed after its last driver verification must re-enter the
+    window ahead of merely-stale greens (and behind failed/
+    never-checked tiers) — otherwise a plan change on an unrotated
+    green ships unverified for ~ceil(N/window) rounds."""
+    from data_management_python_spark.plans import _order_names
+
+    failed = {"f1"}
+    # green: name -> 0-based round index of last verification
+    green = {"g_old": 0, "g_new": 3, "g_changed": 3}
+    # plan digests: g_changed's digest changed when 4 files existed
+    # (i.e. AFTER its round-index-3 verification); g_new's digest has
+    # been stable since round count 1; g_old predates everything
+    plan_since = {"g_changed": 4, "g_new": 1, "g_old": 0}
+    names = ["g_new", "g_old", "never1", "g_changed", "f1"]
+    out = _order_names(names, failed, green, plan_since, {})
+    assert out == ["f1", "never1", "g_changed", "g_old", "g_new"]
+    # boundary: digest change detected at exactly the verification
+    # round's file count means the change POSTDATES the verification
+    assert _order_names(
+        ["a", "b"], set(), {"a": 2, "b": 0}, {"a": 3, "b": 0}, {}
+    ) == ["a", "b"]
+    # re-verified after the change -> no longer plan-stale
+    assert _order_names(
+        ["a", "b"], set(), {"a": 3, "b": 0}, {"a": 3, "b": 0}, {}
+    ) == ["b", "a"]
+    # no sidecar at all -> pure staleness order
+    assert _order_names(
+        ["a", "b"], set(), {"a": 2, "b": 0}, {}, {}
+    ) == ["b", "a"]
 
 
 def test_eav_unmelt_hostile_attribute_cardinality(spark):

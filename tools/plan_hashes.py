@@ -1,0 +1,119 @@
+"""Plan-digest sidecar for registry hygiene (round-6, verdict item 8).
+
+With ~190 queries and a 50-slot driver correctness window, a GREEN
+query re-verifies only every ~4 rounds — a code change that alters an
+unrotated green query's plan could ship unverified for several rounds.
+This tool digests every registered query's ANALYZED logical plan
+(normalized: expression ids, plan ids, and the sf_dir path stripped)
+PLUS its oracle SQL — a changed oracle invalidates an old green row
+just as surely as a changed plan — into ``PLAN_HASHES.json`` at the
+repo root, recording for each query the round count at which its
+digest last CHANGED (``since_round`` = number of CORRECTNESS_r*.json
+files present at detection).
+
+``plans.collect_queries`` then orders green queries whose plan changed
+AFTER their last driver verification ahead of merely-stale greens, so
+a plan change forces the query into the next truncated window.
+
+Run per round after any query/operator change:
+
+    python tools/plan_hashes.py [sf_dir]
+
+Digest normalization keeps the file stable across sessions (expression
+ids like ``l_orderkey#45L`` and ``plan_id=123`` vary run to run); it
+deliberately digests the ANALYZED plan, not the optimized one, so AQE
+and stats-dependent physical choices don't churn the file.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HASHES_PATH = os.path.join(REPO, "PLAN_HASHES.json")
+
+
+def _rounds_present() -> int:
+    return len(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+
+def normalize_plan(plan: str, sf_dir: str) -> str:
+    """Strip run-varying tokens from an analyzed-plan string."""
+    plan = plan.replace(sf_dir, "<sf_dir>")
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    # temp dirs (e.g. m_partitioned_merge's per-call store root)
+    plan = re.sub(r"/tmp/[\w./=-]+", "<tmp>", plan)
+    plan = re.sub(r"file:[\w./=-]+", "<file>", plan)
+    return plan
+
+
+def compute_digests(spark, sf_dir: str) -> dict[str, str]:
+    from data_management_python_spark.plans import collect_queries
+
+    out: dict[str, str] = {}
+    for name, q in collect_queries().items():
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"SKIP {name}: {type(e).__name__}: {e}")
+            continue
+        out[name] = hashlib.sha256(
+            normalize_plan(plan, sf_dir).encode()
+            + b"\x00"
+            + (q.oracle or "").encode()
+        ).hexdigest()[:16]
+    return out
+
+
+def merge_since_rounds(
+    old: dict[str, dict], digests: dict[str, str], rounds: int
+) -> dict[str, dict]:
+    """New sidecar content: unchanged digests keep their since_round;
+    changed/new digests stamp the current round count."""
+    out: dict[str, dict] = {}
+    for name, digest in sorted(digests.items()):
+        prev = old.get(name)
+        if prev and prev.get("digest") == digest:
+            out[name] = prev
+        else:
+            out[name] = {"digest": digest, "since_round": rounds}
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_hashes")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        with open(HASHES_PATH) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        old = {}
+    digests = compute_digests(spark, sf_dir)
+    merged = merge_since_rounds(old, digests, _rounds_present())
+    changed = [
+        n for n in merged
+        if n not in old or old[n].get("digest") != merged[n]["digest"]
+    ]
+    with open(HASHES_PATH, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"{len(merged)} digests written; {len(changed)} changed/new")
+    for n in changed:
+        print(f"  changed: {n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
