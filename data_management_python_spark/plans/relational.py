@@ -1040,6 +1040,86 @@ def m_partitioned_merge(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@_q(
+    "m_eav_bucketed_store",
+    """
+    WITH s1 AS (
+      SELECT c_custkey AS project_id, c_mktsegment AS seg,
+             CAST(c_nationkey AS VARCHAR) AS nat
+      FROM customer WHERE c_custkey % 3 <> 0
+    ), s2 AS (
+      SELECT c_custkey AS project_id, c_mktsegment AS seg,
+             CAST(c_nationkey + 1 AS VARCHAR) AS nat
+      FROM customer WHERE c_custkey % 2 = 0
+    ), eav AS (
+      SELECT project_id, 'mktsegment' AS attribute_name,
+             seg AS attribute_value FROM s1
+      UNION ALL
+      SELECT project_id, 'nationkey', nat FROM s1
+      UNION ALL
+      SELECT project_id, 'mktsegment', seg FROM s2
+      UNION ALL
+      SELECT project_id, 'nationkey', nat FROM s2
+    )
+    SELECT DISTINCT project_id, attribute_name, attribute_value FROM eav
+    """,
+    doc="the DEFAULT-BUCKETED EAV write path end to end (M2 on the "
+    "round-6 substrate): two store_with_attributes calls against a "
+    "per-call temp TableStore — the first creates the auto-bucketed "
+    "project_attribute table (parent-id hash buckets), the second "
+    "exercises the PARTITION-SCOPED uniq(parent,name,value) dedup "
+    "(duplicate values dropped, new values appended, only touched "
+    "buckets rewritten — byte-identity of untouched buckets pinned "
+    "separately by file-listing test); the attribute table read back "
+    "FROM THE BUCKETED FILES is hash-checked against a UNION+DISTINCT "
+    "oracle.  Checkpointed so the temp store is removed before "
+    "returning — per-call isolation, bench-concurrency safe",
+)
+def m_eav_bucketed_store(spark, sf_dir):
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_management_python_spark.store import TableStore  # noqa: PLC0415
+
+    c = T(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="eavstore_")
+    try:
+        store = TableStore(spark, root, attr_n_buckets=16)
+        wide1 = c.filter(F.col("c_custkey") % 3 != 0).select(
+            F.col("c_custkey").alias("project_id"),
+            F.col("c_name").alias("project_igf_id"),
+            F.lit("ACTIVE").alias("status"),
+            F.lit("FASTQ").alias("deliverable"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_nationkey").cast("string").alias("nationkey"),
+        )
+        store.store_with_attributes(
+            "project", wide1, key_column="project_id"
+        )
+        # second store: mktsegment rows duplicate store 1 for shared
+        # parents (dedup drops them); nationkey+1 is a NEW value per
+        # parent; %6 parents are brand-new
+        wide2 = c.filter(F.col("c_custkey") % 2 == 0).select(
+            F.col("c_custkey").alias("project_id"),
+            F.col("c_name").alias("project_igf_id"),
+            F.lit("ACTIVE").alias("status"),
+            F.lit("FASTQ").alias("deliverable"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            (F.col("c_nationkey") + 1).cast("string").alias("nationkey"),
+        )
+        store.store_with_attributes(
+            "project", wide2, key_column="project_id"
+        )
+        out = store.table("project_attribute").select(
+            F.col("project_id").cast("long").alias("project_id"),
+            "attribute_name",
+            "attribute_value",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # E — event/incremental semantics (§2.9)
 # ---------------------------------------------------------------------------
