@@ -49,6 +49,10 @@ def normalize_plan(plan: str, sf_dir: str) -> str:
     plan = plan.replace(sf_dir, "<sf_dir>")
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    # higher-order-function lambda variables are numbered by a global
+    # session counter (x_1, x_2, ...) — same plan, different numbers
+    # run to run
+    plan = re.sub(r"\blambda x_\d+", "lambda x_", plan)
     # temp dirs (e.g. m_partitioned_merge's per-call store root)
     plan = re.sub(r"/tmp/[\w./=-]+", "<tmp>", plan)
     plan = re.sub(r"file:[\w./=-]+", "<file>", plan)

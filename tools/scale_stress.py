@@ -101,6 +101,8 @@ HEAVY = [
     # round-5 additions
     "s_running_user_totals",
     "m_partitioned_merge",
+    # round-6 additions
+    "m_eav_bucketed_store",
 ]
 
 KEY_SHIFT = {
