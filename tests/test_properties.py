@@ -585,3 +585,79 @@ def test_prefix_filtered_jaccard_is_lossless_vs_bruteforce(spark):
                     assert abs(got[k] - want[k]) < 1e-12, (
                         trial, t, cap, filtered, k,
                     )
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=3, max_size=12
+        ).map(lambda cs: " ".join(cs)),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_minhash_lsh_matches_pure_python_reference(spark, texts):
+    """Mirrored-oracle cover for the d_minhash_lsh family: the DuckDB
+    oracle computes the IDENTICAL md5-based minhash, so a flaw in the
+    distributed plumbing that also lands in the oracle SQL (band
+    grouping, 32-bit hex split, groupBy-min) could hash-match while
+    both are wrong.  Pin the Spark signature table AND the banding
+    candidate set against an independently-written single-machine
+    reference: hashlib md5 per shingle, (h1 + i*h2) mod p minima per
+    doc, pairs sharing any band tuple."""
+    import hashlib
+
+    from data_management_python_spark.llmdata import dedup
+
+    n, k, bands = 2, 8, 4
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # --- pure-Python reference ---
+    P = dedup.MINHASH_PRIME
+    want_sig: dict[int, list[int]] = {}
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        shingles = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+        if not shingles:
+            continue
+        mins = [P] * k
+        for s in shingles:
+            hx = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+            for i in range(k):
+                v = (h1 + i * h2) % P
+                if v < mins[i]:
+                    mins[i] = v
+        want_sig[doc_id] = mins
+    want_pairs = set()
+    ids = sorted(want_sig)
+    r = k // bands
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            for band in range(bands):
+                lo = band * r
+                if want_sig[a][lo : lo + r] == want_sig[b][lo : lo + r]:
+                    want_pairs.add((a, b))
+                    break
+
+    # --- distributed ---
+    got_sig = {
+        row["doc_id"]: [row[f"mh{i}"] for i in range(k)]
+        for row in dedup.minhash_signatures(
+            dedup.word_shingles(docs, "doc_id", "text", n=n),
+            "doc_id",
+            num_hashes=k,
+        ).collect()
+    }
+    assert got_sig == want_sig
+    got_pairs = {
+        (row.id_1, row.id_2)
+        for row in dedup.lsh_candidate_pairs(
+            docs, "doc_id", "text", n=n, num_hashes=k, bands=bands
+        ).collect()
+    }
+    assert got_pairs == want_pairs
