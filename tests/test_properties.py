@@ -661,3 +661,98 @@ def test_minhash_lsh_matches_pure_python_reference(spark, texts):
         ).collect()
     }
     assert got_pairs == want_pairs
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=1,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_matches_pure_python_reference(spark, texts):
+    """Mirrored-oracle cover for d_simhash: the oracle computes the
+    identical md5-derived bit votes in SQL, so both engines could agree
+    on a wrong sign convention or bit order.  Exact parity against an
+    independently-written reference (md5 16-bit token hash, +1/-1 vote
+    per bit WITH multiplicity, strictly-positive sum sets the bit)."""
+    import hashlib
+    import re
+
+    from data_management_python_spark.llmdata import dedup
+
+    bits = 16
+    rows = list(enumerate(texts))
+    want = {}
+    for doc_id, text in rows:
+        # mirror the operator's tokenizer exactly: split(trim(lower))
+        toks = re.split(r"\s+", text.strip().lower())
+        votes = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+            for k in range(bits):
+                votes[k] += 1 if (h >> k) & 1 else -1
+        want[doc_id] = sum(1 << k for k in range(bits) if votes[k] > 0)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(docs, "doc_id", "text", bits=bits).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z"]), min_size=8, max_size=30
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_duplicated_spans_matches_pure_python_reference(spark, texts):
+    """Mirrored-oracle cover for d_span_dedup: fingerprints, the %4
+    sample, and the cross-document grouping recomputed single-machine
+    (hashlib md5 over the joined 8-gram, first 8 hex chars) and
+    compared exactly."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from data_management_python_spark.llmdata import dedup
+
+    k, mod_p = 8, 4
+    rows = list(enumerate(texts))
+    occ = defaultdict(list)  # fp -> [doc_id, ...] with multiplicity
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip().lower())
+        for i in range(len(toks) - k + 1):
+            fp = int(
+                hashlib.md5(
+                    " ".join(toks[i : i + k]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            if fp % mod_p == 0:
+                occ[fp].append(doc_id)
+    want = {
+        fp: (len(set(ds)), len(ds), min(ds), max(ds))
+        for fp, ds in occ.items()
+        if len(set(ds)) >= 2
+    }
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.fp: (r.n_docs, r.n_occurrences, r.min_id, r.max_id)
+        for r in dedup.duplicated_spans(
+            docs, "doc_id", "text", k=k, mod_p=mod_p
+        ).collect()
+    }
+    assert got == want
