@@ -2,10 +2,12 @@
 with typed metadata.
 
 The Spark-side plumbing is real — binary columns, schema, Arrow-batched
-``mapInPandas`` with bounded batch sizes — while the actual media decode
-is stubbed (image/audio libraries are not in this container).  Swap
-``_decode_stub`` for a real decoder (PIL/torchaudio/ffmpeg) without
-touching the distribution strategy.
+``mapInPandas`` with bounded batch sizes.  IMAGE decode/encode is real
+too, with no media library: pure-Python codecs for uncompressed BMP and
+8-bit RGB/RGBA PNG (stdlib zlib; full filter set on decode), with PIL
+used instead when importable.  Audio/video decode is stubbed
+(torchaudio/PyAV are not in this container) — swap ``_decode_stub`` for
+a real decoder without touching the distribution strategy.
 
 Scale notes: media blobs ride in parquet binary columns; per-batch
 processing via mapInPandas keeps peak executor memory at
@@ -182,6 +184,124 @@ def _encode_bmp24(
     return hdr + bytes(body)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png_wh_pixels(
+    blob: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]] | None:
+    """(width, height, scan-order RGB pixels) for 8-bit RGB/RGBA
+    non-interlaced PNGs — pure Python + stdlib zlib, no media library.
+    Implements the full filter set (None/Sub/Up/Average/Paeth), so
+    files from any conformant encoder decode, not just this module's
+    filter-0 output.  Alpha is dropped.  None for anything else
+    (paletted, 16-bit, interlaced, truncated, bad CRC lengths)."""
+    import zlib  # noqa: PLC0415
+
+    if len(blob) < 8 + 25 or blob[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    width = height = bpp = 0
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(blob):
+            clen = int.from_bytes(blob[pos : pos + 4], "big")
+            ctype = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + clen]
+            if len(data) != clen:
+                return None
+            if ctype == b"IHDR":
+                if clen != 13:
+                    return None
+                width = int.from_bytes(data[0:4], "big")
+                height = int.from_bytes(data[4:8], "big")
+                bit_depth, color_type = data[8], data[9]
+                interlace = data[12]
+                if bit_depth != 8 or interlace != 0 or color_type not in (2, 6):
+                    return None
+                bpp = 3 if color_type == 2 else 4
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        if not width or not height or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (zlib.error, ValueError):
+        return None
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        return None
+    px: list[tuple[int, int, int]] = []
+    prior = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        filt = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if filt == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _png_paeth(left, prior[i], ul)) & 0xFF
+        elif filt != 0:
+            return None
+        for c in range(width):
+            i = c * bpp
+            px.append((line[i], line[i + 1], line[i + 2]))
+        prior = line
+    return width, height, px
+
+
+def _encode_png24(
+    width: int, height: int, pixels_rgb: list[tuple[int, int, int]]
+) -> bytes:
+    """Minimal spec-conformant 8-bit RGB non-interlaced PNG (filter 0
+    rows, one zlib IDAT) from scan-order RGB — the encode twin of
+    :func:`_decode_png_wh_pixels`."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)  # filter: None
+        for c in range(width):
+            raw += bytes(pixels_rgb[r * width + c])
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _resize_nearest(
     px: list[tuple[int, int, int]],
     w: int,
@@ -206,7 +326,8 @@ def _decode_image_pixels(
     blob: bytes,
 ) -> tuple[int, int, list[tuple[int, int, int]]] | None:
     """(w, h, RGB pixels) via PIL when importable (any format it
-    supports), else the pure-Python BMP parser; None if undecodable."""
+    supports), else the pure-Python PNG/BMP parsers; None if
+    undecodable."""
     pil = _try_pil()
     if pil is not None:
         try:
@@ -215,8 +336,10 @@ def _decode_image_pixels(
             img = pil.open(io.BytesIO(blob)).convert("RGB")
             w, h = img.size
             return w, h, list(img.getdata())
-        except Exception:  # noqa: BLE001 - fall through to BMP
+        except Exception:  # noqa: BLE001 - fall through to PNG/BMP
             pass
+    if blob[:8] == _PNG_SIG:
+        return _decode_png_wh_pixels(blob)
     return _decode_bmp_wh_pixels(blob)
 
 
@@ -228,10 +351,13 @@ def resize_images(
     id_col: str = "media_id",
     batch_rows: int = 64,
     eager: bool = True,
+    out_format: str = "bmp",
 ) -> DataFrame:
     """REAL image resize over the binary column: decode (PIL or the
-    pure-Python BMP path), nearest-neighbor resample to
-    ``out_w x out_h``, re-encode as uncompressed BMP — the
+    pure-Python PNG/BMP paths), nearest-neighbor resample to
+    ``out_w x out_h``, re-encode as uncompressed BMP (default) or PNG
+    (``out_format="png"`` — zlib-compressed, ~3-5x smaller for typical
+    content, the right sharding trade when the shards travel) — the
     normalize-resolution pass a vision-training pipeline runs before
     sharding.  Undecodable blobs pass through with ``resized=false``
     and their original bytes, so the operator never drops rows.
@@ -246,6 +372,13 @@ def resize_images(
     after, so the CALLER owns the conf from then on (see
     :func:`_run_with_bounded_arrow_batches`).
     """
+    if out_format not in ("bmp", "png"):
+        raise ValueError(f"out_format must be bmp or png, got {out_format!r}")
+    encode, out_mime = (
+        (_encode_bmp24, "image/bmp")
+        if out_format == "bmp"
+        else (_encode_png24, "image/png")
+    )
     schema = (
         f"{id_col} long, content binary, mime_type string, "
         "width int, height int, resized boolean"
@@ -271,8 +404,8 @@ def resize_images(
                 else:
                     w, h, px = whp
                     small = _resize_nearest(px, w, h, out_w, out_h)
-                    blobs.append(_encode_bmp24(out_w, out_h, small))
-                    mimes.append("image/bmp")
+                    blobs.append(encode(out_w, out_h, small))
+                    mimes.append(out_mime)
                     ws.append(out_w)
                     hs.append(out_h)
                     flags.append(True)

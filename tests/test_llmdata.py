@@ -1469,3 +1469,131 @@ def test_kcenter_path_parity_at_hostile_magnitudes(spark):
     assert [(r.vec_id, r.min_dist_sq) for r in sorted(lit, key=key)] == [
         (r.vec_id, r.min_dist_sq) for r in sorted(udf, key=key)
     ]
+
+
+def _png_filtered_fixture(width, height, px, filters, rgba=False):
+    """Test-local PNG builder applying a CHOSEN filter per row — the
+    decoder must invert all five; the module's own encoder only emits
+    filter 0, so conformant third-party files (libpng favors Paeth)
+    need this adversarial path."""
+    import struct
+    import zlib
+
+    bpp = 4 if rgba else 3
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rows = []
+    for r in range(height):
+        row = bytearray()
+        for c in range(width):
+            rgb = px[r * width + c]
+            row += bytes(rgb if not rgba else (*rgb, 200))
+        rows.append(bytes(row))
+    raw = bytearray()
+    zero = bytes(len(rows[0]))
+    for r, (filt, line) in enumerate(zip(filters, rows)):
+        prior = rows[r - 1] if r else zero
+        raw.append(filt)
+        for i in range(len(line)):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prior[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            if filt == 0:
+                v = line[i]
+            elif filt == 1:
+                v = line[i] - left
+            elif filt == 2:
+                v = line[i] - up
+            elif filt == 3:
+                v = line[i] - ((left + up) >> 1)
+            else:
+                v = line[i] - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if rgba else 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_and_filter_coverage():
+    """Pure-Python PNG codec: encode->decode identity, and the decoder
+    inverts every filter type (None/Sub/Up/Average/Paeth) plus RGBA
+    alpha-drop — files from conformant third-party encoders decode,
+    not just this module's filter-0 output."""
+    import random
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_png_wh_pixels,
+        _encode_png24,
+        _sniff_image,
+    )
+
+    rng = random.Random(6)
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 16)]:
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        blob = _encode_png24(w, h, px)
+        assert _sniff_image(blob) == ("png", w, h)
+        assert _decode_png_wh_pixels(blob) == (w, h, px)
+        # adversarial filters, every type exercised across rows
+        filters = [(r % 5) for r in range(h)]
+        assert _decode_png_wh_pixels(
+            _png_filtered_fixture(w, h, px, filters)
+        ) == (w, h, px)
+        # RGBA: alpha dropped, pixels identical
+        assert _decode_png_wh_pixels(
+            _png_filtered_fixture(w, h, px, filters, rgba=True)
+        ) == (w, h, px)
+    # non-PNG and truncated inputs refuse instead of raising
+    assert _decode_png_wh_pixels(b"not a png") is None
+    assert _decode_png_wh_pixels(blob[:30]) is None
+
+
+def test_resize_images_png_output_and_input(spark):
+    """resize_images decodes PNG inputs without PIL and re-encodes as
+    PNG when asked: mime, sniffed dims, and nearest-neighbor pixels all
+    line up; the PNG thumbnails round-trip through the module's own
+    decoder."""
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_png_wh_pixels,
+        _encode_png24,
+        _sniff_image,
+        resize_images,
+    )
+
+    px = [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9),
+        (1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4),
+    ]
+    blob = _encode_png24(4, 2, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))],
+        "media_id long, content binary",
+    )
+    got = {
+        r.media_id: r
+        for r in resize_images(df, 2, 1, out_format="png").collect()
+    }
+    ok = got[1]
+    assert ok.resized and ok.mime_type == "image/png"
+    assert _sniff_image(bytes(ok.content)) == ("png", 2, 1)
+    assert _decode_png_wh_pixels(bytes(ok.content)) == (
+        2, 1, [(255, 0, 0), (0, 0, 255)],
+    )
+    assert not got[2].resized and bytes(got[2].content) == b"junk"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="out_format"):
+        resize_images(df, 2, 1, out_format="webp")
