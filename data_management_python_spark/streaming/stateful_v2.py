@@ -97,6 +97,137 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_OUTPUT_V2 = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_V2 = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+class SessionGapProcessor(StatefulProcessor):
+    """Gap-based sessionization on the transformWithState API with
+    EVENT-TIME TIMERS — the typed-state successor of
+    windows.stream_session_gap (same contract: a session closes and
+    emits exactly one row when the watermark passes its last event +
+    gap; ``session_end_ms`` is the LAST EVENT's timestamp, matching
+    stream_session_gap's output, not native session_window's
+    last+gap).  Merge rule is the engine-wide INCLUSIVE one: an event
+    exactly ``gap`` after the previous one extends the session; only
+    diff > gap splits (see the round-6 session-window boundary fix).
+
+    State per key is O(1): (start_ms, last_ms, n) in a ValueState on
+    the RocksDB store, plus exactly ONE registered timer (re-arming
+    deletes the old one), so the timer list never grows with events.
+    Append mode — closed sessions are immutable.
+    """
+
+    def __init__(self, gap_seconds: int = 1800) -> None:
+        self._gap_ms = int(gap_seconds) * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", _SESSION_STATE_V2)
+
+    @staticmethod
+    def _emit(key, start: int, last: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_ms": [start],
+                "session_end_ms": [last],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._sess.exists():
+            start, last, n = (int(x) for x in self._sess.get())
+        else:
+            start, last, n = None, None, 0
+        # concatenate the key's Arrow chunks before sorting — event
+        # order must hold across chunk boundaries, not within each
+        ts_ms = sorted(
+            int(v)
+            for pdf in rows
+            if len(pdf)
+            for v in pdf["ts"].astype("int64") // 10**6
+        )
+        closed: list[tuple] = []
+        for t in ts_ms:
+            if last is not None and t - last > self._gap_ms:
+                closed.append((key[0], start, last, n))
+                start, n = None, 0
+            if start is None:
+                start = t
+            last, n = t, n + 1
+        if last is not None:
+            self._sess.update((start, last, n))
+            # exactly one live timer per key: re-arm on every update
+            for texp in list(self._handle.listTimers()):
+                self._handle.deleteTimer(texp)
+            self._handle.registerTimer(last + self._gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms",
+                    "n_events",
+                ],
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self._sess.exists():
+            return
+        start, last, n = (int(x) for x in self._sess.get())
+        # guard against a stale timer racing a same-batch re-arm: only
+        # a timer at/after the current session's close time closes it
+        if expiredTimerInfo.getExpiryTimeInMs() >= last + self._gap_ms:
+            self._sess.clear()
+            yield self._emit(key, start, last, n)
+
+    def close(self) -> None:
+        pass
+
+
+def session_gap_v2(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming gap sessionization on transformWithStateInPandas with
+    event-time timers; see :class:`SessionGapProcessor`.  ``events``
+    needs (user_id, ts) columns; late events older than the watermark
+    are dropped by the upstream ``withWatermark``."""
+    from data_management_python_spark.streaming.windows import (  # noqa: PLC0415
+        ensure_event_time_ltz,
+    )
+
+    src = ensure_event_time_ltz(events, "ts").withWatermark(
+        "ts", watermark_delay
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionGapProcessor(gap_seconds),
+        outputStructType=SESSION_OUTPUT_V2,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 class _LocalValueState:
     """In-memory ValueState with the StatefulProcessorHandle value-state
     API surface the processors above touch (exists/get/update)."""

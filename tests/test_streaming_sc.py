@@ -989,3 +989,94 @@ def test_session_window_counts_stream_matches_batch(spark, tmp_path):
     cutoff = horizon - datetime.timedelta(minutes=60)
     assert all(e > cutoff for _, _, e in missing)
     assert len(got) >= 0.8 * len(expect)
+
+
+def test_transform_with_state_session_gap_timers(spark, tmp_path):
+    """Spark 4 typed-state sessionization with EVENT-TIME TIMERS:
+    sessions close via handleExpiredTimer when the watermark passes
+    last event + gap, in-batch splits emit immediately, and an
+    exact-boundary pair (diff == gap) MERGES — the inclusive rule the
+    round-6 boundary fix pinned engine-wide."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from data_management_python_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        session_gap_v2,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        base = datetime(2024, 1, 1, 10, 0, 0)
+        schema = "user_id long, ts timestamp"
+        batches = [
+            # user 1: events at +0s, +60s (EXACT boundary: merges),
+            # then +200s in the same batch (> gap: in-batch split)
+            [(1, base), (1, base + timedelta(seconds=60)),
+             (1, base + timedelta(seconds=200))],
+            # much later event advances the watermark past 1's close
+            [(2, base + timedelta(seconds=3600))],
+            # third batch fires the timer against the new watermark
+            [(2, base + timedelta(seconds=3700))],
+        ]
+        src = tmp_path / "sessv2_src"
+        now = time.time()
+        for i, rows in enumerate(batches):
+            p = src / f"b{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(p)
+            )
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    os.utime(
+                        os.path.join(root, f), (now - 300 + i, now - 300 + i)
+                    )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            session_gap_v2(stream, gap_seconds=60, watermark_delay="5 seconds")
+            .writeStream.format("memory")
+            .queryName("sessv2_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sessv2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows_out = spark.sql("select * from sessv2_out").collect()
+        by_user = {}
+        for r in rows_out:
+            by_user.setdefault(r.user_id, []).append(r)
+        base_ms = int(base.timestamp() * 1000)
+        one = sorted(by_user[1], key=lambda r: r.session_start_ms)
+        # first session: the boundary pair merged (2 events), split by
+        # the +200s event in the same batch
+        assert one[0].session_start_ms == base_ms
+        assert one[0].session_end_ms == base_ms + 60_000
+        assert one[0].n_events == 2
+        # second session (the +200s singleton) closed by the TIMER once
+        # the watermark advanced
+        assert len(one) == 2
+        assert one[1].session_start_ms == base_ms + 200_000
+        assert one[1].session_end_ms == base_ms + 200_000
+        assert one[1].n_events == 1
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
