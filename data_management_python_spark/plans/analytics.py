@@ -2082,3 +2082,53 @@ def s_running_user_totals(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+@_q(
+    "s_user_event_profile",
+    """
+    WITH scoped AS (
+      SELECT * FROM events WHERE user_id % 5 = 1
+    ), counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM scoped GROUP BY user_id, event_type
+    ), tot AS (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS total_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM counts GROUP BY user_id
+    ), top AS (
+      SELECT user_id, MIN(event_type) AS top_type
+      FROM counts c
+      WHERE n = (SELECT MAX(n) FROM counts c2 WHERE c2.user_id = c.user_id)
+      GROUP BY user_id
+    ), recent AS (
+      SELECT user_id, MAX(value) AS recent_max FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM scoped
+      ) WHERE rk <= 5 GROUP BY user_id
+    )
+    SELECT t.user_id, t.total_events, t.n_types, p.top_type, r.recent_max
+    FROM tot t JOIN top p ON p.user_id = t.user_id
+    JOIN recent r ON r.user_id = t.user_id
+    """,
+    doc="batch-contract twin of the typed-state MapState+ListState "
+    "profile operator (streaming.stateful_v2.user_event_profile_v2): "
+    "drives the SAME UserProfileProcessor — MapState event-type "
+    "counts, bounded last-5 ListState, modal type with deterministic "
+    "lexicographic tie-break, max-of-recent (order-insensitive exact "
+    "arithmetic, so no float-summation-order hazard against the SQL "
+    "oracle) — through in-memory state handles inside applyInPandas.  "
+    "Completes the typed-state primitive surface (ValueState in "
+    "s_running_user_totals, timers in the session-gap e2e test, "
+    "Map/ListState here).  Same deterministic 20% user slice "
+    "discipline as s_running_user_totals",
+)
+def s_user_event_profile(spark, sf_dir):
+    from data_management_python_spark.streaming.stateful_v2 import (
+        user_event_profile_v2_batch,
+    )
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 1)
+    return user_event_profile_v2_batch(ev)

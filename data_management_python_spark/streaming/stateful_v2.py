@@ -29,6 +29,7 @@ from pyspark.sql.streaming.stateful_processor import (
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -228,6 +229,112 @@ def session_gap_v2(
     )
 
 
+PROFILE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_events", LongType()),
+        StructField("n_types", LongType()),
+        StructField("top_type", StringType()),
+        StructField("recent_max", DoubleType()),
+    ]
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Per-user event profile exercising the remaining typed-state
+    primitives: a MapState (event_type -> running count) and a
+    bounded ListState (the last K (ts_ms, value) pairs in event-time
+    order).  Emits one row per (key, batch): total events, distinct
+    types, the modal event type (ties broken lexicographically —
+    deterministic), and the max value among the K most recent events
+    (max, not avg: order-insensitive exact arithmetic, so the batch
+    twin's SQL oracle can hash-match without float-summation-order
+    hazards).
+
+    State per key is O(|event types| + K); the ListState is truncated
+    to K on every update so it never grows with the stream.
+    """
+
+    K = 5
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "n long"
+        )
+        self._recent = handle.getListState("recent", "ts_ms long, value double")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for et, cnt in pdf["event_type"].value_counts().items():
+            prev = self._counts.getValue((et,))
+            n = (int(prev[0]) if prev is not None else 0) + int(cnt)
+            self._counts.updateValue((et,), (n,))
+        new = [
+            (int(t), float(v))
+            for t, v in zip(
+                pdf["ts"].astype("int64") // 10**6, pdf["value"]
+            )
+        ]
+        old = list(self._recent.get()) if self._recent.exists() else []
+        merged = ([(int(t), float(v)) for t, v in old] + new)[-self.K :]
+        self._recent.put(merged)
+        entries = [
+            (k[0], int(v[0])) for k, v in self._counts.iterator()
+        ]
+        best = max(n for _, n in entries)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_events": [sum(n for _, n in entries)],
+                "n_types": [len(entries)],
+                "top_type": [min(t for t, n in entries if n == best)],
+                "recent_max": [max(v for _, v in merged)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_event_profile_v2(events: DataFrame) -> DataFrame:
+    """Streaming per-user profile on transformWithStateInPandas; see
+    :class:`UserProfileProcessor`.  ``events`` needs (user_id,
+    event_id, ts, event_type, value)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(),
+        outputStructType=PROFILE_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def user_event_profile_v2_batch(events: DataFrame) -> DataFrame:
+    """Batch-contract twin of :func:`user_event_profile_v2`: the SAME
+    ``UserProfileProcessor`` (MapState + bounded ListState arithmetic)
+    driven through in-memory state handles inside ``applyInPandas`` —
+    one pdf per user in (ts, event_id) order, exactly what the
+    streaming query sees when batches arrive time-ordered.  Output
+    equals the streaming query's final per-user row."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        proc = UserProfileProcessor()
+        proc.init(_LocalHandle())
+        out = list(proc.handleInputRows(key, iter([pdf]), None))
+        proc.close()
+        return out[-1]
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandas(run, PROFILE_OUTPUT)
+    )
+
+
 class _LocalValueState:
     """In-memory ValueState with the StatefulProcessorHandle value-state
     API surface the processors above touch (exists/get/update)."""
@@ -245,12 +352,59 @@ class _LocalValueState:
         self._v = v
 
 
+class _LocalListState:
+    """In-memory ListState (exists/get/put/appendValue)."""
+
+    def __init__(self) -> None:
+        self._items: list = []
+
+    def exists(self) -> bool:
+        return bool(self._items)
+
+    def get(self):
+        return iter(self._items)
+
+    def put(self, items) -> None:
+        self._items = list(items)
+
+    def appendValue(self, item) -> None:
+        self._items.append(item)
+
+
+class _LocalMapState:
+    """In-memory MapState (getValue/containsKey/updateValue/iterator)."""
+
+    def __init__(self) -> None:
+        self._m: dict = {}
+
+    def exists(self) -> bool:
+        return bool(self._m)
+
+    def getValue(self, key):
+        return self._m.get(tuple(key))
+
+    def containsKey(self, key) -> bool:
+        return tuple(key) in self._m
+
+    def updateValue(self, key, value) -> None:
+        self._m[tuple(key)] = tuple(value)
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
 class _LocalHandle:
     """Minimal StatefulProcessorHandle stand-in for batch-contract
-    execution: hands out in-memory value states."""
+    execution: hands out in-memory value/list/map states."""
 
-    def getValueState(self, name, schema):
+    def getValueState(self, name, schema, ttlDurationMs=None):
         return _LocalValueState()
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return _LocalListState()
+
+    def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
+        return _LocalMapState()
 
 
 def running_user_totals_v2_batch(events: DataFrame) -> DataFrame:

@@ -1080,3 +1080,113 @@ def test_transform_with_state_session_gap_timers(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_transform_with_state_map_and_list_state(spark, tmp_path):
+    """Spark 4 typed-state MapState + bounded ListState across
+    micro-batches: event-type counts accumulate in the map, the
+    recent list truncates to K=5, and the final per-user row equals
+    the batch twin on the concatenated feed."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from data_management_python_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        user_event_profile_v2,
+        user_event_profile_v2_batch,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        base = datetime(2024, 2, 1, 8, 0, 0)
+        schema = (
+            "user_id long, event_id long, ts timestamp, "
+            "event_type string, value double"
+        )
+
+        def ev(i, uid, sec, et, v):
+            return (uid, i, base + timedelta(seconds=sec), et, v)
+
+        batches = [
+            [ev(0, 1, 0, "view", 1.0), ev(1, 1, 10, "click", 9.0),
+             ev(2, 2, 5, "view", 3.0)],
+            [ev(3, 1, 20, "view", 2.0), ev(4, 1, 30, "view", 4.0)],
+            # 2 more for user 1 -> 7 events total, recent window slides
+            # past the 9.0 at +10s
+            [ev(5, 1, 40, "buy", 5.0), ev(6, 1, 50, "view", 6.0)],
+        ]
+        src = tmp_path / "prof_src"
+        now = time.time()
+        for i, rows in enumerate(batches):
+            p = src / f"b{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(p)
+            )
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    os.utime(
+                        os.path.join(root, f), (now - 300 + i, now - 300 + i)
+                    )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            user_event_profile_v2(stream)
+            .writeStream.format("memory")
+            .queryName("prof_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_prof"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # update mode: last row per user is the final state
+        rows_out = spark.sql(
+            "select * from prof_out"
+        ).collect()
+        final = {}
+        for r in rows_out:  # memory sink appends update rows in order
+            final[r.user_id] = r
+        one = final[1]
+        assert one.total_events == 6 and one.n_types == 3
+        assert one.top_type == "view"  # 4 views beat click/buy
+        # last 5 events of user 1 by time: 10,20,30,40,50s -> max 9.0
+        # at +10s is STILL in the window (6 events, window of 5 drops
+        # only the +0s value 1.0)
+        assert one.recent_max == 9.0
+        two = final[2]
+        assert two.total_events == 1 and two.top_type == "view"
+        assert two.recent_max == 3.0
+
+        # batch twin on the concatenated feed gives the same rows
+        full = spark.createDataFrame(
+            [e for b in batches for e in b], schema
+        )
+        twin = {
+            r.user_id: r
+            for r in user_event_profile_v2_batch(full).collect()
+        }
+        for uid in (1, 2):
+            s, t = final[uid], twin[uid]
+            assert (
+                s.total_events, s.n_types, s.top_type, s.recent_max
+            ) == (t.total_events, t.n_types, t.top_type, t.recent_max)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
