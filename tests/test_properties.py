@@ -756,3 +756,58 @@ def test_duplicated_spans_matches_pure_python_reference(spark, texts):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=0,
+        max_size=18,
+    ),
+)
+def test_connected_components_matches_union_find(spark, n_nodes, raw_edges):
+    """Mirrored-oracle cover for the dup-cluster family: the
+    d_dup_clusters oracle replays the same min-label propagation in
+    SQL, so a convergence or labeling flaw shared by both engines
+    would hash-match.  Pin against an independent union-find on random
+    graphs (self-loops, duplicate and reversed edges included)."""
+    from data_management_python_spark.llmdata import dedup
+
+    edges = [(a, b) for a, b in raw_edges if a < n_nodes and b < n_nodes]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = smallest node id in the component
+    comp_min = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in range(n_nodes)}
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "doc_id long"
+    )
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_1 long, id_2 long"
+    )
+    if not edges:
+        edges_df = edges_df.limit(0)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges_df).collect()
+    }
+    assert got == want
