@@ -24,6 +24,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # scale-critical representatives: star join, selective filters, dedup
 # family, EAV, windows, ANN family
 AUDITED = [
+    "m_eav_bucketed_store",
+    "s_user_event_profile",
     "j1_readcount_multiway",
     "q3_topk_revenue",
     "p1_eq_filter",
