@@ -78,7 +78,15 @@ def session_cached(
     held: list = getattr(_BUILDING, "held", None) or []
     _BUILDING.held = held
     if held:
-        # nested call from inside another build on this thread
+        # nested call from inside another build on this thread.  A
+        # warm nested key must still HIT (the lock-free build below is
+        # a fallback, not a bypass): without this check every outer
+        # build miss would rebuild and eagerly checkpoint an
+        # already-cached family, orphaning the loser's blocks
+        with _CACHE_LOCK:
+            hit = _CACHE.get(key)
+        if hit is not None:
+            return hit
         df = build().localCheckpoint(eager=True)
         with _CACHE_LOCK:
             return _CACHE.setdefault(key, df)

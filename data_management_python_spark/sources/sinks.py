@@ -644,14 +644,21 @@ def cleanup_compaction_leftovers(spark, root: str) -> list[str]:
             if not st.isDirectory():
                 continue
             name = st.getPath().getName()
-            if name.endswith(("__compacting", "__tmp", "__merging")):
+            if name.endswith(("__compacting", "__tmp", "__merging")) or (
+                name == "_temporary"
+            ):
                 # replacement/merge temp copies are never the only
                 # copy of acknowledged data: live-absent means a
                 # crashed first-time write (nothing acknowledged) —
                 # deleting loses nothing.  __merging additionally
                 # holds __deleted_kb= dirs renamed aside by a
                 # partition-scoped delete, whose removal COMPLETES
-                # the crashed delete's durable intent.
+                # the crashed delete's durable intent.  A _temporary
+                # dir is a crashed append's staging: deleting it
+                # ABORTS the uncommitted tasks; task outputs already
+                # moved live stay (an append is not atomic under a
+                # crash mid-job-commit — callers needing exactly-once
+                # go through the keyed upsert / insert_if_absent).
                 if not fs.delete(st.getPath(), True):
                     raise OSError(f"cannot delete {st.getPath()}")
                 handled.append(str(st.getPath()))

@@ -14,13 +14,21 @@ so a user of data-management-python can switch with familiar verbs:
   get_attributes_by_dbid (EAV read)           attributes_of
 
 Transaction semantics: the reference wraps one ORM session per call
-(dbconnect.py:122-141); a lake gives per-table atomicity.
-``store_records`` is a TRUE file append on every layout (nothing
-existing is read or rewritten); mutations (``upsert``/``delete_where``
-and the EAV dedup) rewrite whole tables only when unbucketed — on a
-bucketed table (``enable_partitioning``; ``*_attribute`` tables are
-bucketed by parent id BY DEFAULT on first ``store_with_attributes``)
-they read and crash-safe swap ONLY the touched ``kb=`` buckets.
+(dbconnect.py:122-141); a lake gives per-table atomicity for
+MUTATIONS.  ``store_records`` is a TRUE file append on every layout
+(nothing existing is read or rewritten); an append that crashes before
+job commit vanishes cleanly (task outputs stay under Spark's
+``_temporary`` staging, which reads ignore), but a crash DURING the
+job commit's multi-rename can leave a torn append — reads then REFUSE
+(``_read_raw`` flags the leftover ``_temporary``) until
+``cleanup_compaction_leftovers`` aborts the staging; task outputs
+already committed stay, so exactly-once writers go through the keyed
+``upsert``/``insert_if_absent``, the reference's own idempotency
+shape.  Mutations (``upsert``/``delete_where`` and the EAV dedup)
+rewrite whole tables only when unbucketed — on a bucketed table
+(``enable_partitioning``; ``*_attribute`` tables are bucketed by
+parent id BY DEFAULT on first ``store_with_attributes``) they read
+and crash-safe swap ONLY the touched ``kb=`` buckets.
 ``store_records``/``store_with_attributes`` are APPENDS — like the
 reference's bulk insert, re-running them duplicates rows unless the
 caller goes through ``upsert`` or pre-filters with
@@ -115,7 +123,17 @@ class TableStore:
                 d
                 for d in os.listdir(p)
                 if os.path.isdir(os.path.join(p, d))
-                and d.endswith(("__precompact", "__compacting", "__tmp"))
+                and (
+                    d.endswith(("__precompact", "__compacting", "__tmp"))
+                    # a _temporary dir is Spark's in-flight append
+                    # staging; under the store's single-writer-per-
+                    # table model its presence at READ time means an
+                    # append crashed mid-job-commit — possibly having
+                    # moved SOME task outputs live (a torn append).
+                    # Refuse and route to cleanup rather than silently
+                    # reading a partial append.
+                    or d == "_temporary"
+                )
             ]
             if stranded:
                 # a crashed swap left recovery artifacts; plain reads

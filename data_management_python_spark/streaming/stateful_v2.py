@@ -168,12 +168,30 @@ class SessionGapProcessor(StatefulProcessor):
         )
         closed: list[tuple] = []
         for t in ts_ms:
+            # the watermark bounds LATENESS, not order: an event from a
+            # later micro-batch may precede the open session's last (or
+            # even start).  Three cases:
+            #   t - last > gap          -> close, start fresh
+            #   start - gap <= t        -> merge (never let last/start
+            #                              REGRESS: a regressed last
+            #                              would re-arm the timer early
+            #                              and emit a wrong session_end)
+            #   t < start - gap         -> too early for the open
+            #                              session, whose predecessors
+            #                              are already flushed: emit it
+            #                              as an immediate singleton
             if last is not None and t - last > self._gap_ms:
                 closed.append((key[0], start, last, n))
                 start, n = None, 0
+            elif last is not None and t < start - self._gap_ms:
+                closed.append((key[0], t, t, 1))
+                continue
             if start is None:
                 start = t
-            last, n = t, n + 1
+            else:
+                start = min(start, t)
+            last = t if last is None else max(last, t)
+            n += 1
         if last is not None:
             self._sess.update((start, last, n))
             # exactly one live timer per key: re-arm on every update
@@ -243,8 +261,10 @@ PROFILE_OUTPUT = StructType(
 class UserProfileProcessor(StatefulProcessor):
     """Per-user event profile exercising the remaining typed-state
     primitives: a MapState (event_type -> running count) and a
-    bounded ListState (the last K (ts_ms, value) pairs in event-time
-    order).  Emits one row per (key, batch): total events, distinct
+    bounded ListState (the last K (ts_us, event_id, value) triples by
+    (event time, event_id) — the union is RE-SORTED before truncation,
+    so out-of-order micro-batches cannot evict newer events).  Emits
+    one row per (key, batch): total events, distinct
     types, the modal event type (ties broken lexicographically —
     deterministic), and the max value among the K most recent events
     (max, not avg: order-insensitive exact arithmetic, so the batch
@@ -261,7 +281,9 @@ class UserProfileProcessor(StatefulProcessor):
         self._counts = handle.getMapState(
             "counts", "event_type string", "n long"
         )
-        self._recent = handle.getListState("recent", "ts_ms long, value double")
+        self._recent = handle.getListState(
+            "recent", "ts_us long, event_id long, value double"
+        )
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
@@ -275,13 +297,25 @@ class UserProfileProcessor(StatefulProcessor):
             n = (int(prev[0]) if prev is not None else 0) + int(cnt)
             self._counts.updateValue((et,), (n,))
         new = [
-            (int(t), float(v))
-            for t, v in zip(
-                pdf["ts"].astype("int64") // 10**6, pdf["value"]
+            (int(t), int(e), float(v))
+            for t, e, v in zip(
+                pdf["ts"].astype("int64") // 10**3,  # microseconds
+                pdf["event_id"],
+                pdf["value"],
             )
         ]
-        old = list(self._recent.get()) if self._recent.exists() else []
-        merged = ([(int(t), float(v)) for t, v in old] + new)[-self.K :]
+        old = (
+            [(int(t), int(e), float(v)) for t, e, v in self._recent.get()]
+            if self._recent.exists()
+            else []
+        )
+        # micro-batches need NOT arrive in event-time order (no
+        # watermark constrains this query): re-sort the union by
+        # (event time, event_id) before truncating, or a late batch
+        # would evict newer events from the window.  Microsecond
+        # precision + the event_id tiebreak keep the order identical
+        # to the SQL oracle's ORDER BY ts DESC, event_id DESC.
+        merged = sorted(old + new)[-self.K :]
         self._recent.put(merged)
         entries = [
             (k[0], int(v[0])) for k, v in self._counts.iterator()
@@ -293,7 +327,7 @@ class UserProfileProcessor(StatefulProcessor):
                 "total_events": [sum(n for _, n in entries)],
                 "n_types": [len(entries)],
                 "top_type": [min(t for t, n in entries if n == best)],
-                "recent_max": [max(v for _, v in merged)],
+                "recent_max": [max(v for _, _, v in merged)],
             }
         )
 

@@ -201,12 +201,27 @@ def stream_session_gap(
         all_ts = sorted(pd.concat(chunks)["ts"]) if chunks else []
         for t in all_ts:
             t = t.to_pydatetime()
+            # watermark bounds LATENESS, not order: a later micro-batch
+            # may deliver an event preceding the open session's last
+            # (or start).  Never regress last/start — a regressed last
+            # would set the event-time timeout early and emit a wrong
+            # session_end; an event too early even for the open session
+            # (its predecessors already flushed) closes immediately as
+            # a singleton.
             if last is not None and (t - last).total_seconds() > gap_seconds:
                 closed.append((key[0], start, last, n))
                 start, last, n = None, None, 0
+            elif last is not None and (
+                (start - t).total_seconds() > gap_seconds
+            ):
+                closed.append((key[0], t, t, 1))
+                continue
             if start is None:
                 start = t
-            last, n = t, n + 1
+            else:
+                start = min(start, t)
+            last = t if last is None else max(last, t)
+            n += 1
         if last is not None:
             state.update((start, last, n))
             # close when the watermark passes last + gap

@@ -633,3 +633,36 @@ def test_all_rows_deleted_bucket_never_half_deleted(store, spark):
     assert not os.path.exists(store._path("project") + "/kb=0")
     assert not os.path.exists(store._path("project") + "__merging")
     assert store.table("project").count() == 40 - n_victims
+
+
+def test_torn_append_detected_and_recovered(store, spark):
+    """A crash during an append's job commit leaves Spark's _temporary
+    staging inside the table dir (and possibly a subset of the new
+    task files live — a torn append). Reads must refuse with the
+    recovery path; cleanup aborts the staging and reads resume."""
+    import os
+
+    import pytest
+
+    from data_management_python_spark.sources.sinks import (
+        cleanup_compaction_leftovers,
+    )
+
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    path = store._path("project")
+    os.makedirs(os.path.join(path, "_temporary", "0"), exist_ok=True)
+    with pytest.raises(RuntimeError, match="cleanup_compaction_leftovers"):
+        store.table("project")
+    handled = cleanup_compaction_leftovers(spark, store.root)
+    assert any(h.endswith("_temporary") for h in handled)
+    assert store.table("project").count() == 1

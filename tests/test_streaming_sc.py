@@ -1190,3 +1190,63 @@ def test_transform_with_state_map_and_list_state(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_session_gap_out_of_order_within_watermark(spark, tmp_path):
+    """Watermarks bound LATENESS, not order: a later micro-batch may
+    deliver an event that precedes the open session's last event. The
+    session must not regress its bounds (a regressed last would arm
+    the timeout early and emit a wrong session_end)."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from data_management_python_spark.streaming.windows import (
+        stream_session_gap,
+    )
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, ts timestamp"
+    batches = [
+        # batch 1: events at +0s and +20s
+        [(1, base), (1, base + timedelta(seconds=20))],
+        # batch 2: an OUT-OF-ORDER event at +10s (within the generous
+        # watermark) — merges into the open session without moving
+        # last back from +20s
+        [(1, base + timedelta(seconds=10))],
+        # advance the watermark far past user 1's close, then once more
+        [(2, base + timedelta(seconds=3600))],
+        [(2, base + timedelta(seconds=3700))],
+    ]
+    src = tmp_path / "ooo_src"
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 300 + i, now - 300 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_session_gap(stream, gap_seconds=60, watermark_delay="60 seconds")
+        .writeStream.format("memory")
+        .queryName("ooo_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows_out = [
+        r for r in spark.sql("select * from ooo_out").collect()
+        if r.user_id == 1
+    ]
+    assert len(rows_out) == 1
+    s = rows_out[0]
+    assert s.session_start == base          # start did not move
+    assert s.session_end == base + timedelta(seconds=20)  # no regression
+    assert s.n_events == 3                  # late event counted

@@ -60,6 +60,8 @@ def normalize_plan(plan: str, sf_dir: str) -> str:
 
 
 def compute_digests(spark, sf_dir: str) -> dict[str, str]:
+    import inspect
+
     from data_management_python_spark.plans import collect_queries
 
     out: dict[str, str] = {}
@@ -70,19 +72,38 @@ def compute_digests(spark, sf_dir: str) -> dict[str, str]:
         except Exception as e:  # noqa: BLE001
             print(f"SKIP {name}: {type(e).__name__}: {e}")
             continue
+        # queries returning a localCheckpoint'ed frame (the temp-store
+        # write substrates) analyze to an opaque LogicalRDD — the plan
+        # alone can never flag their logic changes.  Folding the fn's
+        # SOURCE into the digest covers them (over-flagging on comment
+        # edits is fine: it forces a re-verify, never skips one).
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            src = ""
         out[name] = hashlib.sha256(
             normalize_plan(plan, sf_dir).encode()
             + b"\x00"
             + (q.oracle or "").encode()
+            + b"\x00"
+            + src.encode()
         ).hexdigest()[:16]
     return out
 
 
 def merge_since_rounds(
-    old: dict[str, dict], digests: dict[str, str], rounds: int
+    old: dict[str, dict],
+    digests: dict[str, str],
+    rounds: int,
+    registry_names: set[str] | None = None,
 ) -> dict[str, dict]:
     """New sidecar content: unchanged digests keep their since_round;
-    changed/new digests stamp the current round count."""
+    changed/new digests stamp the current round count.  Queries whose
+    fn RAISED during digesting (transient env failures) keep their OLD
+    record instead of vanishing — a dropped record would both disable
+    plan-staleness for the query and spuriously re-stamp it on the
+    next successful run.  ``registry_names`` (when given) prunes
+    entries for queries deleted from the registry."""
     out: dict[str, dict] = {}
     for name, digest in sorted(digests.items()):
         prev = old.get(name)
@@ -90,6 +111,12 @@ def merge_since_rounds(
             out[name] = prev
         else:
             out[name] = {"digest": digest, "since_round": rounds}
+    for name, prev in old.items():
+        if name in out:
+            continue
+        if registry_names is not None and name not in registry_names:
+            continue  # deleted from the registry: drop
+        out[name] = prev  # digest run skipped it: carry forward
     return out
 
 
@@ -104,8 +131,12 @@ def main() -> None:
             old = json.load(f)
     except (OSError, ValueError):
         old = {}
+    from data_management_python_spark.plans import collect_queries
+
     digests = compute_digests(spark, sf_dir)
-    merged = merge_since_rounds(old, digests, _rounds_present())
+    merged = merge_since_rounds(
+        old, digests, _rounds_present(), set(collect_queries())
+    )
     changed = [
         n for n in merged
         if n not in old or old[n].get("digest") != merged[n]["digest"]
