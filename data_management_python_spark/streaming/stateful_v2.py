@@ -385,6 +385,9 @@ class _LocalValueState:
     def update(self, v) -> None:
         self._v = v
 
+    def clear(self) -> None:
+        self._v = None
+
 
 class _LocalListState:
     """In-memory ListState (exists/get/put/appendValue)."""
@@ -429,7 +432,12 @@ class _LocalMapState:
 
 class _LocalHandle:
     """Minimal StatefulProcessorHandle stand-in for batch-contract
-    execution: hands out in-memory value/list/map states."""
+    execution: hands out in-memory value/list/map states and records
+    timer registrations (so timer-driven processors can be unit-driven
+    without a streaming query)."""
+
+    def __init__(self) -> None:
+        self.timers: list[int] = []
 
     def getValueState(self, name, schema, ttlDurationMs=None):
         return _LocalValueState()
@@ -439,6 +447,15 @@ class _LocalHandle:
 
     def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
         return _LocalMapState()
+
+    def registerTimer(self, expiryTimestampMs: int) -> None:
+        self.timers.append(int(expiryTimestampMs))
+
+    def deleteTimer(self, expiryTimestampMs: int) -> None:
+        self.timers = [t for t in self.timers if t != int(expiryTimestampMs)]
+
+    def listTimers(self):
+        return iter(list(self.timers))
 
 
 def running_user_totals_v2_batch(events: DataFrame) -> DataFrame:

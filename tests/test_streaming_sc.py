@@ -1250,3 +1250,57 @@ def test_stream_session_gap_out_of_order_within_watermark(spark, tmp_path):
     assert s.session_start == base          # start did not move
     assert s.session_end == base + timedelta(seconds=20)  # no regression
     assert s.n_events == 3                  # late event counted
+
+
+def test_session_gap_v2_processor_out_of_order_unit():
+    """Unit-drive SessionGapProcessor through the local handle (no
+    streaming query): out-of-order events inside the watermark must
+    not regress session bounds, the re-armed timer always sits at
+    max(last)+gap, and an event too early for the open session closes
+    as an immediate singleton."""
+    import pandas as pd
+
+    from data_management_python_spark.streaming.stateful_v2 import (
+        SessionGapProcessor,
+        _LocalHandle,
+    )
+
+    proc = SessionGapProcessor(gap_seconds=60)
+    handle = _LocalHandle()
+    proc.init(handle)
+    key = (1,)
+
+    def feed(ts_seconds):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([s * 10**9 for s in ts_seconds])}
+        )
+        return list(proc.handleInputRows(key, iter([pdf]), None))
+
+    # batch 1: events at 1000s and 1020s -> open session
+    assert feed([1000, 1020]) == []
+    assert handle.timers == [1020_000 + 60_000]
+    # batch 2: OUT-OF-ORDER event at 1010s -> merges, timer unchanged
+    assert feed([1010]) == []
+    assert handle.timers == [1020_000 + 60_000]
+    # batch 3: event far too early for the open session (can't belong:
+    # 1000 - 60 > 800) -> immediate singleton, open session untouched
+    out = feed([800])
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row.session_start_ms, row.session_end_ms, row.n_events) == (
+        800_000, 800_000, 1,
+    )
+    assert handle.timers == [1020_000 + 60_000]
+
+    # timer fires at the close time -> the open session (3 events,
+    # bounds never regressed) emits
+    class _Info:
+        def getExpiryTimeInMs(self):
+            return 1020_000 + 60_000
+
+    closed = list(proc.handleExpiredTimer(key, None, _Info()))
+    assert len(closed) == 1
+    row = closed[0].iloc[0]
+    assert (row.session_start_ms, row.session_end_ms, row.n_events) == (
+        1000_000, 1020_000, 3,
+    )
