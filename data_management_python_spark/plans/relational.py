@@ -1045,11 +1045,11 @@ def m_partitioned_merge(spark, sf_dir):
     """
     WITH s1 AS (
       SELECT c_custkey AS project_id, c_mktsegment AS seg,
-             CAST(c_nationkey AS VARCHAR) AS nat
+             CAST(c_nationkey AS STRING) AS nat
       FROM customer WHERE c_custkey % 3 <> 0
     ), s2 AS (
       SELECT c_custkey AS project_id, c_mktsegment AS seg,
-             CAST(c_nationkey + 1 AS VARCHAR) AS nat
+             CAST(c_nationkey + 1 AS STRING) AS nat
       FROM customer WHERE c_custkey % 2 = 0
     ), eav AS (
       SELECT project_id, 'mktsegment' AS attribute_name,

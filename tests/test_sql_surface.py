@@ -45,6 +45,12 @@ PORTABLE = [
     "w_rank_per_group",
     "w_running_total",
     "tj_range_join",
+    # round-6: the write-substrate twins' oracles are plain ANSI —
+    # running them on Spark SQL against the raw tables must equal the
+    # store-backed DataFrame result (the "users keep their SQL" bar
+    # for the new default-bucketed EAV path and the typed-state twin)
+    "m_eav_bucketed_store",
+    "s_user_event_profile",
 ]
 
 
