@@ -103,6 +103,7 @@ HEAVY = [
     "m_partitioned_merge",
     # round-6 additions
     "m_eav_bucketed_store",
+    "s_user_event_profile",
 ]
 
 KEY_SHIFT = {
