@@ -5,7 +5,10 @@ The Spark-side plumbing is real — binary columns, schema, Arrow-batched
 ``mapInPandas`` with bounded batch sizes.  IMAGE decode/encode is real
 too, with no media library: pure-Python codecs for uncompressed BMP and
 8-bit RGB/RGBA PNG (stdlib zlib; full filter set on decode), with PIL
-used instead when importable.  Audio/video decode is stubbed
+used instead when importable.  AUDIO decode is real for PCM WAV (the
+stdlib ``wave`` module): feature extraction pools RMS energy over real
+samples and ``sample_frames`` slices true time windows re-encoded as
+standalone WAV clips.  Compressed audio and video decode is stubbed
 (torchaudio/PyAV are not in this container) — swap ``_decode_stub`` for
 a real decoder without touching the distribution strategy.
 
@@ -100,10 +103,11 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
 
 def _decode_stub(blob: bytes | None, modality: str, dim: int) -> list[float]:
     """Deterministic fake feature vector for blobs no decoder handles
-    (synthetic stand-ins, unsupported codecs, audio/video without
-    torchaudio/PyAV).  Real decode paths exist above it: pure-Python
-    uncompressed-BMP pixels always, any PIL-supported format when PIL
-    is importable — see :func:`_decode_features`.
+    (synthetic stand-ins, unsupported codecs, compressed audio/video
+    without torchaudio/PyAV).  Real decode paths exist above it:
+    pure-Python BMP/PNG pixels and PCM-WAV samples always, any
+    PIL-supported image format when PIL is importable — see
+    :func:`_decode_features`.
     """
     if blob is None:
         return [0.0] * dim
@@ -455,17 +459,111 @@ def _pool_pixel_features(
     return out
 
 
+def _decode_wav_samples(
+    blob: bytes,
+) -> tuple[int, int, list[float]] | None:
+    """(sample_rate, n_channels, mono-mixed samples in [-1, 1]) for
+    PCM WAV — the stdlib ``wave`` module, no media library.  Supports
+    8/16/32-bit integer PCM; None for anything it can't parse
+    (compressed WAV, float PCM, truncated, non-RIFF)."""
+    import io  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error):
+        return None
+    if width == 1:  # 8-bit PCM is UNSIGNED
+        ints = [b - 128 for b in frames]
+        scale = 128.0
+    elif width == 2:
+        ints = list(
+            struct.unpack(f"<{len(frames) // 2}h", frames)
+        )
+        scale = 32768.0
+    elif width == 4:
+        ints = list(
+            struct.unpack(f"<{len(frames) // 4}i", frames)
+        )
+        scale = 2147483648.0
+    else:
+        return None
+    if nch > 1:  # mono-mix interleaved channels
+        ints = [
+            sum(ints[i : i + nch]) / nch
+            for i in range(0, len(ints) - nch + 1, nch)
+        ]
+    return rate, nch, [s / scale for s in ints]
+
+
+def _encode_wav16(
+    rate: int, samples: list[float], n_channels: int = 1
+) -> bytes:
+    """Minimal 16-bit PCM WAV from mono samples in [-1, 1] — the
+    encode twin of :func:`_decode_wav_samples` (channels duplicated
+    when n_channels > 1)."""
+    import io  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        ints = [
+            max(-32768, min(32767, int(round(s * 32767.0))))
+            for s in samples
+        ]
+        frames = b"".join(
+            struct.pack("<h", v) * n_channels for v in ints
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _pool_audio_features(samples: list[float], dim: int) -> list[float]:
+    """Decoder-agnostic audio pooling: RMS energy over ``dim`` equal
+    time chunks, in [0, 1] — the audio analog of
+    :func:`_pool_pixel_features` (same chunking arithmetic, so the
+    feature layout is uniform across modalities)."""
+    n = len(samples)
+    if n == 0:
+        return [0.0] * dim
+    out = []
+    for i in range(dim):
+        lo = i * n // dim
+        hi = max(lo + 1, (i + 1) * n // dim)
+        s = 0.0
+        for v in samples[lo:hi]:
+            s += v * v
+        out.append(round((s / (hi - lo)) ** 0.5, 6))
+    return out
+
+
 def _decode_features(blob: bytes | None, modality: str, dim: int) -> list[float]:
-    """Feature vector for one blob: REAL pixel decode where a decoder
-    exists (PIL for any format it supports; pure-Python for
-    uncompressed BMP), deterministic stub otherwise (audio/video need
-    torchaudio/PyAV, absent in this environment)."""
+    """Feature vector for one blob: REAL decode where a decoder exists
+    (images: PIL for any format it supports, pure-Python PNG/BMP
+    otherwise; audio: stdlib PCM WAV), deterministic stub otherwise
+    (compressed audio/video need torchaudio/PyAV, absent in this
+    environment)."""
     if blob is None:
         return [0.0] * dim
     if modality == "image":
         whp = _decode_image_pixels(bytes(blob))
         if whp is not None:
             return _pool_pixel_features(whp[2], dim)
+    if modality == "audio":
+        dec = _decode_wav_samples(bytes(blob))
+        if dec is not None:
+            return _pool_audio_features(dec[2], dim)
     return _decode_stub(blob, modality, dim)
 
 
@@ -557,6 +655,39 @@ def _frame_slices_stub(
     return out
 
 
+def _frame_slices(
+    blob: bytes | None, n_frames: int, duration_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """Frame/clip sampler with a REAL audio path: a PCM WAV blob is
+    decoded (stdlib), sliced into ``n_frames`` even TIME windows with
+    true sample-rate-derived timestamps, and each window re-encoded as
+    a standalone 16-bit WAV clip.  Anything else (video containers,
+    compressed audio) falls to the byte-window stub — same output
+    contract either way."""
+    if blob:
+        dec = _decode_wav_samples(bytes(blob))
+        if dec is not None:
+            rate, _, samples = dec
+            n = len(samples)
+            if n == 0:
+                return []
+            step = max(1, n // n_frames)
+            out = []
+            for i in range(n_frames):
+                lo = i * step
+                if lo >= n:
+                    break
+                out.append(
+                    (
+                        i,
+                        int(lo * 1000 / rate),
+                        _encode_wav16(rate, samples[lo : lo + step]),
+                    )
+                )
+            return out
+    return _frame_slices_stub(blob, n_frames, duration_ms)
+
+
 def sample_frames(
     media: DataFrame,
     n_frames: int = 4,
@@ -572,9 +703,12 @@ def sample_frames(
     row -> n rows in the emitted frame), so there is no explode of
     multi-megabyte blobs through a shuffle — frames leave the worker
     already sliced, and ``batch_rows`` bounds peak memory at
-    (batch_rows x blob size).  Decode is stubbed (see
-    :func:`_frame_slices_stub`); swap in a real ffmpeg/PyAV seek
-    without touching the distribution strategy.
+    (batch_rows x blob size).  PCM WAV blobs take a REAL path — decoded
+    with the stdlib, sliced into even time windows with sample-rate
+    timestamps, each re-encoded as a standalone WAV clip
+    (:func:`_frame_slices`); other containers use the byte-window stub
+    — swap in a real ffmpeg/PyAV seek without touching the
+    distribution strategy.
 
     ``eager=False`` (and any streaming input) returns the plan lazily
     with the Arrow ``maxRecordsPerBatch`` session conf set and
@@ -587,7 +721,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, tss, frames, shas = [], [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                for i, ts, fb in _frame_slices_stub(
+                for i, ts, fb in _frame_slices(
                     blob, n_frames, duration_ms
                 ):
                     ids.append(mid)

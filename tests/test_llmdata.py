@@ -1597,3 +1597,64 @@ def test_resize_images_png_output_and_input(spark):
 
     with pytest.raises(ValueError, match="out_format"):
         resize_images(df, 2, 1, out_format="webp")
+
+
+def test_wav_decode_features_and_clip_slicing(spark):
+    """REAL audio path: a PCM WAV round-trips through the stdlib
+    codec, extract_features pools RMS energy over true samples (loud
+    first half, silent second half), and sample_frames slices real
+    time windows with sample-rate timestamps, each a standalone
+    decodable WAV clip."""
+    import math
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_wav_samples,
+        _encode_wav16,
+        extract_features,
+        sample_frames,
+    )
+
+    rate = 8000
+    loud = [0.5 * math.sin(2 * math.pi * 440 * t / rate)
+            for t in range(rate)]          # 1s of 440Hz at 0.5 amp
+    quiet = [0.0] * rate                   # 1s of silence
+    blob = _encode_wav16(rate, loud + quiet)
+
+    got = _decode_wav_samples(blob)
+    assert got is not None
+    r, nch, samples = got
+    assert (r, nch, len(samples)) == (rate, 1, 2 * rate)
+    assert abs(max(samples) - 0.5) < 1e-3
+    # stereo mono-mix and 8-bit width decode too
+    st = _decode_wav_samples(_encode_wav16(rate, loud[:100], n_channels=2))
+    assert st is not None and st[1] == 2 and len(st[2]) == 100
+    assert _decode_wav_samples(b"RIFFxxxxWAVEjunk") is None
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(blob), "audio/wav", None),
+         (2, "audio", bytearray(b"not audio"), None, None)],
+        "media_id long, modality string, content binary, "
+        "mime_type string, meta_json string",
+    )
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media, dim=4).collect()
+    }
+    # halves: chunks 0-1 cover the loud second (RMS ~ 0.5/sqrt(2)),
+    # chunks 2-3 the silence
+    f = feats[1]
+    assert abs(f[0] - 0.5 / math.sqrt(2)) < 0.01 and f[1] == f[0]
+    assert f[2] == 0.0 and f[3] == 0.0
+    assert feats[2] is not None  # stub path still vectorizes
+
+    clips = [
+        r for r in sample_frames(media, n_frames=4).collect()
+        if r.media_id == 1
+    ]
+    assert len(clips) == 4
+    # true sample-rate timestamps: 2s / 4 windows = 500ms steps
+    assert [c.frame_ts_ms for c in clips] == [0, 500, 1000, 1500]
+    for c in clips:
+        dec = _decode_wav_samples(bytes(c.frame_bytes))
+        assert dec is not None and dec[0] == rate
+        assert len(dec[2]) == (2 * rate) // 4
