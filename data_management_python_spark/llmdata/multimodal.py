@@ -480,6 +480,11 @@ def _decode_wav_samples(
             frames = w.readframes(w.getnframes())
     except (wave.Error, EOFError, struct.error):
         return None
+    if rate <= 0 or nch <= 0:
+        # the stdlib parser accepts a fmt chunk declaring rate 0; a
+        # downstream ts = pos/rate would then ZeroDivision inside
+        # mapInPandas and fail the whole job on one adversarial blob
+        return None
     if width == 1:  # 8-bit PCM is UNSIGNED
         ints = [b - 128 for b in frames]
         scale = 128.0

@@ -166,41 +166,46 @@ class SessionGapProcessor(StatefulProcessor):
             if len(pdf)
             for v in pdf["ts"].astype("int64") // 10**6
         )
-        closed: list[tuple] = []
-        for t in ts_ms:
-            # the watermark bounds LATENESS, not order: an event from a
-            # later micro-batch may precede the open session's last (or
-            # even start).  Three cases:
-            #   t - last > gap          -> close, start fresh
-            #   start - gap <= t        -> merge (never let last/start
-            #                              REGRESS: a regressed last
-            #                              would re-arm the timer early
-            #                              and emit a wrong session_end)
-            #   t < start - gap         -> too early for the open
-            #                              session, whose predecessors
-            #                              are already flushed: emit it
-            #                              as an immediate singleton
-            if last is not None and t - last > self._gap_ms:
-                closed.append((key[0], start, last, n))
-                start, n = None, 0
-            elif last is not None and t < start - self._gap_ms:
-                closed.append((key[0], t, t, 1))
-                continue
-            if start is None:
-                start = t
-            else:
-                start = min(start, t)
-            last = t if last is None else max(last, t)
-            n += 1
+        if not ts_ms:
+            return
+        # the watermark bounds LATENESS, not order: a later micro-batch
+        # may deliver events preceding the open session — even before
+        # its start.  Correct handling is interval-gap CLUSTERING over
+        # the incoming points plus the open session treated as one
+        # interval [start, last] (its internal gaps are already <= gap
+        # by construction): sort by interval start, merge neighbors
+        # whose gap is <= the threshold (the engine-wide INCLUSIVE
+        # rule).  The LAST cluster stays open; clusters strictly before
+        # it close immediately (their successors — this batch's later
+        # events or the open session — prove no future in-watermark
+        # event can extend them... within this batch; across batches
+        # the append-mode simplification flushes pre-session clusters
+        # eagerly, trading exactness for O(1) state, documented).
+        # This fixes the round-6 review finding where consecutive
+        # too-early events each flushed as singletons instead of
+        # merging with each other (and with a start regressed by a
+        # later event in the same batch).
+        intervals = [(t, t, 1) for t in ts_ms]
         if last is not None:
-            self._sess.update((start, last, n))
-            # exactly one live timer per key: re-arm on every update
-            for texp in list(self._handle.listTimers()):
-                self._handle.deleteTimer(texp)
-            self._handle.registerTimer(last + self._gap_ms)
-        if closed:
+            intervals.append((start, last, n))
+        intervals.sort()
+        merged: list[list[int]] = []
+        for s0, e0, c0 in intervals:
+            if merged and s0 - merged[-1][1] <= self._gap_ms:
+                merged[-1][1] = max(merged[-1][1], e0)
+                merged[-1][2] += c0
+            else:
+                merged.append([s0, e0, c0])
+        *done, open_c = merged
+        start, last, n = open_c
+        self._sess.update((start, last, n))
+        # exactly one live timer per key: re-arm on every update
+        for texp in list(self._handle.listTimers()):
+            self._handle.deleteTimer(texp)
+        self._handle.registerTimer(last + self._gap_ms)
+        if done:
             yield pd.DataFrame(
-                closed,
+                [(key[0], s0, e0, c0) for s0, e0, c0 in done],
                 columns=[
                     "user_id", "session_start_ms", "session_end_ms",
                     "n_events",

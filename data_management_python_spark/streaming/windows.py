@@ -194,35 +194,36 @@ def stream_session_gap(
             )
             return
         start, last, n = state.get if state.exists else (None, None, 0)
-        closed: list[tuple] = []
         # concatenate the key's Arrow chunks before sorting — event
         # order must hold across chunk boundaries, not within each
         chunks = [pdf for pdf in pdfs if len(pdf)]
         all_ts = sorted(pd.concat(chunks)["ts"]) if chunks else []
-        for t in all_ts:
-            t = t.to_pydatetime()
-            # watermark bounds LATENESS, not order: a later micro-batch
-            # may deliver an event preceding the open session's last
-            # (or start).  Never regress last/start — a regressed last
-            # would set the event-time timeout early and emit a wrong
-            # session_end; an event too early even for the open session
-            # (its predecessors already flushed) closes immediately as
-            # a singleton.
-            if last is not None and (t - last).total_seconds() > gap_seconds:
-                closed.append((key[0], start, last, n))
-                start, last, n = None, None, 0
-            elif last is not None and (
-                (start - t).total_seconds() > gap_seconds
-            ):
-                closed.append((key[0], t, t, 1))
-                continue
-            if start is None:
-                start = t
-            else:
-                start = min(start, t)
-            last = t if last is None else max(last, t)
-            n += 1
+        # watermark bounds LATENESS, not order: a later micro-batch may
+        # deliver events preceding the open session — even before its
+        # start.  Interval-gap clustering over the incoming points plus
+        # the open session as one interval (internal gaps <= gap by
+        # construction): merge neighbors whose gap <= threshold (the
+        # engine-wide inclusive rule); the last cluster stays open,
+        # earlier clusters close immediately.  Same algorithm as the
+        # typed-state twin (stateful_v2.SessionGapProcessor).
+        intervals = [
+            (t.to_pydatetime(), t.to_pydatetime(), 1) for t in all_ts
+        ]
         if last is not None:
+            intervals.append((start, last, n))
+        intervals.sort()
+        merged: list[list] = []
+        for s0, e0, c0 in intervals:
+            if merged and (
+                (s0 - merged[-1][1]).total_seconds() <= gap_seconds
+            ):
+                merged[-1][1] = max(merged[-1][1], e0)
+                merged[-1][2] += c0
+            else:
+                merged.append([s0, e0, c0])
+        closed = [(key[0], s0, e0, c0) for s0, e0, c0 in merged[:-1]]
+        if merged:
+            start, last, n = merged[-1]
             state.update((start, last, n))
             # close when the watermark passes last + gap
             state.setTimeoutTimestamp(

@@ -1658,3 +1658,42 @@ def test_wav_decode_features_and_clip_slicing(spark):
         dec = _decode_wav_samples(bytes(c.frame_bytes))
         assert dec is not None and dec[0] == rate
         assert len(dec[2]) == (2 * rate) // 4
+
+
+def test_wav_zero_rate_blob_refused_not_crashing(spark):
+    """A parseable WAV declaring sample rate 0 (the stdlib wave module
+    accepts it) must decode to None and take the stub paths — one
+    adversarial blob must not ZeroDivision an entire sample_frames or
+    extract_features job."""
+    import io
+    import struct
+    import wave
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_wav_samples,
+        extract_features,
+        sample_frames,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(1)  # placeholder; patched to 0 below
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    blob = bytearray(buf.getvalue())
+    # fmt chunk sample-rate field lives at offset 24 in a canonical
+    # RIFF/WAVE header; zero it (byte rate at 28 too, for coherence)
+    blob[24:28] = (0).to_bytes(4, "little")
+    blob[28:32] = (0).to_bytes(4, "little")
+    with wave.open(io.BytesIO(bytes(blob))) as w:
+        assert w.getframerate() == 0  # stdlib really accepts it
+    assert _decode_wav_samples(bytes(blob)) is None
+
+    media = spark.createDataFrame(
+        [(1, "audio", blob, "audio/wav", None)],
+        "media_id long, modality string, content binary, "
+        "mime_type string, meta_json string",
+    )
+    assert sample_frames(media, n_frames=2).count() == 2  # stub slices
+    assert extract_features(media, dim=4).count() == 1    # stub vector

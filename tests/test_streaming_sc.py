@@ -1304,3 +1304,64 @@ def test_session_gap_v2_processor_out_of_order_unit():
     assert (row.session_start_ms, row.session_end_ms, row.n_events) == (
         1000_000, 1020_000, 3,
     )
+
+
+def test_session_gap_v2_too_early_events_cluster_unit():
+    """Round-6 second-review regression pins: too-early events (before
+    the open session) must gap-cluster among THEMSELVES and with a
+    start regressed by a later event in the same batch — not flush as
+    isolated singletons."""
+    import pandas as pd
+
+    from data_management_python_spark.streaming.stateful_v2 import (
+        SessionGapProcessor,
+        _LocalHandle,
+    )
+
+    def fresh():
+        proc = SessionGapProcessor(gap_seconds=60)
+        proc.init(_LocalHandle())
+        return proc
+
+    key = (1,)
+
+    def feed(proc, ts_seconds):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([s * 10**9 for s in ts_seconds])}
+        )
+        out = list(proc.handleInputRows(key, iter([pdf]), None))
+        return (
+            [tuple(r) for r in out[0].itertuples(index=False)]
+            if out
+            else []
+        )
+
+    # case 1 (review repro): open (1000,1020); late [800, 820] within
+    # gap of each other -> ONE closed session (800,820,2)
+    p = fresh()
+    assert feed(p, [1000, 1020]) == []
+    assert feed(p, [800, 820]) == [(1, 800_000, 820_000, 2)]
+
+    # case 2 (review repro): open (1000,1020); [895, 950] -> 950 merges
+    # (inclusive chain 950->1000), 895 is within gap of 950 -> the
+    # WHOLE batch merges into one open session (895..1020, 4 events);
+    # nothing closes
+    p = fresh()
+    assert feed(p, [1000, 1020]) == []
+    assert feed(p, [895, 950]) == []
+    out = list(
+        p.handleExpiredTimer(
+            key, None, type("I", (), {
+                "getExpiryTimeInMs": lambda self: 1020_000 + 60_000
+            })()
+        )
+    )
+    row = out[0].iloc[0]
+    assert (row.session_start_ms, row.session_end_ms, row.n_events) == (
+        895_000, 1020_000, 4,
+    )
+
+    # case 3: genuinely separate early cluster still closes
+    p = fresh()
+    assert feed(p, [1000, 1020]) == []
+    assert feed(p, [700]) == [(1, 700_000, 700_000, 1)]

@@ -23,6 +23,16 @@ Digest normalization keeps the file stable across sessions (expression
 ids like ``l_orderkey#45L`` and ``plan_id=123`` vary run to run); it
 deliberately digests the ANALYZED plan, not the optimized one, so AQE
 and stats-dependent physical choices don't churn the file.
+
+BASELINING convention (why the committed file can hold stamps a single
+tool run would not produce): when the digest FORMULA changes, the
+sidecar is regenerated in two steps — run this tool against the
+PREVIOUS round's commit in a worktree, set every ``since_round`` to 0
+("digest in effect since before any recorded verification"), then run
+it at HEAD so only genuinely-changed queries get the current stamp.
+Without the rebaseline, a formula change would mark all ~190 queries
+plan-stale at once and the staleness ordering would degenerate for a
+full rotation cycle.
 """
 
 from __future__ import annotations
