@@ -127,10 +127,18 @@ class SessionGapProcessor(StatefulProcessor):
     exactly ``gap`` after the previous one extends the session; only
     diff > gap splits (see the round-6 session-window boundary fix).
 
-    State per key is O(1): (start_ms, last_ms, n) in a ValueState on
-    the RocksDB store, plus exactly ONE registered timer (re-arming
-    deletes the old one), so the timer list never grows with events.
-    Append mode — closed sessions are immutable.
+    EXACT under out-of-order arrival: state per key is the LIST of
+    open sessions as (start_ms, last_ms, n) intervals (a ListState),
+    not just the newest one, and a session closes ONLY when the
+    watermark passes its last event + gap — never eagerly.  Incoming
+    events interval-gap-cluster with every open session (the
+    engine-wide INCLUSIVE rule), so a late in-watermark event can
+    extend, bridge, or create any session, exactly matching what a
+    full batch recompute over the same in-watermark events would
+    produce.  One timer per open session (the set is rebuilt on every
+    update); state size is O(open sessions inside the watermark
+    horizon), which the watermark itself bounds.  Append mode —
+    closed sessions are immutable.
     """
 
     def __init__(self, gap_seconds: int = 1800) -> None:
@@ -138,26 +146,40 @@ class SessionGapProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
-        self._sess = handle.getValueState("sess", _SESSION_STATE_V2)
+        self._sessions = handle.getListState("sessions", _SESSION_STATE_V2)
+
+    def _open_sessions(self) -> list[tuple[int, int, int]]:
+        if not self._sessions.exists():
+            return []
+        return [
+            (int(s), int(e), int(c)) for s, e, c in self._sessions.get()
+        ]
+
+    def _store(self, sessions: list[tuple[int, int, int]]) -> None:
+        if sessions:
+            self._sessions.put(sessions)
+        else:
+            self._sessions.clear()
+        # timer set mirrors the open-session close times exactly
+        want = {e + self._gap_ms for _, e, _ in sessions}
+        have = set(self._handle.listTimers())
+        for t in have - want:
+            self._handle.deleteTimer(t)
+        for t in want - have:
+            self._handle.registerTimer(t)
 
     @staticmethod
-    def _emit(key, start: int, last: int, n: int) -> pd.DataFrame:
+    def _frame(key, closed: list[tuple[int, int, int]]) -> pd.DataFrame:
         return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "session_start_ms": [start],
-                "session_end_ms": [last],
-                "n_events": [n],
-            }
+            [(key[0], s, e, c) for s, e, c in sorted(closed)],
+            columns=[
+                "user_id", "session_start_ms", "session_end_ms", "n_events",
+            ],
         )
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        if self._sess.exists():
-            start, last, n = (int(x) for x in self._sess.get())
-        else:
-            start, last, n = None, None, 0
         # concatenate the key's Arrow chunks before sorting — event
         # order must hold across chunk boundaries, not within each
         ts_ms = sorted(
@@ -168,27 +190,9 @@ class SessionGapProcessor(StatefulProcessor):
         )
         if not ts_ms:
             return
-        # the watermark bounds LATENESS, not order: a later micro-batch
-        # may deliver events preceding the open session — even before
-        # its start.  Correct handling is interval-gap CLUSTERING over
-        # the incoming points plus the open session treated as one
-        # interval [start, last] (its internal gaps are already <= gap
-        # by construction): sort by interval start, merge neighbors
-        # whose gap is <= the threshold (the engine-wide INCLUSIVE
-        # rule).  The LAST cluster stays open; clusters strictly before
-        # it close immediately (their successors — this batch's later
-        # events or the open session — prove no future in-watermark
-        # event can extend them... within this batch; across batches
-        # the append-mode simplification flushes pre-session clusters
-        # eagerly, trading exactness for O(1) state, documented).
-        # This fixes the round-6 review finding where consecutive
-        # too-early events each flushed as singletons instead of
-        # merging with each other (and with a start regressed by a
-        # later event in the same batch).
-        intervals = [(t, t, 1) for t in ts_ms]
-        if last is not None:
-            intervals.append((start, last, n))
-        intervals.sort()
+        intervals = sorted(
+            self._open_sessions() + [(t, t, 1) for t in ts_ms]
+        )
         merged: list[list[int]] = []
         for s0, e0, c0 in intervals:
             if merged and s0 - merged[-1][1] <= self._gap_ms:
@@ -196,33 +200,43 @@ class SessionGapProcessor(StatefulProcessor):
                 merged[-1][2] += c0
             else:
                 merged.append([s0, e0, c0])
-        *done, open_c = merged
-        start, last, n = open_c
-        self._sess.update((start, last, n))
-        # exactly one live timer per key: re-arm on every update
-        for texp in list(self._handle.listTimers()):
-            self._handle.deleteTimer(texp)
-        self._handle.registerTimer(last + self._gap_ms)
-        if done:
-            yield pd.DataFrame(
-                [(key[0], s0, e0, c0) for s0, e0, c0 in done],
-                columns=[
-                    "user_id", "session_start_ms", "session_end_ms",
-                    "n_events",
-                ],
-            )
+        # close promptly what the CURRENT watermark already proves
+        # final (its timer may have been consumed by a pre-merge
+        # session or not fire until the next batch); everything else
+        # stays open until handleExpiredTimer
+        wm = (
+            timerValues.getCurrentWatermarkInMs()
+            if timerValues is not None
+            else -1
+        )
+        closed = [
+            (s0, e0, c0) for s0, e0, c0 in merged
+            if wm > 0 and e0 + self._gap_ms <= wm
+        ]
+        keep = [
+            (s0, e0, c0) for s0, e0, c0 in merged
+            if not (wm > 0 and e0 + self._gap_ms <= wm)
+        ]
+        self._store(keep)
+        if closed:
+            yield self._frame(key, closed)
 
     def handleExpiredTimer(
         self, key, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        if not self._sess.exists():
+        sessions = self._open_sessions()
+        if not sessions:
             return
-        start, last, n = (int(x) for x in self._sess.get())
-        # guard against a stale timer racing a same-batch re-arm: only
-        # a timer at/after the current session's close time closes it
-        if expiredTimerInfo.getExpiryTimeInMs() >= last + self._gap_ms:
-            self._sess.clear()
-            yield self._emit(key, start, last, n)
+        exp = expiredTimerInfo.getExpiryTimeInMs()
+        closed = [
+            (s, e, c) for s, e, c in sessions if e + self._gap_ms <= exp
+        ]
+        if not closed:
+            return  # stale timer for a since-extended/merged session
+        self._store(
+            [(s, e, c) for s, e, c in sessions if e + self._gap_ms > exp]
+        )
+        yield self._frame(key, closed)
 
     def close(self) -> None:
         pass
@@ -411,6 +425,9 @@ class _LocalListState:
 
     def appendValue(self, item) -> None:
         self._items.append(item)
+
+    def clear(self) -> None:
+        self._items = []
 
 
 class _LocalMapState:

@@ -1255,9 +1255,10 @@ def test_stream_session_gap_out_of_order_within_watermark(spark, tmp_path):
 def test_session_gap_v2_processor_out_of_order_unit():
     """Unit-drive SessionGapProcessor through the local handle (no
     streaming query): out-of-order events inside the watermark must
-    not regress session bounds, the re-armed timer always sits at
-    max(last)+gap, and an event too early for the open session closes
-    as an immediate singleton."""
+    not regress session bounds, the timer set mirrors every open
+    session's close time, and a too-early event opens its OWN session
+    closed only by its watermark timer (exact semantics — no eager
+    flush)."""
     import pandas as pd
 
     from data_management_python_spark.streaming.stateful_v2 import (
@@ -1276,34 +1277,39 @@ def test_session_gap_v2_processor_out_of_order_unit():
         )
         return list(proc.handleInputRows(key, iter([pdf]), None))
 
-    # batch 1: events at 1000s and 1020s -> open session
+    def fire(expiry_ms):
+        info = type(
+            "I", (), {"getExpiryTimeInMs": lambda self: expiry_ms}
+        )()
+        return list(proc.handleExpiredTimer(key, None, info))
+
+    # batch 1: events at 1000s and 1020s -> one open session
     assert feed([1000, 1020]) == []
-    assert handle.timers == [1020_000 + 60_000]
+    assert sorted(handle.timers) == [1020_000 + 60_000]
     # batch 2: OUT-OF-ORDER event at 1010s -> merges, timer unchanged
     assert feed([1010]) == []
-    assert handle.timers == [1020_000 + 60_000]
-    # batch 3: event far too early for the open session (can't belong:
-    # 1000 - 60 > 800) -> immediate singleton, open session untouched
-    out = feed([800])
-    assert len(out) == 1
+    assert sorted(handle.timers) == [1020_000 + 60_000]
+    # batch 3: event far too early for the open session -> a SECOND
+    # open session with its own timer; nothing emits yet
+    assert feed([800]) == []
+    assert sorted(handle.timers) == [800_000 + 60_000, 1020_000 + 60_000]
+
+    # the early session's timer closes only it
+    out = fire(800_000 + 60_000)
+    assert len(out) == 1 and len(out[0]) == 1
     row = out[0].iloc[0]
     assert (row.session_start_ms, row.session_end_ms, row.n_events) == (
         800_000, 800_000, 1,
     )
-    assert handle.timers == [1020_000 + 60_000]
+    assert sorted(handle.timers) == [1020_000 + 60_000]
 
-    # timer fires at the close time -> the open session (3 events,
-    # bounds never regressed) emits
-    class _Info:
-        def getExpiryTimeInMs(self):
-            return 1020_000 + 60_000
-
-    closed = list(proc.handleExpiredTimer(key, None, _Info()))
-    assert len(closed) == 1
-    row = closed[0].iloc[0]
+    # the main session's timer closes it with bounds never regressed
+    out = fire(1020_000 + 60_000)
+    row = out[0].iloc[0]
     assert (row.session_start_ms, row.session_end_ms, row.n_events) == (
         1000_000, 1020_000, 3,
     )
+    assert handle.timers == []
 
 
 def test_session_gap_v2_too_early_events_cluster_unit():
@@ -1336,11 +1342,23 @@ def test_session_gap_v2_too_early_events_cluster_unit():
             else []
         )
 
+    def fire(proc, expiry_ms):
+        info = type(
+            "I", (), {"getExpiryTimeInMs": lambda self: expiry_ms}
+        )()
+        out = list(proc.handleExpiredTimer((1,), None, info))
+        return (
+            [tuple(r) for r in out[0].itertuples(index=False)]
+            if out
+            else []
+        )
+
     # case 1 (review repro): open (1000,1020); late [800, 820] within
-    # gap of each other -> ONE closed session (800,820,2)
+    # gap of each other -> ONE session (800,820,2), closed by ITS timer
     p = fresh()
     assert feed(p, [1000, 1020]) == []
-    assert feed(p, [800, 820]) == [(1, 800_000, 820_000, 2)]
+    assert feed(p, [800, 820]) == []
+    assert fire(p, 820_000 + 60_000) == [(1, 800_000, 820_000, 2)]
 
     # case 2 (review repro): open (1000,1020); [895, 950] -> 950 merges
     # (inclusive chain 950->1000), 895 is within gap of 950 -> the
@@ -1361,7 +1379,8 @@ def test_session_gap_v2_too_early_events_cluster_unit():
         895_000, 1020_000, 4,
     )
 
-    # case 3: genuinely separate early cluster still closes
+    # case 3: genuinely separate early cluster closes via its timer
     p = fresh()
     assert feed(p, [1000, 1020]) == []
-    assert feed(p, [700]) == [(1, 700_000, 700_000, 1)]
+    assert feed(p, [700]) == []
+    assert fire(p, 700_000 + 60_000) == [(1, 700_000, 700_000, 1)]
