@@ -176,6 +176,15 @@ def stream_session_gap(
     State per user is O(1): (session start, last event ts, count).
     Append mode — closed sessions are immutable.  Late events older
     than the watermark are dropped by the upstream ``withWatermark``.
+
+    Within a batch, incoming events interval-gap-cluster with the open
+    session (exact).  ACROSS batches the O(1) state keeps only the
+    newest cluster: earlier clusters flush eagerly, so two
+    in-watermark late events arriving in SEPARATE batches can emit as
+    two sessions where a full recompute would merge them — the
+    documented trade for fixed-size state on this API.  The
+    typed-state successor (stateful_v2.SessionGapProcessor) keeps the
+    LIST of open sessions and is exact; new pipelines should use it.
     """
 
     def update(
