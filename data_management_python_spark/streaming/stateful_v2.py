@@ -200,26 +200,20 @@ class SessionGapProcessor(StatefulProcessor):
                 merged[-1][2] += c0
             else:
                 merged.append([s0, e0, c0])
-        # close promptly what the CURRENT watermark already proves
-        # final (its timer may have been consumed by a pre-merge
-        # session or not fire until the next batch); everything else
-        # stays open until handleExpiredTimer
-        wm = (
-            timerValues.getCurrentWatermarkInMs()
-            if timerValues is not None
-            else -1
-        )
-        closed = [
-            (s0, e0, c0) for s0, e0, c0 in merged
-            if wm > 0 and e0 + self._gap_ms <= wm
-        ]
-        keep = [
-            (s0, e0, c0) for s0, e0, c0 in merged
-            if not (wm > 0 and e0 + self._gap_ms <= wm)
-        ]
-        self._store(keep)
-        if closed:
-            yield self._frame(key, closed)
+        # ALL clusters stay open here; closure belongs to the timers
+        # exclusively.  An eager "close what the watermark already
+        # passed" branch is both redundant (every kept session carries
+        # its own live timer, which fires within this same micro-batch
+        # once its close time trails the watermark; a cluster holding a
+        # fresh event always closes AFTER the watermark, since admitted
+        # events have ts >= wm) and hazardous: a hand-rolled
+        # `close <= wm` comparison closes at exact equality, yet an
+        # event at ts == wm == close still passes Spark's late filter
+        # and must MERGE under the engine-wide inclusive rule — the
+        # round-6 third-review boundary finding.
+        self._store([tuple(c) for c in merged])
+        return
+        yield  # pragma: no cover - keeps this a generator
 
     def handleExpiredTimer(
         self, key, timerValues, expiredTimerInfo

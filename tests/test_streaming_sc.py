@@ -993,10 +993,11 @@ def test_session_window_counts_stream_matches_batch(spark, tmp_path):
 
 def test_transform_with_state_session_gap_timers(spark, tmp_path):
     """Spark 4 typed-state sessionization with EVENT-TIME TIMERS:
-    sessions close via handleExpiredTimer when the watermark passes
-    last event + gap, in-batch splits emit immediately, and an
-    exact-boundary pair (diff == gap) MERGES — the inclusive rule the
-    round-6 boundary fix pinned engine-wide."""
+    sessions close EXCLUSIVELY via handleExpiredTimer when the
+    watermark passes last event + gap (a split-off cluster stays open
+    in the ListState until its own timer fires — nothing emits
+    eagerly), and an exact-boundary pair (diff == gap) MERGES — the
+    inclusive rule the round-6 boundary fix pinned engine-wide."""
     import os
     import time
     from datetime import datetime, timedelta
