@@ -170,8 +170,6 @@ def ngram_jaccard_pairs(
     pass True/False to pin a branch (tests pin BOTH against a
     brute-force reference).
     """
-    if prefix_filter is None:
-        prefix_filter = df.count() > prefix_filter_min_docs
     toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
     # checkpoint the hashed-shingle frame PRE-PARTITIONED on the join
     # key at the operator's width: the self-join below then reads both
@@ -190,6 +188,19 @@ def ngram_jaccard_pairs(
         .repartition(width, "__sh")
         .localCheckpoint(eager=True)
     )
+    if prefix_filter is None:
+        # plan gate only (the filter is lossless either way), resolved
+        # on the ALREADY-CHECKPOINTED shingle frame: counting the raw
+        # df here would re-execute the caller's full input lineage once
+        # just to pick a plan.  approx_count_distinct is a single
+        # map-side-sketch job over the checkpoint, and its ~2% error is
+        # irrelevant to a 20k-doc plan threshold.  Callers with
+        # expensive lineage AND a known corpus size should still pin
+        # prefix_filter explicitly.
+        n_docs = sh.agg(
+            F.approx_count_distinct(id_col).alias("n")
+        ).first()["n"]
+        prefix_filter = n_docs > prefix_filter_min_docs
     # one df table serves both the hot-set cap and the prefix order;
     # computed on the colocated (__sh-partitioned) checkpoint, so the
     # groupBy and the rejoin below add no exchange on the big side

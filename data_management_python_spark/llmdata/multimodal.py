@@ -190,6 +190,11 @@ def _encode_bmp24(
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: refuse to decode images whose headers declare more pixels than this
+#: (64 MP ≈ 256 MB of RGBA rows) — corpus blobs are untrusted, and an
+#: absurd declared size is an attack, not a photo
+_MAX_IMAGE_PIXELS = 64_000_000
+
 
 def _png_paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -231,6 +236,11 @@ def _decode_png_wh_pixels(
                 interlace = data[12]
                 if bit_depth != 8 or interlace != 0 or color_type not in (2, 6):
                     return None
+                if width * height > _MAX_IMAGE_PIXELS:
+                    # adversarial blob claiming absurd dims: refuse
+                    # before allocating anything near that size (the
+                    # image twin of the WAV zero-rate guard below)
+                    return None
                 bpp = 3 if color_type == 2 else 4
             elif ctype == b"IDAT":
                 idat += data
@@ -239,11 +249,19 @@ def _decode_png_wh_pixels(
             pos += 12 + clen  # len + type + data + crc
         if not width or not height or not idat:
             return None
-        raw = zlib.decompress(bytes(idat))
+        # bound the inflate by the size the parsed IHDR says the image
+        # needs: a decompression-bomb IDAT (tiny blob, huge inflate)
+        # stops at expected+1 bytes instead of OOMing the mapInPandas
+        # worker — the length check below then rejects it as oversized
+        stride = width * bpp
+        expected = (stride + 1) * height
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except (zlib.error, ValueError):
         return None
-    stride = width * bpp
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected:
+        # oversized (a bomb hit the max_length cap at expected+1) or
+        # truncated — either way, not the image the IHDR declared
         return None
     px: list[tuple[int, int, int]] = []
     prior = bytearray(stride)

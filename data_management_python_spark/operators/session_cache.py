@@ -78,7 +78,21 @@ def session_cached(
     held: list = getattr(_BUILDING, "held", None) or []
     _BUILDING.held = held
     if held:
-        # nested call from inside another build on this thread.  A
+        if key in held:
+            # SAME-key re-entry: build(key) calling session_cached(key)
+            # is an infinite-recursion bug in the build, not a family
+            # nesting.  The old unlocked fallback "worked" but cached
+            # the INNER result and silently discarded what the outer
+            # build() returned (setdefault keeps the first writer) —
+            # the outer caller got a frame its own build never
+            # produced.  Fail loudly instead.
+            raise RuntimeError(
+                f"session_cached re-entered for its own key {key[1]!r}: "
+                "the build function for this entry called "
+                "session_cached with the same (name, sf_dir) — derive "
+                "the frame directly instead of recursing"
+            )
+        # nested call from inside ANOTHER build on this thread.  A
         # warm nested key must still HIT (the lock-free build below is
         # a fallback, not a bypass): without this check every outer
         # build miss would rebuild and eagerly checkpoint an

@@ -1560,6 +1560,60 @@ def test_png_roundtrip_and_filter_coverage():
     assert _decode_png_wh_pixels(blob[:30]) is None
 
 
+def test_png_decoder_rejects_adversarial_blobs_bounded():
+    """Untrusted-corpus hardening (round-6 advice): a decompression
+    bomb (tiny IDAT, huge inflate) must be stopped at the
+    IHDR-derived byte bound instead of OOMing the worker, and absurd
+    declared dimensions must refuse before any allocation."""
+    import struct
+    import tracemalloc
+    import zlib
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _MAX_IMAGE_PIXELS,
+        _PNG_SIG,
+        _decode_png_wh_pixels,
+        _encode_png24,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, idat_raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(idat_raw, 9))
+            + chunk(b"IEND", b"")
+        )
+
+    # declared dims over the pixel cap: refused outright
+    big_w = 100_000
+    big_h = _MAX_IMAGE_PIXELS // big_w + 1
+    assert _decode_png_wh_pixels(png(big_w, big_h, b"\x00")) is None
+
+    # bomb: 8x8 declared, IDAT inflates to 64 MB.  The compressed blob
+    # is a few KB; the decoder must cap the inflate near the ~200-byte
+    # expected size, so peak allocation stays far under the bomb size.
+    bomb = png(8, 8, b"\x00" * (64 * 1024 * 1024))
+    assert len(bomb) < 128 * 1024  # it really is a bomb
+    tracemalloc.start()
+    assert _decode_png_wh_pixels(bomb) is None
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * 1024 * 1024, f"bomb inflated {peak} bytes"
+
+    # a valid image still decodes after the hardening
+    px = [(r, r, r) for r in range(16)]
+    assert _decode_png_wh_pixels(_encode_png24(4, 4, px)) == (4, 4, px)
+
+
 def test_resize_images_png_output_and_input(spark):
     """resize_images decodes PNG inputs without PIL and re-encodes as
     PNG when asked: mime, sniffed dims, and nearest-neighbor pixels all

@@ -705,11 +705,13 @@ def test_session_cache_shares_and_prunes(spark):
 
 
 def test_session_cache_reentrant_build_no_deadlock(spark):
-    """A build() that itself calls session_cached — for ANOTHER family
-    key and even for its OWN key — must complete instead of
-    self-deadlocking on the per-key lock (round-5 advice: build runs
-    under the key lock; nested calls now take an unlocked path via a
-    thread-local build stack)."""
+    """A build() that calls session_cached for ANOTHER family key must
+    complete instead of self-deadlocking on the per-key lock (round-5
+    advice: nested calls take an unlocked path via a thread-local build
+    stack).  A build() that re-enters its OWN key must raise a clear
+    error (round-6 advice: the old unlocked fallback silently cached
+    the inner result and discarded the outer build's frame — a
+    substitution no row-count assertion could see)."""
     from data_management_python_spark.operators.session_cache import (
         _CACHE,
         session_cached,
@@ -723,7 +725,8 @@ def test_session_cache_reentrant_build_no_deadlock(spark):
         return base.selectExpr("v * 2 AS v")
 
     def build_nested_same():
-        # same-key re-entry: previously a hard self-deadlock
+        # same-key re-entry: a recursion bug in the build — must fail
+        # loudly, not silently swap in the inner frame
         base = session_cached(spark, "t_reent_same", "sfX", inner)
         return base.selectExpr("v + 1 AS v")
 
@@ -735,16 +738,24 @@ def test_session_cache_reentrant_build_no_deadlock(spark):
         results["other"] = session_cached(  # test instead of hanging it
             spark, "t_reent_outer", "sfX", build_nested_other
         )
-        results["same"] = session_cached(
-            spark, "t_reent_same", "sfX", build_nested_same
-        )
+        try:
+            session_cached(spark, "t_reent_same", "sfX", build_nested_same)
+            results["same_error"] = None
+        except RuntimeError as e:
+            results["same_error"] = e
 
     t = threading.Thread(target=drive, daemon=True)
     t.start()
     t.join(timeout=60)
     assert not t.is_alive(), "re-entrant session_cached deadlocked"
     assert results["other"].count() == 3
-    assert results["same"].count() == 3
+    assert results["same_error"] is not None
+    assert "re-entered for its own key" in str(results["same_error"])
+    # the failed same-key build must leave nothing cached for its key
+    assert not any(k[1] == "t_reent_same" for k in _CACHE)
+    # ...and the cache stays usable for that key afterwards
+    ok = session_cached(spark, "t_reent_same", "sfX", inner)
+    assert ok.count() == 3
     # the nested winner is cached and shared
     again = session_cached(spark, "t_reent_inner", "sfX", inner)
     assert again.count() == 3
