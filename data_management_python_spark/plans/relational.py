@@ -1093,8 +1093,11 @@ def m_eav_bucketed_store(spark, sf_dir):
             F.col("c_mktsegment").alias("mktsegment"),
             F.col("c_nationkey").cast("string").alias("nationkey"),
         )
+        # validate=False: the enum-domain scan is store_records'
+        # contract, pinned by its own test — this query measures the
+        # bucketed EAV write path, not two extra validation scans
         store.store_with_attributes(
-            "project", wide1, key_column="project_id"
+            "project", wide1, key_column="project_id", validate=False
         )
         # second store: mktsegment rows duplicate store 1 for shared
         # parents (dedup drops them); nationkey+1 is a NEW value per
@@ -1108,7 +1111,7 @@ def m_eav_bucketed_store(spark, sf_dir):
             (F.col("c_nationkey") + 1).cast("string").alias("nationkey"),
         )
         store.store_with_attributes(
-            "project", wide2, key_column="project_id"
+            "project", wide2, key_column="project_id", validate=False
         )
         out = store.table("project_attribute").select(
             F.col("project_id").cast("long").alias("project_id"),

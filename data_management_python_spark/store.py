@@ -68,6 +68,37 @@ from data_management_python_spark.operators.joins import (
 )
 from data_management_python_spark.operators.upsert import merge_upsert
 
+#: default per-bucket size target for auto-sized bucketed tables: one
+#: bucket is the unit a partition-scoped MERGE reads, unions, dedups,
+#: and rewrites, so it must fit comfortably in one executor's working
+#: memory.  256 MB of parquet (~1 GB decoded) is the classic
+#: maxPartitionBytes-shaped choice.
+DEFAULT_TARGET_BUCKET_BYTES = 256 * 1024 * 1024
+
+
+def suggest_bucket_count(
+    est_bytes: int,
+    target_bucket_bytes: int = DEFAULT_TARGET_BUCKET_BYTES,
+    min_buckets: int = 1,
+    max_buckets: int = 1 << 20,
+) -> int:
+    """Bucket count for a table of ``est_bytes`` on-disk bytes,
+    targeting ~``target_bucket_bytes`` per bucket.
+
+    Always a POWER OF TWO, so growth is a doubling: under
+    ``pmod(xxhash64(keys), n)``, doubling ``n`` splits each old bucket
+    ``b`` into exactly ``{b, b + n}`` — every row of a new bucket comes
+    from ONE old bucket, so an incremental rebucketer could split
+    bucket-by-bucket without a global shuffle.  At 100 TB of
+    attributes this yields ~400k buckets of 256 MB (capped at 2^20);
+    at a test-sized 1 GB, 4.
+    """
+    need = max(1, -(-int(est_bytes) // int(target_bucket_bytes)))
+    n = 1
+    while n < need:
+        n <<= 1
+    return max(min_buckets, min(n, max_buckets))
+
 
 class TableStore:
     """Parquet-backed catalog of the reference's core tables."""
@@ -75,16 +106,35 @@ class TableStore:
     #: reserved hash-bucket partition column on partitioned tables
     BUCKET_COL = "kb"
 
+    #: auto-sized bucketed tables never start below this: a fresh table
+    #: has no volume signal yet, and a merge wants at least ~2x a
+    #: cluster's cores of parallelism; growth past it is volume-derived
+    MIN_AUTO_BUCKETS = 64
+
     def __init__(
-        self, spark: SparkSession, root: str, attr_n_buckets: int = 64
+        self,
+        spark: SparkSession,
+        root: str,
+        attr_n_buckets: int | None = None,
+        target_bucket_bytes: int = DEFAULT_TARGET_BUCKET_BYTES,
     ):
         self.spark = spark
         self.root = root
         #: bucket count for auto-bucketed ``*_attribute`` tables —
-        #: bounds EAV write amplification at |table| / attr_n_buckets
-        #: per touched parent; size it so one bucket fits an executor
-        #: (at 100 TB of attributes, thousands, not 64)
+        #: bounds EAV write amplification at |table| / n_buckets per
+        #: touched parent.  ``None`` (default) = VOLUME-DERIVED: tables
+        #: are created at :func:`suggest_bucket_count` of their
+        #: existing on-disk bytes (floor ``MIN_AUTO_BUCKETS``) and
+        #: every EAV store re-checks :meth:`maybe_rebucket`, doubling
+        #: the count whenever average bucket size outgrows
+        #: ``target_bucket_bytes`` — at 100 TB of attributes that
+        #: converges to hundreds of thousands of ~256 MB buckets, each
+        #: fitting one executor, with amortized O(1) rewrite cost per
+        #: stored byte (a rewrite only fires when the table has
+        #: doubled).  An explicit int pins the count (tests, known
+        #: workloads) and disables auto-growth.
         self.attr_n_buckets = attr_n_buckets
+        self.target_bucket_bytes = target_bucket_bytes
         self._part_info: dict[str, tuple[list[str], int]] = {}
         os.makedirs(root, exist_ok=True)
 
@@ -147,11 +197,7 @@ class TableStore:
                     f"{p} (it RESTORES a live-absent __precompact) "
                     "before reading"
                 )
-        if os.path.exists(p) and any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(p)
-            for f in files
-        ):
+        if self._has_data(name):
             return self.spark.read.parquet(p)
         if name in CORE_SCHEMAS:
             return self.spark.createDataFrame([], CORE_SCHEMAS[name])
@@ -159,6 +205,30 @@ class TableStore:
         if parent in ATTRIBUTE_PARENTS:
             return self.spark.createDataFrame([], attribute_schema(parent))
         raise KeyError(f"unknown table {name!r}")
+
+    def _has_data(self, name: str) -> bool:
+        """True iff the table has at least one parquet file on disk."""
+        p = self._path(name)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(p)
+            for f in files
+        )
+
+    def table_bytes(self, name: str) -> int:
+        """On-disk bytes of a table — the volume signal bucket sizing
+        uses.  Hadoop FileSystem content summary through the JVM (the
+        same signal ``compact_dataset`` sizes output files from), so it
+        works on any scheme a real deployment points ``root`` at; 0
+        for a never-written table."""
+        p = self._path(name)
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            return 0
+        return int(fs.getContentSummary(path).getLength())
 
     def _swap(self, name: str, df: DataFrame) -> None:
         """Atomic-enough FULL-table replace: write to a temp dir, then
@@ -183,7 +253,7 @@ class TableStore:
             keys, n_buckets = part
             w = df.withColumn(
                 self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-            )
+            ).repartition(F.col(self.BUCKET_COL))  # one file per bucket
         writer = w.write.mode("overwrite")
         if part is not None:
             writer = writer.partitionBy(self.BUCKET_COL)
@@ -264,6 +334,16 @@ class TableStore:
         missing = [k for k in keys if k not in current.columns]
         if missing:
             raise KeyError(f"bucket keys absent from {name}: {missing}")
+        if not self._has_data(name):
+            # dataless table: the layout IS the sidecar — write it and
+            # skip the empty-frame Spark write + swap entirely (the
+            # create-bucketed-from-the-start path costs zero jobs; the
+            # first append then lands bucketed)
+            os.makedirs(self._path(name), exist_ok=True)
+            with open(self._sidecar(name), "w") as f:
+                json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
+            self._part_info[name] = (list(keys), n_buckets)
+            return
         from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
             swap_directory,
         )
@@ -273,6 +353,7 @@ class TableStore:
             current.withColumn(
                 self.BUCKET_COL, self._bucket_expr(list(keys), n_buckets)
             )
+            .repartition(F.col(self.BUCKET_COL))  # one file per bucket
             .write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
             .parquet(tmp)
@@ -283,6 +364,66 @@ class TableStore:
             json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
         swap_directory(self.spark, self._path(name), tmp)
         self._part_info[name] = (list(keys), n_buckets)
+
+    def rebucket(self, name: str, n_buckets: int) -> None:
+        """Rewrite a bucketed table at a new bucket count (same keys) —
+        the outgrown-spec escape hatch ``enable_partitioning`` refuses.
+        One full rewrite through the crash-safe tmp+sidecar+swap path;
+        afterwards every mutation is again scoped to right-sized
+        buckets.  Cost is amortized O(1) per stored byte when driven by
+        :meth:`maybe_rebucket`'s doubling policy."""
+        part = self.partitioning_of(name)
+        if part is None:
+            raise ValueError(
+                f"{name} is not partitioned; use enable_partitioning"
+            )
+        keys, old = part
+        if n_buckets == old:
+            return
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
+            swap_directory,
+        )
+
+        current = self.table(name)
+        tmp = self._path(name) + "__tmp"
+        (
+            current.withColumn(
+                self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+            )
+            .repartition(F.col(self.BUCKET_COL))  # one file per bucket
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
+            json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+        swap_directory(self.spark, self._path(name), tmp)
+        self._part_info[name] = (keys, n_buckets)
+
+    def maybe_rebucket(
+        self, name: str, target_bucket_bytes: int | None = None
+    ) -> int | None:
+        """Grow ``name``'s bucket count when the table has outgrown its
+        spec: when average bucket size exceeds 2x the target, rewrite
+        at :func:`suggest_bucket_count` of the ACTUAL on-disk bytes
+        (at least a doubling).  Returns the new count, or None when the
+        layout already fits.  The 2x slack plus power-of-two growth
+        means a rewrite fires only when the table has doubled since
+        the last one — total rewritten bytes stay ~2x the final size.
+        The check itself is metadata-only (one FS content summary)."""
+        part = self.partitioning_of(name)
+        if part is None:
+            return None
+        target = target_bucket_bytes or self.target_bucket_bytes
+        _, n = part
+        size = self.table_bytes(name)
+        if size <= 2 * target * n:
+            return None
+        new_n = suggest_bucket_count(size, target, min_buckets=n * 2)
+        self.rebucket(name, new_n)
+        return new_n
 
     def _touched_buckets(
         self, frame: DataFrame, keys: list[str], n_buckets: int
@@ -328,7 +469,7 @@ class TableStore:
             current = raw
         out = rewrite(current).withColumn(
             self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-        )
+        ).repartition(F.col(self.BUCKET_COL))  # one file per bucket
         tmp_root = path + "__merging"
         if os.path.exists(tmp_root):
             shutil.rmtree(tmp_root)
@@ -389,9 +530,17 @@ class TableStore:
         writer = aligned
         if part is not None:
             keys, n_buckets = part
+            # cluster the batch by bucket before the partitioned
+            # write: without this every task writes a sliver into
+            # every bucket it sees — an append of one batch through P
+            # partitions creates up to P x n_buckets tiny files, the
+            # small-file explosion that kills scan performance at
+            # scale.  Clustered, an append adds at most one file per
+            # touched bucket (a bucket's batch-slice fits a task by
+            # the same per-bucket sizing contract merges rely on).
             writer = aligned.withColumn(
                 self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-            )
+            ).repartition(F.col(self.BUCKET_COL))
         w = writer.write.mode("append")
         if part is not None:
             w = w.partitionBy(self.BUCKET_COL)
@@ -410,12 +559,16 @@ class TableStore:
         data: DataFrame,
         key_column: str,
         fk: tuple[str, str, str] | None = None,
+        validate: bool = True,
     ) -> None:
         """Wide frame -> main table + EAV attribute table (M2;
         store_project_and_attribute_data, projectadaptor.py:10-33).
 
         ``fk`` = (dim_table, natural_key, surrogate_key) resolves a
         parent reference via broadcast join before the split (M1).
+        ``validate=False`` skips the main table's enum-domain scan
+        (same contract as :meth:`store_records`) — for loaders whose
+        rows were already validated upstream.
         """
         if fk is not None:
             dim_table, natural, surrogate = fk
@@ -426,7 +579,7 @@ class TableStore:
         main, eav = melt_attributes(
             data, key_columns=[key_column], table_columns=table_cols
         )
-        self.store_records(name, main)
+        self.store_records(name, main, validate=validate)
         attr_table = f"{name}_attribute"
         key = f"{name}_id"
         if self.partitioning_of(attr_table) is None:
@@ -437,7 +590,18 @@ class TableStore:
             # only the touched parents' buckets — never the whole
             # table.  An existing unbucketed table pays one conversion
             # rewrite here, then every later store is partition-scoped.
-            self.enable_partitioning(attr_table, [key], self.attr_n_buckets)
+            n = self.attr_n_buckets
+            if n is None:
+                # volume-derived (round-7): size from the bytes already
+                # on disk — an existing unbucketed table converts at
+                # its true volume; a fresh table starts at the floor
+                # and grows via maybe_rebucket below as stores land
+                n = suggest_bucket_count(
+                    self.table_bytes(attr_table),
+                    self.target_bucket_bytes,
+                    min_buckets=self.MIN_AUTO_BUCKETS,
+                )
+            self.enable_partitioning(attr_table, [key], n)
         current = self.table(attr_table)
         incoming = (
             eav.withColumnRenamed(key_column, key)
@@ -453,22 +617,95 @@ class TableStore:
             out = current.unionByName(incoming).dropDuplicates(dedup_keys)
             self._swap(attr_table, out)
             return
-        touched = self._touched_buckets(incoming, bkeys, n_buckets)
-        if not touched:
-            return
-        # bucket keys ⊆ dedup keys, so a duplicate can only live in
-        # the same bucket as its twin: per-bucket union+dedup enforces
-        # the global uniq(parent, name, value) constraint while only
-        # the touched buckets are read and crash-safe swapped
-        self._merge_partitioned(
-            attr_table,
-            touched,
-            lambda cur: cur.unionByName(incoming).dropDuplicates(dedup_keys),
+        if not self._has_data(attr_table):
+            # first load: nothing on disk to dedup against — dedup the
+            # incoming batch alone and append it straight into the
+            # bucketed layout (one write job; no bucket reads, no swap
+            # loop).
+            self.store_records(
+                attr_table,
+                incoming.dropDuplicates(dedup_keys),
+                validate=False,
+            )
+        else:
+            touched = self._touched_buckets(incoming, bkeys, n_buckets)
+            if not touched:
+                return
+            # uniq(parent, name, value) via ANTI-JOIN + APPEND, not a
+            # bucket rewrite: rows already on disk are unique, so
+            # appending (incoming \ existing), deduped against itself,
+            # preserves the constraint exactly — and bucket keys ⊆
+            # dedup keys means a twin can only live in a bucket the
+            # incoming rows name, so the anti-join's read is PRUNED to
+            # the touched buckets.  Write cost is O(new rows) with no
+            # swap renames (existing files — touched buckets included —
+            # stay byte-identical); at 100 TB this is the difference
+            # between appending a batch and rewriting every touched
+            # 256 MB bucket.  Unlike the old union+dropDuplicates
+            # rewrite, an existing row can never be arbitrarily
+            # replaced by its incoming twin (attribute ids survive).
+            raw = self._read_raw(attr_table)
+            existing = (
+                raw.filter(
+                    F.col(self.BUCKET_COL).isin([int(b) for b in touched])
+                ).select(*dedup_keys)
+                if self.BUCKET_COL in raw.columns
+                else raw.select(*dedup_keys)
+            )
+            fresh = incoming.dropDuplicates(dedup_keys).join(
+                existing, on=dedup_keys, how="left_anti"
+            )
+            self.store_records(attr_table, fresh, validate=False)
+        if self.attr_n_buckets is None:
+            # auto-sized layout: grow the bucket count when the table
+            # has outgrown its spec (metadata-only check; rewrite only
+            # fires when the table doubled past the per-bucket target)
+            self.maybe_rebucket(attr_table)
+
+    def _buckets_of_values(
+        self, name: str, keys: list[str], n_buckets: int,
+        filters: dict[str, Any],
+    ) -> list[int]:
+        """Bucket ids the literal key values in ``filters`` hash to.
+        Values are cast to the TABLE's column types before hashing —
+        xxhash64 is type-sensitive, so a Python int probed against an
+        int-typed column would otherwise hash into the wrong bucket.
+        O(#literal combinations) driver rows; one tiny local job."""
+        import itertools  # noqa: PLC0415
+
+        current = self.table(name)
+        dtypes = dict(current.dtypes)
+        lists = [
+            list(v) if isinstance(v, (list, tuple, set)) else [v]
+            for v in (filters[k] for k in keys)
+        ]
+        combos = [tuple(c) for c in itertools.product(*lists)]
+        frame = self.spark.createDataFrame(combos, schema=list(keys)).select(
+            *[F.col(k).cast(dtypes[k]).alias(k) for k in keys]
         )
+        return self._touched_buckets(frame, keys, n_buckets)
 
     def fetch_by(self, name: str, **filters: Any) -> DataFrame:
         """Equality/IN fetch (fetch_records_by_column /
-        _by_multiple_column, baseadaptor.py:450-504)."""
+        _by_multiple_column, baseadaptor.py:450-504).
+
+        BUCKET-PRUNED on a partitioned table when the filters pin every
+        bucket key to literals: the key values are hashed driver-side
+        into their ``kb=`` buckets and the scan carries a partition
+        filter — a single-parent fetch against a 100-TB EAV table reads
+        ONE bucket, not the table (the read-side twin of the
+        partition-scoped MERGE)."""
+        part = self.partitioning_of(name)
+        if part is not None and self._has_data(name):
+            keys, n_buckets = part
+            if set(keys) <= set(filters):
+                buckets = self._buckets_of_values(
+                    name, keys, n_buckets, filters
+                )
+                pruned = self._read_raw(name).filter(
+                    F.col(self.BUCKET_COL).isin(buckets)
+                ).drop(self.BUCKET_COL)
+                return filter_by_columns(pruned, **filters)
         return filter_by_columns(self.table(name), **filters)
 
     def exists(self, name: str, **filters: Any) -> bool:
@@ -540,11 +777,41 @@ class TableStore:
         self._swap(name, self.table(name).join(keys, on=on, how="left_anti"))
 
     def attributes_of(
-        self, parent: str, parent_ids: DataFrame, attribute_names: list[str] | None = None
+        self,
+        parent: str,
+        parent_ids: DataFrame,
+        attribute_names: list[str] | None = None,
+        prune_buckets: bool = True,
     ) -> DataFrame:
         """Wide attribute read for a set of parent rows
-        (get_attributes_by_dbid, baseadaptor.py:507-539)."""
-        eav = self.table(f"{parent}_attribute")
+        (get_attributes_by_dbid, baseadaptor.py:507-539).
+
+        On a bucketed attribute table the scan is PARTITION-PRUNED to
+        the buckets the requested parents hash into (one extra
+        O(n_buckets) driver job over ``parent_ids``) — a keyed read
+        touches |parents|/n_buckets of the table instead of all of it.
+        Pass ``prune_buckets=False`` when ``parent_ids`` is itself a
+        huge frame whose extra pass costs more than the full scan it
+        saves (reads stay correct either way)."""
+        name = f"{parent}_attribute"
         key = f"{parent}_id"
+        part = self.partitioning_of(name)
+        if (
+            prune_buckets
+            and part is not None
+            and part[0] == [key]
+            and self._has_data(name)
+        ):
+            bkeys, n_buckets = part
+            dtypes = dict(self.table(name).dtypes)
+            keyed = parent_ids.select(
+                F.col(key).cast(dtypes[key]).alias(key)
+            )
+            buckets = self._touched_buckets(keyed, bkeys, n_buckets)
+            eav = self._read_raw(name).filter(
+                F.col(self.BUCKET_COL).isin(buckets)
+            ).drop(self.BUCKET_COL)
+        else:
+            eav = self.table(name)
         scoped = semi_join(eav, parent_ids, on=key)
         return unmelt_attributes(scoped, key, attribute_names=attribute_names)

@@ -441,7 +441,9 @@ def test_attribute_store_is_partition_scoped_by_default(store, spark):
     store.store_with_attributes("project", wide, key_column="project_id")
     # bucketed automatically, logical schema clean
     bkeys, n_buckets = store.partitioning_of("project_attribute")
-    assert bkeys == ["project_id"] and n_buckets == store.attr_n_buckets
+    # auto-sized: a tiny table sits at the parallelism floor
+    assert bkeys == ["project_id"]
+    assert n_buckets == store.MIN_AUTO_BUCKETS
     assert "kb" not in store.table("project_attribute").columns
     assert store.table("project_attribute").count() == 80
 
@@ -666,3 +668,182 @@ def test_torn_append_detected_and_recovered(store, spark):
     handled = cleanup_compaction_leftovers(spark, store.root)
     assert any(h.endswith("_temporary") for h in handled)
     assert store.table("project").count() == 1
+
+
+def test_suggest_bucket_count_three_volumes():
+    """Volume-derived bucket sizing (round-7): power-of-two counts
+    targeting ~target bytes/bucket, unit-checked at three synthetic
+    volumes spanning test-size to the 100-TB design point."""
+    from data_management_python_spark.store import (
+        DEFAULT_TARGET_BUCKET_BYTES,
+        suggest_bucket_count,
+    )
+
+    gb = 1024**3
+    # 1 GB at the 256 MB default target -> 4 buckets
+    assert suggest_bucket_count(1 * gb) == 4
+    # 1 TB -> 4096 buckets (power of two >= 1024*4)
+    assert suggest_bucket_count(1024 * gb) == 4096
+    # 100 TB -> 524288 ("thousands, not 64") and under the cap
+    assert suggest_bucket_count(100 * 1024 * gb) == 524288
+    assert suggest_bucket_count(100 * 1024 * gb) <= 1 << 20
+    # floors and caps hold
+    assert suggest_bucket_count(0, min_buckets=64) == 64
+    assert suggest_bucket_count(10**18, max_buckets=1 << 20) == 1 << 20
+    # power-of-two invariant across magnitudes
+    for b in [1, gb, 37 * gb, 999 * gb]:
+        n = suggest_bucket_count(b)
+        assert n & (n - 1) == 0
+    assert DEFAULT_TARGET_BUCKET_BYTES == 256 * 1024 * 1024
+
+
+def test_attr_auto_bucket_growth_and_rebucket(spark, tmp_path):
+    """An auto-sized attribute table GROWS its bucket count when it
+    outgrows the per-bucket target: with a tiny synthetic target the
+    second store triggers maybe_rebucket, the sidecar doubles (at
+    least), and every logical row survives the rewrite."""
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(
+        spark, str(tmp_path / "cat"), target_bucket_bytes=64
+    )
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(1, 61)],
+            schema,
+        ),
+    )
+    wide = spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", str(i * 2), f"batch{i % 3}")
+         for i in range(1, 61)],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    store.store_with_attributes("project", wide, key_column="project_id")
+    _, n0 = store.partitioning_of("project_attribute")
+    assert n0 >= TableStore.MIN_AUTO_BUCKETS
+    # the first store already exceeds 64 bytes/bucket -> growth fired
+    # on this or will on the next; force a second store and check
+    wide2 = wide.selectExpr(
+        "project_id", "project_igf_id",
+        "concat(expected_read, 'x') AS expected_read", "batch"
+    )
+    store.store_with_attributes("project", wide2, key_column="project_id")
+    _, n1 = store.partitioning_of("project_attribute")
+    assert n1 > TableStore.MIN_AUTO_BUCKETS
+    assert n1 & (n1 - 1) == 0
+    # a NEW TableStore over the same root sees the grown layout
+    fresh = TableStore(spark, str(tmp_path / "cat"))
+    assert fresh.partitioning_of("project_attribute")[1] == n1
+    # logical rows intact: 60 parents x (expected_read x2 variants +
+    # batch deduped once) = 60 * 3
+    got = store.table("project_attribute")
+    assert got.count() == 180
+    assert "kb" not in got.columns
+    # pinned-count stores never auto-grow
+    pinned = TableStore(
+        spark, str(tmp_path / "cat2"), attr_n_buckets=8,
+        target_bucket_bytes=64,
+    )
+    pinned.store_records(
+        "project",
+        spark.createDataFrame(
+            [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    pinned.store_with_attributes(
+        "project",
+        wide.limit(10),
+        key_column="project_id",
+    )
+    assert pinned.partitioning_of("project_attribute")[1] == 8
+
+
+def test_rebucket_guards(spark, tmp_path):
+    """rebucket refuses unpartitioned tables and no-ops on the same
+    count; maybe_rebucket is a metadata no-op under the default target
+    for small tables."""
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "cat"))
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(8)],
+            schema,
+        ),
+    )
+    with pytest.raises(ValueError, match="not partitioned"):
+        store.rebucket("project", 8)
+    store.enable_partitioning("project", ["project_id"], n_buckets=2)
+    assert store.maybe_rebucket("project") is None  # tiny table fits
+    store.rebucket("project", 2)  # same count: no-op
+    assert store.partitioning_of("project")[1] == 2
+    store.rebucket("project", 8)
+    assert store.partitioning_of("project")[1] == 8
+    assert store.table("project").count() == 8
+
+
+def test_fetch_by_and_attributes_of_bucket_pruned(spark, tmp_path):
+    """Read-side twin of the partition-scoped MERGE (round-7): a keyed
+    fetch against a bucketed table carries a kb= partition filter in
+    the physical plan (single-parent read touches one bucket), and the
+    pruned results match the unpruned ones."""
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "cat"))
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(1, 41)],
+            schema,
+        ),
+    )
+    wide = spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", str(i * 2), f"batch{i % 3}")
+         for i in range(1, 41)],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    store.store_with_attributes("project", wide, key_column="project_id")
+
+    got = store.fetch_by("project_attribute", project_id=17)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "kb" in plan, plan
+    rows = {(r.attribute_name, r.attribute_value) for r in got.collect()}
+    assert rows == {("expected_read", "34"), ("batch", "batch2")}
+    # IN-list fetch prunes too and matches the full-scan answer
+    got_in = store.fetch_by("project_attribute", project_id=[3, 17])
+    assert got_in.count() == 4
+
+    ids = spark.createDataFrame([(17,), (3,)], "project_id long")
+    wide_read = store.attributes_of("project", ids)
+    plan2 = wide_read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan2 and "kb" in plan2, plan2
+    by_id = {r.project_id: r for r in wide_read.collect()}
+    assert by_id[17].expected_read == "34"
+    assert by_id[3].batch == "batch0"
+    # opting out still answers identically
+    unpruned = store.attributes_of("project", ids, prune_buckets=False)
+    assert {tuple(r) for r in unpruned.collect()} == {
+        tuple(r) for r in wide_read.collect()
+    }
