@@ -69,12 +69,31 @@ def normalize_plan(plan: str, sf_dir: str) -> str:
     return plan
 
 
-def compute_digests(spark, sf_dir: str) -> dict[str, str]:
+def src_digest(q) -> str:
+    """Spark-free digest of a query's oracle + fn source — the cheap
+    component of the full digest.  tests/test_plan_hashes_fresh.py
+    recomputes it per query in milliseconds to fail CI when a query
+    was edited without re-running this tool (a stale sidecar silently
+    disables the plan-changed-jumps-the-window ordering).  Library-code
+    changes that alter a plan WITHOUT touching the query fn are beyond
+    this tripwire — those are what the per-round full run catches."""
+    import inspect
+
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = ""
+    return hashlib.sha256(
+        (q.oracle or "").encode() + b"\x00" + src.encode()
+    ).hexdigest()[:16]
+
+
+def compute_digests(spark, sf_dir: str) -> dict[str, dict]:
     import inspect
 
     from data_management_python_spark.plans import collect_queries
 
-    out: dict[str, str] = {}
+    out: dict[str, dict] = {}
     for name, q in collect_queries().items():
         try:
             df = q.fn(spark, sf_dir)
@@ -91,19 +110,22 @@ def compute_digests(spark, sf_dir: str) -> dict[str, str]:
             src = inspect.getsource(q.fn)
         except (OSError, TypeError):
             src = ""
-        out[name] = hashlib.sha256(
-            normalize_plan(plan, sf_dir).encode()
-            + b"\x00"
-            + (q.oracle or "").encode()
-            + b"\x00"
-            + src.encode()
-        ).hexdigest()[:16]
+        out[name] = {
+            "digest": hashlib.sha256(
+                normalize_plan(plan, sf_dir).encode()
+                + b"\x00"
+                + (q.oracle or "").encode()
+                + b"\x00"
+                + src.encode()
+            ).hexdigest()[:16],
+            "src_digest": src_digest(q),
+        }
     return out
 
 
 def merge_since_rounds(
     old: dict[str, dict],
-    digests: dict[str, str],
+    digests: dict[str, dict],
     rounds: int,
     registry_names: set[str] | None = None,
 ) -> dict[str, dict]:
@@ -115,12 +137,19 @@ def merge_since_rounds(
     next successful run.  ``registry_names`` (when given) prunes
     entries for queries deleted from the registry."""
     out: dict[str, dict] = {}
-    for name, digest in sorted(digests.items()):
+    for name, rec in sorted(digests.items()):
+        digest = rec["digest"]
         prev = old.get(name)
         if prev and prev.get("digest") == digest:
-            out[name] = prev
+            # same full digest -> same src component; carry the record
+            # forward, backfilling src_digest for pre-round-7 entries
+            out[name] = {**prev, "src_digest": rec["src_digest"]}
         else:
-            out[name] = {"digest": digest, "since_round": rounds}
+            out[name] = {
+                "digest": digest,
+                "src_digest": rec["src_digest"],
+                "since_round": rounds,
+            }
     for name, prev in old.items():
         if name in out:
             continue
@@ -130,12 +159,12 @@ def merge_since_rounds(
     return out
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    from data_management_python_spark.session import get_spark
-
-    spark = get_spark(app_name="plan_hashes")
-    spark.sparkContext.setLogLevel("ERROR")
+def regenerate(spark, sf_dir: str) -> list[str]:
+    """Recompute every digest and rewrite PLAN_HASHES.json; returns the
+    changed/new query names.  Callable with a live session so the
+    selfcheck CI entry regenerates the sidecar on every full run — a
+    forgotten manual run can no longer silently disable the
+    plan-changed-jumps-the-window ordering."""
     try:
         with open(HASHES_PATH) as f:
             old = json.load(f)
@@ -157,6 +186,16 @@ def main() -> None:
     print(f"{len(merged)} digests written; {len(changed)} changed/new")
     for n in changed:
         print(f"  changed: {n}")
+    return changed
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_hashes")
+    spark.sparkContext.setLogLevel("ERROR")
+    regenerate(spark, sf_dir)
     spark.stop()
 
 

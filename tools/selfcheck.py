@@ -183,6 +183,16 @@ def main():
         else:
             n_fail += 1
             print(f"FAIL {name}: " + " | ".join(msgs))
+    if not only and not os.environ.get("SELFCHECK_VANILLA"):
+        # full-registry run on the tuned session (the per-round CI
+        # entry): regenerate the plan-digest sidecar so a query change
+        # can never ship with a stale PLAN_HASHES.json (round-7;
+        # vanilla sessions skip it — ANSI-mode analysis inserts
+        # different cast nodes and would churn digests)
+        from plan_hashes import regenerate  # noqa: PLC0415
+
+        print()
+        regenerate(spark, sf_dir)
     ratio = spark_total / duck_total if duck_total else float("nan")
     print(
         f"\n{n_pass} pass, {n_fail} fail | spark {spark_total:.1f}s vs "
