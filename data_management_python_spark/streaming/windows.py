@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -153,9 +154,9 @@ SESSION_OUTPUT = StructType(
 
 _SESSION_STATE = StructType(
     [
-        StructField("start", TimestampType()),
-        StructField("last", TimestampType()),
-        StructField("n", LongType()),
+        StructField("starts_ms", ArrayType(LongType())),
+        StructField("lasts_ms", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -173,75 +174,124 @@ def stream_session_gap(
     operators whose close condition is not expressible as a window
     (count caps, value triggers, cross-field predicates...).
 
-    State per user is O(1): (session start, last event ts, count).
-    Append mode — closed sessions are immutable.  Late events older
-    than the watermark are dropped by the upstream ``withWatermark``.
-
-    Within a batch, incoming events interval-gap-cluster with the open
-    session (exact).  ACROSS batches the O(1) state keeps only the
-    newest cluster: earlier clusters flush eagerly, so two
-    in-watermark late events arriving in SEPARATE batches can emit as
-    two sessions where a full recompute would merge them — the
-    documented trade for fixed-size state on this API.  The
-    typed-state successor (stateful_v2.SessionGapProcessor) keeps the
-    LIST of open sessions and is exact; new pipelines should use it.
+    EXACT under out-of-order arrival, same contract as the typed-state
+    twin (stateful_v2.SessionGapProcessor): state per key is the LIST
+    of open sessions as parallel (start_ms, last_ms, n) arrays — every
+    cluster whose close time the watermark has not strictly passed
+    stays open, because a late in-watermark event may still extend,
+    BRIDGE, or precede it (round-7: the old O(1)-newest-cluster state
+    eagerly flushed earlier clusters, so cross-batch late events could
+    emit as two sessions where a recompute merges them).  Closure is
+    watermark-gated on both paths: the data path closes clusters whose
+    ``last + gap < watermark`` (STRICTLY — an admitted event at
+    ``ts == watermark == close`` must still merge under the inclusive
+    rule), and this API's single per-key event-time timeout is armed
+    at the EARLIEST open close time (clamped above the watermark), so
+    sessions drain even when a key stops receiving data.  State size
+    is O(open sessions inside the watermark horizon) — bounded by the
+    watermark itself.  Append mode; late events older than the
+    watermark are dropped by the upstream ``withWatermark``.
     """
+    gap_ms = int(gap_seconds) * 1000
+
+    def _emit(key, closed: list[tuple[int, int, int]]) -> pd.DataFrame:
+        rows = [
+            (
+                key[0],
+                pd.Timestamp(s, unit="ms"),
+                pd.Timestamp(e, unit="ms"),
+                c,
+            )
+            for s, e, c in sorted(closed)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    def _partition(sessions, wm_ms):
+        closed = [x for x in sessions if x[1] + gap_ms < wm_ms]
+        return closed, [x for x in sessions if x[1] + gap_ms >= wm_ms]
+
+    def _arm_and_store(state: GroupState, open_: list) -> None:
+        if open_:
+            state.update(
+                (
+                    [s for s, _, _ in open_],
+                    [e for _, e, _ in open_],
+                    [c for _, _, c in open_],
+                )
+            )
+            # one timeout per key on this API: arm at the earliest open
+            # close time; later closes re-arm when it fires.  Clamped
+            # strictly above the watermark (API requirement — and a
+            # close time AT the watermark may still absorb a ts == wm
+            # event, so it must wait for the next advance anyway).
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(min(e + gap_ms for _, e, _ in open_), wm + 1)
+            )
+        else:
+            state.remove()
+
+    def _open_sessions(state: GroupState) -> list[tuple[int, int, int]]:
+        if not state.exists:
+            return []
+        starts, lasts, ns = state.get
+        return [
+            (int(s), int(e), int(c))
+            for s, e, c in zip(starts, lasts, ns)
+        ]
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [start],
-                    "session_end": [last],
-                    "n_events": [n],
-                }
-            )
+            closed, open_ = _partition(_open_sessions(state), wm)
+            _arm_and_store(state, open_)
+            if closed:
+                yield _emit(key, closed)
             return
-        start, last, n = state.get if state.exists else (None, None, 0)
         # concatenate the key's Arrow chunks before sorting — event
         # order must hold across chunk boundaries, not within each
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        all_ts = sorted(pd.concat(chunks)["ts"]) if chunks else []
+        ts_ms = (
+            sorted(
+                int(v)
+                for pdf in chunks
+                for v in pdf["ts"].astype("int64") // 10**6
+            )
+            if chunks
+            else []
+        )
         # watermark bounds LATENESS, not order: a later micro-batch may
-        # deliver events preceding the open session — even before its
+        # deliver events preceding any open session — even before its
         # start.  Interval-gap clustering over the incoming points plus
-        # the open session as one interval (internal gaps <= gap by
+        # EVERY open session as an interval (internal gaps <= gap by
         # construction): merge neighbors whose gap <= threshold (the
-        # engine-wide inclusive rule); the last cluster stays open,
-        # earlier clusters close immediately.  Same algorithm as the
+        # engine-wide inclusive rule).  Same algorithm as the
         # typed-state twin (stateful_v2.SessionGapProcessor).
-        intervals = [
-            (t.to_pydatetime(), t.to_pydatetime(), 1) for t in all_ts
-        ]
-        if last is not None:
-            intervals.append((start, last, n))
-        intervals.sort()
-        merged: list[list] = []
+        intervals = sorted(
+            _open_sessions(state) + [(t, t, 1) for t in ts_ms]
+        )
+        merged: list[list[int]] = []
         for s0, e0, c0 in intervals:
-            if merged and (
-                (s0 - merged[-1][1]).total_seconds() <= gap_seconds
-            ):
+            if merged and s0 - merged[-1][1] <= gap_ms:
                 merged[-1][1] = max(merged[-1][1], e0)
                 merged[-1][2] += c0
             else:
                 merged.append([s0, e0, c0])
-        closed = [(key[0], s0, e0, c0) for s0, e0, c0 in merged[:-1]]
-        if merged:
-            start, last, n = merged[-1]
-            state.update((start, last, n))
-            # close when the watermark passes last + gap
-            state.setTimeoutTimestamp(
-                int(last.timestamp() * 1000) + gap_seconds * 1000
-            )
-        yield pd.DataFrame(
-            closed,
-            columns=["user_id", "session_start", "session_end", "n_events"],
+        # close ONLY what the watermark already strictly passed — an
+        # admitted event (ts >= wm) can never merge into such a
+        # cluster (diff > gap by definition), so this is exact; every
+        # other cluster stays open for potential late merges
+        closed, open_ = _partition(
+            [tuple(c) for c in merged], wm
         )
+        _arm_and_store(state, open_)
+        if closed:
+            yield _emit(key, closed)
 
     return (
         ensure_event_time_ltz(events, "ts")

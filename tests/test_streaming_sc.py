@@ -1385,3 +1385,69 @@ def test_session_gap_v2_too_early_events_cluster_unit():
     assert feed(p, [1000, 1020]) == []
     assert feed(p, [700]) == []
     assert fire(p, 700_000 + 60_000) == [(1, 700_000, 700_000, 1)]
+
+
+def test_stream_session_gap_cross_batch_late_bridge_merges(spark, tmp_path):
+    """Round-7: the old-API operator is now EXACT across batches.  A
+    late in-watermark batch delivers events that BRIDGE the two open
+    clusters (0s ... 60s/120s ... 130s, all gaps <= 60s inclusive) —
+    the retired O(1)-newest-cluster state had already flushed the
+    first cluster eagerly and emitted TWO sessions; the list-state
+    rewrite must emit exactly one merged session, matching both a
+    batch recompute and the typed-state v2 processor."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from data_management_python_spark.streaming.windows import (
+        stream_session_gap,
+    )
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, ts timestamp"
+    batches = [
+        [(1, base)],                                 # cluster A opens
+        [(1, base + timedelta(seconds=130))],        # cluster B opens
+        # late bridge, inside the 600s watermark: 60s joins A
+        # (inclusive boundary), 120s joins 60s, 130s joins 120s
+        [(1, base + timedelta(seconds=60)),
+         (1, base + timedelta(seconds=120))],
+        # advance the watermark far past user 1's close, then once
+        # more so the event-time timeout fires
+        [(2, base + timedelta(seconds=4000))],
+        [(2, base + timedelta(seconds=4100))],
+    ]
+    src = tmp_path / "bridge_src"
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 300 + i, now - 300 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_session_gap(
+            stream, gap_seconds=60, watermark_delay="600 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("bridge_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bridge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows_out = [
+        r for r in spark.sql("select * from bridge_out").collect()
+        if r.user_id == 1
+    ]
+    assert len(rows_out) == 1, rows_out  # ONE merged session, not two
+    s = rows_out[0]
+    assert s.session_start == base
+    assert s.session_end == base + timedelta(seconds=130)
+    assert s.n_events == 4
