@@ -324,6 +324,339 @@ def _encode_png24(
     )
 
 
+# -- baseline JPEG decode (pure Python, ITU T.81 Annex F) -------------------
+
+#: zigzag scan order -> natural (row*8+col) index, per T.81 Figure A.6
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: separable 8-point IDCT basis: _IDCT_COS[x][u] = C(u)/2 * cos((2x+1)u*pi/16)
+_IDCT_COS = [
+    [
+        (0.3535533905932738 if u == 0 else 0.5)
+        * __import__("math").cos((2 * x + 1) * u * 3.141592653589793 / 16)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+def _jpeg_huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman decode map {(code_length, code): symbol} from a
+    DHT segment's BITS/HUFFVAL lists (T.81 Annex C code assignment)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any real marker (restart handling is the
+    caller's job via :meth:`sync_restart`)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._d = data
+        self._pos = pos
+        self._bits = 0
+        self._acc = 0
+
+    def read_bit(self) -> int:
+        if self._bits == 0:
+            d, p = self._d, self._pos
+            if p >= len(d):
+                raise EOFError
+            byte = d[p]
+            p += 1
+            if byte == 0xFF:
+                if p < len(d) and d[p] == 0x00:
+                    p += 1  # stuffed 0xFF data byte
+                else:
+                    raise EOFError  # a real marker: scan data ended
+            self._pos = p
+            self._acc = byte
+            self._bits = 8
+        self._bits -= 1
+        return (self._acc >> self._bits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def sync_restart(self, n: int) -> bool:
+        """Skip to just past the RSTn marker expected next; returns
+        False when the stream does not hold one where it should."""
+        self._bits = 0  # discard pad bits to the byte boundary
+        d, p = self._d, self._pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xD0 + (n & 7):
+            self._pos = p + 2
+            return True
+        return False
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_idct_block(coef: list[float]) -> list[int]:
+    """8x8 2-D IDCT (two separable 8-point passes over the precomputed
+    cosine basis) + level shift; returns 64 clamped samples."""
+    tmp = [0.0] * 64
+    for r in range(8):
+        base = r * 8
+        row = coef[base : base + 8]
+        for x in range(8):
+            cx = _IDCT_COS[x]
+            tmp[base + x] = (
+                cx[0] * row[0] + cx[1] * row[1] + cx[2] * row[2]
+                + cx[3] * row[3] + cx[4] * row[4] + cx[5] * row[5]
+                + cx[6] * row[6] + cx[7] * row[7]
+            )
+    out = [0] * 64
+    for c in range(8):
+        col = tmp[c::8]
+        for y in range(8):
+            cy = _IDCT_COS[y]
+            v = (
+                cy[0] * col[0] + cy[1] * col[1] + cy[2] * col[2]
+                + cy[3] * col[3] + cy[4] * col[4] + cy[5] * col[5]
+                + cy[6] * col[6] + cy[7] * col[7]
+            )
+            s = int(v + 128.5) if v >= -128.5 else 0
+            out[y * 8 + c] = 255 if s > 255 else (0 if s < 0 else s)
+    return out
+
+
+def _decode_jpeg_wh_pixels(
+    blob: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]] | None:
+    """(width, height, scan-order RGB pixels) for BASELINE and extended
+    sequential JPEGs (SOF0/SOF1, 8-bit, 1 or 3 components, any
+    sampling factors, restart intervals) — pure Python, no media
+    library; the lossy twin of :func:`_decode_png_wh_pixels` and the
+    web's dominant image format (round-7 verdict item).  Huffman
+    entropy decode + dequant + 8x8 IDCT per T.81 Annex F; chroma
+    upsampled nearest-neighbor; JFIF YCbCr -> RGB.  None for
+    progressive (SOF2), arithmetic, hierarchical, 12-bit, CMYK, or
+    malformed input.  Slow path by design — PIL takes precedence in
+    :func:`_decode_image_pixels` when importable."""
+    if blob[:3] != b"\xff\xd8\xff":
+        return None
+    try:
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        restart_interval = 0
+        i = 2
+        scan = None
+        while i + 1 < len(blob):
+            if blob[i] != 0xFF:
+                return None
+            while i < len(blob) and blob[i] == 0xFF:
+                i += 1
+            if i >= len(blob):
+                return None
+            marker = blob[i]
+            i += 1
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if i + 2 > len(blob):
+                return None
+            seg_len = int.from_bytes(blob[i : i + 2], "big")
+            seg = blob[i + 2 : i + seg_len]
+            if len(seg) != seg_len - 2:
+                return None
+            i += seg_len
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0xF
+                    p += 1
+                    if pq == 0:
+                        qt[tq] = list(seg[p : p + 64])
+                        p += 64
+                    elif pq == 1:
+                        qt[tq] = [
+                            int.from_bytes(seg[p + 2 * k : p + 2 * k + 2], "big")
+                            for k in range(64)
+                        ]
+                        p += 128
+                    else:
+                        return None
+            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+                precision = seg[0]
+                if precision != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3) or not w or not h:
+                    return None
+                if w * h > _MAX_IMAGE_PIXELS:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid = seg[6 + 3 * c]
+                    hv = seg[7 + 3 * c]
+                    comps.append(
+                        (cid, hv >> 4, hv & 0xF, seg[8 + 3 * c])
+                    )
+                frame = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic/lossless/hierarchical
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0xF
+                    bits = list(seg[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = seg[p + 17 : p + 17 + n]
+                    if len(vals) != n:
+                        return None
+                    huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                    p += 17 + n
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                    for c in range(ns)
+                ]
+                break
+        if frame is None or scan is None:
+            return None
+        w, h, comps = frame
+        if len(scan) != len(comps):
+            return None
+        tables_of = {cid: (dc, ac) for cid, dc, ac in scan}
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not hmax or not vmax:
+            return None
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        planes = []
+        for cid, hs, vs, qid in comps:
+            if qid not in qt or tables_of.get(cid) is None:
+                return None
+            pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
+            planes.append(bytearray(pw * ph))
+        reader = _JpegBitReader(blob, i)
+        pred = [0] * len(comps)
+        rst = 0
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    if not reader.sync_restart(rst):
+                        return None
+                    rst = (rst + 1) & 7
+                    pred = [0] * len(comps)
+                mcu += 1
+                for ci, (cid, hs, vs, qid) in enumerate(comps):
+                    dc_t = huff.get((0, tables_of[cid][0]))
+                    ac_t = huff.get((1, tables_of[cid][1]))
+                    if dc_t is None or ac_t is None:
+                        return None
+                    q = qt[qid]
+                    pw = mcus_x * hs * 8
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = [0.0] * 64
+                            t = reader.decode_huff(dc_t)
+                            diff = _jpeg_extend(reader.read_bits(t), t)
+                            pred[ci] += diff
+                            coef[0] = pred[ci] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode_huff(ac_t)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[_JPEG_ZIGZAG[k]] = (
+                                    _jpeg_extend(reader.read_bits(s), s)
+                                    * q[k]
+                                )
+                                k += 1
+                            block = _jpeg_idct_block(coef)
+                            x0 = (mx * hs + bx) * 8
+                            y0 = (my * vs + by) * 8
+                            plane = planes[ci]
+                            for r8 in range(8):
+                                row = (y0 + r8) * pw + x0
+                                plane[row : row + 8] = bytes(
+                                    block[r8 * 8 : r8 * 8 + 8]
+                                )
+        px: list[tuple[int, int, int]] = []
+        if len(comps) == 1:
+            pw = mcus_x * comps[0][1] * 8
+            plane = planes[0]
+            for y in range(h):
+                base = y * pw
+                for x in range(w):
+                    g = plane[base + x]
+                    px.append((g, g, g))
+            return w, h, px
+        (_, yh, yv, _), (_, bh, bv, _), (_, rh, rv, _) = comps
+        pys, pcb, pcr = planes
+        wy, wb, wr = mcus_x * yh * 8, mcus_x * bh * 8, mcus_x * rh * 8
+        for y in range(h):
+            ry = (y * yv // vmax) * wy
+            rb = (y * bv // vmax) * wb
+            rr = (y * rv // vmax) * wr
+            for x in range(w):
+                Y = pys[ry + (x * yh // hmax)]
+                cb = pcb[rb + (x * bh // hmax)] - 128
+                cr = pcr[rr + (x * rh // hmax)] - 128
+                r = int(Y + 1.402 * cr + 0.5)
+                g = int(Y - 0.344136 * cb - 0.714136 * cr + 0.5)
+                b = int(Y + 1.772 * cb + 0.5)
+                px.append(
+                    (
+                        255 if r > 255 else (0 if r < 0 else r),
+                        255 if g > 255 else (0 if g < 0 else g),
+                        255 if b > 255 else (0 if b < 0 else b),
+                    )
+                )
+        return w, h, px
+    except (EOFError, ValueError, IndexError):
+        return None
+
+
 def _resize_nearest(
     px: list[tuple[int, int, int]],
     w: int,
@@ -348,7 +681,7 @@ def _decode_image_pixels(
     blob: bytes,
 ) -> tuple[int, int, list[tuple[int, int, int]]] | None:
     """(w, h, RGB pixels) via PIL when importable (any format it
-    supports), else the pure-Python PNG/BMP parsers; None if
+    supports), else the pure-Python JPEG/PNG/BMP parsers; None if
     undecodable."""
     pil = _try_pil()
     if pil is not None:
@@ -358,10 +691,12 @@ def _decode_image_pixels(
             img = pil.open(io.BytesIO(blob)).convert("RGB")
             w, h = img.size
             return w, h, list(img.getdata())
-        except Exception:  # noqa: BLE001 - fall through to PNG/BMP
+        except Exception:  # noqa: BLE001 - fall through to pure paths
             pass
     if blob[:8] == _PNG_SIG:
         return _decode_png_wh_pixels(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg_wh_pixels(blob)
     return _decode_bmp_wh_pixels(blob)
 
 

@@ -931,21 +931,17 @@ def test_bmp_real_decode_features(spark):
     assert feats == [1.0, 0.0, 0.299, 0.114]
 
 
-def test_pil_decode_parity_when_available(spark):
-    """When PIL is importable the decode path must go through it and
-    produce the SAME features for a BMP as the pure-Python parser
-    (identical pixels -> identical pooling).  Skipped without PIL."""
-    import pytest
-
+def test_decode_dispatch_parity(spark):
+    """The feature path must pool the SAME pixels whichever decode
+    branch _decode_image_pixels dispatches to (PIL when importable,
+    the pure-Python parsers otherwise) — the equality holds in both
+    worlds, so this runs everywhere (round-7: no more env skip)."""
     from data_management_python_spark.llmdata.multimodal import (
         _decode_bmp_pixels,
         _decode_features,
         _pool_pixel_features,
-        _try_pil,
     )
 
-    if _try_pil() is None:
-        pytest.skip("PIL not installed in this environment")
     px = [(10, 20, 30), (200, 100, 0), (0, 0, 0), (255, 255, 255)]
     blob = _make_bmp24(2, 2, px)
     got = _decode_features(blob, "image", 4)
@@ -1751,3 +1747,414 @@ def test_wav_zero_rate_blob_refused_not_crashing(spark):
     )
     assert sample_frames(media, n_frames=2).count() == 2  # stub slices
     assert extract_features(media, dim=4).count() == 1    # stub vector
+
+
+# -- baseline JPEG codec (round-7) -------------------------------------------
+
+#: CPython's own 16x16 baseline 4:2:0 test JPEG (Lib/test/test_email/
+#: data/python.jpg, PSF license) — an INDEPENDENT real-encoder fixture,
+#: embedded so the test doesn't depend on the interpreter's layout
+_PYTHON_LOGO_JPG_B64 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+)
+
+
+def _jpeg_test_encoder(
+    w, h, px, subsample=False, restart_interval=0, quant=1
+):
+    """Minimal baseline JPEG ENCODER for roundtrip tests: float FDCT,
+    flat quant tables, canonical fixed-length Huffman tables built from
+    the symbols actually emitted (inverted through the decoder's own
+    _jpeg_huff_table so canonical code assignment is exercised, not
+    assumed), optional 4:2:0 subsampling and restart intervals.  Lives
+    in the tests — the engine only decodes."""
+    import math
+    import struct
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_huff_table,
+    )
+
+    def fdct(block):  # 8x8 forward DCT-II, T.81 normalization
+        out = [0.0] * 64
+        for u in range(8):
+            cu = (0.3535533905932738 if u == 0 else 0.5)
+            for v in range(8):
+                cv = (0.3535533905932738 if v == 0 else 0.5)
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += block[y * 8 + x] * math.cos(
+                            (2 * x + 1) * v * math.pi / 16
+                        ) * math.cos((2 * y + 1) * u * math.pi / 16)
+                out[u * 8 + v] = cu * cv * s
+        return out
+
+    def cat(v):  # magnitude category + raw bits (T.81 F.1.2.1.2)
+        if v == 0:
+            return 0, 0
+        t = abs(v).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    # color convert + plane extraction
+    ys = [0.0] * (w * h)
+    cbs = [0.0] * (w * h)
+    crs = [0.0] * (w * h)
+    for i, (r, g, b) in enumerate(px):
+        ys[i] = 0.299 * r + 0.587 * g + 0.114 * b
+        cbs[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        crs[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    if subsample:
+        cw, ch = -(-w // 2), -(-h // 2)
+
+        def down(p):
+            out = [0.0] * (cw * ch)
+            for y in range(ch):
+                for x in range(cw):
+                    vals = [
+                        p[yy * w + xx]
+                        for yy in (2 * y, min(2 * y + 1, h - 1))
+                        for xx in (2 * x, min(2 * x + 1, w - 1))
+                    ]
+                    out[y * cw + x] = sum(vals) / len(vals)
+            return out
+
+        planes = [(ys, w, h, 2, 2), (down(cbs), cw, ch, 1, 1),
+                  (down(crs), cw, ch, 1, 1)]
+    else:
+        planes = [(ys, w, h, 1, 1), (cbs, w, h, 1, 1), (crs, w, h, 1, 1)]
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # pass 1: quantized coefficient blocks per MCU, in scan order
+    def block_at(plane, pw, ph, bx, by):
+        out = [0.0] * 64
+        for y in range(8):
+            sy = min(by * 8 + y, ph - 1)
+            for x in range(8):
+                sx = min(bx * 8 + x, pw - 1)
+                out[y * 8 + x] = plane[sy * pw + sx] - 128
+        return out
+
+    mcu_blocks = []  # [(comp_idx, zigzag-quantized 64 ints)]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, pw, ph, hs, vs) in enumerate(planes):
+                for by in range(vs):
+                    for bx in range(hs):
+                        f = fdct(
+                            block_at(plane, pw, ph, mx * hs + bx,
+                                     my * vs + by)
+                        )
+                        zz = [
+                            int(round(f[_JPEG_ZIGZAG[k]] / quant))
+                            for k in range(64)
+                        ]
+                        mcu_blocks.append((ci, zz))
+
+    # pass 2: symbol census -> fixed-length canonical tables
+    n_per_mcu = sum(p[3] * p[4] for p in planes)
+    dc_syms = [set(), set()]
+    ac_syms = [set(), set()]
+    preds = [0, 0, 0]
+    bi = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_i = my * mcus_x + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                preds = [0, 0, 0]
+            for _ in range(n_per_mcu):
+                ci, zz = mcu_blocks[bi]
+                bi += 1
+                tid = 0 if ci == 0 else 1
+                t, _bits = cat(zz[0] - preds[ci])
+                preds[ci] = zz[0]
+                dc_syms[tid].add(t)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms[tid].add(0xF0)
+                        run -= 16
+                    s, _ = cat(zz[k])
+                    ac_syms[tid].add((run << 4) | s)
+                    run = 0
+                if run:
+                    ac_syms[tid].add(0x00)
+    for t in ac_syms:
+        t.add(0x00)  # always allow EOB
+
+    def make_table(symset):
+        vals = bytes(sorted(symset))
+        length = max(1, (len(vals) + 1).bit_length())
+        bits = [0] * 16
+        bits[length - 1] = len(vals)
+        dec = _jpeg_huff_table(bits, vals)
+        enc = {sym: (ln, code) for (ln, code), sym in dec.items()}
+        return bits, vals, enc
+
+    tables = {  # (class, id) -> (bits, vals, encode map)
+        (0, 0): make_table(dc_syms[0]),
+        (0, 1): make_table(dc_syms[1]),
+        (1, 0): make_table(ac_syms[0]),
+        (1, 1): make_table(ac_syms[1]),
+    }
+
+    # pass 3: entropy-coded bytes
+    out_bits = []
+
+    def put(n, v):
+        for i in range(n - 1, -1, -1):
+            out_bits.append((v >> i) & 1)
+
+    def flush_stuffed(data):
+        while len(out_bits) % 8:
+            out_bits.append(1)
+        for i in range(0, len(out_bits), 8):
+            byte = 0
+            for b in out_bits[i : i + 8]:
+                byte = (byte << 1) | b
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        out_bits.clear()
+
+    scan = bytearray()
+    preds = [0, 0, 0]
+    bi = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_i = my * mcus_x + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                flush_stuffed(scan)
+                scan += bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) & 7)])
+                preds = [0, 0, 0]
+            for _ in range(n_per_mcu):
+                ci, zz = mcu_blocks[bi]
+                bi += 1
+                tid = 0 if ci == 0 else 1
+                t, tb = cat(zz[0] - preds[ci])
+                preds[ci] = zz[0]
+                ln, code = tables[(0, tid)][2][t]
+                put(ln, code)
+                put(t, tb)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = tables[(1, tid)][2][0xF0]
+                        put(ln, code)
+                        run -= 16
+                    s, sb = cat(zz[k])
+                    ln, code = tables[(1, tid)][2][(run << 4) | s]
+                    put(ln, code)
+                    put(s, sb)
+                    run = 0
+                if run:
+                    ln, code = tables[(1, tid)][2][0x00]
+                    put(ln, code)
+    flush_stuffed(scan)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes([0]) + bytes([quant] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (_, _, _, hs, vs) in enumerate(planes, start=1):
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    dht = b""
+    for (cls, tid), (bits, vals, _) in sorted(tables.items()):
+        dht += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + vals)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, qtab)
+    out += seg(0xC0, sof)
+    out += dht
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_handcrafted_dc_only_exact():
+    """Absolute anchor (not a mirrored roundtrip): a byte-level
+    hand-assembled grayscale baseline JPEG — flat quant table, one
+    1-bit Huffman code per table, DC diff 80, immediate EOB — whose
+    expected output is computed BY HAND from T.81: DC-only IDCT gives
+    80/8 + 128 = 138 for all 64 samples."""
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_jpeg_wh_pixels,
+        _sniff_image,
+    )
+
+    blob = bytes(
+        [0xFF, 0xD8]                                   # SOI
+        + [0xFF, 0xDB, 0x00, 0x43, 0x00] + [1] * 64    # DQT id0, all 1s
+        + [0xFF, 0xC0, 0x00, 0x0B, 0x08,               # SOF0 8-bit
+           0x00, 0x08, 0x00, 0x08, 0x01,               # 8x8, 1 comp
+           0x01, 0x11, 0x00]                           # comp 1: 1x1, q0
+        + [0xFF, 0xC4, 0x00, 0x14, 0x00, 0x01]         # DHT DC0:
+        + [0x00] * 15 + [0x07]                         #  1 code len1 -> sym 7
+        + [0xFF, 0xC4, 0x00, 0x14, 0x10, 0x01]         # DHT AC0:
+        + [0x00] * 15 + [0x00]                         #  1 code len1 -> EOB
+        + [0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,   # SOS
+           0x00, 0x3F, 0x00]
+        + [0x50, 0x7F]                                 # 0|1010000|0|pad1s
+        + [0xFF, 0xD9]                                 # EOI
+    )
+    assert _sniff_image(blob) == ("jpeg", 8, 8)
+    out = _decode_jpeg_wh_pixels(blob)
+    assert out is not None
+    w, h, px = out
+    assert (w, h) == (8, 8)
+    assert px == [(138, 138, 138)] * 64
+
+
+def test_jpeg_decode_real_encoder_fixture():
+    """The embedded CPython python.jpg (16x16 baseline 4:2:0 from a
+    real third-party encoder): dims match the sniffer, and the decoded
+    image shows the logo's structure — Python blue in the upper snake,
+    Python yellow in the lower snake, near-black border."""
+    import base64
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_jpeg_wh_pixels,
+        _sniff_image,
+    )
+
+    blob = base64.b64decode(_PYTHON_LOGO_JPG_B64)
+    assert _sniff_image(blob) == ("jpeg", 16, 16)
+    out = _decode_jpeg_wh_pixels(blob)
+    assert out is not None
+    w, h, px = out
+    assert (w, h, len(px)) == (16, 16, 256)
+    r, g, b = px[5 * 16 + 6]           # upper snake: Python blue
+    assert b > r + 50 and 80 <= b <= 220 and 80 <= g <= 180
+    r, g, b = px[10 * 16 + 6]          # lower snake: Python yellow
+    assert r > 200 and g > 180 and b < 140 and r > b + 100
+    assert all(v < 40 for v in px[0])  # border: near-black
+    assert all(v < 40 for v in px[255])
+
+
+def test_jpeg_roundtrip_444_420_and_restarts():
+    """Own-encoder roundtrip at flat quant: 4:4:4 must reconstruct
+    within DCT float-rounding tolerance; 4:2:0 over 2x2-constant
+    content is subsampling-lossless and must match within the same
+    tolerance; a restart interval exercises RSTn sync + DC prediction
+    reset."""
+    import random
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_jpeg_wh_pixels,
+    )
+
+    rng = random.Random(7)
+
+    def assert_close(px, got, tol):
+        worst = max(
+            abs(a - b) for p, q in zip(px, got) for a, b in zip(p, q)
+        )
+        assert worst <= tol, f"max channel error {worst} > {tol}"
+
+    # 4:4:4, 16x8 random smooth-ish content
+    w, h = 16, 8
+    px = []
+    for y in range(h):
+        for x in range(w):
+            base = 16 * x + 8 * y
+            px.append((
+                (base + rng.randrange(32)) % 256,
+                (2 * base + rng.randrange(32)) % 256,
+                (128 + base + rng.randrange(32)) % 256,
+            ))
+    out = _decode_jpeg_wh_pixels(_jpeg_test_encoder(w, h, px))
+    assert out is not None and (out[0], out[1]) == (w, h)
+    assert_close(px, out[2], 14)  # YCbCr int roundtrip + DCT rounding
+
+    # 4:2:0 with 2x2-constant color blocks (subsampling-lossless)
+    w, h = 16, 16
+    px = []
+    for y in range(h):
+        for x in range(w):
+            cx, cy = x // 2, y // 2
+            px.append((
+                (37 * cx + 11 * cy) % 256,
+                (91 * cx + 53 * cy) % 256,
+                (13 * cx + 71 * cy) % 256,
+            ))
+    out = _decode_jpeg_wh_pixels(_jpeg_test_encoder(w, h, px, subsample=True))
+    assert out is not None and (out[0], out[1]) == (w, h)
+    assert_close(px, out[2], 14)
+
+    # restart interval: 32x8 4:4:4 -> 8 MCUs, RST every 2
+    w, h = 32, 8
+    px = [(i % 256, (3 * i) % 256, (7 * i) % 256) for i in range(w * h)]
+    blob = _jpeg_test_encoder(w, h, px, restart_interval=2)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob  # RSTn present
+    out = _decode_jpeg_wh_pixels(blob)
+    assert out is not None and (out[0], out[1]) == (w, h)
+    assert_close(px, out[2], 14)
+
+
+def test_jpeg_decode_rejects_unsupported_and_malformed():
+    """Progressive SOF2, truncated scans, and over-cap declared dims
+    refuse with None instead of raising or OOMing."""
+    import base64
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _MAX_IMAGE_PIXELS,
+        _decode_jpeg_wh_pixels,
+    )
+
+    blob = base64.b64decode(_PYTHON_LOGO_JPG_B64)
+    # flip SOF0 -> SOF2 (progressive): refuse
+    i = blob.find(b"\xff\xc0")
+    prog = blob[:i] + b"\xff\xc2" + blob[i + 2:]
+    assert _decode_jpeg_wh_pixels(prog) is None
+    # truncated entropy scan: refuse, no exception
+    assert _decode_jpeg_wh_pixels(blob[: len(blob) // 2]) is None
+    assert _decode_jpeg_wh_pixels(b"\xff\xd8\xff") is None
+    # dimension bomb: huge declared dims refuse before any allocation
+    big = (_MAX_IMAGE_PIXELS // 60000) + 1
+    j = blob.find(b"\xff\xc0")
+    sof = bytearray(blob[j : j + 19])
+    sof[5:7] = big.to_bytes(2, "big") if big < 65536 else b"\xff\xff"
+    sof[7:9] = (60000).to_bytes(2, "big")
+    bomb = blob[:j] + bytes(sof) + blob[j + 19:]
+    assert _decode_jpeg_wh_pixels(bomb) is None
+
+
+def test_jpeg_through_resize_and_features_dispatch(spark):
+    """Spark-side plumbing: a real JPEG blob flows through
+    resize_images (decode -> resample -> BMP re-encode) without PIL,
+    and undecodable rows still pass through."""
+    import base64
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_bmp_pixels,
+        _sniff_image,
+        resize_images,
+    )
+
+    blob = base64.b64decode(_PYTHON_LOGO_JPG_B64)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    ok = got[1]
+    assert ok.resized and ok.mime_type == "image/bmp"
+    assert _sniff_image(bytes(ok.content)) == ("bmp", 4, 4)
+    small = _decode_bmp_pixels(bytes(ok.content))
+    assert len(small) == 16
+    r, g, b = small[10]  # lower-left quadrant samples the yellow snake
+    assert r > 150 and b < 160
+    assert not got[2].resized and bytes(got[2].content) == b"junk"
