@@ -222,14 +222,34 @@ class SessionGapProcessor(StatefulProcessor):
         if not sessions:
             return
         exp = expiredTimerInfo.getExpiryTimeInMs()
+        # close everything the CURRENT watermark has strictly passed,
+        # not just this timer's session (round-7): when the watermark
+        # jumps over K open sessions, K timers expire in one batch —
+        # per-timer closure made the first callback close 1 session
+        # and REWRITE the K-1 others, an O(K^2) ListState storm.
+        # Watermark-wide closure drains them all in the first callback
+        # (O(K)); the remaining K-1 callbacks see an empty/short list.
+        # Strictness matters: a session with close == wm may still
+        # legally absorb an admitted ts == wm event, so only
+        # `close < wm` sessions close by watermark; the firing timer's
+        # own session (close == exp < wm by Spark's fire rule) is
+        # always covered, with `<= exp` kept as the fallback bound
+        # when timerValues is absent (unit drives).
+        wm = 0
+        if timerValues is not None:
+            try:
+                wm = int(timerValues.getCurrentWatermarkInMs())
+            except Exception:  # noqa: BLE001 - fallback to expiry bound
+                wm = 0
         closed = [
-            (s, e, c) for s, e, c in sessions if e + self._gap_ms <= exp
+            (s, e, c)
+            for s, e, c in sessions
+            if e + self._gap_ms <= exp or e + self._gap_ms < wm
         ]
         if not closed:
             return  # stale timer for a since-extended/merged session
-        self._store(
-            [(s, e, c) for s, e, c in sessions if e + self._gap_ms > exp]
-        )
+        drop = set(closed)
+        self._store([x for x in sessions if x not in drop])
         yield self._frame(key, closed)
 
     def close(self) -> None:

