@@ -301,7 +301,7 @@ class TableStore:
         ).cast("int")
 
     def enable_partitioning(
-        self, name: str, keys: list[str], n_buckets: int
+        self, name: str, keys: list[str], n_buckets: int | None = None
     ) -> None:
         """Convert ``name`` to a hash-bucketed layout: rows live under
         ``kb=<pmod(xxhash64(keys), n_buckets)>`` partition dirs, so a
@@ -314,7 +314,17 @@ class TableStore:
         pipelineadaptor.py:293-494) — a lake's unit of rewrite is a
         partition, so bucket count bounds write amplification at
         |table| / n_buckets per touched key.
+
+        ``n_buckets=None`` (round-7) sizes the layout from the table's
+        actual on-disk bytes via :func:`suggest_bucket_count` at this
+        store's ``target_bucket_bytes`` (floor ``MIN_AUTO_BUCKETS``).
         """
+        if n_buckets is None:
+            n_buckets = suggest_bucket_count(
+                self.table_bytes(name),
+                self.target_bucket_bytes,
+                min_buckets=self.MIN_AUTO_BUCKETS,
+            )
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
         existing = self.partitioning_of(name)
@@ -698,7 +708,13 @@ class TableStore:
         part = self.partitioning_of(name)
         if part is not None and self._has_data(name):
             keys, n_buckets = part
-            if set(keys) <= set(filters):
+            literal_keyed = set(keys) <= set(filters) and not any(
+                v is None
+                or (isinstance(v, (list, tuple, set)) and None in v)
+                for k in keys
+                for v in [filters[k]]
+            )  # a NULL key never equals anything — no bucket to prune to
+            if literal_keyed:
                 buckets = self._buckets_of_values(
                     name, keys, n_buckets, filters
                 )

@@ -847,3 +847,31 @@ def test_fetch_by_and_attributes_of_bucket_pruned(spark, tmp_path):
     assert {tuple(r) for r in unpruned.collect()} == {
         tuple(r) for r in wide_read.collect()
     }
+
+
+def test_fetch_by_null_key_skips_pruning_and_auto_enable(spark, tmp_path):
+    """A NULL bucket-key filter can't hash to a bucket — fetch_by must
+    fall back to the (still correct) unpruned scan instead of crashing
+    on schema inference; enable_partitioning with n_buckets=None sizes
+    from on-disk bytes (floor for small tables)."""
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "cat"))
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(1, 9)],
+            schema,
+        ),
+    )
+    store.enable_partitioning("project", ["project_id"])  # auto-sized
+    assert store.partitioning_of("project")[1] == TableStore.MIN_AUTO_BUCKETS
+    assert store.fetch_by("project", project_id=None).count() == 0
+    assert store.fetch_by("project", project_id=[3, None]).count() == 1
+    assert store.fetch_by("project", project_id=3).count() == 1
