@@ -908,7 +908,7 @@ def _pool_audio_features(samples: list[float], dim: int) -> list[float]:
 
 def _decode_features(blob: bytes | None, modality: str, dim: int) -> list[float]:
     """Feature vector for one blob: REAL decode where a decoder exists
-    (images: PIL for any format it supports, pure-Python PNG/BMP
+    (images: PIL for any format it supports, pure-Python JPEG/PNG/BMP
     otherwise; audio: stdlib PCM WAV), deterministic stub otherwise
     (compressed audio/video need torchaudio/PyAV, absent in this
     environment)."""

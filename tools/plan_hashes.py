@@ -60,9 +60,18 @@ def normalize_plan(plan: str, sf_dir: str) -> str:
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
     # higher-order-function lambda variables are numbered by a global
-    # session counter (x_1, x_2, ...) — same plan, different numbers
-    # run to run
-    plan = re.sub(r"\blambda x_\d+", "lambda x_", plan)
+    # session counter — and NOT only the first argument: multi-arg
+    # lambdas get y_N, z_N..., so strip the counter from ANY lambda
+    # variable (the old x_-only rule let t_gopher_rules' digest flap
+    # with execution order, round-7)
+    plan = re.sub(r"\blambda (\w+?)_\d+", r"lambda \1_", plan)
+    # repartition width literals track the session's core count /
+    # shuffle setting, not the query's logic
+    plan = re.sub(
+        r"\b(RepartitionByExpression \[[^\]]*\]|Repartition),? \d+",
+        r"\1 <w>",
+        plan,
+    )
     # temp dirs (e.g. m_partitioned_merge's per-call store root)
     plan = re.sub(r"/tmp/[\w./=-]+", "<tmp>", plan)
     plan = re.sub(r"file:[\w./=-]+", "<file>", plan)
