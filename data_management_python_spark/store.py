@@ -154,6 +154,18 @@ class TableStore:
 
     def _read_raw(self, name: str) -> DataFrame:
         p = self._path(name)
+        if os.path.exists(p + "__splitting"):
+            # a crashed incremental rebucket: the live tree may be
+            # missing a bucket (retracted into the temp) or holding a
+            # partial sibling move — plain reads would silently drop
+            # or double-count rows.  Refuse until the documented
+            # recovery completes the split.
+            raise RuntimeError(
+                f"table {name!r} has a stranded sibling "
+                f"{p}__splitting: an incremental rebucket crashed "
+                "mid-bucket; call TableStore.resume_rebucket("
+                f"{name!r}) before reading"
+            )
         if os.path.exists(p + "__precompact"):
             # a crashed TABLE-LEVEL swap (_swap / enable_partitioning)
             # left the previous copy renamed aside — and possibly the
@@ -242,6 +254,7 @@ class TableStore:
         dedup, a direct _swap) would silently flatten the table while
         the cached spec still claims it is bucketed, corrupting the
         next partition-scoped mutation."""
+        self._check_mutable(name)
         from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
             swap_directory,
         )
@@ -294,6 +307,50 @@ class TableStore:
         info = (list(spec["keys"]), int(spec["n_buckets"]))
         self._part_info[name] = info
         return info
+
+    def _split_state(self, name: str) -> dict | None:
+        """Raw sidecar when an incremental rebucket is UNFINISHED
+        (``splitting_to`` present), else None.  Never cached — the
+        state changes bucket by bucket during the split."""
+        try:
+            with open(self._sidecar(name)) as f:
+                spec = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return spec if "splitting_to" in spec else None
+
+    def _write_sidecar_atomic(self, name: str, spec: dict) -> None:
+        tmp = self._sidecar(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, self._sidecar(name))
+
+    def _check_mutable(self, name: str) -> None:
+        """Mutations and appends REFUSE while an incremental rebucket
+        is unfinished: a write at the old bucket granularity into an
+        already-split bucket dir would be misplaced the moment the
+        layout flips (pruned reads would then miss it)."""
+        if self._split_state(name) is not None:
+            raise RuntimeError(
+                f"table {name!r} has an unfinished incremental "
+                "rebucket; call resume_rebucket before writing"
+            )
+
+    def _expand_split_buckets(
+        self, name: str, buckets: list[int]
+    ) -> list[int]:
+        """Bucket-prune set that stays CORRECT mid-split: while a
+        table is split bucket-by-bucket, a row of old bucket ``b``
+        lives either in ``kb=b`` (not yet split) or in one of
+        ``kb=b + k*old`` (split) — the pruned read must include them
+        all.  No-op when no split is in flight."""
+        st = self._split_state(name)
+        if st is None:
+            return buckets
+        old, new = int(st["n_buckets"]), int(st["splitting_to"])
+        return sorted(
+            {b + k * old for b in buckets for k in range(new // old)}
+        )
 
     def _bucket_expr(self, keys: list[str], n_buckets: int):
         return F.pmod(
@@ -375,13 +432,28 @@ class TableStore:
         swap_directory(self.spark, self._path(name), tmp)
         self._part_info[name] = (list(keys), n_buckets)
 
-    def rebucket(self, name: str, n_buckets: int) -> None:
-        """Rewrite a bucketed table at a new bucket count (same keys) —
-        the outgrown-spec escape hatch ``enable_partitioning`` refuses.
-        One full rewrite through the crash-safe tmp+sidecar+swap path;
-        afterwards every mutation is again scoped to right-sized
-        buckets.  Cost is amortized O(1) per stored byte when driven by
+    def rebucket(
+        self, name: str, n_buckets: int, incremental: bool | None = None
+    ) -> None:
+        """Re-layout a bucketed table at a new bucket count (same
+        keys) — the outgrown-spec escape hatch ``enable_partitioning``
+        refuses.
+
+        When the new count is a MULTIPLE of the old (the shape
+        :func:`suggest_bucket_count`'s power-of-two policy always
+        produces), the default is the INCREMENTAL SPLIT: under
+        ``pmod(hash, old)`` a row of bucket ``b`` can only land in
+        ``{b + k*old}`` under the larger count, so each old bucket is
+        read, re-hashed, and swapped INDEPENDENTLY — one
+        bucket-sized job at a time, bounded temp space, resumable
+        after a crash (:meth:`resume_rebucket`), with per-bucket
+        progress in the sidecar.  At 100 TB this is the difference
+        between one monolithic full-table rewrite job and a stream of
+        256 MB maintenance tasks.  ``incremental=False`` forces the
+        one-shot full rewrite; non-multiple targets always use it.
+        Cost either way is amortized O(1) per stored byte under
         :meth:`maybe_rebucket`'s doubling policy."""
+        self._check_mutable(name)
         part = self.partitioning_of(name)
         if part is None:
             raise ValueError(
@@ -392,6 +464,15 @@ class TableStore:
             return
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        splittable = n_buckets > old and n_buckets % old == 0
+        if incremental and not splittable:
+            raise ValueError(
+                f"incremental rebucket needs the new count to be a "
+                f"multiple of the old ({old} -> {n_buckets} is not)"
+            )
+        if splittable and incremental is not False:
+            self._split_rebucket(name, keys, old, n_buckets)
+            return
         from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
             swap_directory,
         )
@@ -411,6 +492,112 @@ class TableStore:
             json.dump({"keys": keys, "n_buckets": n_buckets}, f)
         swap_directory(self.spark, self._path(name), tmp)
         self._part_info[name] = (keys, n_buckets)
+
+    def _split_one_bucket(
+        self, name: str, keys: list[str], old: int, new: int, b: int
+    ) -> None:
+        """Split live bucket ``b`` into its ``{b + k*old}`` children.
+
+        Commit protocol (each step one rename, every crash state
+        recoverable by :meth:`resume_rebucket`):
+          (w) write the re-hashed children to ``{table}__splitting``
+          (a) retract live ``kb=b`` INTO the temp as ``__old_kb=b`` —
+              from here the temp holds the bucket's only full copy,
+              and reads refuse on the stranded temp
+          (b) move each child dir into the live tree
+          (c) drop the temp (including the superseded ``__old`` copy)
+        Idempotent for an already-split bucket (its rows re-hash to
+        ``b`` itself, so (w) produces a single ``kb=b`` child and the
+        live siblings are untouched) — which is what makes the
+        crash-between-(c)-and-progress-mark window safe."""
+        path = self._path(name)
+        tmp = path + "__splitting"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        live = os.path.join(path, f"{self.BUCKET_COL}={b}")
+        (
+            self.spark.read.parquet(live)
+            .withColumn(self.BUCKET_COL, self._bucket_expr(keys, new))
+            .repartition(F.col(self.BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(tmp)
+        )
+        os.replace(live, os.path.join(tmp, f"__old_{self.BUCKET_COL}={b}"))
+        for k in range(new // old):
+            child = f"{self.BUCKET_COL}={b + k * old}"
+            src = os.path.join(tmp, child)
+            if os.path.exists(src):
+                os.replace(src, os.path.join(path, child))
+        shutil.rmtree(tmp)
+
+    def _split_rebucket(
+        self, name: str, keys: list[str], old: int, new: int
+    ) -> None:
+        path = self._path(name)
+        st = self._split_state(name)
+        if st is None:
+            st = {
+                "keys": list(keys),
+                "n_buckets": old,
+                "splitting_to": new,
+                "split_done": [],
+            }
+            self._write_sidecar_atomic(name, st)
+        done = set(int(b) for b in st["split_done"])
+        for b in range(old):
+            if b in done:
+                continue
+            if os.path.exists(
+                os.path.join(path, f"{self.BUCKET_COL}={b}")
+            ):
+                self._split_one_bucket(name, keys, old, new, b)
+            st["split_done"] = sorted(done | {b})
+            done.add(b)
+            self._write_sidecar_atomic(name, st)
+        self._write_sidecar_atomic(
+            name, {"keys": list(keys), "n_buckets": new}
+        )
+        self._part_info[name] = (list(keys), new)
+
+    def resume_rebucket(self, name: str) -> None:
+        """Crash recovery + completion for an interrupted incremental
+        rebucket.  First repairs any stranded ``__splitting`` temp:
+        with the ``__old_kb=b`` marker present, every (possibly
+        partially) moved-in child dir of ``b`` is deleted and the
+        retracted original renamed back — the children are fully
+        reconstructible from it, so this can never lose rows; without
+        the marker the temp is a dead partial write and is dropped.
+        Then the remaining buckets split and the layout flips.  A
+        no-op when no split is in flight."""
+        st = self._split_state(name)
+        path = self._path(name)
+        tmp = path + "__splitting"
+        if st is None:
+            if os.path.exists(tmp):  # flip already happened
+                shutil.rmtree(tmp)
+            return
+        old, new = int(st["n_buckets"]), int(st["splitting_to"])
+        if os.path.exists(tmp):
+            marker = [
+                d
+                for d in os.listdir(tmp)
+                if d.startswith(f"__old_{self.BUCKET_COL}=")
+            ]
+            if marker:
+                b = int(marker[0].split("=", 1)[1])
+                for k in range(new // old):
+                    child = os.path.join(
+                        path, f"{self.BUCKET_COL}={b + k * old}"
+                    )
+                    if os.path.exists(child):
+                        shutil.rmtree(child)
+                os.replace(
+                    os.path.join(tmp, marker[0]),
+                    os.path.join(path, f"{self.BUCKET_COL}={b}"),
+                )
+            shutil.rmtree(tmp)
+        self._split_rebucket(name, list(st["keys"]), old, new)
 
     def maybe_rebucket(
         self, name: str, target_bucket_bytes: int | None = None
@@ -464,6 +651,7 @@ class TableStore:
         (:func:`cleanup_compaction_leftovers` restores a crash between
         renames).  Untouched bucket dirs are never read, never
         written."""
+        self._check_mutable(name)
         from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
             swap_directory,
         )
@@ -519,6 +707,7 @@ class TableStore:
         100-TB table costs O(new rows), not a table rewrite.  Columns
         are cast to the table schema so the parquet dir never mixes
         physical types across files."""
+        self._check_mutable(name)
         if validate and name in CORE_SCHEMAS:
             bad = validate_enums(data, name)
             if not bad.isEmpty():
@@ -715,8 +904,9 @@ class TableStore:
                 for v in [filters[k]]
             )  # a NULL key never equals anything — no bucket to prune to
             if literal_keyed:
-                buckets = self._buckets_of_values(
-                    name, keys, n_buckets, filters
+                buckets = self._expand_split_buckets(
+                    name,
+                    self._buckets_of_values(name, keys, n_buckets, filters),
                 )
                 pruned = self._read_raw(name).filter(
                     F.col(self.BUCKET_COL).isin(buckets)
@@ -823,7 +1013,9 @@ class TableStore:
             keyed = parent_ids.select(
                 F.col(key).cast(dtypes[key]).alias(key)
             )
-            buckets = self._touched_buckets(keyed, bkeys, n_buckets)
+            buckets = self._expand_split_buckets(
+                name, self._touched_buckets(keyed, bkeys, n_buckets)
+            )
             eav = self._read_raw(name).filter(
                 F.col(self.BUCKET_COL).isin(buckets)
             ).drop(self.BUCKET_COL)

@@ -875,3 +875,224 @@ def test_fetch_by_null_key_skips_pruning_and_auto_enable(spark, tmp_path):
     assert store.fetch_by("project", project_id=None).count() == 0
     assert store.fetch_by("project", project_id=[3, None]).count() == 1
     assert store.fetch_by("project", project_id=3).count() == 1
+
+
+def _mk_bucketed_project(spark, tmp_path, n=40, n_buckets=4):
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "cat"))
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(1, n + 1)],
+            schema,
+        ),
+    )
+    store.enable_partitioning("project", ["project_id"], n_buckets)
+    return store
+
+
+def test_incremental_rebucket_split(spark, tmp_path):
+    """Round-7 incremental rebucket: growing a bucketed table to a
+    multiple of its count splits bucket by bucket (each row of old
+    bucket b lands in {b + k*old} under pmod), preserving every row,
+    updating the sidecar, and leaving pruned reads correct; non-
+    multiple targets fall back to the one-shot rewrite; incremental
+    to a non-multiple refuses."""
+    import os
+
+    from data_management_python_spark.store import TableStore
+
+    store = _mk_bucketed_project(spark, tmp_path)
+    before = {
+        tuple(r) for r in store.table("project").collect()
+    }
+    store.rebucket("project", 16)  # multiple: auto-split path
+    assert store.partitioning_of("project")[1] == 16
+    assert {tuple(r) for r in store.table("project").collect()} == before
+    assert store._split_state("project") is None
+    # fresh store over the root sees the flipped layout
+    fresh = TableStore(spark, str(tmp_path / "cat"))
+    assert fresh.partitioning_of("project")[1] == 16
+    # bucket dirs are all within the new id space and pruned reads work
+    root = store._path("project")
+    ids = sorted(
+        int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("kb=")
+    )
+    assert ids and all(0 <= b < 16 for b in ids)
+    got = store.fetch_by("project", project_id=17)
+    assert got.count() == 1
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    with pytest.raises(ValueError, match="multiple"):
+        store.rebucket("project", 24, incremental=True)
+    store.rebucket("project", 12)  # non-multiple: full rewrite path
+    assert store.partitioning_of("project")[1] == 12
+    assert {tuple(r) for r in store.table("project").collect()} == before
+
+
+def test_incremental_rebucket_crash_windows(spark, tmp_path):
+    """Every split crash window recovers without losing or duplicating
+    a row: (w) temp written but bucket not retracted, (a/b) bucket
+    retracted with children partially moved in, (c+) bucket fully
+    split but unmarked (idempotent re-split), plus mid-split guards:
+    reads refuse on the stranded temp, mutations refuse until the
+    split completes, and pruned reads over the CONSISTENT mixed state
+    stay correct via dual-granularity expansion."""
+    import os
+    import shutil
+
+    from data_management_python_spark.store import TableStore
+
+    store = _mk_bucketed_project(spark, tmp_path)
+    before = {tuple(r) for r in store.table("project").collect()}
+    root = store._path("project")
+    tmp = root + "__splitting"
+
+    # drive the split but "crash" after bucket 0 completes by calling
+    # the internals the way a killed process would leave them
+    keys, old, new = ["project_id"], 4, 8
+    store._write_sidecar_atomic(
+        "project",
+        {"keys": keys, "n_buckets": old, "splitting_to": new,
+         "split_done": []},
+    )
+    store._split_one_bucket("project", keys, old, new, 0)
+    store._write_sidecar_atomic(
+        "project",
+        {"keys": keys, "n_buckets": old, "splitting_to": new,
+         "split_done": [0]},
+    )
+    # CONSISTENT mixed state: no temp dir -> reads allowed and exact,
+    # pruned reads expand to both granularities
+    assert {tuple(r) for r in store.table("project").collect()} == before
+    for pid in (1, 2, 3, 17):
+        assert store.fetch_by("project", project_id=pid).count() == 1
+    # mutations refuse mid-split
+    with pytest.raises(RuntimeError, match="resume_rebucket"):
+        store.store_records(
+            "project",
+            spark.createDataFrame(
+                [(99, "IGFQ0099", None, None, None, "ACTIVE", "FASTQ")],
+                store.table("project").schema,
+            ),
+        )
+    with pytest.raises(RuntimeError, match="resume_rebucket"):
+        store.upsert(
+            "project",
+            spark.createDataFrame([(1, "X")], "project_id long, project_igf_id string"),
+            on=["project_id"],
+            update_columns=["project_igf_id"],
+        )
+
+    # window (w): temp written for bucket 1, live bucket NOT retracted
+    live1 = os.path.join(root, "kb=1")
+    (
+        spark.read.parquet(live1)
+        .withColumn("kb", store._bucket_expr(keys, new))
+        .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    )
+    with pytest.raises(RuntimeError, match="resume_rebucket"):
+        store.table("project")
+    store.resume_rebucket("project")
+    assert store.partitioning_of("project")[1] == new
+    assert {tuple(r) for r in store.table("project").collect()} == before
+
+    # window (a/b): retract a bucket and move ONE child in, then crash
+    store2 = _mk_bucketed_project(spark, tmp_path / "w2")
+    before2 = {tuple(r) for r in store2.table("project").collect()}
+    root2 = store2._path("project")
+    tmp2 = root2 + "__splitting"
+    store2._write_sidecar_atomic(
+        "project",
+        {"keys": keys, "n_buckets": old, "splitting_to": new,
+         "split_done": []},
+    )
+    live2 = os.path.join(root2, "kb=2")
+    (
+        spark.read.parquet(live2)
+        .withColumn("kb", store2._bucket_expr(keys, new))
+        .write.mode("overwrite").partitionBy("kb").parquet(tmp2)
+    )
+    os.replace(live2, os.path.join(tmp2, "__old_kb=2"))
+    moved = os.path.join(tmp2, "kb=6")
+    if os.path.exists(moved):  # partial child move
+        os.replace(moved, os.path.join(root2, "kb=6"))
+    with pytest.raises(RuntimeError, match="resume_rebucket"):
+        store2.table("project")
+    store2.resume_rebucket("project")
+    assert store2.partitioning_of("project")[1] == new
+    assert {tuple(r) for r in store2.table("project").collect()} == before2
+
+    # window (c+): bucket split fully but not marked done -> re-split
+    # must be idempotent (rows re-hash to their own bucket)
+    store3 = _mk_bucketed_project(spark, tmp_path / "w3")
+    before3 = {tuple(r) for r in store3.table("project").collect()}
+    store3._write_sidecar_atomic(
+        "project",
+        {"keys": keys, "n_buckets": old, "splitting_to": new,
+         "split_done": []},
+    )
+    store3._split_one_bucket("project", keys, old, new, 3)
+    # crash before marking done; resume redoes bucket 3 harmlessly
+    store3.resume_rebucket("project")
+    assert store3.partitioning_of("project")[1] == new
+    assert {tuple(r) for r in store3.table("project").collect()} == before3
+    # after completion the store mutates normally again
+    store3.store_records(
+        "project",
+        spark.createDataFrame(
+            [(99, "IGFQ0099", None, None, None, "ACTIVE", "FASTQ")],
+            store3.table("project").schema,
+        ),
+    )
+    assert store3.table("project").count() == len(before3) + 1
+
+
+def test_auto_growth_uses_split_path(spark, tmp_path):
+    """maybe_rebucket's doubling growth goes through the incremental
+    split (power-of-two counts are always multiples), so auto-grown
+    attribute tables never pay a monolithic rewrite."""
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(
+        spark, str(tmp_path / "cat"), target_bucket_bytes=64
+    )
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(1, 31)],
+            schema,
+        ),
+    )
+    wide = spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", str(i * 2), f"batch{i % 3}")
+         for i in range(1, 31)],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    store.store_with_attributes("project", wide, key_column="project_id")
+    store.store_with_attributes(
+        "project",
+        wide.selectExpr("project_id", "project_igf_id",
+                        "concat(expected_read, 'y') AS expected_read",
+                        "batch"),
+        key_column="project_id",
+    )
+    _, n1 = store.partitioning_of("project_attribute")
+    assert n1 > TableStore.MIN_AUTO_BUCKETS
+    assert n1 % TableStore.MIN_AUTO_BUCKETS == 0  # split-path growth
+    assert store.table("project_attribute").count() == 90
+    assert store._split_state("project_attribute") is None
