@@ -1041,6 +1041,57 @@ def m_partitioned_merge(spark, sf_dir):
 
 
 @_q(
+    "m_rebucket_split",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey % 3 <> 0
+    """,
+    doc="the INCREMENTAL BUCKET-SPLIT rebucket end to end (round-7 "
+    "store substrate): a hash-bucketed TableStore is materialized at "
+    "4 buckets in a per-call temp dir, grown 4 -> 16 through the "
+    "per-bucket split path (each old bucket read, re-hashed, and "
+    "crash-safe renamed into its {b + k*4} children with sidecar "
+    "progress — never a monolithic rewrite), and the table read back "
+    "FROM THE SPLIT FILES is hash-checked against the plain "
+    "projection oracle.  A bucket-pruned fetch_by over the grown "
+    "layout is exercised on the way out.  Checkpointed so the temp "
+    "store is removed before returning — per-call isolation, "
+    "bench-concurrency safe.  (Excluded from the plan audit like "
+    "m_partitioned_merge: the returned frame is a checkpoint scan; "
+    "the split's rename protocol and crash windows are pinned by "
+    "tests/test_store.py.)",
+)
+def m_rebucket_split(spark, sf_dir):
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_management_python_spark.store import TableStore  # noqa: PLC0415
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="rebkt_")
+    try:
+        store = TableStore(spark, root)
+        c.filter(F.col("c_custkey") % 3 != 0).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/cust")
+        store.enable_partitioning("cust", ["c_custkey"], n_buckets=4)
+        store.rebucket("cust", 16)  # multiple of 4: the split path
+        if store.partitioning_of("cust")[1] != 16 or (
+            store._split_state("cust") is not None
+        ):
+            raise RuntimeError("incremental rebucket did not complete")
+        # keyed read over the grown layout goes through bucket pruning
+        probe = store.fetch_by("cust", c_custkey=1).count()
+        if probe > 1:
+            raise RuntimeError("pruned probe returned duplicates")
+        return store.table("cust").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "m_eav_bucketed_store",
     """
     WITH s1 AS (

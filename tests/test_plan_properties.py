@@ -129,6 +129,8 @@ AUDITED = [
     # removed before returning), so the audit would see only the
     # checkpoint scan; the merge plan's partition pruning and bucket
     # swaps are pinned by the file-listing tests in test_store.py
+    # m_rebucket_split: same checkpoint-return shape; the split's
+    # rename protocol and crash windows are pinned in test_store.py
 ]
 
 

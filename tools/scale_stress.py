@@ -104,6 +104,8 @@ HEAVY = [
     # round-6 additions
     "m_eav_bucketed_store",
     "s_user_event_profile",
+    # round-7 additions
+    "m_rebucket_split",
 ]
 
 KEY_SHIFT = {
