@@ -622,6 +622,47 @@ class TableStore:
         self.rebucket(name, new_n)
         return new_n
 
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+        min_small_files: int = 2,
+    ) -> list[str]:
+        """Bucket-granular small-file compaction — the maintenance
+        counterpart of the append-only write path: every
+        ``store_records``/EAV store adds one file per touched bucket,
+        so a hot bucket accumulates files batch by batch.  This plans
+        over the bucket dirs (metadata-only census), rewrites ONLY the
+        flagged ones to ~``target_file_bytes`` files (one bounded job
+        per bucket, crash-safe swap via the shared compaction
+        primitives), and leaves every other bucket's files
+        byte-identical.  Returns the rewritten bucket dirs.  Bucketed
+        tables only — point unbucketed tables at
+        ``sources.sinks.compact_dataset``."""
+        self._check_mutable(name)
+        if self.partitioning_of(name) is None:
+            raise ValueError(
+                f"{name} is not bucketed; use "
+                "sources.sinks.compact_dataset for flat tables"
+            )
+        from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
+            compact_partitions,
+            plan_partition_compaction,
+        )
+
+        path = self._path(name)
+        if not self._has_data(name):
+            return []
+        plan = plan_partition_compaction(
+            self.spark,
+            path,
+            target_file_bytes=target_file_bytes,
+            small_file_bytes=small_file_bytes,
+            min_small_files=min_small_files,
+        )
+        return compact_partitions(self.spark, path, plan)
+
     def _touched_buckets(
         self, frame: DataFrame, keys: list[str], n_buckets: int
     ) -> list[int]:

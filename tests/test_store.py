@@ -1096,3 +1096,60 @@ def test_auto_growth_uses_split_path(spark, tmp_path):
     assert n1 % TableStore.MIN_AUTO_BUCKETS == 0  # split-path growth
     assert store.table("project_attribute").count() == 90
     assert store._split_state("project_attribute") is None
+
+
+def test_store_compact_coalesces_hot_buckets(spark, tmp_path):
+    """compact(): after repeated appends each touched bucket holds one
+    file per batch; compaction coalesces flagged buckets to target
+    size in one bounded job each, preserves every row, and leaves
+    unflagged buckets' files byte-identical."""
+    import os
+
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "cat"))
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.enable_partitioning("project", ["project_id"], n_buckets=2)
+    for batch in range(4):
+        store.store_records(
+            "project",
+            spark.createDataFrame(
+                [(batch * 10 + i, f"IGFQ{batch}{i}", None, None, None,
+                  "ACTIVE", "FASTQ") for i in range(6)],
+                schema,
+            ),
+        )
+    root = store._path("project")
+
+    def files_of(bucket):
+        d = os.path.join(root, f"kb={bucket}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ) if os.path.isdir(d) else []
+
+    before = {b: files_of(b) for b in (0, 1)}
+    assert any(len(v) >= 2 for v in before.values())  # appends stacked
+    rows_before = {tuple(r) for r in store.table("project").collect()}
+
+    done = store.compact("project", target_file_bytes=64 * 1024 * 1024)
+    assert done  # at least one bucket flagged (>=2 tiny files)
+    for b in (0, 1):
+        if any(f"kb={b}" in d for d in done):
+            assert len(files_of(b)) == 1  # coalesced
+        else:
+            assert files_of(b) == before[b]  # untouched byte set
+    assert {tuple(r) for r in store.table("project").collect()} == rows_before
+    # guards: unbucketed tables and mid-split tables refuse
+    store2 = TableStore(spark, str(tmp_path / "flat"))
+    store2.store_records(
+        "project",
+        spark.createDataFrame(
+            [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    with pytest.raises(ValueError, match="not bucketed"):
+        store2.compact("project")
