@@ -555,8 +555,26 @@ def _decode_jpeg_wh_pixels(
             return None
         w, h, comps = frame
         if len(scan) != len(comps):
-            return None
+            return None  # multi-scan (non-interleaved color) baseline
+        if len(comps) == 1:
+            # a single-component scan is NON-INTERLEAVED per T.81: one
+            # data unit per MCU in raster order over ceil(w/8) x
+            # ceil(h/8) blocks — the declared sampling factors only
+            # mean something relative to other components, so decoding
+            # hs*vs blocks per MCU (the interleaved rule) would garble
+            # a grayscale file that legally declares e.g. 2x2.
+            # Normalizing the factors to 1x1 makes the interleaved
+            # loop below degenerate to exactly the raster walk.
+            cid0, _, _, qid0 = comps[0]
+            comps = [(cid0, 1, 1, qid0)]
         tables_of = {cid: (dc, ac) for cid, dc, ac in scan}
+        # data units inside an interleaved MCU follow the SCAN header's
+        # component order, which may legally differ from SOF order —
+        # iterating SOF order would silently swap planes
+        cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+        if any(cid not in cid_to_idx for cid, _, _ in scan):
+            return None
+        scan_order = [cid_to_idx[cid] for cid, _, _ in scan]
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         if not hmax or not vmax:
@@ -581,7 +599,8 @@ def _decode_jpeg_wh_pixels(
                     rst = (rst + 1) & 7
                     pred = [0] * len(comps)
                 mcu += 1
-                for ci, (cid, hs, vs, qid) in enumerate(comps):
+                for ci in scan_order:
+                    cid, hs, vs, qid = comps[ci]
                     dc_t = huff.get((0, tables_of[cid][0]))
                     ac_t = huff.get((1, tables_of[cid][1]))
                     if dc_t is None or ac_t is None:

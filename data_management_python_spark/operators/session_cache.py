@@ -101,7 +101,15 @@ def session_cached(
             hit = _CACHE.get(key)
         if hit is not None:
             return hit
-        df = build().localCheckpoint(eager=True)
+        # push this key too: without it a depth-2 chain
+        # (A -> B -> B) would miss the `key in held` check above and
+        # recurse unboundedly — the guard must see every build on the
+        # stack, not only the outermost one
+        held.append(key)
+        try:
+            df = build().localCheckpoint(eager=True)
+        finally:
+            held.pop()
         with _CACHE_LOCK:
             return _CACHE.setdefault(key, df)
     with key_lock:

@@ -97,6 +97,13 @@ def suggest_bucket_count(
     n = 1
     while n < need:
         n <<= 1
+    # NOTE the limit hash bucketing shares with every hash layout:
+    # count sizing bounds the AVERAGE bucket, not a skewed KEY — one
+    # parent carrying 10 GB of attributes is one 10 GB bucket at any
+    # count (the bucket key is part of the uniq constraint, so it
+    # cannot be salted without losing per-bucket dedup locality).
+    # Keyed reads/writes on such a parent degrade to that parent's
+    # volume, which is the floor any layout pays for it.
     return max(min_buckets, min(n, max_buckets))
 
 
@@ -135,7 +142,6 @@ class TableStore:
         #: workloads) and disables auto-growth.
         self.attr_n_buckets = attr_n_buckets
         self.target_bucket_bytes = target_bucket_bytes
-        self._part_info: dict[str, tuple[list[str], int]] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- storage primitives -------------------------------------------------
@@ -295,18 +301,20 @@ class TableStore:
         """(bucket key columns, n_buckets) if ``name`` is partitioned.
         Persisted as an underscore-prefixed sidecar INSIDE the table
         dir (invisible to Spark reads), so a new TableStore over an
-        existing root sees the same layout."""
-        hit = self._part_info.get(name)
-        if hit is not None:
-            return hit
+        existing root sees the same layout.
+
+        Read FRESH on every call (one tiny local file): an instance
+        cache was safe while layouts were immutable, but ``rebucket``
+        made the count changeable — a second long-lived TableStore
+        over the same root holding a cached old count would prune
+        reads to buckets that no longer hold the rows and bucket
+        appends at the wrong granularity."""
         try:
             with open(self._sidecar(name)) as f:
                 spec = json.load(f)
         except (OSError, ValueError):
             return None
-        info = (list(spec["keys"]), int(spec["n_buckets"]))
-        self._part_info[name] = info
-        return info
+        return (list(spec["keys"]), int(spec["n_buckets"]))
 
     def _split_state(self, name: str) -> dict | None:
         """Raw sidecar when an incremental rebucket is UNFINISHED
@@ -407,9 +415,11 @@ class TableStore:
             # create-bucketed-from-the-start path costs zero jobs; the
             # first append then lands bucketed)
             os.makedirs(self._path(name), exist_ok=True)
-            with open(self._sidecar(name), "w") as f:
-                json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
-            self._part_info[name] = (list(keys), n_buckets)
+            # atomic (tmp + rename): a torn sidecar parses as
+            # unpartitioned and the next append would land FLAT
+            self._write_sidecar_atomic(
+                name, {"keys": list(keys), "n_buckets": n_buckets}
+            )
             return
         from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
             swap_directory,
@@ -430,7 +440,6 @@ class TableStore:
         with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
             json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
         swap_directory(self.spark, self._path(name), tmp)
-        self._part_info[name] = (list(keys), n_buckets)
 
     def rebucket(
         self, name: str, n_buckets: int, incremental: bool | None = None
@@ -491,7 +500,6 @@ class TableStore:
         with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
             json.dump({"keys": keys, "n_buckets": n_buckets}, f)
         swap_directory(self.spark, self._path(name), tmp)
-        self._part_info[name] = (keys, n_buckets)
 
     def _split_one_bucket(
         self, name: str, keys: list[str], old: int, new: int, b: int
@@ -529,6 +537,18 @@ class TableStore:
             src = os.path.join(tmp, child)
             if os.path.exists(src):
                 os.replace(src, os.path.join(path, child))
+        # SUPERSEDE the retracted copy with one atomic rename BEFORE
+        # deleting anything: rmtree is not atomic, and a crash midway
+        # through it would leave a PARTIAL __old marker that recovery
+        # would otherwise restore as the bucket's only copy — silent
+        # row loss inside the crash-safety machinery itself.  With the
+        # marker renamed aside, recovery sees a markerless temp (a
+        # dead partial write) and simply drops it; the children are
+        # already complete in the live tree.
+        os.replace(
+            os.path.join(tmp, f"__old_{self.BUCKET_COL}={b}"),
+            os.path.join(tmp, f"__superseded_{self.BUCKET_COL}={b}"),
+        )
         shutil.rmtree(tmp)
 
     def _split_rebucket(
@@ -558,7 +578,6 @@ class TableStore:
         self._write_sidecar_atomic(
             name, {"keys": list(keys), "n_buckets": new}
         )
-        self._part_info[name] = (list(keys), new)
 
     def resume_rebucket(self, name: str) -> None:
         """Crash recovery + completion for an interrupted incremental
@@ -789,9 +808,11 @@ class TableStore:
             # first write into a spec'd-but-dataless table (or a dir
             # recreated externally): re-materialize the sidecar so a
             # fresh TableStore over this root sees the layout
+            # (atomically — a torn sidecar reads as unpartitioned)
             keys, n_buckets = part
-            with open(self._sidecar(name), "w") as f:
-                json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
+            self._write_sidecar_atomic(
+                name, {"keys": list(keys), "n_buckets": n_buckets}
+            )
 
     def store_with_attributes(
         self,
@@ -892,9 +913,19 @@ class TableStore:
                 if self.BUCKET_COL in raw.columns
                 else raw.select(*dedup_keys)
             )
-            fresh = incoming.dropDuplicates(dedup_keys).join(
-                existing, on=dedup_keys, how="left_anti"
-            )
+            # NULL-SAFE anti-join: a plain `on=dedup_keys` join never
+            # matches a NULL parent id / value, so a NULL-keyed
+            # attribute row would be re-appended on EVERY store —
+            # unbounded duplicates where the uniq constraint (and the
+            # old union+dropDuplicates, and SELECT DISTINCT oracles)
+            # treat NULLs as equal.  eqNullSafe restores that.
+            inc = incoming.dropDuplicates(dedup_keys).alias("__inc")
+            ex = existing.alias("__ex")
+            cond = None
+            for k in dedup_keys:
+                c = F.col(f"__inc.{k}").eqNullSafe(F.col(f"__ex.{k}"))
+                cond = c if cond is None else (cond & c)
+            fresh = inc.join(ex, on=cond, how="left_anti")
             self.store_records(attr_table, fresh, validate=False)
         if self.attr_n_buckets is None:
             # auto-sized layout: grow the bucket count when the table
@@ -903,18 +934,21 @@ class TableStore:
             self.maybe_rebucket(attr_table)
 
     def _buckets_of_values(
-        self, name: str, keys: list[str], n_buckets: int,
+        self,
+        dtypes: dict[str, str],
+        keys: list[str],
+        n_buckets: int,
         filters: dict[str, Any],
     ) -> list[int]:
         """Bucket ids the literal key values in ``filters`` hash to.
-        Values are cast to the TABLE's column types before hashing —
-        xxhash64 is type-sensitive, so a Python int probed against an
-        int-typed column would otherwise hash into the wrong bucket.
-        O(#literal combinations) driver rows; one tiny local job."""
+        Values are cast to the TABLE's column types (``dtypes``, taken
+        from the frame the caller is already reading — no extra tree
+        walk) before hashing — xxhash64 is type-sensitive, so a Python
+        int probed against an int-typed column would otherwise hash
+        into the wrong bucket.  O(#literal combinations) driver rows;
+        one tiny local job."""
         import itertools  # noqa: PLC0415
 
-        current = self.table(name)
-        dtypes = dict(current.dtypes)
         lists = [
             list(v) if isinstance(v, (list, tuple, set)) else [v]
             for v in (filters[k] for k in keys)
@@ -930,29 +964,42 @@ class TableStore:
         _by_multiple_column, baseadaptor.py:450-504).
 
         BUCKET-PRUNED on a partitioned table when the filters pin every
-        bucket key to literals: the key values are hashed driver-side
-        into their ``kb=`` buckets and the scan carries a partition
-        filter — a single-parent fetch against a 100-TB EAV table reads
-        ONE bucket, not the table (the read-side twin of the
-        partition-scoped MERGE)."""
+        bucket key to non-empty literals: the key values are hashed
+        driver-side into their ``kb=`` buckets and the scan carries a
+        partition filter — a single-parent fetch against a 100-TB EAV
+        table reads ONE bucket, not the table (the read-side twin of
+        the partition-scoped MERGE).  The table tree is opened ONCE —
+        at 2^20 bucket dirs a redundant driver-side listing would cost
+        more than the one-bucket scan the pruning buys."""
         part = self.partitioning_of(name)
-        if part is not None and self._has_data(name):
+        if part is not None:
             keys, n_buckets = part
+
+            def bad(v):  # NULL can't hash to a bucket; empty IN = empty
+                if v is None:
+                    return True
+                if isinstance(v, (list, tuple, set)):
+                    return len(v) == 0 or None in v
+                return False
+
             literal_keyed = set(keys) <= set(filters) and not any(
-                v is None
-                or (isinstance(v, (list, tuple, set)) and None in v)
-                for k in keys
-                for v in [filters[k]]
-            )  # a NULL key never equals anything — no bucket to prune to
+                bad(filters[k]) for k in keys
+            )
             if literal_keyed:
-                buckets = self._expand_split_buckets(
-                    name,
-                    self._buckets_of_values(name, keys, n_buckets, filters),
-                )
-                pruned = self._read_raw(name).filter(
-                    F.col(self.BUCKET_COL).isin(buckets)
-                ).drop(self.BUCKET_COL)
-                return filter_by_columns(pruned, **filters)
+                raw = self._read_raw(name)
+                if self.BUCKET_COL in raw.columns:  # has bucketed data
+                    dtypes = dict(raw.drop(self.BUCKET_COL).dtypes)
+                    buckets = self._expand_split_buckets(
+                        name,
+                        self._buckets_of_values(
+                            dtypes, keys, n_buckets, filters
+                        ),
+                    )
+                    pruned = raw.filter(
+                        F.col(self.BUCKET_COL).isin(buckets)
+                    ).drop(self.BUCKET_COL)
+                    return filter_by_columns(pruned, **filters)
+                return filter_by_columns(raw, **filters)
         return filter_by_columns(self.table(name), **filters)
 
     def exists(self, name: str, **filters: Any) -> bool:
@@ -1043,24 +1090,24 @@ class TableStore:
         name = f"{parent}_attribute"
         key = f"{parent}_id"
         part = self.partitioning_of(name)
-        if (
-            prune_buckets
-            and part is not None
-            and part[0] == [key]
-            and self._has_data(name)
-        ):
+        eav = None
+        if prune_buckets and part is not None and part[0] == [key]:
             bkeys, n_buckets = part
-            dtypes = dict(self.table(name).dtypes)
-            keyed = parent_ids.select(
-                F.col(key).cast(dtypes[key]).alias(key)
-            )
-            buckets = self._expand_split_buckets(
-                name, self._touched_buckets(keyed, bkeys, n_buckets)
-            )
-            eav = self._read_raw(name).filter(
-                F.col(self.BUCKET_COL).isin(buckets)
-            ).drop(self.BUCKET_COL)
-        else:
+            raw = self._read_raw(name)  # opened once; reused below
+            if self.BUCKET_COL in raw.columns:
+                dtypes = dict(raw.drop(self.BUCKET_COL).dtypes)
+                keyed = parent_ids.select(
+                    F.col(key).cast(dtypes[key]).alias(key)
+                )
+                buckets = self._expand_split_buckets(
+                    name, self._touched_buckets(keyed, bkeys, n_buckets)
+                )
+                eav = raw.filter(
+                    F.col(self.BUCKET_COL).isin(buckets)
+                ).drop(self.BUCKET_COL)
+            else:  # partitioned but dataless: declared schema, no kb
+                eav = raw
+        if eav is None:
             eav = self.table(name)
         scoped = semi_join(eav, parent_ids, on=key)
         return unmelt_attributes(scoped, key, attribute_names=attribute_names)

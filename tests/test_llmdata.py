@@ -1760,7 +1760,8 @@ _PYTHON_LOGO_JPG_B64 = (
 
 
 def _jpeg_test_encoder(
-    w, h, px, subsample=False, restart_interval=0, quant=1
+    w, h, px, subsample=False, restart_interval=0, quant=1,
+    scan_order=(0, 1, 2),
 ):
     """Minimal baseline JPEG ENCODER for roundtrip tests: float FDCT,
     flat quant tables, canonical fixed-length Huffman tables built from
@@ -1841,7 +1842,8 @@ def _jpeg_test_encoder(
     mcu_blocks = []  # [(comp_idx, zigzag-quantized 64 ints)]
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, (plane, pw, ph, hs, vs) in enumerate(planes):
+            for ci in scan_order:  # MCU data units follow SCAN order
+                plane, pw, ph, hs, vs = planes[ci]
                 for by in range(vs):
                     for bx in range(hs):
                         f = fdct(
@@ -1971,7 +1973,9 @@ def _jpeg_test_encoder(
     dht = b""
     for (cls, tid), (bits, vals, _) in sorted(tables.items()):
         dht += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + vals)
-    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    sos = bytes([3]) + b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in scan_order
+    ) + bytes([0, 63, 0])
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, qtab)
     out += seg(0xC0, sof)
@@ -2158,3 +2162,84 @@ def test_jpeg_through_resize_and_features_dispatch(spark):
     r, g, b = small[10]  # lower-left quadrant samples the yellow snake
     assert r > 150 and b < 160
     assert not got[2].resized and bytes(got[2].content) == b"junk"
+
+
+def test_jpeg_sos_reordered_components_decode_correctly():
+    """T.81 orders an interleaved MCU's data units by the SCAN header's
+    component list, which may differ from SOF order — a conformant
+    file with SOS listing Cr,Cb,Y must decode with the planes mapped
+    by component ID, not by position (round-7 review finding: SOF-order
+    iteration silently swapped planes)."""
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_jpeg_wh_pixels,
+    )
+
+    w, h = 8, 8
+    px = [(200, 30, 60)] * (w * h)  # strongly chromatic: swaps visible
+    normal = _decode_jpeg_wh_pixels(_jpeg_test_encoder(w, h, px))
+    reordered = _decode_jpeg_wh_pixels(
+        _jpeg_test_encoder(w, h, px, scan_order=(2, 1, 0))
+    )
+    assert normal is not None and reordered is not None
+    assert reordered[2] == normal[2]  # identical pixels either order
+    r, g, b = reordered[2][0]
+    assert abs(r - 200) <= 6 and abs(g - 30) <= 6 and abs(b - 60) <= 6
+
+
+def test_jpeg_grayscale_with_sampling_factors_is_noninterleaved():
+    """A single-component scan is NON-INTERLEAVED: one data unit per
+    MCU in raster order, sampling factors ignored.  A 16x8 grayscale
+    declaring 2x2 sampling carries exactly 2 DC-only data units (left
+    138, right 128) — the interleaved rule would expect 4 and garble
+    the layout (round-7 review finding)."""
+    import struct
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_jpeg_wh_pixels,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    bits = []
+
+    def put(n, v):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    # unit 1: DC diff +80 (cat 7, bits 1010000) -> 80/8+128 = 138
+    put(1, 0); put(7, 80); put(1, 0)          # DC code, bits, EOB
+    # unit 2: DC diff -80 (cat 7, bits 0101111) -> DC 0 -> 128
+    put(1, 0); put(7, -80 + (1 << 7) - 1); put(1, 0)
+    while len(bits) % 8:
+        bits.append(1)
+    scan_bytes = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bb in bits[i : i + 8]:
+            byte = (byte << 1) | bb
+        scan_bytes.append(byte)
+        if byte == 0xFF:
+            scan_bytes.append(0x00)
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1)
+              + bytes([1, 0x22, 0]))          # 2x2 sampling declared!
+        + seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0x07]))
+        + seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(scan_bytes)
+        + b"\xff\xd9"
+    )
+    out = _decode_jpeg_wh_pixels(blob)
+    assert out is not None
+    w, h, px = out
+    assert (w, h) == (16, 8)
+    assert all(px[y * 16 + x] == (138, 138, 138)
+               for y in range(8) for x in range(8))
+    assert all(px[y * 16 + x] == (128, 128, 128)
+               for y in range(8) for x in range(8, 16))

@@ -892,3 +892,39 @@ def test_session_cache_builds_once_under_concurrency(spark):
         t.join()
     assert builds == {"a": 1, "b": 1}
     assert all(c == 5 for _, c in results)
+
+
+def test_session_cache_deep_same_key_recursion_raises(spark):
+    """Round-7 review fix: same-key re-entry must be detected at ANY
+    nesting depth — A -> B -> B used to slip past the guard (only the
+    outermost build pushed its key) and recurse unboundedly."""
+    from data_management_python_spark.operators.session_cache import (
+        _CACHE,
+        session_cached,
+    )
+
+    def build_b():
+        return session_cached(spark, "t_deep_b", "sfX", build_b).limit(1)
+
+    def build_a():
+        return session_cached(spark, "t_deep_b", "sfX", build_b)
+
+    import threading
+
+    result = {}
+
+    def drive():
+        try:
+            session_cached(spark, "t_deep_a", "sfX", build_a)
+            result["err"] = None
+        except RuntimeError as e:
+            result["err"] = e
+
+    t = threading.Thread(target=drive, daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert result["err"] is not None
+    assert "re-entered for its own key" in str(result["err"])
+    for key in [k for k in _CACHE if k[1].startswith("t_deep_")]:
+        del _CACHE[key]

@@ -1153,3 +1153,102 @@ def test_store_compact_coalesces_hot_buckets(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not bucketed"):
         store2.compact("project")
+
+
+def test_split_superseded_marker_and_cross_instance_freshness(spark, tmp_path):
+    """Round-7 review fixes: (1) a crash between the split's marker
+    supersede and temp removal leaves only a __superseded copy —
+    recovery must DROP it (children are already live), never restore
+    it over complete children; (2) layout changes are visible to a
+    SECOND long-lived TableStore instance immediately (no stale cached
+    count pruning reads to emptied buckets)."""
+    import os
+    import shutil
+
+    from data_management_python_spark.store import TableStore
+
+    store_a = _mk_bucketed_project(spark, tmp_path)
+    store_b = TableStore(spark, str(tmp_path / "cat"))  # second handle
+    assert store_b.partitioning_of("project")[1] == 4   # reads layout
+    before = {tuple(r) for r in store_a.table("project").collect()}
+
+    store_a.rebucket("project", 16)
+    # instance B sees the new layout without any refresh call, and a
+    # keyed fetch through B finds rows that now live in split buckets
+    assert store_b.partitioning_of("project")[1] == 16
+    for pid in (1, 7, 23, 40):
+        assert store_b.fetch_by("project", project_id=pid).count() == 1
+    assert {tuple(r) for r in store_b.table("project").collect()} == before
+
+    # simulate a crash between the supersede rename and rmtree: temp
+    # holds ONLY a __superseded copy (possibly partial) while the
+    # children are complete in the live tree
+    root = store_a._path("project")
+    tmp = root + "__splitting"
+    os.makedirs(tmp, exist_ok=True)
+    some_bucket = next(
+        d for d in os.listdir(root) if d.startswith("kb=")
+    )
+    shutil.copytree(
+        os.path.join(root, some_bucket),
+        os.path.join(tmp, f"__superseded_{some_bucket}"),
+    )
+    with pytest.raises(RuntimeError, match="resume_rebucket"):
+        store_a.table("project")
+    store_a.resume_rebucket("project")
+    assert not os.path.exists(tmp)
+    assert {tuple(r) for r in store_a.table("project").collect()} == before
+
+
+def test_eav_null_key_rows_do_not_duplicate(store, spark):
+    """Round-7 review fix: the anti-join dedup must treat NULLs as
+    equal (like the uniq constraint and SELECT DISTINCT) — a NULL-id
+    attribute row stored twice keeps exactly one copy instead of
+    re-appending forever."""
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(1, "IGFQ0001", None, None, None, "ACTIVE", "FASTQ")], schema
+        ),
+    )
+    wide = spark.createDataFrame(
+        [(1, "IGFQ0001", "96", "batchX"),
+         (None, "IGFQ_NULL", "77", None)],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    for _ in range(3):  # idempotent under re-store
+        store.store_with_attributes("project", wide, key_column="project_id")
+    attrs = store.table("project_attribute")
+    nulls = attrs.filter("project_id IS NULL").collect()
+    # the NULL parent keeps ONE row per (name, value): expected_read=77
+    # (batch=None is dropped by melt's null-value filter)
+    assert len(nulls) == 1
+    assert attrs.filter("project_id = 1").count() == 2
+
+
+def test_fetch_by_empty_in_list_returns_empty(store, spark):
+    """Round-7 review fix: an empty IN-list on a bucketed key returns
+    an empty frame (the pre-pruning behavior) instead of crashing on
+    empty-dataset schema inference."""
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(4)],
+            schema,
+        ),
+    )
+    store.enable_partitioning("project", ["project_id"], n_buckets=2)
+    assert store.fetch_by("project", project_id=[]).count() == 0
+    assert store.fetch_by("project", project_id=[2]).count() == 1
