@@ -570,9 +570,18 @@ def _decode_jpeg_wh_pixels(
         tables_of = {cid: (dc, ac) for cid, dc, ac in scan}
         # data units inside an interleaved MCU follow the SCAN header's
         # component order, which may legally differ from SOF order —
-        # iterating SOF order would silently swap planes
+        # iterating SOF order would silently swap planes.  Duplicate
+        # component ids (malformed) must REFUSE: a last-wins map would
+        # leave one plane never written and another decoded twice with
+        # doubly-advanced DC predictors — garbage pixels instead of
+        # the decoder's None-on-malformed contract.
         cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
-        if any(cid not in cid_to_idx for cid, _, _ in scan):
+        if len(cid_to_idx) != len(comps):
+            return None
+        scan_cids = [cid for cid, _, _ in scan]
+        if len(set(scan_cids)) != len(scan_cids) or any(
+            cid not in cid_to_idx for cid in scan_cids
+        ):
             return None
         scan_order = [cid_to_idx[cid] for cid, _, _ in scan]
         hmax = max(c[1] for c in comps)

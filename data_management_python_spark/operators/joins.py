@@ -29,10 +29,33 @@ from data_management_python_spark.functions import (
 )
 
 
-def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+def anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    null_safe: bool = False,
+) -> DataFrame:
     """Rows of ``left`` with no key match in ``right`` (NOT-IN subquery,
-    pipelineadaptor.py:544-548)."""
-    return left.join(right, on=on, how="left_anti")
+    pipelineadaptor.py:544-548).
+
+    ``null_safe=True`` matches NULL keys to NULL keys (SQL
+    ``IS NOT DISTINCT FROM``) — the uniqueness notion DISTINCT and
+    uniq constraints use.  Exactly-once dedup paths need it: under
+    plain equality a NULL-keyed row NEVER matches its stored twin and
+    re-inserts on every run (round-7 review finding, fixed for the
+    EAV store and insert_if_absent alike)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if not null_safe:
+        return left.join(right, on=keys, how="left_anti")
+    lhs = left.alias("__aj_l")
+    rhs = right.alias("__aj_r")
+    cond = None
+    for k in keys:
+        c = F.col(f"__aj_l.{k}").eqNullSafe(F.col(f"__aj_r.{k}"))
+        cond = c if cond is None else (cond & c)
+    return lhs.join(rhs, on=cond, how="left_anti")
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:

@@ -92,11 +92,21 @@ def insert_if_absent(
     Reference: pipeline_seed uniq(pipeline, seed, table) + anti-join on
     already-seeded (pipelineadaptor.py:523-569).  Candidates are also
     deduplicated within the batch on the key — the uniq constraint the
-    reference's DB would enforce on the second insert.
+    reference's DB would enforce on the second insert.  NULL-safe on
+    the key (like the uniq constraint and dropDuplicates): a
+    NULL-keyed candidate matches its stored twin instead of
+    re-inserting on every run.
     """
+    from data_management_python_spark.operators.joins import (  # noqa: PLC0415
+        anti_join,
+    )
+
     keys = list(on)
-    fresh = candidates.dropDuplicates(keys).join(
-        target.select(*keys), on=keys, how="left_anti"
+    fresh = anti_join(
+        candidates.dropDuplicates(keys),
+        target.select(*keys),
+        on=keys,
+        null_safe=True,
     )
     return target.unionByName(fresh.select(*target.columns))
 

@@ -309,23 +309,31 @@ class TableStore:
         over the same root holding a cached old count would prune
         reads to buckets that no longer hold the rows and bucket
         appends at the wrong granularity."""
-        try:
-            with open(self._sidecar(name)) as f:
-                spec = json.load(f)
-        except (OSError, ValueError):
+        spec = self._layout(name)
+        if spec is None:
             return None
         return (list(spec["keys"]), int(spec["n_buckets"]))
+
+    def _layout(self, name: str) -> dict | None:
+        """One-shot sidecar snapshot (raw dict, or None when
+        unpartitioned).  Readers that derive several decisions from
+        the layout — the bucket count AND the split-expansion — must
+        work from ONE snapshot: two reads straddling a concurrent
+        rebucket flip would hash keys at the old count and then skip
+        the expansion, pruning to buckets that no longer hold the
+        rows."""
+        try:
+            with open(self._sidecar(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     def _split_state(self, name: str) -> dict | None:
         """Raw sidecar when an incremental rebucket is UNFINISHED
         (``splitting_to`` present), else None.  Never cached — the
         state changes bucket by bucket during the split."""
-        try:
-            with open(self._sidecar(name)) as f:
-                spec = json.load(f)
-        except (OSError, ValueError):
-            return None
-        return spec if "splitting_to" in spec else None
+        spec = self._layout(name)
+        return spec if spec is not None and "splitting_to" in spec else None
 
     def _write_sidecar_atomic(self, name: str, spec: dict) -> None:
         tmp = self._sidecar(name) + ".tmp"
@@ -344,18 +352,18 @@ class TableStore:
                 "rebucket; call resume_rebucket before writing"
             )
 
-    def _expand_split_buckets(
-        self, name: str, buckets: list[int]
-    ) -> list[int]:
+    @staticmethod
+    def _expand_split_buckets(spec: dict, buckets: list[int]) -> list[int]:
         """Bucket-prune set that stays CORRECT mid-split: while a
         table is split bucket-by-bucket, a row of old bucket ``b``
         lives either in ``kb=b`` (not yet split) or in one of
         ``kb=b + k*old`` (split) — the pruned read must include them
-        all.  No-op when no split is in flight."""
-        st = self._split_state(name)
-        if st is None:
+        all.  Works from the caller's ONE sidecar snapshot (see
+        :meth:`_layout`); no-op when that snapshot has no split in
+        flight."""
+        if "splitting_to" not in spec:
             return buckets
-        old, new = int(st["n_buckets"]), int(st["splitting_to"])
+        old, new = int(spec["n_buckets"]), int(spec["splitting_to"])
         return sorted(
             {b + k * old for b in buckets for k in range(new // old)}
         )
@@ -514,10 +522,12 @@ class TableStore:
               and reads refuse on the stranded temp
           (b) move each child dir into the live tree
           (c) drop the temp (including the superseded ``__old`` copy)
-        Idempotent for an already-split bucket (its rows re-hash to
-        ``b`` itself, so (w) produces a single ``kb=b`` child and the
-        live siblings are untouched) — which is what makes the
-        crash-between-(c)-and-progress-mark window safe."""
+        Only ever invoked on a bucket with NO live children (the
+        split loop skips already-split-but-unmarked buckets), so a
+        retraction marker in the temp always implies every existing
+        child came from the current attempt and is reconstructible
+        from the marker — the invariant recovery's
+        delete-children-then-restore depends on."""
         path = self._path(name)
         tmp = path + "__splitting"
         if os.path.exists(tmp):
@@ -568,7 +578,25 @@ class TableStore:
         for b in range(old):
             if b in done:
                 continue
-            if os.path.exists(
+            # SKIP a bucket that already has live children: within one
+            # split operation, any dir id >= old with residue b mod old
+            # can ONLY have come from b's own (completed but unmarked)
+            # split — the pre-split layout held ids < old and mutations
+            # are blocked.  Re-splitting such a bucket would retract
+            # ONLY kb=b (the rows that re-hashed to b) and a crash
+            # there would make recovery's delete-children-and-restore
+            # destroy the sibling children, whose rows are NOT in the
+            # retracted copy — permanent loss.  Skipping keeps the
+            # invariant recovery relies on: a retraction marker always
+            # implies every existing child came from the current
+            # attempt and is reconstructible from the marker.
+            already_split = any(
+                os.path.exists(
+                    os.path.join(path, f"{self.BUCKET_COL}={b + k * old}")
+                )
+                for k in range(1, new // old)
+            )
+            if not already_split and os.path.exists(
                 os.path.join(path, f"{self.BUCKET_COL}={b}")
             ):
                 self._split_one_bucket(name, keys, old, new, b)
@@ -584,11 +612,15 @@ class TableStore:
         rebucket.  First repairs any stranded ``__splitting`` temp:
         with the ``__old_kb=b`` marker present, every (possibly
         partially) moved-in child dir of ``b`` is deleted and the
-        retracted original renamed back — the children are fully
-        reconstructible from it, so this can never lose rows; without
-        the marker the temp is a dead partial write and is dropped.
-        Then the remaining buckets split and the layout flips.  A
-        no-op when no split is in flight."""
+        retracted original renamed back — the marker is only ever
+        created for a bucket that had NO pre-existing children (the
+        split loop skips completed-but-unmarked buckets), so every
+        child present came from the crashed attempt and is fully
+        reconstructible; without the marker the temp is a dead
+        partial write (or an already-superseded copy whose children
+        are complete in the live tree) and is dropped.  Then the
+        remaining buckets split and the layout flips.  A no-op when
+        no split is in flight."""
         st = self._split_state(name)
         path = self._path(name)
         tmp = path + "__splitting"
@@ -804,15 +836,10 @@ class TableStore:
         if part is not None:
             w = w.partitionBy(self.BUCKET_COL)
         w.parquet(self._path(name))
-        if part is not None and not os.path.exists(self._sidecar(name)):
-            # first write into a spec'd-but-dataless table (or a dir
-            # recreated externally): re-materialize the sidecar so a
-            # fresh TableStore over this root sees the layout
-            # (atomically — a torn sidecar reads as unpartitioned)
-            keys, n_buckets = part
-            self._write_sidecar_atomic(
-                name, {"keys": list(keys), "n_buckets": n_buckets}
-            )
+        # (no sidecar re-materialization: with the layout read fresh
+        # from the sidecar on every call, part is non-None exactly
+        # when the sidecar exists — a table dir recreated externally
+        # WITHOUT its sidecar is, by definition, unpartitioned)
 
     def store_with_attributes(
         self,
@@ -913,19 +940,21 @@ class TableStore:
                 if self.BUCKET_COL in raw.columns
                 else raw.select(*dedup_keys)
             )
-            # NULL-SAFE anti-join: a plain `on=dedup_keys` join never
-            # matches a NULL parent id / value, so a NULL-keyed
-            # attribute row would be re-appended on EVERY store —
-            # unbounded duplicates where the uniq constraint (and the
-            # old union+dropDuplicates, and SELECT DISTINCT oracles)
-            # treat NULLs as equal.  eqNullSafe restores that.
-            inc = incoming.dropDuplicates(dedup_keys).alias("__inc")
-            ex = existing.alias("__ex")
-            cond = None
-            for k in dedup_keys:
-                c = F.col(f"__inc.{k}").eqNullSafe(F.col(f"__ex.{k}"))
-                cond = c if cond is None else (cond & c)
-            fresh = inc.join(ex, on=cond, how="left_anti")
+            # NULL-SAFE anti-join (shared helper): a plain equality
+            # join never matches a NULL parent id / value, so a
+            # NULL-keyed attribute row would be re-appended on EVERY
+            # store — unbounded duplicates where the uniq constraint
+            # (and SELECT DISTINCT oracles) treat NULLs as equal.
+            from data_management_python_spark.operators.joins import (  # noqa: PLC0415
+                anti_join,
+            )
+
+            fresh = anti_join(
+                incoming.dropDuplicates(dedup_keys),
+                existing,
+                on=dedup_keys,
+                null_safe=True,
+            )
             self.store_records(attr_table, fresh, validate=False)
         if self.attr_n_buckets is None:
             # auto-sized layout: grow the bucket count when the table
@@ -971,9 +1000,10 @@ class TableStore:
         the partition-scoped MERGE).  The table tree is opened ONCE —
         at 2^20 bucket dirs a redundant driver-side listing would cost
         more than the one-bucket scan the pruning buys."""
-        part = self.partitioning_of(name)
-        if part is not None:
-            keys, n_buckets = part
+        spec = self._layout(name)  # ONE snapshot serves count + expand
+        if spec is not None:
+            keys = list(spec["keys"])
+            n_buckets = int(spec["n_buckets"])
 
             def bad(v):  # NULL can't hash to a bucket; empty IN = empty
                 if v is None:
@@ -990,7 +1020,7 @@ class TableStore:
                 if self.BUCKET_COL in raw.columns:  # has bucketed data
                     dtypes = dict(raw.drop(self.BUCKET_COL).dtypes)
                     buckets = self._expand_split_buckets(
-                        name,
+                        spec,
                         self._buckets_of_values(
                             dtypes, keys, n_buckets, filters
                         ),
@@ -1089,10 +1119,14 @@ class TableStore:
         saves (reads stay correct either way)."""
         name = f"{parent}_attribute"
         key = f"{parent}_id"
-        part = self.partitioning_of(name)
+        spec = self._layout(name)  # ONE snapshot serves count + expand
         eav = None
-        if prune_buckets and part is not None and part[0] == [key]:
-            bkeys, n_buckets = part
+        if (
+            prune_buckets
+            and spec is not None
+            and list(spec["keys"]) == [key]
+        ):
+            n_buckets = int(spec["n_buckets"])
             raw = self._read_raw(name)  # opened once; reused below
             if self.BUCKET_COL in raw.columns:
                 dtypes = dict(raw.drop(self.BUCKET_COL).dtypes)
@@ -1100,7 +1134,7 @@ class TableStore:
                     F.col(key).cast(dtypes[key]).alias(key)
                 )
                 buckets = self._expand_split_buckets(
-                    name, self._touched_buckets(keyed, bkeys, n_buckets)
+                    spec, self._touched_buckets(keyed, [key], n_buckets)
                 )
                 eav = raw.filter(
                     F.col(self.BUCKET_COL).isin(buckets)

@@ -2243,3 +2243,30 @@ def test_jpeg_grayscale_with_sampling_factors_is_noninterleaved():
                for y in range(8) for x in range(8))
     assert all(px[y * 16 + x] == (128, 128, 128)
                for y in range(8) for x in range(8, 16))
+
+
+def test_jpeg_duplicate_component_ids_refuse():
+    """Second-review finding: duplicate component ids (SOF or SOS) are
+    malformed and must decode to None, not garbage with an unwritten
+    plane."""
+    import base64
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_jpeg_wh_pixels,
+    )
+
+    blob = bytearray(base64.b64decode(_PYTHON_LOGO_JPG_B64))
+    j = bytes(blob).find(b"\xff\xc0")
+    # SOF comps at j+10..j+18 (3 x (cid, hv, q)): duplicate cid 2 -> 2,2
+    assert blob[j + 10] == 1 and blob[j + 13] == 2 and blob[j + 16] == 3
+    dup = bytearray(blob)
+    dup[j + 16] = 2
+    assert _decode_jpeg_wh_pixels(bytes(dup)) is None
+    # duplicate cids in SOS only
+    s = bytes(blob).find(b"\xff\xda")
+    dup2 = bytearray(blob)
+    assert dup2[s + 5] == 1 and dup2[s + 7] == 2 and dup2[s + 9] == 3
+    dup2[s + 9] = 2
+    assert _decode_jpeg_wh_pixels(bytes(dup2)) is None
+    # the unmodified fixture still decodes
+    assert _decode_jpeg_wh_pixels(bytes(blob)) is not None

@@ -1252,3 +1252,51 @@ def test_fetch_by_empty_in_list_returns_empty(store, spark):
     store.enable_partitioning("project", ["project_id"], n_buckets=2)
     assert store.fetch_by("project", project_id=[]).count() == 0
     assert store.fetch_by("project", project_id=[2]).count() == 1
+
+
+def test_resplit_crash_cannot_destroy_prior_children(spark, tmp_path):
+    """Second-review finding: a bucket fully split but UNMARKED, then
+    re-entered after a crash, must be SKIPPED (its live children came
+    from the completed attempt and are not reconstructible from a new
+    retraction).  Simulates the double-crash sequence that previously
+    destroyed the sibling child's rows."""
+    import os
+
+    store = _mk_bucketed_project(spark, tmp_path)
+    before = {tuple(r) for r in store.table("project").collect()}
+    keys, old, new = ["project_id"], 4, 8
+    root = store._path("project")
+
+    # bucket b: fully split but not marked done (crash before the mark)
+    b = next(
+        int(d.split("=")[1]) for d in sorted(os.listdir(root))
+        if d.startswith("kb=")
+    )
+    store._write_sidecar_atomic(
+        "project",
+        {"keys": keys, "n_buckets": old, "splitting_to": new,
+         "split_done": []},
+    )
+    store._split_one_bucket("project", keys, old, new, b)
+    # resume: must NOT re-split b (children exist); all rows survive
+    store.resume_rebucket("project")
+    assert store.partitioning_of("project")[1] == new
+    assert {tuple(r) for r in store.table("project").collect()} == before
+
+
+def test_insert_if_absent_null_key_idempotent(spark):
+    """Second-review finding: insert_if_absent shares the NULL-safe
+    anti-join — a NULL-keyed candidate matches its stored twin instead
+    of re-inserting on every seeding run."""
+    from data_management_python_spark.operators.upsert import (
+        insert_if_absent,
+    )
+
+    target = spark.createDataFrame([(None, "seeded")], "id long, v string")
+    cand = spark.createDataFrame(
+        [(None, "dup"), (2, "new")], "id long, v string"
+    )
+    once = insert_if_absent(target, cand, ["id"])
+    twice = insert_if_absent(once, cand, ["id"])
+    assert once.count() == 2 and twice.count() == 2
+    assert {r.v for r in once.filter("id IS NULL").collect()} == {"seeded"}
