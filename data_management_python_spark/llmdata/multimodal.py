@@ -143,6 +143,10 @@ def _decode_bmp_wh_pixels(
         return None
     top_down = height < 0
     height = abs(height)
+    if width * height > _MAX_IMAGE_PIXELS:
+        # BMP lacked the declared-size guard the PNG/JPEG paths have;
+        # a 192 MB valid blob would otherwise make a ~4.5 GB tuple list
+        return None
     bytes_pp = bpp // 8
     row_stride = (width * bytes_pp + 3) & ~3
     if data_off + row_stride * height > len(blob):
@@ -190,10 +194,21 @@ def _encode_bmp24(
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-#: refuse to decode images whose headers declare more pixels than this
-#: (64 MP ≈ 256 MB of RGBA rows) — corpus blobs are untrusted, and an
-#: absurd declared size is an attack, not a photo
-_MAX_IMAGE_PIXELS = 64_000_000
+#: refuse to decode images whose headers declare more pixels than this.
+#: Corpus blobs are untrusted, and the threat is a worker stall/OOM:
+#: these pure-Python decoders materialize list[tuple[int,int,int]]
+#: (~70-80 bytes/pixel), so the cap bounds DECODED WORKING SET, not
+#: raw bytes — 16 MP ≈ ~1.2 GB of tuples, the most one mapInPandas
+#: worker should ever spend on a single adversarial-but-valid blob.
+#: A real deployment swaps these codecs for a native media library and
+#: can raise the cap; the Spark-side plumbing is unchanged.
+_MAX_IMAGE_PIXELS = 16_000_000
+
+#: tighter cap for the pure-Python JPEG path: Huffman + per-block IDCT
+#: in Python runs ~100x slower than the PNG filter passes, so a valid
+#: image under the general cap could still stall a worker for hours.
+#: 4 MP keeps worst-case single-blob decode in the minutes, not hours.
+_MAX_JPEG_PIXELS = 4_000_000
 
 
 def _png_paeth(a: int, b: int, c: int) -> int:
@@ -518,7 +533,7 @@ def _decode_jpeg_wh_pixels(
                 nc = seg[5]
                 if nc not in (1, 3) or not w or not h:
                     return None
-                if w * h > _MAX_IMAGE_PIXELS:
+                if w * h > _MAX_JPEG_PIXELS:
                     return None
                 comps = []
                 for c in range(nc):

@@ -236,9 +236,20 @@ class TableStore:
     def table_bytes(self, name: str) -> int:
         """On-disk bytes of a table — the volume signal bucket sizing
         uses.  Hadoop FileSystem content summary through the JVM (the
-        same signal ``compact_dataset`` sizes output files from), so it
-        works on any scheme a real deployment points ``root`` at; 0
-        for a never-written table."""
+        same signal ``compact_dataset`` sizes output files from), so
+        the SIGNAL works on any scheme a real deployment points
+        ``root`` at; 0 for a never-written table.
+
+        .. note:: The MAINTENANCE this signal triggers does not (yet)
+           share that reach: the rebucket/split/resume protocol and
+           the sidecar/commit writes use ``os.replace``/``shutil``,
+           which require a LOCAL (or local-mounted, e.g. NFS/fuse)
+           filesystem root.  On an object-store root (s3a://, gs://)
+           reads and appends work, but ``rebucket``/``compact``/
+           ``maybe_rebucket`` and every ``_swap``-based mutation must
+           be routed through a rename-capable root — run maintenance
+           against a mounted view, or port the rename/delete steps to
+           the Hadoop FS handle this method already obtains."""
         p = self._path(name)
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
@@ -891,10 +902,23 @@ class TableStore:
                 )
             self.enable_partitioning(attr_table, [key], n)
         current = self.table(attr_table)
+        attr_dtypes = dict(current.dtypes)
         incoming = (
             eav.withColumnRenamed(key_column, key)
             .withColumn(f"{name}_attribute_id", F.lit(None).cast("long"))
-            .select(*current.columns)
+            # cast to the attribute table schema BEFORE bucket hashing
+            # and the anti-join below: xxhash64 is type-sensitive (the
+            # same reason _buckets_of_values casts), so an incoming key
+            # whose physical type differs from the table's (int vs
+            # long) would hash to different buckets — the anti-join's
+            # pruned read would miss on-disk twins and silently append
+            # duplicates, violating uniq(parent, name, value)
+            .select(
+                *[
+                    F.col(c).cast(attr_dtypes[c]).alias(c)
+                    for c in current.columns
+                ]
+            )
         )
         dedup_keys = [key, "attribute_name", "attribute_value"]
         bkeys, n_buckets = self.partitioning_of(attr_table)

@@ -191,6 +191,15 @@ def stream_session_gap(
     is O(open sessions inside the watermark horizon) — bounded by the
     watermark itself.  Append mode; late events older than the
     watermark are dropped by the upstream ``withWatermark``.
+
+    .. warning:: **Checkpoint compatibility.** Round-7 changed the
+       state format from one (start, last, n) timestamp struct to the
+       parallel long arrays above.  ``applyInPandasWithState`` has NO
+       state-schema evolution: a pre-round-7 deployment of this
+       operator restarted on its existing checkpoint will fail (or
+       worse, misdecode state).  Restart such pipelines with a FRESH
+       checkpoint location deliberately; the exactly-once story then
+       restarts from the source's retained offsets, not from state.
     """
     gap_ms = int(gap_seconds) * 1000
 

@@ -2114,7 +2114,7 @@ def test_jpeg_decode_rejects_unsupported_and_malformed():
     import base64
 
     from data_management_python_spark.llmdata.multimodal import (
-        _MAX_IMAGE_PIXELS,
+        _MAX_JPEG_PIXELS,
         _decode_jpeg_wh_pixels,
     )
 
@@ -2127,7 +2127,7 @@ def test_jpeg_decode_rejects_unsupported_and_malformed():
     assert _decode_jpeg_wh_pixels(blob[: len(blob) // 2]) is None
     assert _decode_jpeg_wh_pixels(b"\xff\xd8\xff") is None
     # dimension bomb: huge declared dims refuse before any allocation
-    big = (_MAX_IMAGE_PIXELS // 60000) + 1
+    big = (_MAX_JPEG_PIXELS // 60000) + 1
     j = blob.find(b"\xff\xc0")
     sof = bytearray(blob[j : j + 19])
     sof[5:7] = big.to_bytes(2, "big") if big < 65536 else b"\xff\xff"
@@ -2270,3 +2270,30 @@ def test_jpeg_duplicate_component_ids_refuse():
     assert _decode_jpeg_wh_pixels(bytes(dup2)) is None
     # the unmodified fixture still decodes
     assert _decode_jpeg_wh_pixels(bytes(blob)) is not None
+
+
+def test_image_decode_pixel_caps():
+    """Round-8 ADVICE: the pixel caps bound DECODED working set, not
+    raw bytes — the pure-Python decoders refuse a declared size whose
+    tuple-list materialization would stall/OOM a worker.  BMP (which
+    previously had no cap) and the tighter JPEG cap both refuse."""
+    from data_management_python_spark.llmdata.multimodal import (
+        _MAX_IMAGE_PIXELS,
+        _MAX_JPEG_PIXELS,
+        _decode_bmp_wh_pixels,
+    )
+
+    assert _MAX_JPEG_PIXELS < _MAX_IMAGE_PIXELS <= 16_000_000
+    # BMP header declaring >cap pixels: refused before any allocation
+    w = 60_000
+    h = _MAX_IMAGE_PIXELS // w + 1
+    hdr = (
+        b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
+    )
+    assert len(hdr) == 54
+    assert _decode_bmp_wh_pixels(hdr + b"\x00" * 64) is None

@@ -1300,3 +1300,47 @@ def test_insert_if_absent_null_key_idempotent(spark):
     twice = insert_if_absent(once, cand, ["id"])
     assert once.count() == 2 and twice.count() == 2
     assert {r.v for r in once.filter("id IS NULL").collect()} == {"seeded"}
+
+
+def test_store_with_attributes_key_type_mismatch_no_dups(spark, tmp_path):
+    """Round-8 ADVICE (medium): incoming attribute rows whose key
+    column's PHYSICAL type differs from the attribute schema (int vs
+    long) must still hash into the same buckets as the on-disk rows —
+    xxhash64 is type-sensitive, so without the schema cast the
+    anti-join's pruned read misses the on-disk twins and re-appends
+    them, violating uniq(parent, name, value)."""
+    from data_management_python_spark.store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "cat"), attr_n_buckets=8)
+    schema = (
+        "project_id long, project_igf_id string, project_name string, "
+        "start_timestamp timestamp, description string, status string, "
+        "deliverable string"
+    )
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+             for i in range(1, 9)],
+            schema,
+        ),
+    )
+    wide_long = spark.createDataFrame(
+        [(i, str(i * 2)) for i in range(1, 9)],
+        "project_id long, expected_read string",
+    )
+    store.store_with_attributes("project", wide_long, key_column="project_id")
+    assert store.table("project_attribute").count() == 8
+    # same logical rows, key physically INT: must dedup, not duplicate
+    wide_int = wide_long.withColumn(
+        "project_id", F.col("project_id").cast("int")
+    )
+    store.store_with_attributes("project", wide_int, key_column="project_id")
+    got = store.table("project_attribute")
+    assert got.count() == 8
+    # and genuinely-new rows through the int-typed path still land
+    extra = spark.createDataFrame(
+        [(1, "late")], "project_id int, batch string"
+    )
+    store.store_with_attributes("project", extra, key_column="project_id")
+    assert store.table("project_attribute").count() == 9
