@@ -43,9 +43,12 @@ parquet implementation keeps the same call contract.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +77,28 @@ from data_management_python_spark.operators.upsert import merge_upsert
 #: memory.  256 MB of parquet (~1 GB decoded) is the classic
 #: maxPartitionBytes-shaped choice.
 DEFAULT_TARGET_BUCKET_BYTES = 256 * 1024 * 1024
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds (or abandoned) this store's commit lock."""
+
+
+class _Txn:
+    """In-flight transaction state for one TableStore instance.
+
+    ``explicit`` distinguishes a user/multi-table transaction (ops are
+    undo-journaled, readers of touched tables are fenced) from the
+    single-verb writer guard (lock only — per-table crash recovery
+    already covers a torn single mutation)."""
+
+    __slots__ = ("token", "explicit", "tables", "ops", "seq")
+
+    def __init__(self, token: str, explicit: bool):
+        self.token = token
+        self.explicit = explicit
+        self.tables: list[str] = []
+        self.ops: list[dict] = []
+        self.seq = 0
 
 
 def suggest_bucket_count(
@@ -142,7 +167,279 @@ class TableStore:
         #: workloads) and disables auto-growth.
         self.attr_n_buckets = attr_n_buckets
         self.target_bucket_bytes = target_bucket_bytes
+        #: seconds a mutation waits for a LIVE competing writer before
+        #: raising ConcurrentWriterError (a DEAD one is recovered and
+        #: taken over immediately)
+        self.lock_timeout = 60.0
+        self._txn: _Txn | None = None
         os.makedirs(root, exist_ok=True)
+
+    # -- transactional commit log -------------------------------------------
+    #
+    # The reference gets multi-table atomicity and writer serialization
+    # from one ORM session transaction against MySQL
+    # (dbconnect.py:122-141; baseadaptor.py:269-303).  A lake has
+    # neither, so the store provides both with a root-level COMMIT LOG:
+    #
+    #   _txn/pending.json    the writer lock (created O_EXCL — the CAS)
+    #                        and the UNDO journal of the open txn
+    #   _txn/committed.json  the committed-but-uncleaned marker
+    #
+    # Protocol: every mutating verb acquires the lock (single verbs as
+    # a lock-only guard; ``transaction()``/``store_with_attributes`` as
+    # an explicit journaled txn).  Inside an explicit txn, appends are
+    # STAGED then moved file-by-file (each dst path journaled BEFORE
+    # any move), and table swaps keep their pre-image dir until commit
+    # — so every op is undoable.  COMMIT POINT is one atomic rename
+    # (pending -> committed); cleanup then drops pre-images/stages and
+    # the marker.  Recovery (``recover_transactions``) rolls a pending
+    # journal BACK (reverse-order undo) and a committed one FORWARD
+    # (finish cleanup); both are idempotent, so a crash during recovery
+    # itself just re-runs.  Readers of a table named by a pending
+    # explicit txn REFUSE (same pattern as the stranded-sibling
+    # checks): old-or-new, never mixed.
+    #
+    # Scope and assumptions: local(-mounted) filesystem root (same as
+    # rebucket/compact — O_EXCL create and rename are the primitives);
+    # one TableStore instance per thread (the lock serializes
+    # instances/processes, not threads sharing one instance); writer
+    # liveness is judged by pid on THIS host — a lock from a dead pid
+    # is recovered and taken over, a live one is awaited up to
+    # ``lock_timeout``.  upsert/delete_where/rebucket/compact are NOT
+    # permitted inside an open explicit transaction (their per-bucket
+    # swap loops are not undo-journaled); call them as their own
+    # serialized verbs.
+
+    def _txn_path(self, which: str) -> str:
+        return os.path.join(self.root, "_txn", which + ".json")
+
+    def _read_journal(self, which: str) -> dict | None:
+        try:
+            with open(self._txn_path(which)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_journal(self) -> None:
+        """Persist the open txn's journal atomically over the lock file
+        (rename keeps the lock continuously present)."""
+        t = self._txn
+        spec = {
+            "token": t.token,
+            "pid": os.getpid(),
+            "ts": time.time(),
+            "explicit": t.explicit,
+            "tables": t.tables,
+            "ops": t.ops,
+        }
+        tmp = self._txn_path("pending") + f".{t.token}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, self._txn_path("pending"))
+
+    def _journal_op(self, table: str, op: dict) -> None:
+        """Record an undoable op (and its table) BEFORE performing it."""
+        t = self._txn
+        if table not in t.tables:
+            t.tables.append(table)
+        if op:
+            t.ops.append(op)
+        self._write_journal()
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(int(pid), 0)
+        except ProcessLookupError:
+            return False
+        except (PermissionError, OverflowError, ValueError):
+            return True  # exists but not ours / unjudgeable: assume live
+        return True
+
+    def _acquire_lock(self, explicit: bool) -> _Txn:
+        os.makedirs(os.path.dirname(self._txn_path("pending")), exist_ok=True)
+        deadline = time.monotonic() + self.lock_timeout
+        while True:
+            # finish any committed-but-uncleaned txn first (cheap no-op
+            # when the marker is absent)
+            self._roll_forward()
+            token = uuid.uuid4().hex
+            try:
+                fd = os.open(
+                    self._txn_path("pending"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                pend = self._read_journal("pending")
+                if pend is not None and not self._pid_alive(pend.get("pid", -1)):
+                    # abandoned by a dead writer: roll it back and retry
+                    self.recover_transactions()
+                    continue
+                if time.monotonic() >= deadline:
+                    raise ConcurrentWriterError(
+                        f"store {self.root!r} is locked by a live "
+                        f"writer (pid {pend and pend.get('pid')}); "
+                        f"gave up after {self.lock_timeout}s"
+                    ) from None
+                time.sleep(0.02)
+                continue
+            os.close(fd)
+            self._txn = _Txn(token, explicit)
+            self._write_journal()
+            return self._txn
+
+    def _commit(self) -> None:
+        """Atomic commit point (one rename), then cleanup."""
+        os.replace(self._txn_path("pending"), self._txn_path("committed"))
+        self._roll_forward()
+
+    def _rollback(self) -> None:
+        for op in reversed(self._txn.ops):
+            self._undo_op(op)
+        with contextlib.suppress(OSError):
+            os.unlink(self._txn_path("pending"))
+
+    def _undo_op(self, op: dict) -> None:
+        kind = op["kind"]
+        if kind == "append":
+            for rel in op["files"]:
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(self.root, rel))
+            shutil.rmtree(os.path.join(self.root, op["stage"]),
+                          ignore_errors=True)
+        elif kind == "swap":
+            live = self._path(op["table"])
+            pre = os.path.join(self.root, op["pre"])
+            if os.path.exists(pre):
+                # the pre-image exists from the moment the live dir is
+                # renamed aside, so: drop whatever is live (absent, the
+                # new copy, or nothing yet) and restore the original
+                shutil.rmtree(live, ignore_errors=True)
+                os.replace(pre, live)
+            elif not op["had_live"]:
+                # the table did not exist before the txn and the new
+                # copy may already have been renamed in: remove it
+                shutil.rmtree(live, ignore_errors=True)
+            # (pre absent + had_live: crash before the live->pre
+            # rename — the live dir still IS the original; keep it)
+            shutil.rmtree(os.path.join(self.root, op["tmp"]),
+                          ignore_errors=True)
+        elif kind == "sidecar":
+            if op["had"] is None:
+                with contextlib.suppress(OSError):
+                    os.unlink(self._sidecar(op["table"]))
+            else:
+                self._write_sidecar_atomic(op["table"], op["had"])
+
+    def _roll_forward(self) -> None:
+        """Finish a committed txn's cleanup: drop pre-images and stage
+        dirs, then the marker.  Idempotent; no-op without a marker."""
+        spec = self._read_journal("committed")
+        if spec is None:
+            return
+        for op in spec.get("ops", []):
+            if op["kind"] == "append":
+                shutil.rmtree(os.path.join(self.root, op["stage"]),
+                              ignore_errors=True)
+            elif op["kind"] == "swap":
+                shutil.rmtree(os.path.join(self.root, op["pre"]),
+                              ignore_errors=True)
+                shutil.rmtree(os.path.join(self.root, op["tmp"]),
+                              ignore_errors=True)
+        with contextlib.suppress(OSError):
+            os.unlink(self._txn_path("committed"))
+
+    def recover_transactions(self) -> str | None:
+        """Resolve any crashed transaction at this root: a committed
+        marker is rolled FORWARD (cleanup only — the data was fully in
+        place before the commit rename), a pending journal from a DEAD
+        writer is rolled BACK op by op in reverse (readers then see the
+        exact pre-transaction state).  Returns 'forward', 'back', or
+        None when there was nothing to do.  Raises
+        :class:`ConcurrentWriterError` when the pending writer is still
+        alive — never undoes live work."""
+        self._roll_forward()
+        pend = self._read_journal("pending")
+        if pend is None:
+            # an unparseable-but-present lock file (torn write of the
+            # very first journal flush) from a dead-or-any writer:
+            # nothing was journaled, so nothing moved — drop the lock
+            if os.path.exists(self._txn_path("pending")) and (
+                self._txn is None
+            ):
+                with contextlib.suppress(OSError):
+                    os.unlink(self._txn_path("pending"))
+                return "back"
+            return None
+        if self._txn is not None and self._txn.token == pend.get("token"):
+            raise ConcurrentWriterError(
+                "recover_transactions called inside this store's own "
+                "open transaction"
+            )
+        if self._pid_alive(pend.get("pid", -1)):
+            raise ConcurrentWriterError(
+                f"store {self.root!r} has a LIVE writer "
+                f"(pid {pend.get('pid')}); not rolling back live work"
+            )
+        for op in reversed(pend.get("ops", [])):
+            self._undo_op(op)
+        with contextlib.suppress(OSError):
+            os.unlink(self._txn_path("pending"))
+        return "back"
+
+    @contextlib.contextmanager
+    def transaction(self):
+        """Multi-table atomic commit scope (the reference's ORM session
+        txn, dbconnect.py:122-141): every ``store_records`` /
+        ``store_with_attributes`` / ``enable_partitioning`` inside the
+        block commits atomically at exit — a crash (or exception) at
+        ANY point leaves readers the exact pre-transaction state after
+        :meth:`recover_transactions`.  Reentrant: a nested call joins
+        the open transaction.  Readers of touched tables (other
+        instances/processes) refuse until commit or recovery."""
+        if self._txn is not None and self._txn.explicit:
+            yield self
+            return
+        if self._txn is not None:
+            raise ConcurrentWriterError(
+                "cannot open a transaction inside a single-verb "
+                "writer guard"
+            )
+        self._acquire_lock(explicit=True)
+        try:
+            yield self
+        except BaseException:
+            self._rollback()
+            self._txn = None
+            raise
+        self._commit()
+        self._txn = None
+
+    @contextlib.contextmanager
+    def _write_guard(self):
+        """Writer serialization for single mutating verbs: takes the
+        same lock as :meth:`transaction` (so concurrent mutators across
+        instances/processes serialize into one order) without op
+        journaling — a torn single verb is covered by its own per-table
+        crash machinery."""
+        if self._txn is not None:
+            yield
+            return
+        self._acquire_lock(explicit=False)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(self._txn_path("pending"))
+            self._txn = None
+
+    def _forbid_in_explicit_txn(self, verb: str) -> None:
+        if self._txn is not None and self._txn.explicit:
+            raise ValueError(
+                f"{verb} is not supported inside an open transaction "
+                "(its per-bucket swap loop is not undo-journaled); "
+                "call it as its own serialized verb"
+            )
 
     # -- storage primitives -------------------------------------------------
 
@@ -160,6 +457,27 @@ class TableStore:
 
     def _read_raw(self, name: str) -> DataFrame:
         p = self._path(name)
+        if os.path.exists(self._txn_path("pending")):
+            pend = self._read_journal("pending")
+            if (
+                pend is not None
+                and pend.get("explicit")
+                and name in pend.get("tables", ())
+                and (self._txn is None or self._txn.token != pend["token"])
+            ):
+                # the table is mid-transaction in another writer: a
+                # plain read could see table A's committed half of a
+                # two-table store without table B's — exactly the
+                # old-or-new-never-mixed guarantee the commit log
+                # exists for.  Refuse; after a crash,
+                # recover_transactions restores the pre-txn state.
+                raise RuntimeError(
+                    f"table {name!r} is being written by transaction "
+                    f"{pend['token'][:8]} (pid {pend.get('pid')}); "
+                    "retry after it commits, or call "
+                    "TableStore.recover_transactions() if the writer "
+                    "crashed"
+                )
         if os.path.exists(p + "__splitting"):
             # a crashed incremental rebucket: the live tree may be
             # missing a bucket (retracted into the temp) or holding a
@@ -277,31 +595,70 @@ class TableStore:
         )
 
         part = self.partitioning_of(name)
+
+        def write_replacement(tmp: str) -> None:
+            w = df
+            if part is not None:
+                keys, n_buckets = part
+                w = df.withColumn(
+                    self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+                ).repartition(F.col(self.BUCKET_COL))  # one file/bucket
+            writer = w.write.mode("overwrite")
+            if part is not None:
+                writer = writer.partitionBy(self.BUCKET_COL)
+            writer.parquet(tmp)
+            if part is not None:
+                # the sidecar travels INSIDE the temp dir so spec +
+                # data move atomically: a crash can never leave
+                # bucketed data with no spec (which would silently
+                # flatten the layout — table() would stop dropping the
+                # internal kb column)
+                keys, n_buckets = part
+                with open(
+                    os.path.join(tmp, "_partitioning.json"), "w"
+                ) as f:
+                    json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+
+        if self._txn is not None and self._txn.explicit:
+            # inside a transaction the pre-image must survive until
+            # COMMIT (not just until the renames finish): route through
+            # the journaled txn swap instead of the immediate one
+            self._txn_swap(name, write_replacement)
+            return
         tmp = self._path(name) + "__tmp"
-        w = df
-        if part is not None:
-            keys, n_buckets = part
-            w = df.withColumn(
-                self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-            ).repartition(F.col(self.BUCKET_COL))  # one file per bucket
-        writer = w.write.mode("overwrite")
-        if part is not None:
-            writer = writer.partitionBy(self.BUCKET_COL)
-        writer.parquet(tmp)
-        if part is not None:
-            # the sidecar travels INSIDE the temp dir so spec + data
-            # move atomically: a crash can never leave bucketed data
-            # with no spec (which would silently flatten the layout —
-            # table() would stop dropping the internal kb column)
-            keys, n_buckets = part
-            with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
-                json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+        write_replacement(tmp)
         # crash-safe replace: the old copy is renamed aside (never
         # deleted before the replacement is in place) and every crash
         # state is recoverable by cleanup_compaction_leftovers; the
         # old rmtree-then-replace left a window where the table dir
         # was simply ABSENT and reads returned an empty frame
         swap_directory(self.spark, self._path(name), tmp)
+
+    def _txn_swap(self, name: str, write_fn) -> None:
+        """Explicit-txn table replace: ``write_fn(tmp_dir)`` writes the
+        replacement, which then becomes live — but the PRE-IMAGE
+        survives (renamed aside) until the transaction commits, so a
+        crash anywhere in the txn rolls the table back exactly.  The
+        op is journaled BEFORE the write (idempotent undo covers every
+        phase: mid-write, between renames, mid-undo)."""
+        t = self._txn
+        live = self._path(name)
+        pre_rel = f"{name}__txnpre-{t.token[:8]}-{t.seq}"
+        tmp_rel = f"{name}__txntmp-{t.token[:8]}-{t.seq}"
+        t.seq += 1
+        op = {
+            "kind": "swap",
+            "table": name,
+            "pre": pre_rel,
+            "tmp": tmp_rel,
+            "had_live": os.path.exists(live),
+        }
+        self._journal_op(name, op)
+        tmp = os.path.join(self.root, tmp_rel)
+        write_fn(tmp)
+        if op["had_live"]:
+            os.replace(live, os.path.join(self.root, pre_rel))
+        os.replace(tmp, live)
 
     # -- hash-bucket partitioning (partition-scoped MERGE substrate) --------
 
@@ -403,6 +760,12 @@ class TableStore:
         actual on-disk bytes via :func:`suggest_bucket_count` at this
         store's ``target_bucket_bytes`` (floor ``MIN_AUTO_BUCKETS``).
         """
+        with self._write_guard():
+            self._enable_partitioning_locked(name, keys, n_buckets)
+
+    def _enable_partitioning_locked(
+        self, name: str, keys: list[str], n_buckets: int | None
+    ) -> None:
         if n_buckets is None:
             n_buckets = suggest_bucket_count(
                 self.table_bytes(name),
@@ -433,6 +796,11 @@ class TableStore:
             # skip the empty-frame Spark write + swap entirely (the
             # create-bucketed-from-the-start path costs zero jobs; the
             # first append then lands bucketed)
+            if self._txn is not None and self._txn.explicit:
+                # undoable: rollback removes the sidecar again
+                self._journal_op(
+                    name, {"kind": "sidecar", "table": name, "had": None}
+                )
             os.makedirs(self._path(name), exist_ok=True)
             # atomic (tmp + rename): a torn sidecar parses as
             # unpartitioned and the next append would land FLAT
@@ -440,24 +808,37 @@ class TableStore:
                 name, {"keys": list(keys), "n_buckets": n_buckets}
             )
             return
+
+        def write_bucketed(tmp: str) -> None:
+            (
+                current.withColumn(
+                    self.BUCKET_COL,
+                    self._bucket_expr(list(keys), n_buckets),
+                )
+                .repartition(F.col(self.BUCKET_COL))  # one file/bucket
+                .write.mode("overwrite")
+                .partitionBy(self.BUCKET_COL)
+                .parquet(tmp)
+            )
+            # sidecar INSIDE the temp dir: spec + data swap in
+            # atomically (see _swap)
+            with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
+                json.dump(
+                    {"keys": list(keys), "n_buckets": n_buckets}, f
+                )
+
+        if self._txn is not None and self._txn.explicit:
+            # conversion rewrite inside a transaction: the pre-image
+            # (data + absent sidecar, both under the table dir) must
+            # survive until commit
+            self._txn_swap(name, write_bucketed)
+            return
         from data_management_python_spark.sources.sinks import (  # noqa: PLC0415
             swap_directory,
         )
 
         tmp = self._path(name) + "__tmp"
-        (
-            current.withColumn(
-                self.BUCKET_COL, self._bucket_expr(list(keys), n_buckets)
-            )
-            .repartition(F.col(self.BUCKET_COL))  # one file per bucket
-            .write.mode("overwrite")
-            .partitionBy(self.BUCKET_COL)
-            .parquet(tmp)
-        )
-        # sidecar INSIDE the temp dir: spec + data swap in atomically
-        # (see _swap), then crash-safe replace via the shared primitive
-        with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
-            json.dump({"keys": list(keys), "n_buckets": n_buckets}, f)
+        write_bucketed(tmp)
         swap_directory(self.spark, self._path(name), tmp)
 
     def rebucket(
@@ -481,6 +862,13 @@ class TableStore:
         one-shot full rewrite; non-multiple targets always use it.
         Cost either way is amortized O(1) per stored byte under
         :meth:`maybe_rebucket`'s doubling policy."""
+        self._forbid_in_explicit_txn("rebucket")
+        with self._write_guard():
+            self._rebucket_locked(name, n_buckets, incremental)
+
+    def _rebucket_locked(
+        self, name: str, n_buckets: int, incremental: bool | None
+    ) -> None:
         self._check_mutable(name)
         part = self.partitioning_of(name)
         if part is None:
@@ -632,6 +1020,11 @@ class TableStore:
         are complete in the live tree) and is dropped.  Then the
         remaining buckets split and the layout flips.  A no-op when
         no split is in flight."""
+        self._forbid_in_explicit_txn("resume_rebucket")
+        with self._write_guard():
+            self._resume_rebucket_locked(name)
+
+    def _resume_rebucket_locked(self, name: str) -> None:
         st = self._split_state(name)
         path = self._path(name)
         tmp = path + "__splitting"
@@ -702,6 +1095,19 @@ class TableStore:
         byte-identical.  Returns the rewritten bucket dirs.  Bucketed
         tables only — point unbucketed tables at
         ``sources.sinks.compact_dataset``."""
+        self._forbid_in_explicit_txn("compact")
+        with self._write_guard():
+            return self._compact_locked(
+                name, target_file_bytes, small_file_bytes, min_small_files
+            )
+
+    def _compact_locked(
+        self,
+        name: str,
+        target_file_bytes: int,
+        small_file_bytes: int | None,
+        min_small_files: int,
+    ) -> list[str]:
         self._check_mutable(name)
         if self.partitioning_of(name) is None:
             raise ValueError(
@@ -798,6 +1204,45 @@ class TableStore:
 
     # -- reference-adaptor verbs --------------------------------------------
 
+    def _txn_append(self, name: str, writer_df, partitioned: bool) -> None:
+        """Explicit-txn append: STAGE the write, journal every
+        destination path, then move files in one by one — each move an
+        atomic rename, each destination undoable.  The journal op is
+        written BEFORE the Spark job (a crash mid-write then cleans the
+        stage instead of leaking it); the file list is journaled after
+        the write but BEFORE the first move, so undo always knows the
+        complete set of moved-or-movable files."""
+        t = self._txn
+        stage_rel = f"{name}__txnstage-{t.token[:8]}-{t.seq}"
+        t.seq += 1
+        op = {"kind": "append", "table": name,
+              "stage": stage_rel, "files": []}
+        self._journal_op(name, op)
+        stage = os.path.join(self.root, stage_rel)
+        w = writer_df.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy(self.BUCKET_COL)
+        w.parquet(stage)
+        moves: list[tuple[str, str]] = []
+        for dirpath, _dirs, files in os.walk(stage):
+            relsub = os.path.relpath(dirpath, stage)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                dst_rel = os.path.join(
+                    name,
+                    "" if relsub == "." else relsub,
+                    f"t{t.token[:8]}-{fn}",
+                )
+                moves.append((os.path.join(dirpath, fn), dst_rel))
+        op["files"] = [dst for _, dst in moves]
+        self._write_journal()
+        for src, dst_rel in moves:
+            dst = os.path.join(self.root, dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+
     def store_records(
         self, name: str, data: DataFrame, validate: bool = True
     ) -> None:
@@ -809,48 +1254,58 @@ class TableStore:
         dirs); nothing existing is read or rewritten — an append to a
         100-TB table costs O(new rows), not a table rewrite.  Columns
         are cast to the table schema so the parquet dir never mixes
-        physical types across files."""
-        self._check_mutable(name)
-        if validate and name in CORE_SCHEMAS:
-            bad = validate_enums(data, name)
-            if not bad.isEmpty():
-                row = bad.first()
-                raise ValueError(
-                    f"enum violation in {name}: {row['enum_violation']}"
-                )
-        current = self.table(name)
-        dtypes = dict(current.dtypes)
-        aligned = data.select(  # absent columns load as NULL, as the
-            *[  # reference's serial store does
-                F.col(c).cast(dtypes[c]).alias(c)
-                if c in data.columns
-                else F.lit(None).cast(dtypes[c]).alias(c)
-                for c in current.columns
-            ]
-        )
-        part = self.partitioning_of(name)
-        writer = aligned
-        if part is not None:
-            keys, n_buckets = part
-            # cluster the batch by bucket before the partitioned
-            # write: without this every task writes a sliver into
-            # every bucket it sees — an append of one batch through P
-            # partitions creates up to P x n_buckets tiny files, the
-            # small-file explosion that kills scan performance at
-            # scale.  Clustered, an append adds at most one file per
-            # touched bucket (a bucket's batch-slice fits a task by
-            # the same per-bucket sizing contract merges rely on).
-            writer = aligned.withColumn(
-                self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-            ).repartition(F.col(self.BUCKET_COL))
-        w = writer.write.mode("append")
-        if part is not None:
-            w = w.partitionBy(self.BUCKET_COL)
-        w.parquet(self._path(name))
-        # (no sidecar re-materialization: with the layout read fresh
-        # from the sidecar on every call, part is non-None exactly
-        # when the sidecar exists — a table dir recreated externally
-        # WITHOUT its sidecar is, by definition, unpartitioned)
+        physical types across files.  Serialized against concurrent
+        writers; inside a :meth:`transaction` the append is staged and
+        journaled, so the whole transaction commits or rolls back as
+        one."""
+        with self._write_guard():
+            self._check_mutable(name)
+            if validate and name in CORE_SCHEMAS:
+                bad = validate_enums(data, name)
+                if not bad.isEmpty():
+                    row = bad.first()
+                    raise ValueError(
+                        f"enum violation in {name}: "
+                        f"{row['enum_violation']}"
+                    )
+            current = self.table(name)
+            dtypes = dict(current.dtypes)
+            aligned = data.select(  # absent columns load as NULL, as
+                *[  # the reference's serial store does
+                    F.col(c).cast(dtypes[c]).alias(c)
+                    if c in data.columns
+                    else F.lit(None).cast(dtypes[c]).alias(c)
+                    for c in current.columns
+                ]
+            )
+            part = self.partitioning_of(name)
+            writer = aligned
+            if part is not None:
+                keys, n_buckets = part
+                # cluster the batch by bucket before the partitioned
+                # write: without this every task writes a sliver into
+                # every bucket it sees — an append of one batch through
+                # P partitions creates up to P x n_buckets tiny files,
+                # the small-file explosion that kills scan performance
+                # at scale.  Clustered, an append adds at most one file
+                # per touched bucket (a bucket's batch-slice fits a
+                # task by the same per-bucket sizing contract merges
+                # rely on).
+                writer = aligned.withColumn(
+                    self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+                ).repartition(F.col(self.BUCKET_COL))
+            if self._txn is not None and self._txn.explicit:
+                self._txn_append(name, writer, part is not None)
+                return
+            w = writer.write.mode("append")
+            if part is not None:
+                w = w.partitionBy(self.BUCKET_COL)
+            w.parquet(self._path(name))
+            # (no sidecar re-materialization: with the layout read
+            # fresh from the sidecar on every call, part is non-None
+            # exactly when the sidecar exists — a table dir recreated
+            # externally WITHOUT its sidecar is, by definition,
+            # unpartitioned)
 
     def store_with_attributes(
         self,
@@ -868,7 +1323,39 @@ class TableStore:
         ``validate=False`` skips the main table's enum-domain scan
         (same contract as :meth:`store_records`) — for loaders whose
         rows were already validated upstream.
+
+        ATOMIC across both tables (round-8): the whole call runs in
+        one :meth:`transaction` — a crash between the main-table write
+        and the attribute write can no longer leave a half-registered
+        entity (the gap vs the reference's ORM session txn,
+        dbconnect.py:122-141); after :meth:`recover_transactions`
+        readers see the exact pre-call state.  The volume-driven
+        ``maybe_rebucket`` maintenance runs AFTER commit — it is not
+        part of the logical transaction and its own incremental-split
+        protocol is independently crash-safe.
         """
+        with self.transaction():
+            attr_table = self._store_with_attributes_txn(
+                name, data, key_column, fk, validate
+            )
+        if attr_table is not None and self.attr_n_buckets is None:
+            # auto-sized layout: grow the bucket count when the table
+            # has outgrown its spec (metadata-only check; rewrite only
+            # fires when the table doubled past the per-bucket target)
+            self.maybe_rebucket(attr_table)
+
+    def _store_with_attributes_txn(
+        self,
+        name: str,
+        data: DataFrame,
+        key_column: str,
+        fk: tuple[str, str, str] | None,
+        validate: bool,
+    ) -> str | None:
+        """Transaction body of :meth:`store_with_attributes`; returns
+        the attribute table name when the caller should run the
+        post-commit ``maybe_rebucket`` check (None on the early-return
+        paths that never did)."""
         if fk is not None:
             dim_table, natural, surrogate = fk
             data = resolve_foreign_key(
@@ -928,7 +1415,7 @@ class TableStore:
             # back to the full-table rewrite
             out = current.unionByName(incoming).dropDuplicates(dedup_keys)
             self._swap(attr_table, out)
-            return
+            return None
         if not self._has_data(attr_table):
             # first load: nothing on disk to dedup against — dedup the
             # incoming batch alone and append it straight into the
@@ -942,7 +1429,7 @@ class TableStore:
         else:
             touched = self._touched_buckets(incoming, bkeys, n_buckets)
             if not touched:
-                return
+                return None
             # uniq(parent, name, value) via ANTI-JOIN + APPEND, not a
             # bucket rewrite: rows already on disk are unique, so
             # appending (incoming \ existing), deduped against itself,
@@ -980,11 +1467,7 @@ class TableStore:
                 null_safe=True,
             )
             self.store_records(attr_table, fresh, validate=False)
-        if self.attr_n_buckets is None:
-            # auto-sized layout: grow the bucket count when the table
-            # has outgrown its spec (metadata-only check; rewrite only
-            # fires when the table doubled past the per-bucket target)
-            self.maybe_rebucket(attr_table)
+        return attr_table
 
     def _buckets_of_values(
         self,
@@ -1075,6 +1558,17 @@ class TableStore:
         byte-identical on disk (asserted by test).  Requires the
         bucket keys to be a subset of ``on`` — otherwise a matched
         target row could live in a bucket the updates don't name."""
+        self._forbid_in_explicit_txn("upsert")
+        with self._write_guard():
+            self._upsert_locked(name, updates, on, update_columns)
+
+    def _upsert_locked(
+        self,
+        name: str,
+        updates: DataFrame,
+        on: list[str],
+        update_columns: list[str] | None,
+    ) -> None:
         part = self.partitioning_of(name)
         if part is not None and os.path.exists(self._path(name)):
             keys, n_buckets = part
@@ -1105,6 +1599,13 @@ class TableStore:
     def delete_where(self, name: str, keys: DataFrame, on: list[str]) -> None:
         """Key-addressed delete (M7 building block).  Partition-scoped
         on a bucketed table, same contract as :meth:`upsert`."""
+        self._forbid_in_explicit_txn("delete_where")
+        with self._write_guard():
+            self._delete_where_locked(name, keys, on)
+
+    def _delete_where_locked(
+        self, name: str, keys: DataFrame, on: list[str]
+    ) -> None:
         part = self.partitioning_of(name)
         if part is not None and os.path.exists(self._path(name)):
             bkeys, n_buckets = part

@@ -1,0 +1,426 @@
+"""Transactional commit log + concurrent-writer lock for TableStore.
+
+Round-8 substrate: the reference gets multi-table atomicity and writer
+serialization from one ORM session transaction against MySQL
+(igf_data/igfdb/dbconnect.py:122-141; implicit InnoDB serialization in
+baseadaptor.py:269-303).  These tests pin the lake-side equivalents:
+
+- a two-table ``store_with_attributes`` commits or rolls back as ONE
+  unit — crash injection at every internal boundary, then recovery,
+  yields exactly the pre-transaction state (old-or-new, never mixed);
+- readers of a mid-transaction table REFUSE instead of seeing half;
+- a committed-but-uncleaned crash rolls FORWARD (data already live);
+- two concurrent mutators serialize into one order via the pending
+  journal CAS; the loser waits, or raises ``ConcurrentWriterError``
+  on timeout; a DEAD writer's lock is rolled back and taken over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_python_spark.store import (
+    ConcurrentWriterError,
+    TableStore,
+)
+
+PROJECT_SCHEMA = (
+    "project_id long, project_igf_id string, project_name string, "
+    "start_timestamp timestamp, description string, status string, "
+    "deliverable string"
+)
+
+
+def _projects(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", None, None, None, "ACTIVE", "FASTQ")
+         for i in ids],
+        PROJECT_SCHEMA,
+    )
+
+
+def _wide(spark, ids, suffix=""):
+    return spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", f"{i * 2}{suffix}", f"batch{i % 3}")
+         for i in ids],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+
+
+def _dead_pid() -> int:
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def _snapshot(root: str) -> dict[str, int]:
+    """Relative-path -> size map of every data file under the store
+    root (journal dir excluded) — byte-level old-state identity."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if rel.split(os.sep)[0] == "_txn":
+            continue
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+def _abandon_as_dead(store: TableStore) -> None:
+    """Turn the store's OPEN transaction into a crashed one: forget the
+    in-memory txn (no rollback runs — exactly what process death does)
+    and re-stamp the journal with a reaped pid so recovery is allowed
+    to roll it back."""
+    pend = store._read_journal("pending")
+    assert pend is not None
+    pend["pid"] = _dead_pid()
+    with open(store._txn_path("pending"), "w") as f:
+        json.dump(pend, f)
+    store._txn = None
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "cat")
+
+
+def test_two_table_commit_and_cleanup(spark, root):
+    """The happy path: store_with_attributes writes main + attribute
+    tables atomically; after commit no journal files or txn siblings
+    remain and both tables read back complete."""
+    store = TableStore(spark, root, attr_n_buckets=8)
+    store.store_records("project", _projects(spark, range(1, 5)))
+    store.store_with_attributes(
+        "project", _wide(spark, range(1, 5)), key_column="project_id"
+    )
+    assert store.table("project").count() == 8  # 4 + 4 melted mains
+    assert store.table("project_attribute").count() == 8
+    assert not [d for d in os.listdir(root) if "__txn" in d]
+    assert not os.path.exists(os.path.join(root, "_txn", "pending.json"))
+    assert not os.path.exists(os.path.join(root, "_txn", "committed.json"))
+
+
+def test_exception_inside_transaction_rolls_back(spark, root):
+    """An exception anywhere in an explicit transaction undoes every
+    table it touched — including appends already moved live."""
+    store = TableStore(spark, root, attr_n_buckets=8)
+    store.store_records("project", _projects(spark, [1]))
+    before = _snapshot(root)
+    with pytest.raises(RuntimeError, match="boom"):
+        with store.transaction():
+            store.store_records("project", _projects(spark, [2]))
+            store.store_records(
+                "sample",
+                spark.createDataFrame(
+                    [(10, "IGF0010", 1, "ACTIVE")],
+                    "sample_id long, sample_igf_id string, "
+                    "project_id long, status string",
+                ),
+            )
+            raise RuntimeError("boom")
+    assert _snapshot(root) == before
+    assert store.table("project").count() == 1
+    assert store.table("sample").count() == 0
+
+
+@pytest.mark.parametrize(
+    "boundary",
+    [
+        "after_main_append",
+        "mid_attr_stage",
+        "mid_attr_moves",
+        "before_commit",
+    ],
+)
+def test_crash_injection_every_boundary(spark, root, boundary, monkeypatch):
+    """Process death at EVERY boundary of a two-table store: readers
+    refuse until recovery, and recovery restores the byte-exact
+    pre-transaction file tree — old-or-new, never mixed."""
+    store = TableStore(spark, root, attr_n_buckets=8)
+    store.store_records("project", _projects(spark, [1, 2]))
+    store.store_with_attributes(
+        "project", _wide(spark, [1, 2]), key_column="project_id"
+    )
+    before = _snapshot(root)
+    pre_rows = {
+        (r.project_id, r.attribute_name, r.attribute_value)
+        for r in store.table("project_attribute").collect()
+    }
+
+    class _Crash(BaseException):
+        pass
+
+    orig_replace = os.replace
+
+    if boundary == "after_main_append":
+        calls = {"n": 0}
+        real_store_records = TableStore.store_records
+
+        def patched(self, name, data, validate=True):
+            real_store_records(self, name, data, validate)
+            calls["n"] += 1
+            if calls["n"] == 1:  # right after the main-table append
+                raise _Crash
+
+        monkeypatch.setattr(TableStore, "store_records", patched)
+    elif boundary == "mid_attr_stage":
+        def patched_append(self, name, writer_df, partitioned):
+            # journal + stage written, crash before ANY move
+            t = self._txn
+            stage_rel = f"{name}__txnstage-{t.token[:8]}-{t.seq}"
+            t.seq += 1
+            op = {"kind": "append", "table": name,
+                  "stage": stage_rel, "files": []}
+            self._journal_op(name, op)
+            w = writer_df.write.mode("overwrite")
+            if partitioned:
+                w = w.partitionBy(self.BUCKET_COL)
+            w.parquet(os.path.join(self.root, stage_rel))
+            raise _Crash
+
+        monkeypatch.setattr(TableStore, "_txn_append", patched_append)
+    elif boundary == "mid_attr_moves":
+        moved = {"n": 0}
+
+        def patched_replace(src, dst):
+            if "__txnstage-" in str(src) and str(dst).endswith(".parquet"):
+                moved["n"] += 1
+                if moved["n"] == 2:  # crash after ONE file moved live
+                    raise _Crash
+            return orig_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", patched_replace)
+    elif boundary == "before_commit":
+        def patched_commit(self):
+            raise _Crash
+
+        monkeypatch.setattr(TableStore, "_commit", patched_commit)
+
+    # drive the two-table store; the injected crash escapes the
+    # rollback handler only for before_commit/_Crash-as-BaseException…
+    # so call the txn internals the way a dying process leaves them:
+    store2 = TableStore(spark, root, attr_n_buckets=8)
+    store2._acquire_lock(explicit=True)
+    try:
+        store2._store_with_attributes_txn(
+            "project", _wide(spark, [2, 3], suffix="x"),
+            "project_id", None, False,
+        )
+        if boundary == "before_commit":
+            raise _Crash  # all ops done, journal still pending
+    except _Crash:
+        pass
+    _abandon_as_dead(store2)
+
+    monkeypatch.undo()
+    reader = TableStore(spark, root, attr_n_buckets=8)
+    if reader._read_journal("pending")["tables"]:
+        with pytest.raises(RuntimeError, match="transaction"):
+            reader.table("project").collect()
+    assert reader.recover_transactions() == "back"
+    assert _snapshot(root) == before
+    got = {
+        (r.project_id, r.attribute_name, r.attribute_value)
+        for r in reader.table("project_attribute").collect()
+    }
+    assert got == pre_rows
+    # and the store is writable again after recovery
+    reader.store_with_attributes(
+        "project", _wide(spark, [9]), key_column="project_id"
+    )
+    assert reader.table("project_attribute").count() == len(pre_rows) + 2
+
+
+def test_crash_before_first_attr_store_rolls_back_sidecar(spark, root):
+    """Crash after the FIRST store's main append + attr-table layout
+    creation (sidecar op): recovery removes the sidecar and the main
+    rows — the attr table returns to never-written."""
+    store = TableStore(spark, root, attr_n_buckets=8)
+    before = _snapshot(root)
+    store._acquire_lock(explicit=True)
+    # main append + enable_partitioning(sidecar), then "die"
+    table_cols_frame = _projects(spark, [1])
+    store.store_records("project", table_cols_frame, validate=False)
+    store._enable_partitioning_locked(
+        "project_attribute", ["project_id"], 8
+    )
+    assert store.partitioning_of("project_attribute") == (
+        ["project_id"], 8,
+    )
+    _abandon_as_dead(store)
+
+    reader = TableStore(spark, root)
+    assert reader.recover_transactions() == "back"
+    assert _snapshot(root) == before
+    assert reader.partitioning_of("project_attribute") is None
+    assert reader.table("project").count() == 0
+
+
+def test_committed_marker_rolls_forward(spark, root):
+    """Crash AFTER the commit rename but before cleanup: the data is
+    fully live (reads work immediately), and the next writer finishes
+    the cleanup — txn siblings and the marker disappear."""
+    store = TableStore(spark, root, attr_n_buckets=8)
+    store._acquire_lock(explicit=True)
+    store._store_with_attributes_txn(
+        "project", _wide(spark, [1, 2]), "project_id", None, False
+    )
+    # commit point only: rename pending -> committed, then "die"
+    os.replace(
+        store._txn_path("pending"), store._txn_path("committed")
+    )
+    store._txn = None
+
+    reader = TableStore(spark, root)
+    assert reader.table("project").count() == 2
+    assert reader.table("project_attribute").count() == 4
+    # next mutation rolls forward (cleanup) before acquiring
+    reader.store_records("project", _projects(spark, [5]))
+    assert not os.path.exists(reader._txn_path("committed"))
+    assert not [d for d in os.listdir(root) if "__txn" in d]
+
+
+def test_swap_fallback_crash_rolls_back(spark, root):
+    """The custom-layout fallback path goes through the journaled txn
+    SWAP (pre-image kept until commit): a crash mid-swap restores the
+    original table exactly."""
+    store = TableStore(spark, root)
+    store.store_records("project", _projects(spark, [1, 2]))
+    store.store_with_attributes(
+        "project", _wide(spark, [1, 2]), key_column="project_id"
+    )
+    # re-layout the attr table so bucket keys ⊄ dedup keys -> fallback
+    eav_rows = store.table("project_attribute").collect()  # materialize
+    eav = spark.createDataFrame(
+        eav_rows, store.table("project_attribute").schema
+    )
+    store2 = TableStore(spark, root)
+    # force an unbucketed table with a custom layout: rebuild flat
+    import shutil
+
+    shutil.rmtree(store._path("project_attribute"))
+    store2.store_records("project_attribute", eav, validate=False)
+    store2.enable_partitioning(
+        "project_attribute", ["project_attribute_id"], 4
+    )
+    before = _snapshot(root)
+
+    store3 = TableStore(spark, root)
+    store3._acquire_lock(explicit=True)
+    store3._store_with_attributes_txn(
+        "project", _wide(spark, [1, 2], suffix="y"),
+        "project_id", None, False,
+    )  # full body ran: main append + attr swap — then "die" pre-commit
+    _abandon_as_dead(store3)
+
+    reader = TableStore(spark, root)
+    with pytest.raises(RuntimeError, match="transaction"):
+        reader.table("project_attribute").collect()
+    assert reader.recover_transactions() == "back"
+    assert _snapshot(root) == before
+
+
+def test_reader_refusal_scoped_to_touched_tables(spark, root):
+    """Mid-transaction, another instance refuses ONLY the touched
+    tables; everything else stays readable; after commit all reads
+    pass."""
+    a = TableStore(spark, root, attr_n_buckets=8)
+    a.store_records("project", _projects(spark, [1]))
+    b = TableStore(spark, root)
+    ctx = a.transaction()
+    ctx.__enter__()
+    a.store_records("project", _projects(spark, [2]))
+    # b: touched table refuses, untouched table fine, owner reads fine
+    with pytest.raises(RuntimeError, match="being written"):
+        b.table("project").collect()
+    assert b.table("sample").count() == 0
+    assert a.table("project").count() == 2
+    ctx.__exit__(None, None, None)
+    assert b.table("project").count() == 2
+
+
+def test_concurrent_writers_serialize_to_one_order(spark, root):
+    """Two threads (two instances) appending concurrently: the lock
+    serializes them — both land, rows equal the union, and no journal
+    remains."""
+    a = TableStore(spark, root)
+    b = TableStore(spark, root)
+    a.store_records("project", _projects(spark, [1]))
+    errs = []
+
+    def run(st, ids):
+        try:
+            st.store_records("project", _projects(spark, ids))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(a, range(10, 15)))
+    t2 = threading.Thread(target=run, args=(b, range(20, 25)))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    got = {r.project_id for r in a.table("project").collect()}
+    assert got == {1, *range(10, 15), *range(20, 25)}
+    assert not os.path.exists(a._txn_path("pending"))
+
+
+def test_live_writer_times_out_loser_raises(spark, root):
+    """A second mutator against a LIVE held lock fails cleanly with
+    ConcurrentWriterError after its timeout — it never rolls back live
+    work."""
+    a = TableStore(spark, root)
+    b = TableStore(spark, root)
+    b.lock_timeout = 0.3
+    ctx = a.transaction()
+    ctx.__enter__()
+    try:
+        with pytest.raises(ConcurrentWriterError, match="live"):
+            b.store_records("project", _projects(spark, [1]))
+        with pytest.raises(ConcurrentWriterError):
+            b.recover_transactions()
+    finally:
+        ctx.__exit__(None, None, None)
+    # lock released: b proceeds
+    b.store_records("project", _projects(spark, [2]))
+    assert a.table("project").count() == 1
+
+
+def test_dead_writer_lock_taken_over(spark, root):
+    """A pending lock whose pid is dead is recovered (rolled back) and
+    taken over by the next writer without manual intervention."""
+    store = TableStore(spark, root)
+    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
+    with open(store._txn_path("pending"), "w") as f:
+        json.dump(
+            {"token": "deadbeef", "pid": _dead_pid(), "ts": 0,
+             "explicit": True, "tables": [], "ops": []},
+            f,
+        )
+    store.store_records("project", _projects(spark, [1]))
+    assert store.table("project").count() == 1
+
+
+def test_mutation_verbs_forbidden_inside_transaction(spark, root):
+    """upsert/delete_where/rebucket/compact are not undo-journaled:
+    inside an open transaction they refuse loudly instead of breaking
+    atomicity."""
+    store = TableStore(spark, root)
+    store.store_records("project", _projects(spark, [1]))
+    upd = _projects(spark, [1]).withColumn("status", F.lit("FINISHED"))
+    with store.transaction():
+        with pytest.raises(ValueError, match="transaction"):
+            store.upsert("project", upd, on=["project_id"])
+        with pytest.raises(ValueError, match="transaction"):
+            store.delete_where(
+                "project", upd.select("project_id"), on=["project_id"]
+            )
+    # outside: fine
+    store.upsert("project", upd, on=["project_id"])
+    assert store.table("project").first().status == "FINISHED"
