@@ -47,6 +47,7 @@ import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from typing import Any
@@ -172,6 +173,10 @@ class TableStore:
         #: taken over immediately)
         self.lock_timeout = 60.0
         self._txn: _Txn | None = None
+        # serializes journal mutations when a transaction overlaps
+        # independent table writes on worker threads (see
+        # _store_with_attributes_txn)
+        self._txn_mutex = threading.Lock()
         os.makedirs(root, exist_ok=True)
 
     # -- transactional commit log -------------------------------------------
@@ -238,13 +243,17 @@ class TableStore:
         os.replace(tmp, self._txn_path("pending"))
 
     def _journal_op(self, table: str, op: dict) -> None:
-        """Record an undoable op (and its table) BEFORE performing it."""
-        t = self._txn
-        if table not in t.tables:
-            t.tables.append(table)
-        if op:
-            t.ops.append(op)
-        self._write_journal()
+        """Record an undoable op (and its table) BEFORE performing it.
+        Mutex-guarded: a transaction may run independent table writes
+        on worker threads, and the journal must never lose an op to a
+        concurrent rewrite."""
+        with self._txn_mutex:
+            t = self._txn
+            if table not in t.tables:
+                t.tables.append(table)
+            if op:
+                t.ops.append(op)
+            self._write_journal()
 
     @staticmethod
     def _pid_alive(pid: int) -> bool:
@@ -542,6 +551,23 @@ class TableStore:
             return self.spark.createDataFrame([], attribute_schema(parent))
         raise KeyError(f"unknown table {name!r}")
 
+    def _declared_dtypes(self, name: str) -> list[tuple[str, str]] | None:
+        """(column, spark dtype) pairs from the CATALOG's declared
+        schema — the write verbs align/cast against this instead of a
+        ``spark.read.parquet`` schema resolution (a driver-side file
+        listing + footer read that costs ~100 ms per call and adds
+        nothing: the store only ever writes catalog tables, whose
+        on-disk schema IS the declared one).  None for unknown
+        tables."""
+        if name in CORE_SCHEMAS:
+            sch = CORE_SCHEMAS[name]
+        else:
+            parent = name.removesuffix("_attribute")
+            if parent not in ATTRIBUTE_PARENTS:
+                return None
+            sch = attribute_schema(parent)
+        return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+
     def _has_data(self, name: str) -> bool:
         """True iff the table has at least one parquet file on disk."""
         p = self._path(name)
@@ -600,9 +626,13 @@ class TableStore:
             w = df
             if part is not None:
                 keys, n_buckets = part
-                w = df.withColumn(
-                    self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-                ).repartition(F.col(self.BUCKET_COL))  # one file/bucket
+                w = self._cluster_by_bucket(
+                    df.withColumn(
+                        self.BUCKET_COL,
+                        self._bucket_expr(keys, n_buckets),
+                    ),
+                    n_buckets,
+                )  # one file per bucket
             writer = w.write.mode("overwrite")
             if part is not None:
                 writer = writer.partitionBy(self.BUCKET_COL)
@@ -643,9 +673,11 @@ class TableStore:
         phase: mid-write, between renames, mid-undo)."""
         t = self._txn
         live = self._path(name)
-        pre_rel = f"{name}__txnpre-{t.token[:8]}-{t.seq}"
-        tmp_rel = f"{name}__txntmp-{t.token[:8]}-{t.seq}"
-        t.seq += 1
+        with self._txn_mutex:
+            seq = t.seq
+            t.seq += 1
+        pre_rel = f"{name}__txnpre-{t.token[:8]}-{seq}"
+        tmp_rel = f"{name}__txntmp-{t.token[:8]}-{seq}"
         op = {
             "kind": "swap",
             "table": name,
@@ -741,6 +773,25 @@ class TableStore:
             F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
         ).cast("int")
 
+    def _cluster_by_bucket(self, df: DataFrame, n_buckets: int) -> DataFrame:
+        """Hash-cluster a frame on the bucket column with a PINNED
+        partition count: ``min(n_buckets, session shuffle
+        partitions)``.  Any hash repartition on ``kb`` puts each
+        bucket wholly in one task (the one-file-per-bucket write
+        contract); pinning the count skips AQE's per-write query-stage
+        materialization round-trip — ~0.2 s of fixed cost on a small
+        batch, nothing lost at scale where the deployment's own
+        ``spark.sql.shuffle.partitions`` bounds the task count
+        anyway (and more tasks than buckets can never help, since a
+        bucket can't split across files)."""
+        try:
+            sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. unset/auto: let AQE size
+            return df.repartition(F.col(self.BUCKET_COL))
+        return df.repartition(
+            max(1, min(n_buckets, sp)), F.col(self.BUCKET_COL)
+        )
+
     def enable_partitioning(
         self, name: str, keys: list[str], n_buckets: int | None = None
     ) -> None:
@@ -811,11 +862,13 @@ class TableStore:
 
         def write_bucketed(tmp: str) -> None:
             (
-                current.withColumn(
-                    self.BUCKET_COL,
-                    self._bucket_expr(list(keys), n_buckets),
-                )
-                .repartition(F.col(self.BUCKET_COL))  # one file/bucket
+                self._cluster_by_bucket(
+                    current.withColumn(
+                        self.BUCKET_COL,
+                        self._bucket_expr(list(keys), n_buckets),
+                    ),
+                    n_buckets,
+                )  # one file per bucket
                 .write.mode("overwrite")
                 .partitionBy(self.BUCKET_COL)
                 .parquet(tmp)
@@ -896,10 +949,12 @@ class TableStore:
         current = self.table(name)
         tmp = self._path(name) + "__tmp"
         (
-            current.withColumn(
-                self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-            )
-            .repartition(F.col(self.BUCKET_COL))  # one file per bucket
+            self._cluster_by_bucket(
+                current.withColumn(
+                    self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+                ),
+                n_buckets,
+            )  # one file per bucket
             .write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
             .parquet(tmp)
@@ -933,9 +988,12 @@ class TableStore:
             shutil.rmtree(tmp)
         live = os.path.join(path, f"{self.BUCKET_COL}={b}")
         (
-            self.spark.read.parquet(live)
-            .withColumn(self.BUCKET_COL, self._bucket_expr(keys, new))
-            .repartition(F.col(self.BUCKET_COL))
+            self._cluster_by_bucket(
+                self.spark.read.parquet(live).withColumn(
+                    self.BUCKET_COL, self._bucket_expr(keys, new)
+                ),
+                new,
+            )
             .write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
             .parquet(tmp)
@@ -1135,15 +1193,17 @@ class TableStore:
         self, frame: DataFrame, keys: list[str], n_buckets: int
     ) -> list[int]:
         """Distinct bucket ids a key frame lands in — O(n_buckets)
-        driver rows, the only thing MERGE ever collects."""
-        return sorted(
-            r[0]
-            for r in frame.select(
-                self._bucket_expr(keys, n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
+        driver rows, the only thing MERGE ever collects.  collect_set
+        (partial per-partition sets, one single-task final combine)
+        instead of distinct+collect: same answer, one reduce task
+        instead of a full shuffle fan-out, and bucket ids are never
+        NULL (xxhash64 is null-tolerant and non-null)."""
+        got = frame.select(
+            F.collect_set(
+                self._bucket_expr(keys, n_buckets)
+            ).alias("bs")
+        ).first()
+        return sorted(int(b) for b in (got["bs"] or []))
 
     def _merge_partitioned(
         self,
@@ -1174,9 +1234,12 @@ class TableStore:
             ).drop(self.BUCKET_COL)
         else:  # partitioned but dataless: declared logical schema
             current = raw
-        out = rewrite(current).withColumn(
-            self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-        ).repartition(F.col(self.BUCKET_COL))  # one file per bucket
+        out = self._cluster_by_bucket(
+            rewrite(current).withColumn(
+                self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
+            ),
+            n_buckets,
+        )  # one file per bucket
         tmp_root = path + "__merging"
         if os.path.exists(tmp_root):
             shutil.rmtree(tmp_root)
@@ -1213,8 +1276,10 @@ class TableStore:
         the write but BEFORE the first move, so undo always knows the
         complete set of moved-or-movable files."""
         t = self._txn
-        stage_rel = f"{name}__txnstage-{t.token[:8]}-{t.seq}"
-        t.seq += 1
+        with self._txn_mutex:
+            seq = t.seq
+            t.seq += 1
+        stage_rel = f"{name}__txnstage-{t.token[:8]}-{seq}"
         op = {"kind": "append", "table": name,
               "stage": stage_rel, "files": []}
         self._journal_op(name, op)
@@ -1235,8 +1300,9 @@ class TableStore:
                     f"t{t.token[:8]}-{fn}",
                 )
                 moves.append((os.path.join(dirpath, fn), dst_rel))
-        op["files"] = [dst for _, dst in moves]
-        self._write_journal()
+        with self._txn_mutex:
+            op["files"] = [dst for _, dst in moves]
+            self._write_journal()
         for src, dst_rel in moves:
             dst = os.path.join(self.root, dst_rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -1268,14 +1334,16 @@ class TableStore:
                         f"enum violation in {name}: "
                         f"{row['enum_violation']}"
                     )
-            current = self.table(name)
-            dtypes = dict(current.dtypes)
+            decl = self._declared_dtypes(name)
+            if decl is None:  # unknown table: KeyError, same as reads
+                decl = self.table(name).dtypes
+            dtypes = dict(decl)
             aligned = data.select(  # absent columns load as NULL, as
                 *[  # the reference's serial store does
                     F.col(c).cast(dtypes[c]).alias(c)
                     if c in data.columns
                     else F.lit(None).cast(dtypes[c]).alias(c)
-                    for c in current.columns
+                    for c, _ in decl
                 ]
             )
             part = self.partitioning_of(name)
@@ -1291,9 +1359,13 @@ class TableStore:
                 # per touched bucket (a bucket's batch-slice fits a
                 # task by the same per-bucket sizing contract merges
                 # rely on).
-                writer = aligned.withColumn(
-                    self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
-                ).repartition(F.col(self.BUCKET_COL))
+                writer = self._cluster_by_bucket(
+                    aligned.withColumn(
+                        self.BUCKET_COL,
+                        self._bucket_expr(keys, n_buckets),
+                    ),
+                    n_buckets,
+                )
             if self._txn is not None and self._txn.explicit:
                 self._txn_append(name, writer, part is not None)
                 return
@@ -1365,7 +1437,34 @@ class TableStore:
         main, eav = melt_attributes(
             data, key_columns=[key_column], table_columns=table_cols
         )
-        self.store_records(name, main, validate=validate)
+        # the main-table append and the attribute-side pipeline touch
+        # DIFFERENT tables and share no data dependency (the fk was
+        # resolved above): overlap them — the main append runs as a
+        # concurrent Spark job on a worker thread while the attr side
+        # plans/hashes/anti-joins.  Journal ops are mutex-guarded; the
+        # thread is always joined before this txn body returns, so the
+        # commit point still covers both writes.  On a cluster this is
+        # plain multi-job scheduling inside one application.
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self.store_records, name, main, validate)
+            try:
+                ret = self._store_attributes_side(name, eav, key_column)
+            except BaseException:
+                # join the main append before the txn rollback runs —
+                # rolling back under a still-writing thread would race
+                with contextlib.suppress(BaseException):
+                    fut.result()
+                raise
+        fut.result()  # surface a main-append failure -> txn rollback
+        return ret
+
+    def _store_attributes_side(
+        self, name: str, eav: DataFrame, key_column: str
+    ) -> str | None:
+        """Attribute-table half of :meth:`_store_with_attributes_txn`
+        (runs concurrently with the main-table append)."""
         attr_table = f"{name}_attribute"
         key = f"{name}_id"
         if self.partitioning_of(attr_table) is None:
@@ -1388,8 +1487,9 @@ class TableStore:
                     min_buckets=self.MIN_AUTO_BUCKETS,
                 )
             self.enable_partitioning(attr_table, [key], n)
-        current = self.table(attr_table)
-        attr_dtypes = dict(current.dtypes)
+        decl = self._declared_dtypes(attr_table)  # static: no file read
+        attr_cols = [c for c, _ in decl]
+        attr_dtypes = dict(decl)
         incoming = (
             eav.withColumnRenamed(key_column, key)
             .withColumn(f"{name}_attribute_id", F.lit(None).cast("long"))
@@ -1403,7 +1503,7 @@ class TableStore:
             .select(
                 *[
                     F.col(c).cast(attr_dtypes[c]).alias(c)
-                    for c in current.columns
+                    for c in attr_cols
                 ]
             )
         )
@@ -1413,7 +1513,11 @@ class TableStore:
             # custom layout whose bucket keys exceed the uniq
             # constraint: per-bucket dedup would not be global — fall
             # back to the full-table rewrite
-            out = current.unionByName(incoming).dropDuplicates(dedup_keys)
+            out = (
+                self.table(attr_table)
+                .unionByName(incoming)
+                .dropDuplicates(dedup_keys)
+            )
             self._swap(attr_table, out)
             return None
         if not self._has_data(attr_table):
