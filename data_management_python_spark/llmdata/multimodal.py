@@ -1408,3 +1408,324 @@ def parse_image_headers(
         .withColumn("height", F.col("__hdr.height"))
         .drop("__hdr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (round-8): dHash + banded Hamming join
+# ---------------------------------------------------------------------------
+
+
+def _bmp_np_pixels(blob: bytes):
+    """numpy fast path for the hot decode loop: (h, w, 3) uint8 RGB
+    array for uncompressed 24/32-bit BI_RGB BMPs, byte-for-byte the
+    same pixels as :func:`_decode_bmp_wh_pixels` (pinned by test) at
+    ~100x the speed — per-pixel Python tuples are the difference
+    between one slow task and a scan.  None when unparseable or over
+    the pixel cap (same refusals as the pure path)."""
+    import numpy as np  # noqa: PLC0415
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(blob[10:14], "little")
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    if width * height > _MAX_IMAGE_PIXELS:
+        return None
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    if data_off + stride * height > len(blob):
+        return None
+    rows = np.frombuffer(
+        blob, np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    px = px[:, :, 2::-1]  # BGR(A) -> RGB
+    if not top_down:
+        px = px[::-1]
+    return px
+
+
+def _dhash_bits(
+    w: int, h: int, px, grid_w: int = 9, grid_h: int = 8
+) -> int:
+    """64-bit difference hash of decoded RGB pixels (tuple list or
+    (h, w, 3) array): integer-luminance box-average downsample to a
+    ``grid_w x grid_h`` grid, then one bit per horizontal gradient
+    (cell < right neighbor).  All-integer math (no float rounding), so
+    the hash is bit-identical across decoders and platforms.  Box
+    averaging (not nearest sampling) makes the hash invariant under
+    integer upscales and lossless re-encodes, and stable (small
+    Hamming drift) under pixel noise and mild resamples — the dup
+    classes a crawl corpus actually contains."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(px, dtype=np.int64).reshape(h, w, 3)
+    lum = (299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]) // 1000
+    xs = [ox * w // grid_w for ox in range(grid_w + 1)]
+    ys = [oy * h // grid_h for oy in range(grid_h + 1)]
+    g = [
+        [
+            int(
+                lum[ys[oy]:max(ys[oy + 1], ys[oy] + 1),
+                    xs[ox]:max(xs[ox + 1], xs[ox] + 1)].sum()
+                // (
+                    (max(ys[oy + 1], ys[oy] + 1) - ys[oy])
+                    * (max(xs[ox + 1], xs[ox] + 1) - xs[ox])
+                )
+            )
+            for ox in range(grid_w)
+        ]
+        for oy in range(grid_h)
+    ]
+    v = 0
+    for oy in range(grid_h):
+        for ox in range(grid_w - 1):
+            v = (v << 1) | (1 if g[oy][ox] < g[oy][ox + 1] else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed long
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    batch_rows: int = 256,
+    eager: bool = True,
+) -> DataFrame:
+    """Per-image perceptual hash column: (id, dhash long, decodable).
+
+    Map-only Arrow-batched ``mapInPandas`` — the blob never leaves the
+    executor and the output is 16 bytes/row, so at 100 TB of images
+    this pass is one embarrassingly-parallel scan whose output (the
+    hash table) is tiny enough to band-join against itself.
+    Undecodable blobs yield ``decodable=false`` with a NULL hash
+    instead of dropping rows."""
+    schema = f"{id_col} long, dhash long, decodable boolean"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ok = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                ids.append(rid)
+                if blob is None:
+                    hs.append(None)
+                    ok.append(False)
+                    continue
+                blob = bytes(blob)
+                npx = _bmp_np_pixels(blob)  # hot path: vectorized BMP
+                if npx is not None:
+                    h, w = npx.shape[:2]
+                    hs.append(_dhash_bits(w, h, npx))
+                    ok.append(True)
+                    continue
+                whp = _decode_image_pixels(blob)
+                if whp is None:
+                    hs.append(None)
+                    ok.append(False)
+                else:
+                    hs.append(_dhash_bits(*whp))
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "dhash": pd.array(hs, dtype="Int64"),
+                    "decodable": ok,
+                }
+            )
+
+    return _run_with_bounded_arrow_batches(
+        df.mapInPandas(process, schema=schema), batch_rows, eager
+    )
+
+
+def hash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    n_bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-dup pairs among 64-bit perceptual hashes: banded bucket
+    join + exact Hamming verify — the pixel member of the dedup
+    family, same shape as the SimHash text path (dedup.py).
+
+    The 64-bit hash splits into ``n_bands`` equal bands; candidate
+    pairs share at least one exact band (a bucket join keyed by
+    (band index, band value) — never all-pairs), then the EXACT
+    Hamming distance filters to ``<= max_hamming``.  With
+    ``max_hamming < n_bands`` the pigeonhole principle makes recall
+    EXACT, not probabilistic: <= 7 differing bits cannot touch all 8
+    bands, so every true pair shares an untouched band and is
+    guaranteed a candidate.  Precision is exact by construction (every
+    candidate is verified).  All JVM-side: shiftrightunsigned banding,
+    xor + bit_count verify — no Python in the join path.
+
+    Scale: candidates are bounded by band-bucket co-occupancy; at a
+    much larger corpus, widen the bands (n_bands=4 -> 16-bit buckets)
+    and accept probabilistic recall, or band a 128/256-bit hash — the
+    pigeonhole trade (exact recall vs bucket selectivity) is the
+    operator's single tuning axis.  Output: (id_1, id_2, hamming).
+    """
+    band_bits = 64 // n_bands
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
+    )
+    bands = h.select(
+        id_col,
+        hash_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftrightunsigned({hash_col}, band * {band_bits}) "
+            f"& {(1 << band_bits) - 1}"
+        ),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_1"),
+        F.col(hash_col).alias("h1"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_2"),
+        F.col(hash_col).alias("h2"),
+        "band",
+        "band_val",
+    )
+    cands = (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "h1", "h2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    return cands.select(
+        "id_1",
+        "id_2",
+        F.bit_count(F.expr("h1 ^ h2")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def synthetic_image_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    plant_every: int = 25,
+    width: int = 18,
+    height: int = 16,
+    noise_amp: int = 1,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Deterministic image corpus over a document table, with PLANTED
+    near-duplicate twins — the fixture generator for the perceptual
+    dedup path (this container ships no real image corpus; the hash,
+    banding, and join plumbing are the real operators).
+
+    Every row gets one ``width x height`` BMP whose pixels derive from
+    ``numpy.random.RandomState(doc_id)`` (the legacy generator, whose
+    bit-stream is frozen by numpy's compatibility guarantee — the
+    corpus is identical on every platform, forever).  Every
+    ``plant_every``-th positive id also emits a TWIN under
+    ``media_id = -doc_id`` in one of three dup classes, cycling by
+    ``(doc_id / plant_every) % 3``:
+
+      0: lossless PNG re-encode (same pixels; Hamming 0)
+      1: 2x nearest-neighbor upscale re-encoded as BMP (box averaging
+         makes the dHash exactly invariant; Hamming 0)
+      2: per-pixel noise in [-noise_amp, +noise_amp] (Hamming small
+         but nonzero — the genuinely NEAR class)
+
+    Ground truth is thus pure id arithmetic — an oracle needs no image
+    math: the true pair set is exactly {(-d, d) : d % plant_every = 0,
+    d > 0}.  Map-only Arrow-batched generation; the id frame is
+    repartitioned to the session's parallelism first (a small source
+    table often arrives as ONE file split, and per-pixel work in a
+    single Python worker is the difference between a scan and a
+    stall — the same reason the real decode ops document their batch
+    shape)."""
+    import numpy as np  # noqa: PLC0415
+
+    def np_bmp(arr) -> bytes:
+        """uint8 (h, w, 3) RGB -> BMP, byte-identical to
+        :func:`_encode_bmp24` (pinned by test), without the per-pixel
+        Python loop."""
+        hh, ww = arr.shape[:2]
+        stride = (ww * 3 + 3) & ~3
+        body = np.zeros((hh, stride), dtype=np.uint8)
+        body[:, : ww * 3] = arr[::-1, :, ::-1].reshape(hh, ww * 3)
+        size = 54 + stride * hh
+        hdr = (
+            b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + ww.to_bytes(4, "little", signed=True)
+            + hh.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + (stride * hh).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        return hdr + body.tobytes()
+
+    schema = "media_id long, content binary, mime_type string, kind string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, mimes, kinds = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                arr = np.random.RandomState(d).randint(
+                    0, 256, size=(height, width, 3)
+                ).astype(np.uint8)
+                ids.append(d)
+                blobs.append(np_bmp(arr))
+                mimes.append("image/bmp")
+                kinds.append("original")
+                if d > 0 and d % plant_every == 0:
+                    px = [
+                        tuple(int(v) for v in p)
+                        for p in arr.reshape(-1, 3)
+                    ]
+                    kind = (d // plant_every) % 3
+                    if kind == 0:
+                        twin = _encode_png24(width, height, px)
+                        mime, kname = "image/png", "reencode"
+                    elif kind == 1:
+                        big = _resize_nearest(
+                            px, width, height, 2 * width, 2 * height
+                        )
+                        twin = _encode_bmp24(2 * width, 2 * height, big)
+                        mime, kname = "image/bmp", "upscale"
+                    else:
+                        noise = np.random.RandomState(d + 999_983).randint(
+                            -noise_amp, noise_amp + 1, size=arr.shape
+                        )
+                        noisy = np.clip(
+                            arr.astype(np.int64) + noise, 0, 255
+                        ).astype(np.uint8)
+                        twin = np_bmp(noisy)
+                        mime, kname = "image/bmp", "noise"
+                    ids.append(-d)
+                    blobs.append(twin)
+                    mimes.append(mime)
+                    kinds.append(kname)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "mime_type": mimes,
+                    "kind": kinds,
+                }
+            )
+
+    width_parts = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    return _run_with_bounded_arrow_batches(
+        docs.select(id_col)
+        .repartition(width_parts)
+        .mapInPandas(gen, schema=schema),
+        batch_rows,
+        eager=True,
+    )

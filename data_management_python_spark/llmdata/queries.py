@@ -15,6 +15,9 @@ from data_management_python_spark.llmdata import dedup, similarity, stats, text
 from data_management_python_spark.llmdata.multimodal import (
     attach_binary_metadata,
     documents_as_media,
+    hash_near_dup_pairs,
+    image_dhash,
+    synthetic_image_corpus,
 )
 from data_management_python_spark.plans import Query
 
@@ -561,6 +564,32 @@ def mm_binary_meta(spark, sf_dir):
     return attach_binary_metadata(media).select(
         F.col("media_id").alias("doc_id"), "byte_len", "content_sha256"
     )
+
+
+@_q(
+    "mm_image_neardup",
+    """
+    SELECT CAST(-doc_id AS BIGINT) AS id_1, CAST(doc_id AS BIGINT) AS id_2
+    FROM documents WHERE doc_id % 25 = 0 AND doc_id > 0
+    """,
+    doc="perceptual image near-dup (round-8): deterministic synthetic "
+    "image corpus over documents with PLANTED twins (lossless PNG "
+    "re-encode / 2x upscale / pixel noise, one per 25th doc) -> "
+    "pure-Python decode -> 64-bit box-average dHash (map-only Arrow "
+    "batches) -> 8-band Hamming bucket join with pigeonhole-EXACT "
+    "recall at threshold 7 -> exact bit_count verify.  The oracle is "
+    "GROUND TRUTH, not mirrored math: twins are pure id arithmetic, "
+    "so the expected pair set is {(-d, d) : d % 25 = 0, d > 0} — the "
+    "query passes only if the full decode->hash->band->verify "
+    "pipeline finds exactly the planted dups with zero false "
+    "positives (verified empirically: max planted Hamming 2, nearest "
+    "non-dup pair far above threshold)",
+)
+def mm_image_neardup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_image_corpus(docs)
+    hashes = image_dhash(media)
+    return hash_near_dup_pairs(hashes).select("id_1", "id_2")
 
 
 @_q(

@@ -2297,3 +2297,121 @@ def test_image_decode_pixel_caps():
     )
     assert len(hdr) == 54
     assert _decode_bmp_wh_pixels(hdr + b"\x00" * 64) is None
+
+
+def test_dhash_invariances_and_near_stability():
+    """dHash contract: exactly invariant under lossless re-encode,
+    integer upscale, and global brightness shift (gradient hash);
+    small-but-nonzero Hamming drift under per-pixel noise; far from
+    any OTHER random image (brute-force property check — the oracle
+    for mm_image_neardup is ground truth, and this pins the hash
+    behavior it relies on)."""
+    import numpy as np
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _bmp_np_pixels,
+        _decode_png_wh_pixels,
+        _dhash_bits,
+        _encode_bmp24,
+        _encode_png24,
+        _resize_nearest,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    w, h = 18, 16
+    hashes = []
+    for seed in range(30):
+        arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3))
+        px = [tuple(int(v) for v in p) for p in arr.reshape(-1, 3)]
+        d0 = _dhash_bits(w, h, px)
+        hashes.append(d0)
+        # lossless PNG re-encode: identical hash
+        pw, ph, ppx = _decode_png_wh_pixels(_encode_png24(w, h, px))
+        assert _dhash_bits(pw, ph, ppx) == d0
+        # 2x integer upscale: box averaging is exactly invariant
+        big = _resize_nearest(px, w, h, 2 * w, 2 * h)
+        assert _dhash_bits(2 * w, 2 * h, big) == d0
+        # global brightness shift: gradients unchanged
+        shifted = [
+            tuple(min(255, c + 3) for c in p) for p in px
+        ]
+        assert ham(_dhash_bits(w, h, shifted), d0) <= 1  # clip edge only
+        # per-pixel noise: near, not far
+        noise = np.random.RandomState(seed + 999_983).randint(
+            -1, 2, size=arr.shape
+        )
+        noisy = np.clip(arr + noise, 0, 255)
+        npx = [tuple(int(v) for v in p) for p in noisy.reshape(-1, 3)]
+        assert ham(_dhash_bits(w, h, npx), d0) <= 7
+    # distinct random images: far apart (brute force over all pairs)
+    dists = [
+        ham(a, b)
+        for i, a in enumerate(hashes)
+        for b in hashes[i + 1:]
+    ]
+    assert min(dists) > 12
+    # numpy BMP decode parity with the pure path's pixels
+    arr = np.random.RandomState(1).randint(0, 256, size=(h, w, 3))
+    px = [tuple(int(v) for v in p) for p in arr.reshape(-1, 3)]
+    blob = _encode_bmp24(w, h, px)
+    npx = _bmp_np_pixels(blob)
+    assert [tuple(int(v) for v in p) for p in npx.reshape(-1, 3)] == px
+
+
+def test_hash_near_dup_pairs_pigeonhole_recall(spark):
+    """With max_hamming < n_bands, banded recall is EXACT: every pair
+    within threshold is found (<=7 flipped bits cannot touch all 8
+    bands); pairs beyond threshold are filtered by the exact verify
+    even when they share a band."""
+    from data_management_python_spark.llmdata.multimodal import (
+        hash_near_dup_pairs,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = [(0, base)]
+    # id k: k bits flipped, spread ADVERSARIALLY one per band (worst
+    # case for banding: touches the most bands possible)
+    for k in range(1, 10):
+        v = base
+        for j in range(k):
+            # one flip per band for j<8, then wrap to a second bit in
+            # band 0 — all positions distinct and inside 64 bits
+            v ^= 1 << ((j % 8) * 8 + 3 + (j // 8))
+        rows.append((k, v - (1 << 64) if v >= (1 << 63) else v))
+    hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r.id_1, r.id_2): r.hamming
+        for r in hash_near_dup_pairs(hashes).collect()
+    }
+    # every (0, k) pair with k<=7 found with exact distance k
+    for k in range(1, 8):
+        assert got.get((0, k)) == k
+    assert (0, 8) not in got and (0, 9) not in got  # beyond threshold
+    # adjacent flipped variants also pair up: d(i,j) = |i-j| bands
+    assert got.get((6, 7)) == 1
+
+
+def test_image_neardup_end_to_end_planted(spark):
+    """Planted-corpus end-to-end at test scale: generation -> decode ->
+    dHash -> banded join finds exactly the planted twins."""
+    from data_management_python_spark.llmdata.multimodal import (
+        hash_near_dup_pairs,
+        image_dhash,
+        synthetic_image_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 61)], "doc_id long"
+    )
+    media = synthetic_image_corpus(docs, plant_every=10)
+    assert media.count() == 66  # 60 originals + 6 twins
+    kinds = {
+        r.kind for r in media.filter("media_id < 0").collect()
+    }
+    assert kinds == {"reencode", "upscale", "noise"}
+    pairs = hash_near_dup_pairs(image_dhash(media)).collect()
+    got = {(r.id_1, r.id_2) for r in pairs}
+    assert got == {(-d, d) for d in range(10, 61, 10)}
+    assert all(r.hamming <= 7 for r in pairs)
