@@ -1174,6 +1174,61 @@ def m_eav_bucketed_store(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@_q(
+    "e_store_ingest",
+    """
+    SELECT c_custkey AS project_id, c_name AS project_igf_id,
+           'ACTIVE' AS status
+    FROM customer
+    """,
+    doc="exactly-once streaming ingestion into the bucketed TableStore "
+    "(round-8; streaming/ingest.py) run through its batch-identical "
+    "foreachBatch body: customers arrive as 4 micro-batches with "
+    "batch 1 DELIVERED TWICE (the at-least-once re-delivery Structured "
+    "Streaming can produce after a restart) — each batch commits its "
+    "bucket-clustered append + stream marker in one store transaction, "
+    "so the replay is skipped and the read-back equals every customer "
+    "exactly once.  Reference anchor: incremental seqrun registration "
+    "(find-new, register exactly once).  Kill/restart and "
+    "crash-between-append-and-marker are pinned by "
+    "tests/test_stream_ingest.py against a real file-source stream",
+)
+def e_store_ingest(spark, sf_dir):
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_management_python_spark.store import TableStore  # noqa: PLC0415
+    from data_management_python_spark.streaming.ingest import (  # noqa: PLC0415
+        ingest_batch,
+    )
+
+    c = T(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="ingest_")
+    try:
+        store = TableStore(spark, root)
+        store.enable_partitioning("project", ["project_id"], 8)
+        for bid in (0, 1, 1, 2, 3):  # the second 1 is the replay
+            batch = c.filter(F.col("c_custkey") % 4 == bid).select(
+                F.col("c_custkey").alias("project_id"),
+                F.col("c_name").alias("project_igf_id"),
+                F.lit("ACTIVE").alias("status"),
+                F.lit("FASTQ").alias("deliverable"),
+            )
+            # validate=False: the enum-domain scan is store_records'
+            # own pinned contract; this query measures the ingestion
+            # commit path
+            ingest_batch(
+                store, "project", batch, bid, "cust-stream",
+                validate=False,
+            )
+        out = store.table("project").select(
+            "project_id", "project_igf_id", "status"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # E — event/incremental semantics (§2.9)
 # ---------------------------------------------------------------------------

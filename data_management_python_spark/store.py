@@ -339,6 +339,16 @@ class TableStore:
                     os.unlink(self._sidecar(op["table"]))
             else:
                 self._write_sidecar_atomic(op["table"], op["had"])
+        elif kind == "filewrite":
+            p = os.path.join(self.root, op["rel"])
+            if op["had"] is None:
+                with contextlib.suppress(OSError):
+                    os.unlink(p)
+            else:
+                tmp = p + ".undo.tmp"
+                with open(tmp, "w") as f:
+                    f.write(op["had"])
+                os.replace(tmp, p)
 
     def _roll_forward(self) -> None:
         """Finish a committed txn's cleanup: drop pre-images and stage
@@ -441,6 +451,54 @@ class TableStore:
             with contextlib.suppress(OSError):
                 os.unlink(self._txn_path("pending"))
             self._txn = None
+
+    # -- streaming-ingestion batch markers -----------------------------------
+
+    @staticmethod
+    def _marker_rel(stream_id: str) -> str:
+        if not stream_id or not all(
+            c.isalnum() or c in "._-" for c in stream_id
+        ):
+            raise ValueError(
+                f"stream_id must be [A-Za-z0-9._-]+, got {stream_id!r}"
+            )
+        return os.path.join("_ingest", f"{stream_id}.json")
+
+    def get_stream_marker(self, stream_id: str) -> int:
+        """Highest streaming micro-batch id already COMMITTED into this
+        store under ``stream_id`` (-1 when none).  The read side of the
+        exactly-once ingestion contract (see streaming/ingest.py)."""
+        rel = self._marker_rel(stream_id)  # validates OUTSIDE the try
+        try:
+            with open(os.path.join(self.root, rel)) as f:
+                return int(json.load(f)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def set_stream_marker(self, stream_id: str, batch_id: int) -> None:
+        """Record ``batch_id`` as committed for ``stream_id``.  Inside
+        an open transaction the write is JOURNALED (kind ``filewrite``)
+        — rollback restores the previous marker, so the marker and the
+        batch's appends commit or vanish together: the atomicity that
+        turns foreachBatch's at-least-once re-delivery into
+        exactly-once."""
+        rel = self._marker_rel(stream_id)
+        p = os.path.join(self.root, rel)
+        if self._txn is not None and self._txn.explicit:
+            try:
+                with open(p) as f:
+                    had = f.read()
+            except OSError:
+                had = None
+            self._journal_op(
+                f"_ingest/{stream_id}",
+                {"kind": "filewrite", "rel": rel, "had": had},
+            )
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+        os.replace(tmp, p)
 
     def _forbid_in_explicit_txn(self, verb: str) -> None:
         if self._txn is not None and self._txn.explicit:

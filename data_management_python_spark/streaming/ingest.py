@@ -1,0 +1,99 @@
+"""Exactly-once streaming ingestion into the TableStore.
+
+Closes the loop between §2.9's discovery streams and the bucketed
+store: the reference's incremental registration pattern — discover new
+seqruns, register each exactly once, survive restarts —
+(igf_airflow/utils/dag22_find_and_process_new_seqrun_utils style entry,
+dags/dag22*: find new, seed once) runs there as an Airflow task against
+MySQL, whose transaction makes "register + remember" atomic.  Here the
+same guarantee comes from composing two existing substrates:
+
+- Structured Streaming's ``foreachBatch`` delivers micro-batches with
+  monotonically increasing ``batch_id`` and AT-LEAST-ONCE semantics
+  (the last batch can be re-delivered after a restart, and a custom
+  sink re-run on failure);
+- ``TableStore.transaction()`` commits the batch's bucketed append and
+  the per-stream batch-id marker ATOMICALLY (the marker write is a
+  journaled op, store.py) — a crash between them rolls BOTH back, so
+  the re-delivered batch simply applies again; a crash after commit
+  leaves the marker, so the re-delivered batch is SKIPPED.
+
+Net: every row of every micro-batch lands in the store exactly once,
+the store stays bucket-clustered (appends go through
+``store_records``'s one-file-per-touched-bucket path), and restarts
+need no operator intervention.
+
+Scale: the sink is one bounded transaction per micro-batch — O(batch)
+work, no reads of existing data (a pure append), marker I/O is two
+tiny local files.  Idempotency is per-(store, stream_id); run parallel
+ingestion streams under distinct stream ids (the store's writer lock
+serializes their commits).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from data_management_python_spark.store import TableStore
+
+
+def ingest_batch(
+    store: TableStore,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    validate: bool = True,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> bool:
+    """Apply one micro-batch idempotently: append ``batch_df`` (after
+    ``transform``, if given) to ``table`` and advance the stream
+    marker, both inside ONE store transaction.  Returns False when the
+    batch id was already committed (a re-delivery) and nothing was
+    written.  This is the foreachBatch body, exposed separately so
+    batch backfills and tests drive the exact code path the stream
+    runs."""
+    if batch_id <= store.get_stream_marker(stream_id):
+        return False  # re-delivered batch: already committed, skip
+    if transform is not None:
+        batch_df = transform(batch_df)
+    with store.transaction():
+        store.store_records(table, batch_df, validate=validate)
+        store.set_stream_marker(stream_id, batch_id)
+    return True
+
+
+def stream_into_store(
+    stream_df: DataFrame,
+    store: TableStore,
+    table: str,
+    stream_id: str,
+    checkpoint_dir: str,
+    validate: bool = True,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    trigger_once: bool = False,
+):
+    """Run a streaming frame into a TableStore table with exactly-once
+    semantics (see module docstring).  Returns the StreamingQuery.
+
+    ``transform`` maps each micro-batch frame to the table's rows
+    (rename/derive columns) — it must be deterministic, since a
+    re-delivered batch re-runs it.  ``trigger_once`` drains all
+    available input and stops (the incremental-backfill shape the
+    reference's discovery DAGs run on a schedule)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            store, table, batch_df, batch_id, stream_id,
+            validate=validate, transform=transform,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
