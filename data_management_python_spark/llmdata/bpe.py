@@ -346,30 +346,81 @@ def bpe_train_reference(
     return merges
 
 
+def encode_word_rule_order(
+    w: str, rules: list[tuple[str, str, str]]
+) -> list[str]:
+    """The textbook encode: every rule, in learned order, greedily
+    merged left-to-right across the word.  O(|rules| * |word|) — kept
+    as the parity REFERENCE for the rank-based fast path below (the
+    two are proven-and-tested identical)."""
+    syms = list(w) + [END]
+    for left, right, joined in rules:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, left, right, joined)
+    return syms
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    cache_size: int = 1 << 18,
 ) -> DataFrame:
     """Tokenize the corpus with learned merges — map-only: the rule
-    list broadcasts in the UDF closure, each word re-merges greedily
-    in rule order (reference BPE application)."""
+    list broadcasts in the UDF closure, zero shuffle.
+
+    Round-8 fast path: instead of sweeping EVERY rule over every word
+    (O(|rules| x |word|), the tokenization wall a 32k-merge vocabulary
+    hits at corpus scale), each word iterates "merge the lowest-RANK
+    pair present" (the GPT-2-style encoder): O(|word| x merges applied)
+    with one dict probe per adjacent pair.  This is EXACTLY rule-order
+    application, not an approximation: a merge at rank k only creates
+    pairs containing its new symbol, and any learned pair containing
+    that symbol was necessarily learned AFTER step k (the symbol did
+    not exist before), so no merge can ever re-expose a pair of rank
+    <= k — the invariant the classic equivalence rests on, pinned by
+    test against :func:`encode_word_rule_order`.
+
+    A per-worker word cache (bounded at ``cache_size`` entries)
+    exploits Zipf reuse: the overwhelming share of running words hit
+    the cache and cost one dict lookup.  The cache lives in the UDF
+    closure — one per Python worker process, shared across Arrow
+    batches, never serialized back."""
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
     rules = [(l, r, l + r) for l, r, _ in merges]
 
     @pandas_udf("array<string>")
     def tokenize(text: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def encode(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [END]
+            get = ranks.get
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                left, right, joined = rules[best]
+                syms = _merge_word(syms, left, right, joined)
+            if len(cache) < cache_size:
+                cache[w] = syms
+            return syms
+
         def one(t):
             if t is None:
                 return []
             out = []
             for w in t.strip().lower().split():
-                syms = list(w) + [END]
-                for left, right, joined in rules:
-                    if len(syms) < 2:
-                        break
-                    syms = _merge_word(syms, left, right, joined)
-                out.extend(syms)
+                out.extend(encode(w))
             return out
 
         return text.map(one)

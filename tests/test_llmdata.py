@@ -2415,3 +2415,41 @@ def test_image_neardup_end_to_end_planted(spark):
     got = {(r.id_1, r.id_2) for r in pairs}
     assert got == {(-d, d) for d in range(10, 61, 10)}
     assert all(r.hamming <= 7 for r in pairs)
+
+
+def test_apply_bpe_rank_path_matches_rule_order(spark):
+    """Round-8 encoder fast path: the rank-based min-pair loop must be
+    WORD-FOR-WORD identical to textbook rule-order application —
+    including cascading merges, repeated symbols, and unicode — on
+    both random words and a real trained ruleset."""
+    import numpy as np
+
+    from data_management_python_spark.llmdata.bpe import (
+        apply_bpe,
+        bpe_train_reference,
+        encode_word_rule_order,
+    )
+
+    rs = np.random.RandomState(3)
+    letters = list("abcde")  # tiny alphabet -> dense cascading merges
+    words = [
+        "".join(rs.choice(letters, size=rs.randint(1, 14)))
+        for _ in range(400)
+    ] + ["aaaa", "ababab", "ééééx", "a"]
+    from collections import Counter
+
+    counts = Counter()
+    for w in words:
+        counts[w] += rs.randint(1, 50)
+    merges = bpe_train_reference(counts, 60)
+    rules = [(l, r, l + r) for l, r, _ in merges]
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in apply_bpe(docs, merges).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == encode_word_rule_order(w, rules), w
