@@ -89,6 +89,7 @@ def pagerank_fixed(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    broadcast_hints: bool = True,
 ) -> DataFrame:
     """PageRank with a fixed iteration count over symmetric ``edges``
     (columns ``src``/``dst``; pass both directions so no node
@@ -103,9 +104,14 @@ def pagerank_fixed(
     re-evaluate the whole edge-build lineage (measured 12.8s -> ~2s at
     sf0.1 on the customer-supplier graph).  The identical deg subplan
     repeats per iteration and Catalyst reuses its broadcast exchange.
-    At rank cardinalities beyond broadcast range, drop the hints and
-    let AQE pick the join strategy — the iteration shape is unchanged.
+    At rank cardinalities beyond broadcast range, pass
+    ``broadcast_hints=False``: the hints drop and AQE picks the join
+    strategy per iteration (sort-merge/shuffled-hash once ranks
+    outgrow broadcast) — the iteration shape is unchanged, and the
+    fixed point is identical up to float accumulation order (pinned
+    by test at 6 dp; stress row in SCALE.md).
     """
+    hint = F.broadcast if broadcast_hints else (lambda df: df)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()  # scalar; drives the teleport constant
@@ -113,8 +119,8 @@ def pagerank_fixed(
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
         contrib = (
-            edges.join(F.broadcast(deg), "src")
-            .join(F.broadcast(ranks), F.col("src") == F.col("node"))
+            edges.join(hint(deg), "src")
+            .join(hint(ranks), F.col("src") == F.col("node"))
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("deg")).alias("c"),
