@@ -13,9 +13,18 @@ so a user of data-management-python can switch with familiar verbs:
   map_foreign_table_and_store_attribute (M1)  resolve_fk option on store
   get_attributes_by_dbid (EAV read)           attributes_of
 
-Transaction semantics: the reference wraps one ORM session per call
-(dbconnect.py:122-141); a lake gives per-table atomicity for
-MUTATIONS.  ``store_records`` is a TRUE file append on every layout
+Transaction semantics (round-8): the reference wraps one ORM session
+per call (dbconnect.py:122-141); the store now matches it with a
+root-level COMMIT LOG — ``transaction()`` makes multi-table writes
+atomic (``store_with_attributes`` uses it: main + attribute tables
+commit or roll back together), every mutating verb takes the same
+O_EXCL writer lock (concurrent mutators serialize; a live competitor
+times out with ``ConcurrentWriterError``, a dead one's journal is
+rolled back and its lock taken over), and readers of a
+mid-transaction table refuse rather than see half a commit.  See the
+"transactional commit log" section below.  Outside a transaction,
+per-table semantics are unchanged:
+``store_records`` is a TRUE file append on every layout
 (nothing existing is read or rewritten); an append that crashes before
 job commit vanishes cleanly (task outputs stay under Spark's
 ``_temporary`` staging, which reads ignore), but a crash DURING the
@@ -284,6 +293,25 @@ class TableStore:
                     # abandoned by a dead writer: roll it back and retry
                     self.recover_transactions()
                     continue
+                if pend is None:
+                    # unparseable lock: either another writer is inside
+                    # the microsecond window between O_EXCL create and
+                    # its first journal flush (age ~0 — wait), or a
+                    # writer died INSIDE that window and left an empty
+                    # lock no pid check can vindicate — after a grace
+                    # period treat it as dead (nothing was journaled,
+                    # so nothing moved; dropping the lock is the whole
+                    # recovery)
+                    try:
+                        age = time.time() - os.path.getmtime(
+                            self._txn_path("pending")
+                        )
+                    except OSError:
+                        continue  # vanished: retry the create
+                    if age > 5.0:
+                        with contextlib.suppress(OSError):
+                            os.unlink(self._txn_path("pending"))
+                        continue
                 if time.monotonic() >= deadline:
                     raise ConcurrentWriterError(
                         f"store {self.root!r} is locked by a live "

@@ -424,3 +424,31 @@ def test_mutation_verbs_forbidden_inside_transaction(spark, root):
     # outside: fine
     store.upsert("project", upd, on=["project_id"])
     assert store.table("project").first().status == "FINISHED"
+
+
+def test_unparseable_stale_lock_taken_over(spark, root, monkeypatch):
+    """A writer that died between the O_EXCL lock create and its first
+    journal flush leaves an EMPTY pending file no pid check can judge:
+    after the grace period the next writer drops it (nothing was
+    journaled, so nothing moved) instead of blocking forever."""
+    import time as _time
+
+    store = TableStore(spark, root)
+    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
+    lock = store._txn_path("pending")
+    with open(lock, "w") as f:
+        f.write("")  # torn first flush
+    old = _time.time() - 60
+    os.utime(lock, (old, old))  # aged past the 5s grace
+    store.lock_timeout = 10.0
+    store.store_records("project", _projects(spark, [1]))
+    assert store.table("project").count() == 1
+    # a FRESH empty lock (a live writer mid-create) is awaited, not
+    # stolen: with a short timeout the contender raises instead
+    with open(lock, "w") as f:
+        f.write("")
+    b = TableStore(spark, root)
+    b.lock_timeout = 0.3
+    with pytest.raises(ConcurrentWriterError):
+        b.store_records("project", _projects(spark, [2]))
+    os.unlink(lock)
