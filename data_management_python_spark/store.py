@@ -219,10 +219,11 @@ class TableStore:
     # instances/processes, not threads sharing one instance); writer
     # liveness is judged by pid on THIS host — a lock from a dead pid
     # is recovered and taken over, a live one is awaited up to
-    # ``lock_timeout``.  upsert/delete_where/rebucket/compact are NOT
-    # permitted inside an open explicit transaction (their per-bucket
-    # swap loops are not undo-journaled); call them as their own
-    # serialized verbs.
+    # ``lock_timeout``.  upsert/delete_where participate in open
+    # transactions (their touched buckets keep pre-images until
+    # commit); rebucket/compact/resume_rebucket are MAINTENANCE, not
+    # data mutations, and stay forbidden inside a transaction — run
+    # them as their own serialized verbs.
 
     def _txn_path(self, which: str) -> str:
         return os.path.join(self.root, "_txn", which + ".json")
@@ -367,6 +368,25 @@ class TableStore:
                     os.unlink(self._sidecar(op["table"]))
             else:
                 self._write_sidecar_atomic(op["table"], op["had"])
+        elif kind == "bucket_swap":
+            path = self._path(op["table"])
+            pre_root = os.path.join(self.root, op["pre"])
+            for b, had_live in op["buckets"]:
+                live = os.path.join(path, f"{self.BUCKET_COL}={b}")
+                pre = os.path.join(pre_root, f"{self.BUCKET_COL}={b}")
+                if os.path.exists(pre):
+                    # retracted: drop whatever is live, restore original
+                    shutil.rmtree(live, ignore_errors=True)
+                    os.replace(pre, live)
+                elif not had_live:
+                    # bucket did not exist pre-txn; a new copy may have
+                    # been moved in already
+                    shutil.rmtree(live, ignore_errors=True)
+                # (pre absent + had_live: crash before this bucket's
+                # retraction — live still IS the original; keep it)
+            shutil.rmtree(pre_root, ignore_errors=True)
+            shutil.rmtree(os.path.join(self.root, op["tmp"]),
+                          ignore_errors=True)
         elif kind == "filewrite":
             p = os.path.join(self.root, op["rel"])
             if op["had"] is None:
@@ -387,6 +407,11 @@ class TableStore:
         for op in spec.get("ops", []):
             if op["kind"] == "append":
                 shutil.rmtree(os.path.join(self.root, op["stage"]),
+                              ignore_errors=True)
+            elif op["kind"] == "bucket_swap":
+                shutil.rmtree(os.path.join(self.root, op["pre"]),
+                              ignore_errors=True)
+                shutil.rmtree(os.path.join(self.root, op["tmp"]),
                               ignore_errors=True)
             elif op["kind"] == "swap":
                 shutil.rmtree(os.path.join(self.root, op["pre"]),
@@ -1326,6 +1351,11 @@ class TableStore:
             ),
             n_buckets,
         )  # one file per bucket
+        if self._txn is not None and self._txn.explicit:
+            # inside a transaction every touched bucket's pre-image
+            # must survive until COMMIT so the whole txn can roll back
+            self._txn_merge_buckets(name, touched, out)
+            return
         tmp_root = path + "__merging"
         if os.path.exists(tmp_root):
             shutil.rmtree(tmp_root)
@@ -1350,6 +1380,60 @@ class TableStore:
                     os.path.join(tmp_root, f"__deleted_{self.BUCKET_COL}={b}"),
                 )
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+    def _txn_merge_buckets(
+        self, name: str, touched: list[int], out: DataFrame
+    ) -> None:
+        """Explicit-txn variant of the partition-scoped merge: the new
+        bucket tree is written to a txn temp, each touched live bucket
+        is RETRACTED into a pre-image tree (one rename), and the new
+        bucket moved in — pre + tmp survive until the transaction
+        commits, so upsert/delete_where participate in multi-table
+        atomicity.  The op (with per-bucket had_live flags) is
+        journaled BEFORE the Spark write; undo restores each bucket to
+        exactly its phase — and while the loop is mid-flight the table
+        is inconsistent ACROSS buckets, which is precisely what the
+        reader txn fencing exists to hide."""
+        t = self._txn
+        with self._txn_mutex:
+            seq = t.seq
+            t.seq += 1
+        pre_rel = f"{name}__txnmrgpre-{t.token[:8]}-{seq}"
+        tmp_rel = f"{name}__txnmrgtmp-{t.token[:8]}-{seq}"
+        path = self._path(name)
+        op = {
+            "kind": "bucket_swap",
+            "table": name,
+            "pre": pre_rel,
+            "tmp": tmp_rel,
+            "buckets": [
+                [
+                    int(b),
+                    os.path.exists(
+                        os.path.join(path, f"{self.BUCKET_COL}={b}")
+                    ),
+                ]
+                for b in touched
+            ],
+        }
+        self._journal_op(name, op)
+        tmp_root = os.path.join(self.root, tmp_rel)
+        pre_root = os.path.join(self.root, pre_rel)
+        out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+            tmp_root
+        )
+        os.makedirs(pre_root, exist_ok=True)
+        for b, had_live in op["buckets"]:
+            live = os.path.join(path, f"{self.BUCKET_COL}={b}")
+            new = os.path.join(tmp_root, f"{self.BUCKET_COL}={b}")
+            if had_live:
+                os.replace(
+                    live, os.path.join(pre_root, f"{self.BUCKET_COL}={b}")
+                )
+            if os.path.exists(new):
+                os.replace(new, live)
+            # (no new dir = every row of the bucket deleted: the
+            # retraction above already removed it from the live tree)
 
     # -- reference-adaptor verbs --------------------------------------------
 
@@ -1747,8 +1831,13 @@ class TableStore:
         crash-safe swapped; every other bucket's files stay
         byte-identical on disk (asserted by test).  Requires the
         bucket keys to be a subset of ``on`` — otherwise a matched
-        target row could live in a bucket the updates don't name."""
-        self._forbid_in_explicit_txn("upsert")
+        target row could live in a bucket the updates don't name.
+
+        Inside an open :meth:`transaction` (round-8) the touched
+        buckets keep their pre-images until commit, so an upsert
+        composes with other tables' writes into one atomic unit — the
+        reference's status-update-plus-registration session shape
+        (pipeline_seed status + file rows in one ORM txn)."""
         with self._write_guard():
             self._upsert_locked(name, updates, on, update_columns)
 
@@ -1788,8 +1877,8 @@ class TableStore:
 
     def delete_where(self, name: str, keys: DataFrame, on: list[str]) -> None:
         """Key-addressed delete (M7 building block).  Partition-scoped
-        on a bucketed table, same contract as :meth:`upsert`."""
-        self._forbid_in_explicit_txn("delete_where")
+        on a bucketed table, same contract as :meth:`upsert` —
+        including transaction participation."""
         with self._write_guard():
             self._delete_where_locked(name, keys, on)
 

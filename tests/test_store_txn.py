@@ -407,23 +407,107 @@ def test_dead_writer_lock_taken_over(spark, root):
     assert store.table("project").count() == 1
 
 
-def test_mutation_verbs_forbidden_inside_transaction(spark, root):
-    """upsert/delete_where/rebucket/compact are not undo-journaled:
-    inside an open transaction they refuse loudly instead of breaking
-    atomicity."""
+def test_maintenance_verbs_forbidden_inside_transaction(spark, root):
+    """rebucket/compact are maintenance, not data mutations — inside an
+    open transaction they refuse loudly instead of breaking the undo
+    journal."""
     store = TableStore(spark, root)
     store.store_records("project", _projects(spark, [1]))
-    upd = _projects(spark, [1]).withColumn("status", F.lit("FINISHED"))
+    store.enable_partitioning("project", ["project_id"], 4)
     with store.transaction():
         with pytest.raises(ValueError, match="transaction"):
-            store.upsert("project", upd, on=["project_id"])
+            store.rebucket("project", 8)
         with pytest.raises(ValueError, match="transaction"):
+            store.compact("project")
+
+
+def test_upsert_and_delete_inside_transaction(spark, root):
+    """Round-8: upsert/delete_where PARTICIPATE in transactions — the
+    reference's status-update-plus-registration session shape.  A
+    rollback restores every touched bucket byte-exactly; a commit
+    applies the update together with the other tables' writes."""
+    store = TableStore(spark, root)
+    store.store_records("project", _projects(spark, range(1, 9)))
+    store.enable_partitioning("project", ["project_id"], 4)
+    before = _snapshot(root)
+
+    upd = _projects(spark, [2, 3]).withColumn("status", F.lit("FINISHED"))
+    # exception inside the txn: the upsert's bucket swaps roll back
+    with pytest.raises(RuntimeError, match="boom"):
+        with store.transaction():
+            store.upsert("project", upd, on=["project_id"],
+                         update_columns=["status"])
             store.delete_where(
-                "project", upd.select("project_id"), on=["project_id"]
+                "project",
+                _projects(spark, [7]).select("project_id"),
+                on=["project_id"],
             )
-    # outside: fine
-    store.upsert("project", upd, on=["project_id"])
-    assert store.table("project").first().status == "FINISHED"
+            raise RuntimeError("boom")
+    assert _snapshot(root) == before
+    assert {r.status for r in store.table("project").collect()} == {"ACTIVE"}
+
+    # committed: update + delete + append land as one unit
+    with store.transaction():
+        store.upsert("project", upd, on=["project_id"],
+                     update_columns=["status"])
+        store.delete_where(
+            "project",
+            _projects(spark, [7]).select("project_id"),
+            on=["project_id"],
+        )
+        store.store_records("project", _projects(spark, [20]))
+    got = {r.project_id: r.status for r in store.table("project").collect()}
+    assert got[2] == got[3] == "FINISHED"
+    assert 7 not in got and got[20] == "ACTIVE"
+    assert store.partitioning_of("project") == (["project_id"], 4)
+    assert not [d for d in os.listdir(root) if "__txn" in d]
+
+
+def test_upsert_crash_mid_bucket_swap_rolls_back(spark, root):
+    """Process death halfway through an in-txn upsert's per-bucket
+    swap loop (some buckets retracted, some untouched): recovery
+    restores the byte-exact pre-state."""
+    store = TableStore(spark, root)
+    store.store_records("project", _projects(spark, range(1, 9)))
+    store.enable_partitioning("project", ["project_id"], 4)
+    before = _snapshot(root)
+
+    upd = _projects(spark, range(1, 9)).withColumn(
+        "status", F.lit("FINISHED")
+    )
+    store._acquire_lock(explicit=True)
+    # run the journaled merge but crash after TWO bucket renames
+    orig_replace = os.replace
+    calls = {"n": 0}
+
+    class _Crash(BaseException):
+        pass
+
+    def patched(src, dst):
+        if "__txnmrgpre-" in str(dst) or "__txnmrgtmp-" in str(src):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise _Crash
+        return orig_replace(src, dst)
+
+    os.replace = patched
+    try:
+        with pytest.raises(_Crash):
+            store._upsert_locked(
+                "project", upd, ["project_id"], ["status"]
+            )
+    finally:
+        os.replace = orig_replace
+    _abandon_as_dead(store)
+
+    reader = TableStore(spark, root)
+    with pytest.raises(RuntimeError, match="transaction"):
+        reader.table("project").collect()
+    assert reader.recover_transactions() == "back"
+    assert _snapshot(root) == before
+    assert {r.status for r in reader.table("project").collect()} == {
+        "ACTIVE"
+    }
 
 
 def test_unparseable_stale_lock_taken_over(spark, root, monkeypatch):
