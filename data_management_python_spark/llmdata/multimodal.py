@@ -1729,3 +1729,235 @@ def synthetic_image_corpus(
         batch_rows,
         eager=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual AUDIO near-dup (round-8): Haitsma-Kalker-style fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _wav16_np_samples(blob: bytes):
+    """numpy fast path for the hot audio decode loop: (rate, float64
+    mono samples) for 16-bit PCM WAV, numerically identical to
+    :func:`_decode_wav_samples` (pinned by test) without the
+    per-sample Python float churn.  None for anything else (the pure
+    path handles 8/32-bit)."""
+    import io  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(blob))) as w:
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error):
+        return None
+    if rate <= 0 or nch <= 0 or width != 2:
+        return None
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    if nch > 1:
+        n = (len(x) // nch) * nch
+        x = x[:n].reshape(-1, nch).sum(axis=1) / nch
+    return rate, x / 32768.0
+
+
+def _encode_wav16_np(rate: int, x) -> bytes:
+    """numpy fast path for 16-bit mono WAV encode, byte-identical to
+    :func:`_encode_wav16` (pinned by test): same IEEE double multiply
+    and half-even rounding, without the per-sample struct.pack loop."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    ints = np.clip(
+        np.round(np.asarray(x, dtype=np.float64) * 32767.0),
+        -32768,
+        32767,
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def _afp_bits(
+    rate: int, samples, frames: int = 9, bands: int = 9
+) -> int:
+    """64-bit audio fingerprint (simplified Haitsma & Kalker 2002
+    "robust audio fingerprinting"): the signal splits into ``frames``
+    time windows x ``bands`` spectral bands (numpy rFFT magnitudes,
+    log energy), and each bit is the sign of the TIME-AND-BAND double
+    difference  (E[t][b] - E[t][b+1]) - (E[t-1][b] - E[t-1][b+1]).
+    The double difference cancels any constant log-energy offset, so
+    the hash is exactly invariant under amplitude scaling (gain adds a
+    constant to every log energy) and stable (small Hamming drift)
+    under requantization and low-level noise — the dup classes an
+    audio crawl actually contains.  (frames-1) x (bands-1) = 64 bits
+    at the defaults.  Returns a signed 64-bit int for a LongType
+    column; reuses :func:`hash_near_dup_pairs` for the banded join."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = (len(x) // frames) * frames
+    if n < frames * 8:
+        return None
+    seg = x[:n].reshape(frames, n // frames)
+    mag = np.abs(np.fft.rfft(seg, axis=1))  # (frames, n//frames//2+1)
+    nb = mag.shape[1]
+    edges = [1 + (b * (nb - 1)) // bands for b in range(bands + 1)]
+    e = np.empty((frames, bands))
+    for b in range(bands):
+        lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
+        e[:, b] = np.log(np.sum(mag[:, lo:hi] ** 2, axis=1) + 1e-12)
+    d = e[:, :-1] - e[:, 1:]          # band differences per frame
+    dd = d[1:, :] - d[:-1, :]         # double difference over time
+    v = 0
+    for bit in dd.reshape(-1):
+        v = (v << 1) | (1 if bit > 0 else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    batch_rows: int = 256,
+    eager: bool = True,
+) -> DataFrame:
+    """Per-clip perceptual hash column: (id, afp long, decodable) —
+    the audio member of the dedup family, the exact shape of
+    :func:`image_dhash` (map-only Arrow batches, blobs never leave the
+    executor, 16-byte rows out), feeding the SAME banded Hamming join
+    (:func:`hash_near_dup_pairs` with ``hash_col="afp"``).
+    Undecodable blobs yield decodable=false with a NULL hash."""
+    schema = f"{id_col} long, afp long, decodable boolean"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ok = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                ids.append(rid)
+                fp = None
+                if blob is not None:
+                    blob = bytes(blob)
+                    fast = _wav16_np_samples(blob)  # hot path
+                    if fast is not None:
+                        fp = _afp_bits(fast[0], fast[1])
+                    else:
+                        dec = _decode_wav_samples(blob)
+                        if dec is not None:
+                            rate, _nch, samples = dec
+                            fp = _afp_bits(rate, samples)
+                hs.append(fp)
+                ok.append(fp is not None)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "afp": pd.array(hs, dtype="Int64"),
+                    "decodable": ok,
+                }
+            )
+
+    return _run_with_bounded_arrow_batches(
+        df.mapInPandas(process, schema=schema), batch_rows, eager
+    )
+
+
+def synthetic_audio_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    plant_every: int = 25,
+    rate: int = 8000,
+    n_samples: int = 4096,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Deterministic PCM-WAV corpus over a document table with PLANTED
+    near-duplicate twins — the audio sibling of
+    :func:`synthetic_image_corpus`, same ground-truth-by-id-arithmetic
+    contract: true pairs are exactly {(-d, d) : d % plant_every = 0,
+    d > 0}.
+
+    Every row gets a 16-bit mono clip of five sinusoids with
+    ``RandomState(doc_id)``-drawn frequencies/phases/amplitudes plus
+    low noise.  Twin classes cycle by ``(d / plant_every) % 3``:
+
+      0: amplitude-scaled 0.4x (fingerprint exactly invariant — the
+         double difference cancels the gain)
+      1: requantized to 8-bit levels, re-encoded (quantization noise;
+         small Hamming)
+      2: added low-level noise (small Hamming)
+    """
+    import numpy as np  # noqa: PLC0415
+
+    schema = "media_id long, content binary, mime_type string, kind string"
+
+    def synth(d: int):
+        rs = np.random.RandomState(d)
+        t = np.arange(n_samples) / rate
+        x = np.zeros(n_samples)
+        for _ in range(5):
+            f = rs.uniform(80, 3200)
+            x += rs.uniform(0.1, 0.5) * np.sin(
+                2 * np.pi * f * t + rs.uniform(0, 2 * np.pi)
+            )
+        x += rs.normal(0, 0.01, n_samples)
+        peak = np.max(np.abs(x))
+        return (0.8 / peak) * x if peak > 0 else x
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, mimes, kinds = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                x = synth(d)
+                ids.append(d)
+                blobs.append(_encode_wav16_np(rate, x))
+                mimes.append("audio/wav")
+                kinds.append("original")
+                if d > 0 and d % plant_every == 0:
+                    kind = (d // plant_every) % 3
+                    if kind == 0:
+                        y, kname = 0.4 * x, "gain"
+                    elif kind == 1:
+                        y = np.round(x * 127) / 127
+                        kname = "requantize"
+                    else:
+                        # low relative to the clip's own 0.01 noise
+                        # floor: the planted "noise" class must stay
+                        # NEAR (<= the banded-join threshold) for
+                        # every clip, not just on average
+                        y = x + np.random.RandomState(
+                            d + 424_243
+                        ).normal(0, 0.001, n_samples)
+                        kname = "noise"
+                    ids.append(-d)
+                    blobs.append(_encode_wav16_np(rate, np.clip(y, -1, 1)))
+                    mimes.append("audio/wav")
+                    kinds.append(kname)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "mime_type": mimes,
+                    "kind": kinds,
+                }
+            )
+
+    width_parts = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    return _run_with_bounded_arrow_batches(
+        docs.select(id_col)
+        .repartition(width_parts)
+        .mapInPandas(gen, schema=schema),
+        batch_rows,
+        eager=True,
+    )

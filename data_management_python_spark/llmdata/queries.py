@@ -14,9 +14,11 @@ from data_management_python_spark.catalog import load_table
 from data_management_python_spark.llmdata import dedup, similarity, stats, text
 from data_management_python_spark.llmdata.multimodal import (
     attach_binary_metadata,
+    audio_fingerprint,
     documents_as_media,
     hash_near_dup_pairs,
     image_dhash,
+    synthetic_audio_corpus,
     synthetic_image_corpus,
 )
 from data_management_python_spark.plans import Query
@@ -590,6 +592,32 @@ def mm_image_neardup(spark, sf_dir):
     media = synthetic_image_corpus(docs)
     hashes = image_dhash(media)
     return hash_near_dup_pairs(hashes).select("id_1", "id_2")
+
+
+@_q(
+    "mm_audio_neardup",
+    """
+    SELECT CAST(-doc_id AS BIGINT) AS id_1, CAST(doc_id AS BIGINT) AS id_2
+    FROM documents WHERE doc_id % 25 = 0 AND doc_id > 0
+    """,
+    doc="perceptual AUDIO near-dup (round-8): deterministic PCM-WAV "
+    "corpus over documents with planted twins (0.4x gain / 8-bit "
+    "requantize / low noise) -> stdlib-wave decode -> 64-bit "
+    "Haitsma-Kalker-style log-energy double-difference fingerprint "
+    "(map-only Arrow batches, numpy rFFT) -> the SAME 8-band Hamming "
+    "bucket join as the image path (pigeonhole-exact recall at "
+    "threshold 7).  GROUND-TRUTH oracle by id arithmetic; gain "
+    "invariance is exact (the double difference cancels a constant "
+    "log-energy offset), requantize/noise twins verified <= Hamming 6 "
+    "with zero false positives at every sf",
+)
+def mm_audio_neardup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_audio_corpus(docs)
+    hashes = audio_fingerprint(media)
+    return hash_near_dup_pairs(hashes, hash_col="afp").select(
+        "id_1", "id_2"
+    )
 
 
 @_q(

@@ -2453,3 +2453,104 @@ def test_apply_bpe_rank_path_matches_rule_order(spark):
     }
     for i, w in enumerate(words):
         assert got[i] == encode_word_rule_order(w, rules), w
+
+
+def test_audio_fingerprint_invariances():
+    """Audio fingerprint contract: exactly invariant under amplitude
+    gain (the log-energy double difference cancels a constant), near
+    under requantization and low noise, far between distinct clips."""
+    import numpy as np
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _afp_bits,
+        _decode_wav_samples,
+        _encode_wav16,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def fp_of(x, rate=8000):
+        # roundtrip through the real WAV codec, like the operator does
+        dec = _decode_wav_samples(_encode_wav16(rate, list(x)))
+        assert dec is not None
+        return _afp_bits(dec[0], dec[2])
+
+    rate, n = 8000, 4096
+    t = np.arange(n) / rate
+    hashes = []
+    for seed in range(20):
+        rs = np.random.RandomState(seed)
+        x = np.zeros(n)
+        for _ in range(5):
+            x += rs.uniform(0.1, 0.5) * np.sin(
+                2 * np.pi * rs.uniform(80, 3200) * t
+                + rs.uniform(0, 2 * np.pi)
+            )
+        x += rs.normal(0, 0.01, n)
+        x *= 0.8 / np.max(np.abs(x))
+        f0 = fp_of(x)
+        hashes.append(f0)
+        assert fp_of(0.4 * x) == f0  # exact gain invariance
+        assert ham(fp_of(np.round(x * 127) / 127), f0) <= 7
+        noisy = x + np.random.RandomState(seed + 424_243).normal(
+            0, 0.001, n
+        )
+        assert ham(fp_of(np.clip(noisy, -1, 1)), f0) <= 7
+    dists = [
+        ham(a, b) for i, a in enumerate(hashes) for b in hashes[i + 1:]
+    ]
+    assert min(dists) > 12  # distinct clips are far
+
+
+def test_audio_neardup_end_to_end_planted(spark):
+    """Planted audio corpus end to end: generation -> WAV decode ->
+    fingerprint -> banded join finds exactly the planted twins through
+    the SAME join operator as the image path."""
+    from data_management_python_spark.llmdata.multimodal import (
+        audio_fingerprint,
+        hash_near_dup_pairs,
+        synthetic_audio_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 61)], "doc_id long"
+    )
+    media = synthetic_audio_corpus(docs, plant_every=10)
+    assert media.count() == 66
+    kinds = {r.kind for r in media.filter("media_id < 0").collect()}
+    assert kinds == {"gain", "requantize", "noise"}
+    pairs = hash_near_dup_pairs(
+        audio_fingerprint(media), hash_col="afp"
+    ).collect()
+    got = {(r.id_1, r.id_2) for r in pairs}
+    assert got == {(-d, d) for d in range(10, 61, 10)}
+
+
+def test_wav16_np_fast_paths_parity():
+    """The numpy WAV fast paths must match the pure codecs exactly:
+    encode byte-identical (same double multiply + half-even rounding),
+    decode numerically identical — including half-integer rounding
+    edges and clipping."""
+    import numpy as np
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_wav_samples,
+        _encode_wav16,
+        _encode_wav16_np,
+        _wav16_np_samples,
+    )
+
+    rs = np.random.RandomState(11)
+    x = np.concatenate([
+        rs.uniform(-1.2, 1.2, 500),           # incl. clipped values
+        np.array([0.5 / 32767, 1.5 / 32767,   # half-even edges
+                  -0.5 / 32767, 1.0, -1.0, 0.0]),
+    ])
+    pure = _encode_wav16(8000, [float(v) for v in x])
+    fast = _encode_wav16_np(8000, x)
+    assert fast == pure
+    rate, arr = _wav16_np_samples(pure)
+    dec = _decode_wav_samples(pure)
+    assert rate == dec[0] == 8000
+    assert np.array_equal(arr, np.array(dec[2]))
