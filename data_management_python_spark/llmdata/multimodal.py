@@ -1549,65 +1549,84 @@ def hash_near_dup_pairs(
     hash_col: str = "dhash",
     n_bands: int = 8,
     max_hamming: int = 7,
+    hash_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Near-dup pairs among 64-bit perceptual hashes: banded bucket
-    join + exact Hamming verify — the pixel member of the dedup
-    family, same shape as the SimHash text path (dedup.py).
+    """Near-dup pairs among 64-bit-word perceptual hashes: banded
+    bucket join + exact Hamming verify — one join operator serving
+    image dHash (one word), the 128-bit audio fingerprint
+    (``hash_cols=["afp0", "afp1"]``), and any future wider hash; same
+    shape as the SimHash text path (dedup.py).
 
-    The 64-bit hash splits into ``n_bands`` equal bands; candidate
-    pairs share at least one exact band (a bucket join keyed by
-    (band index, band value) — never all-pairs), then the EXACT
-    Hamming distance filters to ``<= max_hamming``.  With
+    The hash (64 bits per word) splits into ``n_bands`` equal bands
+    spread evenly across the words; candidate pairs share at least one
+    exact band (a bucket join keyed by (band index, band value) —
+    never all-pairs), then the EXACT Hamming distance (summed over
+    words) filters to ``<= max_hamming``.  With
     ``max_hamming < n_bands`` the pigeonhole principle makes recall
-    EXACT, not probabilistic: <= 7 differing bits cannot touch all 8
-    bands, so every true pair shares an untouched band and is
-    guaranteed a candidate.  Precision is exact by construction (every
-    candidate is verified).  All JVM-side: shiftrightunsigned banding,
-    xor + bit_count verify — no Python in the join path.
+    EXACT, not probabilistic: fewer differing bits than bands cannot
+    touch every band, so every true pair shares an untouched band and
+    is guaranteed a candidate.  Precision is exact by construction
+    (every candidate is verified).  All JVM-side: shiftrightunsigned
+    banding, xor + bit_count verify — no Python in the join path.
 
-    Scale: candidates are bounded by band-bucket co-occupancy; at a
-    much larger corpus, widen the bands (n_bands=4 -> 16-bit buckets)
-    and accept probabilistic recall, or band a 128/256-bit hash — the
-    pigeonhole trade (exact recall vs bucket selectivity) is the
-    operator's single tuning axis.  Output: (id_1, id_2, hamming).
-    """
-    band_bits = 64 // n_bands
-    h = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(hash_col)
+    Scale: candidate volume is corpus^2 x (n_bands / 2^band_bits) —
+    BAND WIDTH is the selectivity lever.  Wider bands (fewer per word,
+    e.g. n_bands=4 on one word = 16-bit buckets) cut candidates ~2^8x
+    but cap the exact-recall threshold at n_bands-1; a wider hash
+    (more words) buys both margins at once.  Measured trade in
+    SCALE.md.  Output: (id_1, id_2, hamming)."""
+    cols = list(hash_cols) if hash_cols is not None else [hash_col]
+    if n_bands % len(cols) != 0 or 64 % (n_bands // len(cols)) != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must spread evenly over {len(cols)} "
+            "hash words into bands dividing 64 bits"
+        )
+    per_word = n_bands // len(cols)
+    band_bits = 64 // per_word
+    h = hashes
+    for c in cols:
+        h = h.filter(F.col(c).isNotNull())
+    h = h.select(F.col(id_col), *[F.col(c) for c in cols])
+    # band w*per_word+j = bits [j*band_bits, ...) of word w
+    band_val = " ".join(
+        f"WHEN band DIV {per_word} = {w} THEN "
+        f"shiftrightunsigned({c}, (band % {per_word}) * {band_bits}) "
+        f"& {(1 << band_bits) - 1}"
+        for w, c in enumerate(cols)
     )
     bands = h.select(
         id_col,
-        hash_col,
+        *cols,
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            f"shiftrightunsigned({hash_col}, band * {band_bits}) "
-            f"& {(1 << band_bits) - 1}"
-        ),
-    )
+    ).withColumn("band_val", F.expr(f"CASE {band_val} END"))
     a = bands.select(
         F.col(id_col).alias("id_1"),
-        F.col(hash_col).alias("h1"),
+        *[F.col(c).alias(f"a_{c}") for c in cols],
         "band",
         "band_val",
     )
     b = bands.select(
         F.col(id_col).alias("id_2"),
-        F.col(hash_col).alias("h2"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
         "band",
         "band_val",
     )
     cands = (
         a.join(b, on=["band", "band_val"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "h1", "h2")
+        .select(
+            "id_1",
+            "id_2",
+            *[f"a_{c}" for c in cols],
+            *[f"b_{c}" for c in cols],
+        )
         .dropDuplicates(["id_1", "id_2"])
     )
+    ham = " + ".join(f"bit_count(a_{c} ^ b_{c})" for c in cols)
     return cands.select(
         "id_1",
         "id_2",
-        F.bit_count(F.expr("h1 ^ h2")).cast("int").alias("hamming"),
+        F.expr(ham).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
 
 
@@ -1790,23 +1809,31 @@ def _encode_wav16_np(rate: int, x) -> bytes:
     return buf.getvalue()
 
 
-def _afp_bits(
-    rate: int, samples, frames: int = 9, bands: int = 9
-) -> int:
-    """64-bit audio fingerprint (simplified Haitsma & Kalker 2002
-    "robust audio fingerprinting"): the signal splits into ``frames``
-    time windows x ``bands`` spectral bands (numpy rFFT magnitudes,
-    log energy), and each bit is the sign of the TIME-AND-BAND double
-    difference  (E[t][b] - E[t][b+1]) - (E[t-1][b] - E[t-1][b+1]).
-    The double difference cancels any constant log-energy offset, so
-    the hash is exactly invariant under amplitude scaling (gain adds a
-    constant to every log energy) and stable (small Hamming drift)
-    under requantization and low-level noise — the dup classes an
-    audio crawl actually contains.  (frames-1) x (bands-1) = 64 bits
-    at the defaults.  Returns a signed 64-bit int for a LongType
-    column; reuses :func:`hash_near_dup_pairs` for the banded join."""
+def _afp_words(
+    rate: int, samples, n_words: int = 2, bands: int = 9
+) -> list[int] | None:
+    """128-bit (default) audio fingerprint (simplified Haitsma &
+    Kalker 2002 "robust audio fingerprinting"): the signal splits into
+    ``8*n_words + 1`` time windows x ``bands`` spectral bands (numpy
+    rFFT magnitudes, log energy), and each bit is the sign of the
+    TIME-AND-BAND double difference
+    (E[t][b] - E[t][b+1]) - (E[t-1][b] - E[t-1][b+1]).  The double
+    difference cancels any constant log-energy offset, so the hash is
+    exactly invariant under amplitude scaling (gain adds a constant to
+    every log energy) and stable (small Hamming drift) under
+    requantization and low-level noise — the dup classes an audio
+    crawl actually contains.
+
+    WIDTH IS THE SEPARATION LEVER: at 64 bits the dup-drift tail and
+    the random-pair near tail of fingerprints from spectrally similar
+    clips OVERLAP once the corpus is tens of thousands of clips
+    (measured: dup max 9 vs cross-pair min 8 at 4k clips); at 128 bits
+    the gap is 14 vs 27 and widens with corpus margin (SCALE.md).
+    Returns ``n_words`` signed 64-bit ints for LongType columns,
+    joined by :func:`hash_near_dup_pairs` with ``hash_cols``."""
     import numpy as np  # noqa: PLC0415
 
+    frames = 8 * n_words + 1
     x = np.asarray(samples, dtype=np.float64)
     n = (len(x) // frames) * frames
     if n < frames * 8:
@@ -1820,11 +1847,14 @@ def _afp_bits(
         lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
         e[:, b] = np.log(np.sum(mag[:, lo:hi] ** 2, axis=1) + 1e-12)
     d = e[:, :-1] - e[:, 1:]          # band differences per frame
-    dd = d[1:, :] - d[:-1, :]         # double difference over time
-    v = 0
-    for bit in dd.reshape(-1):
-        v = (v << 1) | (1 if bit > 0 else 0)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    dd = (d[1:, :] - d[:-1, :]).reshape(-1)  # 64 * n_words bits
+    words = []
+    for w in range(n_words):
+        v = 0
+        for bit in dd[w * 64:(w + 1) * 64]:
+            v = (v << 1) | (1 if bit > 0 else 0)
+        words.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return words
 
 
 def audio_fingerprint(
@@ -1834,17 +1864,19 @@ def audio_fingerprint(
     batch_rows: int = 256,
     eager: bool = True,
 ) -> DataFrame:
-    """Per-clip perceptual hash column: (id, afp long, decodable) —
+    """Per-clip perceptual hash columns: (id, afp0, afp1, decodable) —
     the audio member of the dedup family, the exact shape of
     :func:`image_dhash` (map-only Arrow batches, blobs never leave the
-    executor, 16-byte rows out), feeding the SAME banded Hamming join
-    (:func:`hash_near_dup_pairs` with ``hash_col="afp"``).
-    Undecodable blobs yield decodable=false with a NULL hash."""
-    schema = f"{id_col} long, afp long, decodable boolean"
+    executor, 24-byte rows out), feeding the SAME banded Hamming join
+    (:func:`hash_near_dup_pairs` with ``hash_cols=["afp0", "afp1"]``).
+    128 bits as two longs — 64 bits cannot separate dup drift from the
+    random near tail at corpus scale (see :func:`_afp_words`).
+    Undecodable blobs yield decodable=false with NULL hashes."""
+    schema = f"{id_col} long, afp0 long, afp1 long, decodable boolean"
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hs, ok = [], [], []
+            ids, h0, h1, ok = [], [], [], []
             for rid, blob in zip(pdf[id_col], pdf[content_col]):
                 ids.append(rid)
                 fp = None
@@ -1852,18 +1884,20 @@ def audio_fingerprint(
                     blob = bytes(blob)
                     fast = _wav16_np_samples(blob)  # hot path
                     if fast is not None:
-                        fp = _afp_bits(fast[0], fast[1])
+                        fp = _afp_words(fast[0], fast[1])
                     else:
                         dec = _decode_wav_samples(blob)
                         if dec is not None:
                             rate, _nch, samples = dec
-                            fp = _afp_bits(rate, samples)
-                hs.append(fp)
+                            fp = _afp_words(rate, samples)
+                h0.append(None if fp is None else fp[0])
+                h1.append(None if fp is None else fp[1])
                 ok.append(fp is not None)
             yield pd.DataFrame(
                 {
                     id_col: ids,
-                    "afp": pd.array(hs, dtype="Int64"),
+                    "afp0": pd.array(h0, dtype="Int64"),
+                    "afp1": pd.array(h1, dtype="Int64"),
                     "decodable": ok,
                 }
             )

@@ -591,7 +591,14 @@ def mm_image_neardup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = synthetic_image_corpus(docs)
     hashes = image_dhash(media)
-    return hash_near_dup_pairs(hashes).select("id_1", "id_2")
+    # 4 x 16-bit bands at threshold 3: still pigeonhole-EXACT for the
+    # image dup classes (planted twins measure Hamming <= 2), with
+    # ~2^8x fewer band collisions than 8-bit bands — the configuration
+    # that holds at corpus scale (measured: the 8-band join is 85M
+    # candidates at 50k images, this one ~0.3M; see SCALE.md)
+    return hash_near_dup_pairs(
+        hashes, n_bands=4, max_hamming=3
+    ).select("id_1", "id_2")
 
 
 @_q(
@@ -602,22 +609,24 @@ def mm_image_neardup(spark, sf_dir):
     """,
     doc="perceptual AUDIO near-dup (round-8): deterministic PCM-WAV "
     "corpus over documents with planted twins (0.4x gain / 8-bit "
-    "requantize / low noise) -> stdlib-wave decode -> 64-bit "
+    "requantize / low noise) -> stdlib-wave decode -> 128-bit "
     "Haitsma-Kalker-style log-energy double-difference fingerprint "
-    "(map-only Arrow batches, numpy rFFT) -> the SAME 8-band Hamming "
-    "bucket join as the image path (pigeonhole-exact recall at "
-    "threshold 7).  GROUND-TRUTH oracle by id arithmetic; gain "
-    "invariance is exact (the double difference cancels a constant "
-    "log-energy offset), requantize/noise twins verified <= Hamming 6 "
-    "with zero false positives at every sf",
+    "(map-only Arrow batches, numpy rFFT; 64 bits measurably cannot "
+    "separate dup drift from the random near tail at corpus scale) -> "
+    "the SAME banded Hamming bucket join as the image path, 16 8-bit "
+    "bands over two hash words, pigeonhole-exact recall at threshold "
+    "14.  GROUND-TRUTH oracle by id arithmetic; gain invariance is "
+    "exact (the double difference cancels a constant log-energy "
+    "offset); zero false positives verified at every sf AND the 10x "
+    "corpus (SCALE.md)",
 )
 def mm_audio_neardup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = synthetic_audio_corpus(docs)
     hashes = audio_fingerprint(media)
-    return hash_near_dup_pairs(hashes, hash_col="afp").select(
-        "id_1", "id_2"
-    )
+    return hash_near_dup_pairs(
+        hashes, hash_cols=["afp0", "afp1"], n_bands=16, max_hamming=14
+    ).select("id_1", "id_2")
 
 
 @_q(

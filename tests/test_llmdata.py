@@ -2456,25 +2456,30 @@ def test_apply_bpe_rank_path_matches_rule_order(spark):
 
 
 def test_audio_fingerprint_invariances():
-    """Audio fingerprint contract: exactly invariant under amplitude
-    gain (the log-energy double difference cancels a constant), near
-    under requantization and low noise, far between distinct clips."""
+    """Audio fingerprint contract (128-bit): exactly invariant under
+    amplitude gain (the log-energy double difference cancels a
+    constant), near under requantization and low noise (<= the
+    threshold-14 join bound), far between distinct clips — the
+    separation 64 bits measurably lacked at corpus scale."""
     import numpy as np
 
     from data_management_python_spark.llmdata.multimodal import (
-        _afp_bits,
+        _afp_words,
         _decode_wav_samples,
         _encode_wav16,
     )
 
     def ham(a, b):
-        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        return sum(
+            bin((x ^ y) & ((1 << 64) - 1)).count("1")
+            for x, y in zip(a, b)
+        )
 
     def fp_of(x, rate=8000):
         # roundtrip through the real WAV codec, like the operator does
         dec = _decode_wav_samples(_encode_wav16(rate, list(x)))
         assert dec is not None
-        return _afp_bits(dec[0], dec[2])
+        return tuple(_afp_words(dec[0], dec[2]))
 
     rate, n = 8000, 4096
     t = np.arange(n) / rate
@@ -2492,15 +2497,15 @@ def test_audio_fingerprint_invariances():
         f0 = fp_of(x)
         hashes.append(f0)
         assert fp_of(0.4 * x) == f0  # exact gain invariance
-        assert ham(fp_of(np.round(x * 127) / 127), f0) <= 7
+        assert ham(fp_of(np.round(x * 127) / 127), f0) <= 14
         noisy = x + np.random.RandomState(seed + 424_243).normal(
             0, 0.001, n
         )
-        assert ham(fp_of(np.clip(noisy, -1, 1)), f0) <= 7
+        assert ham(fp_of(np.clip(noisy, -1, 1)), f0) <= 14
     dists = [
         ham(a, b) for i, a in enumerate(hashes) for b in hashes[i + 1:]
     ]
-    assert min(dists) > 12  # distinct clips are far
+    assert min(dists) > 20  # distinct clips are far
 
 
 def test_audio_neardup_end_to_end_planted(spark):
@@ -2521,7 +2526,10 @@ def test_audio_neardup_end_to_end_planted(spark):
     kinds = {r.kind for r in media.filter("media_id < 0").collect()}
     assert kinds == {"gain", "requantize", "noise"}
     pairs = hash_near_dup_pairs(
-        audio_fingerprint(media), hash_col="afp"
+        audio_fingerprint(media),
+        hash_cols=["afp0", "afp1"],
+        n_bands=16,
+        max_hamming=14,
     ).collect()
     got = {(r.id_1, r.id_2) for r in pairs}
     assert got == {(-d, d) for d in range(10, 61, 10)}

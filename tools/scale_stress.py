@@ -106,6 +106,10 @@ HEAVY = [
     "s_user_event_profile",
     # round-7 additions
     "m_rebucket_split",
+    # round-8 additions
+    "mm_image_neardup",
+    "mm_audio_neardup",
+    "e_store_ingest",
 ]
 
 KEY_SHIFT = {
