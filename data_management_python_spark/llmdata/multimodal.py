@@ -1630,6 +1630,30 @@ def hash_near_dup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _encode_bmp24_np(arr) -> bytes:
+    """uint8 (h, w, 3) RGB -> BMP, byte-identical to
+    :func:`_encode_bmp24` (pinned by test), without the per-pixel
+    Python loop."""
+    import numpy as np  # noqa: PLC0415
+
+    hh, ww = arr.shape[:2]
+    stride = (ww * 3 + 3) & ~3
+    body = np.zeros((hh, stride), dtype=np.uint8)
+    body[:, : ww * 3] = arr[::-1, :, ::-1].reshape(hh, ww * 3)
+    size = 54 + stride * hh
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + ww.to_bytes(4, "little", signed=True)
+        + hh.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * hh).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + body.tobytes()
+
+
 def synthetic_image_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1668,27 +1692,7 @@ def synthetic_image_corpus(
     shape)."""
     import numpy as np  # noqa: PLC0415
 
-    def np_bmp(arr) -> bytes:
-        """uint8 (h, w, 3) RGB -> BMP, byte-identical to
-        :func:`_encode_bmp24` (pinned by test), without the per-pixel
-        Python loop."""
-        hh, ww = arr.shape[:2]
-        stride = (ww * 3 + 3) & ~3
-        body = np.zeros((hh, stride), dtype=np.uint8)
-        body[:, : ww * 3] = arr[::-1, :, ::-1].reshape(hh, ww * 3)
-        size = 54 + stride * hh
-        hdr = (
-            b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
-            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
-            + ww.to_bytes(4, "little", signed=True)
-            + hh.to_bytes(4, "little", signed=True)
-            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-            + (0).to_bytes(4, "little")
-            + (stride * hh).to_bytes(4, "little")
-            + b"\x00" * 16
-        )
-        return hdr + body.tobytes()
-
+    np_bmp = _encode_bmp24_np
     schema = "media_id long, content binary, mime_type string, kind string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1935,14 +1939,19 @@ def synthetic_audio_corpus(
 
     schema = "media_id long, content binary, mime_type string, kind string"
 
+    t_axis = np.arange(n_samples) / rate
+
     def synth(d: int):
+        # per-clip RandomState draws stay SEQUENTIAL and identical to
+        # the original scalar loop (uniform f, uniform amp, uniform
+        # phase, per sinusoid) — the corpus is pinned forever — but
+        # the waveform itself assembles as one vectorized (5, n) sin
         rs = np.random.RandomState(d)
-        t = np.arange(n_samples) / rate
         x = np.zeros(n_samples)
         for _ in range(5):
             f = rs.uniform(80, 3200)
             x += rs.uniform(0.1, 0.5) * np.sin(
-                2 * np.pi * f * t + rs.uniform(0, 2 * np.pi)
+                2 * np.pi * f * t_axis + rs.uniform(0, 2 * np.pi)
             )
         x += rs.normal(0, 0.01, n_samples)
         peak = np.max(np.abs(x))
@@ -1994,4 +2003,191 @@ def synthetic_audio_corpus(
         .mapInPandas(gen, schema=schema),
         batch_rows,
         eager=True,
+    )
+
+
+def synthetic_image_delta(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    every: int = 25,
+    width: int = 18,
+    height: int = 16,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """The DELTA batch for incremental perceptual dedup over the
+    :func:`synthetic_image_corpus` base: for document id ``d`` (> 0),
+
+      d % every == 0: a NEAR twin of base image d (same three dup
+                      classes as the corpus generator)
+      d % every == 7: an EXACT re-upload of base image d (byte-wise
+                      re-encode of the same pixels)
+      d % every == 13: a BRAND-NEW image (unrelated seed) — the true
+                      negative the probe must not match
+
+    All under ``media_id = -d``, so ground truth stays id arithmetic:
+    delta->base dup pairs are exactly {(-d, d) : d % every IN (0, 7),
+    d > 0}."""
+    import numpy as np  # noqa: PLC0415
+
+    schema = "media_id long, content binary, mime_type string, kind string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, mimes, kinds = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                if d <= 0 or d % every not in (0, 7, 13):
+                    continue
+                arr = np.random.RandomState(d).randint(
+                    0, 256, size=(height, width, 3)
+                ).astype(np.uint8)
+                if d % every == 0:
+                    kind = (d // every) % 3
+                    if kind == 0:
+                        px = [
+                            tuple(int(v) for v in p)
+                            for p in arr.reshape(-1, 3)
+                        ]
+                        blob = _encode_png24(width, height, px)
+                        mime, kname = "image/png", "reencode"
+                    elif kind == 1:
+                        px = [
+                            tuple(int(v) for v in p)
+                            for p in arr.reshape(-1, 3)
+                        ]
+                        big = _resize_nearest(
+                            px, width, height, 2 * width, 2 * height
+                        )
+                        blob = _encode_bmp24(2 * width, 2 * height, big)
+                        mime, kname = "image/bmp", "upscale"
+                    else:
+                        noise = np.random.RandomState(
+                            d + 999_983
+                        ).randint(-1, 2, size=arr.shape)
+                        blob = _encode_bmp24_np(
+                            np.clip(
+                                arr.astype(np.int64) + noise, 0, 255
+                            ).astype(np.uint8)
+                        )
+                        mime, kname = "image/bmp", "noise"
+                elif d % every == 7:
+                    blob = _encode_bmp24_np(arr)  # exact re-upload
+                    mime, kname = "image/bmp", "reupload"
+                else:
+                    fresh = np.random.RandomState(d + 77_777).randint(
+                        0, 256, size=(height, width, 3)
+                    ).astype(np.uint8)
+                    blob = _encode_bmp24_np(fresh)
+                    mime, kname = "image/bmp", "new"
+                ids.append(-d)
+                blobs.append(blob)
+                mimes.append(mime)
+                kinds.append(kname)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": blobs,
+                    "mime_type": mimes,
+                    "kind": kinds,
+                }
+            )
+
+    width_parts = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    return _run_with_bounded_arrow_batches(
+        docs.select(id_col)
+        .repartition(width_parts)
+        .mapInPandas(gen, schema=schema),
+        batch_rows,
+        eager=True,
+    )
+
+
+def hash_band_table(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_cols: list[str] | None = None,
+    hash_col: str = "dhash",
+    n_bands: int = 4,
+    out_id: str = "base_id",
+) -> DataFrame:
+    """(id, band, band_val, <hash words>) band table for a perceptual
+    hash corpus — the asset a standing-corpus multimodal dedup
+    MATERIALIZES once (write it with
+    ``sources.sinks.write_bucketed_table`` keyed by (band, band_val),
+    or hold it in ``operators.session_cache`` for a session) and
+    probes with every new batch.  Map-only; carrying the hash words
+    alongside the bands means the probe join verifies Hamming without
+    re-reading (or re-decoding!) the base media."""
+    cols = list(hash_cols) if hash_cols is not None else [hash_col]
+    if n_bands % len(cols) != 0 or 64 % (n_bands // len(cols)) != 0:
+        raise ValueError("n_bands must spread evenly over hash words")
+    per_word = n_bands // len(cols)
+    band_bits = 64 // per_word
+    h = hashes
+    for c in cols:
+        h = h.filter(F.col(c).isNotNull())
+    band_val = " ".join(
+        f"WHEN band DIV {per_word} = {w} THEN "
+        f"shiftrightunsigned({c}, (band % {per_word}) * {band_bits}) "
+        f"& {(1 << band_bits) - 1}"
+        for w, c in enumerate(cols)
+    )
+    return (
+        h.select(
+            F.col(id_col).alias(out_id),
+            *[F.col(c) for c in cols],
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_bands - 1))
+            ).alias("band"),
+        )
+        .withColumn("band_val", F.expr(f"CASE {band_val} END"))
+        .select(out_id, "band", "band_val", *cols)
+    )
+
+
+def incremental_hash_neardup(
+    delta_hashes: DataFrame,
+    base_bands: DataFrame,
+    id_col: str = "media_id",
+    hash_cols: list[str] | None = None,
+    hash_col: str = "dhash",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    base_id: str = "base_id",
+) -> DataFrame:
+    """Which DELTA media near-duplicate an existing BASE item — the
+    incremental form a production multimodal dedup actually runs
+    (today's crawl against the standing corpus), probing a
+    MATERIALIZED band table (:func:`hash_band_table`) so the per-batch
+    cost is O(delta + matching bucket volume): the base media is never
+    re-decoded, never re-hashed, never re-banded.  Same pigeonhole
+    recall bound as :func:`hash_near_dup_pairs` (``max_hamming <
+    n_bands`` => exact).  Output: (delta_id, base_id, hamming); pairs
+    WITHIN delta are not reported (run the self-join path for those).
+    """
+    cols = list(hash_cols) if hash_cols is not None else [hash_col]
+    d_bands = hash_band_table(
+        delta_hashes, id_col, cols, hash_col, n_bands, out_id="delta_id"
+    )
+    for c in cols:
+        d_bands = d_bands.withColumnRenamed(c, f"d_{c}")
+    b = base_bands
+    for c in cols:
+        b = b.withColumnRenamed(c, f"b_{c}")
+    ham = " + ".join(f"bit_count(d_{c} ^ b_{c})" for c in cols)
+    return (
+        d_bands.join(b, on=["band", "band_val"])
+        .select(
+            "delta_id",
+            base_id,
+            *[f"d_{c}" for c in cols],
+            *[f"b_{c}" for c in cols],
+        )
+        .dropDuplicates(["delta_id", base_id])
+        .select(
+            "delta_id",
+            base_id,
+            F.expr(ham).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -16,10 +16,13 @@ from data_management_python_spark.llmdata.multimodal import (
     attach_binary_metadata,
     audio_fingerprint,
     documents_as_media,
+    hash_band_table,
     hash_near_dup_pairs,
     image_dhash,
+    incremental_hash_neardup,
     synthetic_audio_corpus,
     synthetic_image_corpus,
+    synthetic_image_delta,
 )
 from data_management_python_spark.plans import Query
 
@@ -627,6 +630,48 @@ def mm_audio_neardup(spark, sf_dir):
     return hash_near_dup_pairs(
         hashes, hash_cols=["afp0", "afp1"], n_bands=16, max_hamming=14
     ).select("id_1", "id_2")
+
+
+@_q(
+    "mm_incremental_neardup",
+    """
+    SELECT CAST(-doc_id AS BIGINT) AS delta_id,
+           CAST(doc_id AS BIGINT) AS base_id
+    FROM documents
+    WHERE doc_id > 0 AND (doc_id % 25 = 0 OR doc_id % 25 = 7)
+    """,
+    doc="INCREMENTAL perceptual dedup (round-8): today's delta batch "
+    "probed against the STANDING image corpus's materialized band "
+    "table (hash_band_table, held in session_cache — the "
+    "session-scoped stand-in for the bucketed table a deployment "
+    "keeps on disk) — the base media is never re-decoded, re-hashed, "
+    "or re-banded per batch; the probe costs O(delta + matching "
+    "bucket volume).  Delta classes by id arithmetic: near twins "
+    "(d%25==0, the corpus generator's three dup classes), exact "
+    "re-uploads (d%25==7), brand-new images (d%25==13, must NOT "
+    "match).  Same pigeonhole-exact recall as mm_image_neardup "
+    "(4x16-bit bands, threshold 3); GROUND-TRUTH oracle",
+)
+def mm_incremental_neardup(spark, sf_dir):
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build():
+        # originals only (plant_every past any doc_id): the standing
+        # corpus a deployment fingerprinted long before this batch
+        base = synthetic_image_corpus(docs, plant_every=1 << 62)
+        return hash_band_table(
+            image_dhash(base), n_bands=4
+        ).localCheckpoint(eager=True)
+
+    bands = session_cached(spark, "image_band_table", sf_dir, build)
+    delta = synthetic_image_delta(docs)
+    return incremental_hash_neardup(
+        image_dhash(delta), bands, n_bands=4, max_hamming=3
+    ).select("delta_id", "base_id")
 
 
 @_q(

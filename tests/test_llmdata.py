@@ -2562,3 +2562,41 @@ def test_wav16_np_fast_paths_parity():
     dec = _decode_wav_samples(pure)
     assert rate == dec[0] == 8000
     assert np.array_equal(arr, np.array(dec[2]))
+
+
+def test_incremental_hash_neardup_probe(spark):
+    """Incremental probe semantics: twins and exact re-uploads match
+    their base item, brand-new images match nothing, and pairs WITHIN
+    the delta are never reported — all through the materialized band
+    table, without touching base media."""
+    from data_management_python_spark.llmdata.multimodal import (
+        hash_band_table,
+        image_dhash,
+        incremental_hash_neardup,
+        synthetic_image_corpus,
+        synthetic_image_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], "doc_id long"
+    )
+    base = synthetic_image_corpus(docs, plant_every=1 << 62)
+    assert base.filter("media_id < 0").count() == 0  # originals only
+    bands = hash_band_table(image_dhash(base), n_bands=4)
+    delta = synthetic_image_delta(docs)
+    kinds = {r.kind for r in delta.collect()}
+    assert kinds == {"reencode", "upscale", "noise", "reupload", "new"}
+    got = {
+        (r.delta_id, r.base_id): r.hamming
+        for r in incremental_hash_neardup(
+            image_dhash(delta), bands, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    expected = {
+        -d: d for d in range(1, 101) if d % 25 in (0, 7)
+    }
+    assert {k for k in got} == {(-d, d) for d in expected.values()}
+    # exact re-uploads are Hamming 0
+    for d in range(1, 101):
+        if d % 25 == 7:
+            assert got[(-d, d)] == 0
