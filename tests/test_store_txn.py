@@ -536,3 +536,120 @@ def test_unparseable_stale_lock_taken_over(spark, root, monkeypatch):
     with pytest.raises(ConcurrentWriterError):
         b.store_records("project", _projects(spark, [2]))
     os.unlink(lock)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append_p", "append_s", "attr", "upsert"]),
+        min_size=1,
+        max_size=4,
+    ),
+    crash_after=st.integers(min_value=0, max_value=25),
+    data=st.data(),
+)
+def test_txn_crash_recovery_property(spark, ops, crash_after, data):
+    """PROPERTY: for ANY sequence of transactional ops crashed at ANY
+    rename boundary, recovery restores the byte-exact pre-transaction
+    file tree.  Hypothesis drives random op sequences and a random
+    crash point over os.replace calls (the primitive every commit-log
+    step bottoms out in); op payloads vary by example."""
+    import tempfile
+    import shutil as _sh
+
+    root = tempfile.mkdtemp(prefix="txnprop_")
+    try:
+        store = TableStore(spark, root, attr_n_buckets=4)
+        base = data.draw(st.integers(min_value=1, max_value=50))
+        store.store_records("project", _projects(spark, [base, base + 1]))
+        store.enable_partitioning("project", ["project_id"], 4)
+        store.store_with_attributes(
+            "project", _wide(spark, [base]), key_column="project_id"
+        )
+        before = _snapshot(root)
+
+        def run_ops(st_):
+            for i, op in enumerate(ops):
+                if op == "append_p":
+                    st_.store_records(
+                        "project", _projects(spark, [100 + i])
+                    )
+                elif op == "append_s":
+                    st_.store_records(
+                        "sample",
+                        spark.createDataFrame(
+                            [(200 + i, f"IGF{i}", base, "ACTIVE")],
+                            "sample_id long, sample_igf_id string, "
+                            "project_id long, status string",
+                        ),
+                    )
+                elif op == "attr":
+                    st_._store_with_attributes_txn(
+                        "project",
+                        _wide(spark, [base + 1], suffix=f"v{i}"),
+                        "project_id", None, False,
+                    )
+                elif op == "upsert":
+                    st_._upsert_locked(
+                        "project",
+                        _projects(spark, [base]).withColumn(
+                            "status", F.lit("FINISHED")
+                        ),
+                        ["project_id"],
+                        ["status"],
+                    )
+
+        class _Crash(BaseException):
+            pass
+
+        orig_replace = os.replace
+        count = {"n": 0}
+
+        def counting(src, dst):
+            # only renames under THIS store root count: Spark's own
+            # shuffle/temp renames must not absorb the crash budget
+            if str(src).startswith(root) or str(dst).startswith(root):
+                count["n"] += 1
+                if count["n"] > crash_after:
+                    raise _Crash
+            return orig_replace(src, dst)
+
+        store._acquire_lock(explicit=True)
+        os.replace = counting
+        crashed = True
+        try:
+            run_ops(store)
+            crashed = False
+        except _Crash:
+            pass
+        finally:
+            os.replace = orig_replace
+        if not crashed:
+            # no crash drawn: commit instead and check the ops LANDED
+            store._commit()
+            store._txn = None
+            after = _snapshot(root)
+            assert after != before or not ops
+            assert not os.path.exists(store._txn_path("pending"))
+        else:
+            _abandon_as_dead(store)
+            reader = TableStore(spark, root, attr_n_buckets=4)
+            reader.recover_transactions()
+            assert _snapshot(root) == before, (
+                f"ops={ops} crash_after={crash_after}"
+            )
+            # and the store still works end to end after recovery
+            reader.store_records("project", _projects(spark, [999]))
+            assert reader.fetch_by(
+                "project", project_id=999
+            ).count() == 1
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
