@@ -109,6 +109,7 @@ HEAVY = [
     # round-8 additions
     "mm_image_neardup",
     "mm_audio_neardup",
+    "mm_incremental_neardup",
     "e_store_ingest",
 ]
 
