@@ -21,7 +21,9 @@ commit or roll back together), every mutating verb takes the same
 O_EXCL writer lock (concurrent mutators serialize; a live competitor
 times out with ``ConcurrentWriterError``, a dead one's journal is
 rolled back and its lock taken over), and readers of a
-mid-transaction table refuse rather than see half a commit.  See the
+mid-transaction table get SNAPSHOT ISOLATION: the last committed
+state when the open txn holds only appends for that table (the common
+shape), a fence otherwise — never half a commit either way.  See the
 "transactional commit log" section below.  Outside a transaction,
 per-table semantics are unchanged:
 ``store_records`` is a TRUE file append on every layout
@@ -467,8 +469,11 @@ class TableStore:
         block commits atomically at exit — a crash (or exception) at
         ANY point leaves readers the exact pre-transaction state after
         :meth:`recover_transactions`.  Reentrant: a nested call joins
-        the open transaction.  Readers of touched tables (other
-        instances/processes) refuse until commit or recovery."""
+        the open transaction.  Readers in other instances/processes
+        see the last COMMITTED state of touched tables while the txn
+        is open (snapshot isolation via :meth:`_snapshot_view`) when
+        the txn holds only appends for them; tables mid-swap fence
+        until commit or recovery."""
         if self._txn is not None and self._txn.explicit:
             yield self
             return
@@ -589,10 +594,29 @@ class TableStore:
                 # plain read could see table A's committed half of a
                 # two-table store without table B's — exactly the
                 # old-or-new-never-mixed guarantee the commit log
-                # exists for.  Refuse; after a crash,
-                # recover_transactions restores the pre-txn state.
+                # exists for.  When the open txn holds only APPENDS
+                # for this table (the overwhelmingly common shape),
+                # serve a SNAPSHOT view instead: the journal names
+                # every uncommitted file before it moves, so the last
+                # committed state is current-files-minus-journaled.
+                # Swap-shaped ops fence readers until commit/recovery.
+                view = self._snapshot_view(name)
+                if view is not None:
+                    return view
+                # re-check: the txn may have ended while building
+                pend = self._read_journal("pending")
+                if not (
+                    pend is not None
+                    and pend.get("explicit")
+                    and name in pend.get("tables", ())
+                    and (
+                        self._txn is None
+                        or self._txn.token != pend["token"]
+                    )
+                ):
+                    return self._read_raw(name)
                 raise RuntimeError(
-                    f"table {name!r} is being written by transaction "
+                    f"table {name!r} is being rewritten by transaction "
                     f"{pend['token'][:8]} (pid {pend.get('pid')}); "
                     "retry after it commits, or call "
                     "TableStore.recover_transactions() if the writer "
@@ -678,6 +702,67 @@ class TableStore:
                 return None
             sch = attribute_schema(parent)
         return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+
+    def _snapshot_view(self, name: str) -> DataFrame | None:
+        """Last-COMMITTED view of ``name`` while another writer's
+        transaction holds uncommitted APPENDS to it (snapshot
+        isolation for the append-only case): every in-txn append
+        journals its destination paths BEFORE the first move, so the
+        committed state is exactly the table's current files minus the
+        journaled ones.
+
+        Race-free by ordering: the file listing is taken FIRST, the
+        journal read SECOND — any txn file present in the listing was
+        necessarily journaled before its move, so the later journal
+        read always covers it; files a newer op moves in after the
+        listing simply aren't in the listing.  A rollback meanwhile
+        only deletes journaled (= excluded) files; a commit leaves
+        everything in place (and then including them would have been
+        correct anyway, but the listing predates that knowledge, so
+        the view stays the pre-commit snapshot — still a consistent
+        committed state).
+
+        Returns None when the txn holds NON-append ops for this table
+        (a swap/bucket-swap mid-flight has no reconstructible live
+        view — the caller falls back to fencing) or when no pending
+        txn names the table anymore."""
+        p = self._path(name)
+        files = []
+        if os.path.exists(p):
+            for dirpath, _dirs, fnames in os.walk(p):
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        files.append(os.path.join(dirpath, fn))
+        pend = self._read_journal("pending")  # AFTER the listing
+        if pend is None or not pend.get("explicit"):
+            return None
+        ops = [
+            op for op in pend.get("ops", []) if op.get("table") == name
+        ]
+        if name not in pend.get("tables", ()) and not ops:
+            return None
+        if any(op["kind"] != "append" for op in ops):
+            return None
+        excluded = {
+            os.path.join(self.root, rel)
+            for op in ops
+            for rel in op["files"]
+        }
+        keep = [f for f in files if f not in excluded]
+        if not keep:
+            # committed state is empty: declared schema, like a
+            # never-written table
+            if name in CORE_SCHEMAS:
+                return self.spark.createDataFrame([], CORE_SCHEMAS[name])
+            parent = name.removesuffix("_attribute")
+            if parent in ATTRIBUTE_PARENTS:
+                return self.spark.createDataFrame(
+                    [], attribute_schema(parent)
+                )
+            return None
+        # basePath keeps kb= partition-column inference working on an
+        # explicit file list
+        return self.spark.read.option("basePath", p).parquet(*keep)
 
     def _has_data(self, name: str) -> bool:
         """True iff the table has at least one parquet file on disk."""

@@ -222,9 +222,14 @@ def test_crash_injection_every_boundary(spark, root, boundary, monkeypatch):
 
     monkeypatch.undo()
     reader = TableStore(spark, root, attr_n_buckets=8)
+    # round-8 snapshot isolation: an append-only in-flight txn no
+    # longer fences readers — they see the exact pre-txn state
     if reader._read_journal("pending")["tables"]:
-        with pytest.raises(RuntimeError, match="transaction"):
-            reader.table("project").collect()
+        seen = {
+            (r.project_id, r.attribute_name, r.attribute_value)
+            for r in reader.table("project_attribute").collect()
+        }
+        assert seen == pre_rows
     assert reader.recover_transactions() == "back"
     assert _snapshot(root) == before
     got = {
@@ -328,23 +333,44 @@ def test_swap_fallback_crash_rolls_back(spark, root):
     assert _snapshot(root) == before
 
 
-def test_reader_refusal_scoped_to_touched_tables(spark, root):
-    """Mid-transaction, another instance refuses ONLY the touched
-    tables; everything else stays readable; after commit all reads
-    pass."""
+def test_reader_snapshot_isolation_mid_txn(spark, root):
+    """Mid-transaction reads from another instance: an append-only
+    open txn serves the last COMMITTED state (snapshot isolation, not
+    fencing); the owner sees its own uncommitted writes; after commit
+    everyone sees the new state.  A txn holding a SWAP still fences."""
     a = TableStore(spark, root, attr_n_buckets=8)
     a.store_records("project", _projects(spark, [1]))
     b = TableStore(spark, root)
     ctx = a.transaction()
     ctx.__enter__()
     a.store_records("project", _projects(spark, [2]))
-    # b: touched table refuses, untouched table fine, owner reads fine
-    with pytest.raises(RuntimeError, match="being written"):
-        b.table("project").collect()
+    # b: snapshot view = committed state only; owner sees both rows
+    assert {r.project_id for r in b.table("project").collect()} == {1}
     assert b.table("sample").count() == 0
     assert a.table("project").count() == 2
     ctx.__exit__(None, None, None)
     assert b.table("project").count() == 2
+    # a swap-shaped op (upsert inside a txn) fences readers
+    ctx = a.transaction()
+    ctx.__enter__()
+    a.store_records("project", _projects(spark, [3]))
+    a.enable_partitioning("sample", ["sample_id"], 2)
+    a.upsert(
+        "sample",
+        spark.createDataFrame(
+            [(1, "IGF1", 1, "ACTIVE")],
+            "sample_id long, sample_igf_id string, project_id long, "
+            "status string",
+        ),
+        on=["sample_id"],
+    )
+    with pytest.raises(RuntimeError, match="rewritten by transaction"):
+        b.table("sample").collect()
+    # the append-only project table is STILL snapshot-readable
+    assert {r.project_id for r in b.table("project").collect()} == {1, 2}
+    ctx.__exit__(None, None, None)
+    assert b.table("sample").count() == 1
+    assert b.table("project").count() == 3
 
 
 def test_concurrent_writers_serialize_to_one_order(spark, root):
