@@ -23,6 +23,9 @@ from data_management_python_spark.llmdata.multimodal import (
     synthetic_audio_corpus,
     synthetic_image_corpus,
     synthetic_image_delta,
+    synthetic_video_corpus,
+    video_frame_hashes,
+    video_near_dup_pairs,
 )
 from data_management_python_spark.plans import Query
 
@@ -630,6 +633,32 @@ def mm_audio_neardup(spark, sf_dir):
     return hash_near_dup_pairs(
         hashes, hash_cols=["afp0", "afp1"], n_bands=16, max_hamming=14
     ).select("id_1", "id_2")
+
+
+@_q(
+    "mm_video_neardup",
+    """
+    SELECT CAST(-doc_id AS BIGINT) AS id_1, CAST(doc_id AS BIGINT) AS id_2
+    FROM documents WHERE doc_id % 25 = 0 AND doc_id > 0
+    """,
+    doc="perceptual VIDEO near-dup (round-8): deterministic multi-frame "
+    "GIF corpus over documents (REAL pure-Python GIF89a codec — LZW "
+    "with dynamic code sizes, color tables, disposal, transparency, "
+    "interlace) with planted twins (palette-permuted re-encode / "
+    "palette noise / dropped-last-frame truncation) -> per-frame "
+    "box-average dHash (the SAME hash space as stills) -> banded "
+    "bucket join keyed by (frame position, band) -> exact verify "
+    "counting aligned frames within Hamming 3, clip pair kept at "
+    ">= 60% of the shorter clip (temporal prefix containment, so the "
+    "truncated re-post still pairs).  GROUND-TRUTH oracle by id "
+    "arithmetic; zero false positives at every sf",
+)
+def mm_video_neardup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthetic_video_corpus(docs)
+    return video_near_dup_pairs(video_frame_hashes(media)).select(
+        "id_1", "id_2"
+    )
 
 
 @_q(

@@ -2600,3 +2600,182 @@ def test_incremental_hash_neardup_probe(spark):
     for d in range(1, 101):
         if d % 25 == 7:
             assert got[(-d, d)] == 0
+
+
+def test_gif_codec_roundtrip_and_spec_surface():
+    """The pure-Python GIF codec: encode->decode roundtrip is
+    pixel-exact; the decoder handles the spec surface other encoders
+    emit — interlacing, disposal methods, transparency, local color
+    tables — plus untrusted-input bounds (pixel cap, frame cap,
+    LZW output bounded by the declared frame size)."""
+    import base64
+
+    import numpy as np
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _GIF_MAX_FRAMES,
+        _decode_gif_frames,
+        _encode_gif,
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # roundtrip
+    rs = np.random.RandomState(9)
+    pal = rs.randint(0, 256, (256, 3)).astype(np.uint8)
+    frames = [
+        bytes(rs.randint(0, 256, 12 * 10).astype(np.uint8))
+        for _ in range(4)
+    ]
+    blob = _encode_gif(12, 10, pal, frames, delay_cs=3)
+    w, h, fr = _decode_gif_frames(blob)
+    assert (w, h, len(fr)) == (12, 10, 4)
+    for k, (delay, arr) in enumerate(fr):
+        assert delay == 3
+        assert np.array_equal(
+            arr, pal[np.frombuffer(frames[k], np.uint8).reshape(10, 12)]
+        )
+
+    # the classic 1x1 transparent GIF — an external encoder's output
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    got = _decode_gif_frames(tiny)
+    assert got is not None and (got[0], got[1], len(got[2])) == (1, 1, 1)
+
+    # hand-built: 4x4, GCT of 4 colors, INTERLACED frame
+    def sub_blocks(data: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            out.append(len(data[i:i + 255]))
+            out += data[i:i + 255]
+        out.append(0)
+        return bytes(out)
+
+    gct = bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255]
+    )
+    rows = [bytes([0] * 4), bytes([1] * 4), bytes([2] * 4), bytes([3] * 4)]
+    # interlace pass order for h=4: rows 0, 2, 1, 3 stored in that order
+    stored = rows[0] + rows[2] + rows[1] + rows[3]
+    hdr = (
+        b"GIF89a" + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x80 | 0x01, 0, 0]) + gct
+    )
+    img = (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x40])  # interlaced, no local table
+        + bytes([2]) + sub_blocks(_lzw_encode(stored, 2))
+    )
+    w, h, fr = _decode_gif_frames(hdr + img + b"\x3b")
+    arr = fr[0][1]
+    assert [tuple(arr[r, 0]) for r in range(4)] == [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    ]
+
+    # disposal 2 (restore background) + transparency on frame 2: the
+    # second frame paints only non-transparent pixels over the
+    # RESTORED background
+    f1 = bytes([1] * 16)  # all green
+    f2 = bytes([0, 2] * 8)  # red/blue checker; make 0 TRANSPARENT
+    # GCE: disposal 2 (bits 2-4 = 010 -> 0x08), transparent flag set
+    gce1 = b"\x21\xf9\x04" + bytes([0x08]) + b"\x00\x00" + b"\x00\x00"
+    gce2 = b"\x21\xf9\x04" + bytes([0x01]) + b"\x00\x00" + b"\x00\x00"
+    def img_block(data: bytes) -> bytes:
+        return (
+            b"\x2c" + b"\x00\x00\x00\x00"
+            + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+            + bytes([0]) + bytes([2]) + sub_blocks(_lzw_encode(data, 2))
+        )
+    two = (
+        b"GIF89a" + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x80 | 0x01, 3, 0]) + gct  # bg = index 3 (white)
+        + gce1 + img_block(f1)
+        + gce2 + img_block(f2)
+        + b"\x3b"
+    )
+    w, h, fr = _decode_gif_frames(two)
+    assert len(fr) == 2
+    assert tuple(fr[0][1][0, 0]) == (0, 255, 0)  # green
+    # frame 2: bg (white) restored where transparent idx 0, blue at idx 2
+    assert tuple(fr[1][1][0, 0]) == (255, 255, 255)
+    assert tuple(fr[1][1][0, 1]) == (0, 0, 255)
+
+    # bounds: over-cap dims refuse; frame count is capped
+    bomb_hdr = (
+        b"GIF89a" + (60000).to_bytes(2, "little")
+        + (60000).to_bytes(2, "little") + bytes([0, 0, 0]) + b"\x3b"
+    )
+    assert _decode_gif_frames(bomb_hdr) is None
+    many = _encode_gif(
+        2, 2, [(0, 0, 0), (255, 255, 255)],
+        [bytes([0, 1, 1, 0])] * (_GIF_MAX_FRAMES + 20),
+    )
+    got = _decode_gif_frames(many)
+    assert got is not None and len(got[2]) == _GIF_MAX_FRAMES
+    # LZW bomb: output bounded at the declared size
+    big = _lzw_encode(bytes([0]) * 1_000_000, 8)
+    out = _lzw_decode(big, 8, 16)
+    assert out is not None and len(out) <= 17
+
+
+def test_video_neardup_end_to_end_planted(spark):
+    """Planted GIF corpus end to end: palette-permuted re-encodes,
+    palette-noise twins, and truncated clips all pair with their
+    source; distinct clips never do."""
+    from data_management_python_spark.llmdata.multimodal import (
+        synthetic_video_corpus,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 61)], "doc_id long"
+    )
+    media = synthetic_video_corpus(docs, plant_every=10)
+    assert media.count() == 66
+    kinds = {r.kind for r in media.filter("media_id < 0").collect()}
+    assert kinds == {"reencode", "palette_noise", "frame_drop"}
+    fh = video_frame_hashes(media)
+    # frame-drop twin really is one frame shorter
+    n = {
+        r.media_id: r.n_frames
+        for r in fh.select("media_id", "n_frames").distinct().collect()
+    }
+    drops = [d for d in range(10, 61, 10) if (d // 10) % 3 == 2]
+    for d in drops:
+        assert n[-d] == n[d] - 1
+    pairs = video_near_dup_pairs(fh).collect()
+    got = {(r.id_1, r.id_2) for r in pairs}
+    assert got == {(-d, d) for d in range(10, 61, 10)}
+    by_pair = {(r.id_1, r.id_2): r for r in pairs}
+    for d in drops:  # truncated re-post: full match of the short clip
+        assert by_pair[(-d, d)].match_frac == 1.0
+
+
+def test_sample_frames_real_gif_path(spark):
+    """sample_frames on a GIF: REAL decoded frames re-encoded as BMP
+    stills with true delay-accumulated timestamps — not byte windows."""
+    import numpy as np
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_bmp_wh_pixels,
+        _encode_gif,
+        sample_frames,
+    )
+
+    pal = [(i, 255 - i, 7) for i in range(4)]
+    frames = [bytes([c] * 6 * 4) for c in range(4)]  # solid frames
+    blob = _encode_gif(6, 4, pal, frames, delay_cs=5)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob), "image/gif", "{}")],
+        "media_id long, modality string, content binary, "
+        "mime_type string, meta_json string",
+    )
+    got = sample_frames(media, n_frames=2).orderBy("frame_idx").collect()
+    assert [r.frame_ts_ms for r in got] == [0, 100]  # 2 of 4 @ 50ms
+    for r, c in zip(got, (0, 2)):
+        dec = _decode_bmp_wh_pixels(bytes(r.frame_bytes))
+        assert dec is not None and dec[0] == 6 and dec[1] == 4
+        assert dec[2][0] == (c, 255 - c, 7)
