@@ -457,9 +457,23 @@ class TableStore:
             )
         for op in reversed(pend.get("ops", [])):
             self._undo_op(op)
+        # sweep orphaned __txn* sibling dirs BEFORE releasing the dead
+        # writer's lock file: while pending.json exists no live txn can
+        # start, so anything matching is provably garbage (a stage dir
+        # from a crash inside a Spark write whose op carried no files
+        # yet, or a cleanup raced by a second recovery) — sweeping
+        # after the unlink could race a fast new writer's fresh dirs
+        self._sweep_orphan_txn_dirs()
         with contextlib.suppress(OSError):
             os.unlink(self._txn_path("pending"))
         return "back"
+
+    def _sweep_orphan_txn_dirs(self) -> None:
+        for d in os.listdir(self.root):
+            if "__txn" in d and os.path.isdir(os.path.join(self.root, d)):
+                shutil.rmtree(
+                    os.path.join(self.root, d), ignore_errors=True
+                )
 
     @contextlib.contextmanager
     def transaction(self):

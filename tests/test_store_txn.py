@@ -679,3 +679,33 @@ def test_txn_crash_recovery_property(spark, ops, crash_after, data):
             ).count() == 1
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_recovery_sweeps_orphan_txn_dirs(spark, root):
+    """A stage dir from a crash inside a Spark write (op journaled
+    with no files yet) is swept by recovery rather than leaking
+    forever; the sweep happens while the dead lock still fences new
+    writers."""
+    store = TableStore(spark, root)
+    store.store_records("project", _projects(spark, [1]))
+    before = _snapshot(root)
+    store._acquire_lock(explicit=True)
+    t = store._txn
+    # simulate: op journaled, stage dir created, crash before listing
+    stage_rel = f"project__txnstage-{t.token[:8]}-0"
+    store._journal_op(
+        "project",
+        {"kind": "append", "table": "project",
+         "stage": stage_rel, "files": []},
+    )
+    os.makedirs(os.path.join(root, stage_rel))
+    with open(os.path.join(root, stage_rel, "part-x.parquet"), "wb") as f:
+        f.write(b"junk")
+    # plus a fully ORPHANED dir (crash before its op was journaled)
+    os.makedirs(os.path.join(root, "sample__txnstage-deadbeef-9"))
+    _abandon_as_dead(store)
+
+    reader = TableStore(spark, root)
+    assert reader.recover_transactions() == "back"
+    assert not [d for d in os.listdir(root) if "__txn" in d]
+    assert _snapshot(root) == before
