@@ -1679,10 +1679,18 @@ class TableStore:
             attr_table = self._store_with_attributes_txn(
                 name, data, key_column, fk, validate
             )
-        if attr_table is not None and self.attr_n_buckets is None:
+        if (
+            attr_table is not None
+            and self.attr_n_buckets is None
+            and self._txn is None
+        ):
             # auto-sized layout: grow the bucket count when the table
             # has outgrown its spec (metadata-only check; rewrite only
-            # fires when the table doubled past the per-bucket target)
+            # fires when the table doubled past the per-bucket target).
+            # Skipped when this call is NESTED in a caller's open
+            # transaction (self._txn still set after the reentrant
+            # block): rebucket is maintenance and refuses inside a
+            # txn — growth simply defers to the next standalone store.
             self.maybe_rebucket(attr_table)
 
     def _store_with_attributes_txn(

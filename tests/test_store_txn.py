@@ -709,3 +709,33 @@ def test_recovery_sweeps_orphan_txn_dirs(spark, root):
     assert reader.recover_transactions() == "back"
     assert not [d for d in os.listdir(root) if "__txn" in d]
     assert _snapshot(root) == before
+
+
+def test_store_with_attributes_nested_in_user_txn(spark, root):
+    """store_with_attributes nested inside a caller's transaction must
+    join it (one atomic commit across everything) — and must NOT fire
+    the maybe_rebucket maintenance while the outer txn is open (it
+    would raise mid-transaction).  Regression for a round-8
+    self-review finding; the tiny target forces growth pressure."""
+    store = TableStore(spark, root, target_bucket_bytes=64)
+    store.store_records("project", _projects(spark, range(1, 13)))
+    with store.transaction():
+        store.store_with_attributes(
+            "project", _wide(spark, range(1, 13)),
+            key_column="project_id",
+        )
+        store.store_records("sample", spark.createDataFrame(
+            [(1, "IGF1", 1, "ACTIVE")],
+            "sample_id long, sample_igf_id string, project_id long, "
+            "status string",
+        ))
+    assert store.table("project_attribute").count() == 24
+    assert store.table("sample").count() == 1
+    # growth deferred, not lost: the next STANDALONE store fires it
+    n0 = store.partitioning_of("project_attribute")[1]
+    store.store_with_attributes(
+        "project",
+        _wide(spark, range(1, 13), suffix="x"),
+        key_column="project_id",
+    )
+    assert store.partitioning_of("project_attribute")[1] >= n0
