@@ -1056,3 +1056,79 @@ def incremental_near_dup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    mod_p: int = 4,
+) -> DataFrame:
+    """The WRITE side of span-level dedup (the removal step of the
+    exact-substring dedup literature — Lee et al. 2021 — whose
+    detection half is :func:`duplicated_spans`): for every sampled
+    k-token fingerprint shared verbatim across documents, the
+    occurrence in the LOWEST-id document survives and every other
+    occurrence's k-token window is excised; each document is rebuilt
+    from its surviving tokens.
+
+    Output: (id, clean_text, n_tokens_removed) — one row per input
+    document, text whitespace-NORMALIZED (single spaces) for removed
+    and untouched documents alike, so downstream tokenization sees one
+    format.  Tokens are cut from the ORIGINAL-case text; the
+    fingerprints are computed on the lowercased form (same whitespace
+    split, so positions align) — exactly the detection pass's hashes.
+
+    Scale shape: fingerprinting is map-side at 1/mod_p density, the
+    duplicate resolution is one partial-agg groupBy(fp) (no
+    self-join), removals flow back as an (id, pos) frame that
+    aggregates to ONE covered-position array per touched document, and
+    the excision itself is a pure column expression (token index
+    filtered by EXISTS over the array) — no Python in the path.  A
+    document's cost is O(tokens x its removal count); untouched
+    documents never join anything (left join, NULL-safe rebuild).
+    """
+    fps = span_fingerprints(df, id_col, text_col, k, mod_p)
+    keepers = (
+        fps.groupBy("fp")
+        .agg(
+            F.min(id_col).alias("__keeper"),
+            F.countDistinct(id_col).alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("fp", "__keeper")
+    )
+    removals = (
+        fps.join(keepers, "fp")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__cut"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__cut"),
+            lambda p: (s["i"] >= p) & (s["i"] < p + F.lit(k)),
+        ),
+    )
+    out = df.join(removals, on=id_col, how="left")
+    cleaned = F.when(
+        F.col("__cut").isNull(), F.array_join(toks, " ")
+    ).otherwise(
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        )
+    )
+    removed = F.when(F.col("__cut").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    return out.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        removed.cast("bigint").alias("n_tokens_removed"),
+    )

@@ -1684,6 +1684,76 @@ def d_span_dedup(spark, sf_dir):
 
 
 @_q(
+    "d_span_dedup_rewrite",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+             regexp_split_to_array(trim(text), '\\s+') AS ot
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             CAST(('0x' || substr(md5(
+               t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' ||
+               t[u.i+3] || ' ' || t[u.i+4] || ' ' || t[u.i+5] || ' ' ||
+               t[u.i+6] || ' ' || t[u.i+7]), 1, 8)) AS BIGINT) AS fp
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    sampled AS (SELECT * FROM grams WHERE fp % 4 = 0),
+    keepers AS (
+      SELECT fp, MIN(doc_id) AS keeper FROM sampled
+      GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT DISTINCT s.doc_id, s.pos
+      FROM sampled s JOIN keepers d ON s.fp = d.fp
+      WHERE s.doc_id <> d.keeper
+    ),
+    tok_idx AS (
+      SELECT doc_id, u.i - 1 AS i, ot[u.i] AS tok
+      FROM toks, UNNEST(generate_series(1, len(ot))) AS u(i)
+    ),
+    kept AS (
+      SELECT ti.doc_id, ti.i, ti.tok
+      FROM tok_idx ti
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem r
+        WHERE r.doc_id = ti.doc_id AND ti.i >= r.pos AND ti.i < r.pos + 8
+      )
+    )
+    SELECT t.doc_id,
+           COALESCE(k.ct, '') AS clean_text,
+           CAST(len(t.ot) - COALESCE(k.n, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM toks t
+    LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct,
+             COUNT(*) AS n
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+    doc="span-level dedup WRITE side (round-8; the removal step of the "
+    "exact-substring dedup literature, completing d_span_dedup's "
+    "detection half): per duplicated sampled fingerprint the "
+    "lowest-id occurrence survives, every other k-token window is "
+    "excised, and documents are rebuilt from surviving ORIGINAL-case "
+    "tokens as a pure column expression — no self-join (one "
+    "partial-agg fp groupBy), no Python, untouched documents never "
+    "join.  The mirrored oracle is PAIRED with an independent "
+    "brute-force reimplementation test "
+    "(test_remove_duplicated_spans_brute_force) per the "
+    "mirrored-oracle policy",
+)
+def d_span_dedup_rewrite(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(
+        docs, "doc_id", "text", k=8, mod_p=4
+    )
+
+
+@_q(
     "t_temperature_sample",
     """
     WITH counts AS (

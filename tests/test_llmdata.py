@@ -2779,3 +2779,73 @@ def test_sample_frames_real_gif_path(spark):
         dec = _decode_bmp_wh_pixels(bytes(r.frame_bytes))
         assert dec is not None and dec[0] == 6 and dec[1] == 4
         assert dec[2][0] == (c, 255 - c, 7)
+
+
+def test_remove_duplicated_spans_brute_force(spark):
+    """Mirrored-oracle guard: the span-REMOVAL operator is checked
+    against an independent plain-Python reimplementation on a corpus
+    with planted shared spans (boilerplate shared 3 ways, a span
+    shared 2 ways, overlapping windows, a keeper doc, short docs)."""
+    import hashlib
+
+    from data_management_python_spark.llmdata.dedup import (
+        remove_duplicated_spans,
+    )
+
+    boiler = "subscribe to our newsletter for updates and exclusive offers today friends"
+    quote = "to be or not to be that is the question"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} something entirely different here now ok"),
+        (3, f"prefix words {quote} and some suffix content here"),
+        (4, f"other opening {quote} closing words go here now"),
+        (5, f"unique document with no shared content at all whatsoever"),
+        (6, "short doc"),
+        (7, f"double trouble {boiler} middle bits {quote} tail end"),
+    ]
+    k, mod_p = 8, 4
+
+    # independent reference implementation
+    def fps_of(text):
+        toks = text.strip().lower().split()
+        out = []
+        for p in range(len(toks) - k + 1):
+            h = int(
+                hashlib.md5(
+                    " ".join(toks[p:p + k]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            if h % mod_p == 0:
+                out.append((p, h))
+        return out
+
+    all_fps = {i: fps_of(t) for i, t in rows}
+    by_fp = {}
+    for i, lst in all_fps.items():
+        for p, h in lst:
+            by_fp.setdefault(h, []).append(i)
+    keeper = {
+        h: min(ids) for h, ids in by_fp.items() if len(set(ids)) >= 2
+    }
+    expected = {}
+    for i, t in rows:
+        orig = t.strip().split()
+        cut = set()
+        for p, h in all_fps[i]:
+            if h in keeper and keeper[h] != i:
+                cut.update(range(p, p + k))
+        kept = [w for j, w in enumerate(orig) if j not in cut]
+        expected[i] = (" ".join(kept), len(orig) - len(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in remove_duplicated_spans(
+            docs, k=k, mod_p=mod_p
+        ).collect()
+    }
+    assert got == expected
+    # sanity: something was actually removed and something kept
+    assert any(n > 0 for _, n in expected.values())
+    assert expected[5][1] == 0 and expected[6][1] == 0
