@@ -131,6 +131,14 @@ AUDITED = [
     # swaps are pinned by the file-listing tests in test_store.py
     # m_rebucket_split: same checkpoint-return shape; the split's
     # rename protocol and crash windows are pinned in test_store.py
+    # round-8 additions (e_store_ingest excluded: checkpoint-return
+    # shape like m_partitioned_merge — the ingest commit path is
+    # pinned by tests/test_stream_ingest.py)
+    "mm_image_neardup",
+    "mm_audio_neardup",
+    "mm_video_neardup",
+    "mm_incremental_neardup",
+    "d_span_dedup_rewrite",
 ]
 
 

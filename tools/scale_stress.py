@@ -110,6 +110,8 @@ HEAVY = [
     "mm_image_neardup",
     "mm_audio_neardup",
     "mm_incremental_neardup",
+    "mm_video_neardup",
+    "d_span_dedup_rewrite",
     "e_store_ingest",
 ]
 
