@@ -1944,8 +1944,12 @@ class TableStore:
         buckets keep their pre-images until commit, so an upsert
         composes with other tables' writes into one atomic unit — the
         reference's status-update-plus-registration session shape
-        (pipeline_seed status + file rows in one ORM txn)."""
-        with self._write_guard():
+        (pipeline_seed status + file rows in one ORM txn).  A
+        STANDALONE call opens its own single-op transaction: a crash
+        halfway through the bucket swaps rolls back atomically
+        (old-path torn multi-bucket states are gone), and concurrent
+        readers are fenced for exactly the swap window."""
+        with self.transaction():
             self._upsert_locked(name, updates, on, update_columns)
 
     def _upsert_locked(
@@ -1985,8 +1989,9 @@ class TableStore:
     def delete_where(self, name: str, keys: DataFrame, on: list[str]) -> None:
         """Key-addressed delete (M7 building block).  Partition-scoped
         on a bucketed table, same contract as :meth:`upsert` —
-        including transaction participation."""
-        with self._write_guard():
+        including transaction participation and the standalone
+        single-op transaction (atomic across every touched bucket)."""
+        with self.transaction():
             self._delete_where_locked(name, keys, on)
 
     def _delete_where_locked(
