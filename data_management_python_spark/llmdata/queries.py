@@ -1445,6 +1445,90 @@ def t_gopher_rules(spark, sf_dir):
 
 
 @_q(
+    "t_nb_quality",
+    """
+    WITH toksig AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+             text
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+               / len(t) AS mwl,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha,
+             len(list_intersect(list_distinct(t),
+                 ['the','a','an','and','of','to','in','is','it'])) AS sh
+      FROM toksig
+    ),
+    labels AS (
+      SELECT doc_id,
+             ((n_words >= 50 AND n_words <= 100000)
+              AND (ROUND(mwl, 6) >= 3.0 AND ROUND(mwl, 6) <= 10.0)
+              AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+              AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+              AND (sh >= 2)) AS keep
+      FROM sig
+    ),
+    toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tl AS (
+      SELECT t.doc_id, t.tok, l.keep FROM toks t
+      JOIN labels l USING (doc_id)
+    ),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS c_neg
+      FROM tl GROUP BY tok
+    ),
+    scal AS (
+      SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v
+      FROM counts
+    ),
+    pri AS (
+      SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS dp,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS dn
+      FROM labels
+    ),
+    w AS (
+      SELECT tok,
+             ln((c_pos + 1.0) / (n_pos + v))
+               - ln((c_neg + 1.0) / (n_neg + v)) AS w
+      FROM counts, scal
+    ),
+    sc AS (
+      SELECT tl.doc_id, SUM(w.w) AS s FROM tl JOIN w USING (tok)
+      GROUP BY tl.doc_id
+    )
+    SELECT l.doc_id,
+           ROUND(sc.s + ln(CAST(dp AS DOUBLE) / dn), 6) AS log_odds,
+           (sc.s + ln(CAST(dp AS DOUBLE) / dn)) > 0 AS predicted,
+           l.keep AS label
+    FROM labels l JOIN sc USING (doc_id), pri
+    """,
+    doc="model-based quality filtering (round-8): a multinomial Naive "
+    "Bayes classifier trained IN-PIPELINE on the Gopher rule battery's "
+    "keep verdict as weak supervision (the CCNet/LLaMA-style "
+    "distill-rules-into-a-scorer bootstrap; NB's closed form is what "
+    "makes training fully relational — one Zipf-bounded groupBy(token) "
+    "for counts, 1-row broadcast scalars, add-one smoothing, score = "
+    "token-weight sum + prior log odds).  Emits per-doc log-odds (a "
+    "RANKABLE quality signal the binary rules can't give), the "
+    "prediction, and the weak label; hash-checked end to end",
+)
+def t_nb_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.nb_quality_classifier(docs)
+
+
+@_q(
     "t_contamination",
     """
     WITH toks AS (

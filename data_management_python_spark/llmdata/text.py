@@ -713,3 +713,90 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
         )
     )
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    labels: DataFrame | None = None,
+    label_col: str = "keep",
+) -> DataFrame:
+    """Train-and-score a multinomial Naive Bayes QUALITY CLASSIFIER in
+    one DataFrame pipeline — the model-based filtering step a modern
+    curation run layers over rule gates (the public reference point is
+    CCNet/LLaMA-style linear bag-of-words quality models; NB is the
+    closed-form member of that family, which is what makes it fully
+    relational and oracle-checkable — no iterative solver).
+
+    Labels default to the Gopher rule battery's ``keep`` verdict
+    (:func:`gopher_quality_signals`) as WEAK supervision — the classic
+    bootstrap: distill cheap rules into a smooth scorer whose
+    log-odds ranks borderline documents the binary rules can't.
+    Pass ``labels`` (id, boolean ``label_col``) to train on real
+    annotations instead.
+
+    Math: per-token weight w(t) = ln((c_pos(t)+1)/(N_pos+V)) -
+    ln((c_neg(t)+1)/(N_neg+V)) (add-one smoothing over the joint
+    vocabulary), document score = sum of w over its tokens (with
+    multiplicity) + class-prior log odds.  Output: (id, log_odds,
+    predicted, label).
+
+    Scale shape: token counts are ONE partial-agg groupBy(token)
+    (Zipf-bounded vocabulary, like tf-idf); the four corpus scalars
+    ride a 1-row broadcast crossJoin; scoring joins docs' exploded
+    tokens to the vocabulary weights (broadcast when small, shuffle
+    hash otherwise) and partial-aggregates per doc.  Training +
+    inference are the same two shuffles — no driver-side model object,
+    no Python.
+    """
+    if labels is None:
+        labels = gopher_quality_signals(docs, id_col, text_col).select(
+            id_col, F.col("keep").alias(label_col)
+        )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).join(labels.select(id_col, label_col), id_col)
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("c_neg"),
+    )
+    scalars = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(
+        labels.agg(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias(
+                "docs_pos"
+            ),
+            F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias(
+                "docs_neg"
+            ),
+        )
+    )
+    weights = counts.crossJoin(F.broadcast(scalars)).select(
+        "tok",
+        (
+            F.log((F.col("c_pos") + 1) / (F.col("n_pos") + F.col("v")))
+            - F.log((F.col("c_neg") + 1) / (F.col("n_neg") + F.col("v")))
+        ).alias("w"),
+    )
+    prior = F.log(F.col("docs_pos") / F.col("docs_neg"))
+    scored = (
+        toks.join(weights, "tok")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("__s"))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            F.round(F.col("__s") + prior, 6).alias("log_odds"),
+            ((F.col("__s") + prior) > 0).alias("predicted"),
+        )
+    )
+    return scored.join(labels, id_col).select(
+        id_col, "log_odds", "predicted", F.col(label_col).alias("label")
+    )

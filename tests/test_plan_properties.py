@@ -139,6 +139,7 @@ AUDITED = [
     "mm_video_neardup",
     "mm_incremental_neardup",
     "d_span_dedup_rewrite",
+    "t_nb_quality",
 ]
 
 

@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 # queries where a nested-loop/cartesian join is expected and bounded
 # (literal probe sets / explicit small cross sections / 1-row
 # broadcast scalar-threshold cross joins)
-NESTED_LOOP_OK = {"sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
+NESTED_LOOP_OK = {"t_nb_quality", "sim_lsh_ann", "q15_top_supplier", "q22_idle_customers",
                   "t_bm25_topk", "q11_important_parts", "t_heavy_hitters",
                   "a_abc_classification", "t_unigram_xent",
                   "t_perplexity_buckets", "a_fk_orphan_audit",
