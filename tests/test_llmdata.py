@@ -2849,3 +2849,100 @@ def test_remove_duplicated_spans_brute_force(spark):
     # sanity: something was actually removed and something kept
     assert any(n > 0 for _, n in expected.values())
     assert expected[5][1] == 0 and expected[6][1] == 0
+
+
+def test_gif_local_color_table_and_disposal_previous():
+    """Spec paths the main roundtrip doesn't hit: a frame with its own
+    LOCAL color table overrides the global one, and disposal 3
+    (restore-previous) rewinds the canvas after the frame shows."""
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_gif_frames,
+        _lzw_encode,
+    )
+
+    def sub_blocks(data: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            out.append(len(data[i:i + 255]))
+            out += data[i:i + 255]
+        out.append(0)
+        return bytes(out)
+
+    gct = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    lct = bytes([200, 0, 0, 0, 200, 0, 0, 0, 200, 9, 9, 9])
+    hdr = (
+        b"GIF89a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x80 | 0x01, 0, 0]) + gct
+    )
+
+    def img(data, lct_flag=False, table=b""):
+        return (
+            b"\x2c" + b"\x00\x00\x00\x00"
+            + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+            + bytes([0x81 if lct_flag else 0])  # lct flag + size 1 (4)
+            + table
+            + bytes([2]) + sub_blocks(_lzw_encode(data, 2))
+        )
+
+    gce_disp3 = b"\x21\xf9\x04" + bytes([0x0C]) + b"\x00\x00\x00\x00"
+    blob = (
+        hdr
+        + img(bytes([0, 1, 2, 3]))                     # GCT frame
+        + gce_disp3
+        + img(bytes([1, 1, 1, 1]), True, lct)          # LCT + disposal 3
+        + img(bytes([3, 3, 3, 3]))                     # after restore
+        + b"\x3b"
+    )
+    got = _decode_gif_frames(blob)
+    assert got is not None
+    w, h, fr = got
+    assert len(fr) == 3
+    assert tuple(fr[0][1][0, 0]) == (10, 10, 10)       # GCT color 0
+    assert tuple(fr[1][1][0, 0]) == (0, 200, 0)        # LCT color 1
+    assert tuple(fr[2][1][0, 0]) == (40, 40, 40)       # GCT color 3
+    # disposal 3 restored frame 1's canvas before frame 3 painted —
+    # nothing of the LCT frame leaks (full-frame paint here, but the
+    # restore is what reset the canvas the paint composed onto)
+
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(
+    max_examples=30, deadline=None, suppress_health_check=list(_HC)
+)
+@_given(
+    w=_st.integers(min_value=1, max_value=40),
+    h=_st.integers(min_value=1, max_value=30),
+    n_colors=_st.integers(min_value=2, max_value=256),
+    n_frames=_st.integers(min_value=1, max_value=5),
+    seed=_st.integers(min_value=0, max_value=10_000),
+)
+def test_gif_roundtrip_property(w, h, n_colors, n_frames, seed):
+    """PROPERTY: encode->decode is pixel-exact for any size, palette
+    size, and frame count (the encoder pads palettes to a power of
+    two; the decoder must honor whatever index stream results)."""
+    import numpy as np
+
+    from data_management_python_spark.llmdata.multimodal import (
+        _decode_gif_frames,
+        _encode_gif,
+    )
+
+    rs = np.random.RandomState(seed)
+    pal = rs.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    frames = [
+        bytes(rs.randint(0, n_colors, w * h).astype(np.uint8))
+        for _ in range(n_frames)
+    ]
+    blob = _encode_gif(w, h, pal, frames)
+    got = _decode_gif_frames(blob)
+    assert got is not None
+    gw, gh, fr = got
+    assert (gw, gh, len(fr)) == (w, h, n_frames)
+    for k, (_d, arr) in enumerate(fr):
+        exp = pal[np.frombuffer(frames[k], np.uint8).reshape(h, w)]
+        assert np.array_equal(arr, exp)
