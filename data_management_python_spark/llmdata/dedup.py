@@ -1132,3 +1132,150 @@ def remove_duplicated_spans(
         cleaned.alias("clean_text"),
         removed.cast("bigint").alias("n_tokens_removed"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY profile: of a document's distinct
+    word n-gram shingles, what share appears in no other document —
+    the corpus-internal duplication/memorization-risk signal (C4/
+    Gopher's "duplicate n-gram fraction" family) that complements the
+    pairwise dedup ops: a doc can evade pair-level Jaccard yet still
+    be mostly boilerplate shared across hundreds of documents.
+
+    Shape: the standard tokenize-once shingle explode, one shingle-
+    keyed agg for document frequency, a shingle-keyed join back, and a
+    per-doc agg — two shuffles, both on keys the dedup family already
+    uses, no driver state.  ``novel_ratio`` is an exact integer
+    division rounded at the aggregate; ``max_dup_docs`` is the doc
+    frequency of the document's most-shared shingle (how viral its
+    worst boilerplate is).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingle_array_expr(text_col, n)).alias("s"),
+    )
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__nd"))
+    return (
+        sh.join(df_, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__nd") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("__nd") == 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novel_ratio"),
+            F.max("__nd").alias("max_dup_docs"),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 24,
+    boundary_mod: int = 4,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup profile: split each
+    document at CONTENT-DERIVED boundaries — a position ends a chunk
+    when the hash of the trailing ``window`` characters falls under
+    ``boundary_mod``/256 — then report, per document, how much of it
+    is made of chunks byte-identical to a chunk of some OTHER
+    document.  Content-defined boundaries are what make the chunking
+    insertion-stable (an edit shifts at most the chunk it lands in,
+    unlike fixed-width blocks), the property rsync/LBFS/backup dedup
+    built on and the reason span-level corpus dedup uses it.
+
+    Expected chunk length is ``256/boundary_mod * 16`` chars at the
+    defaults (~64): long enough to be meaningful, short enough that
+    near-dup documents still share most chunks.
+
+    Shape: a per-character position explode (the honest cost of a
+    content-defined boundary scan in ANY engine — one hash per
+    position), all JVM-side md5/substring expressions inside one
+    codegen stage, then a doc-partitioned window to pair consecutive
+    boundaries into chunks, one chunk-hash agg for cross-doc
+    frequency, and a per-doc rollup.  A production BINARY path would
+    swap the md5-per-window for an O(1)-per-byte gear/rolling hash in
+    ``mapInPandas`` (same downstream plan); the md5 form is the
+    engine-portable twin the oracle can reproduce exactly.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    base = docs.select(F.col(id_col), F.col(text_col).alias("__txt")).filter(
+        F.length("__txt") >= 1
+    )
+    # candidate boundary positions: window..len-1 (a boundary at the
+    # final char is the doc end, which is always a chunk end anyway)
+    pos = base.select(
+        id_col,
+        "__txt",
+        F.explode(
+            F.when(
+                F.length("__txt") - 1 >= window,
+                F.sequence(F.lit(window), F.length("__txt") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    bounds = pos.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.substring(
+                        F.col("__txt"), F.col("__i") - (window - 1), F.lit(window)
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < boundary_mod
+    ).select(id_col, "__txt", F.col("__i").alias("__e"))
+    ends = bounds.unionByName(
+        base.select(id_col, "__txt", F.length("__txt").alias("__e"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__e")
+    chunks = ends.withColumn(
+        "__s", F.lag("__e", 1, 0).over(w) + 1
+    ).select(
+        id_col,
+        (F.col("__e") - F.col("__s") + 1).alias("__clen"),
+        F.md5(
+            F.substring(
+                F.col("__txt"), F.col("__s"), F.col("__e") - F.col("__s") + 1
+            )
+        ).alias("__h"),
+    )
+    freq = chunks.groupBy("__h").agg(
+        F.countDistinct(F.col(id_col)).alias("__nd")
+    )
+    return (
+        chunks.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("__nd") > 1, F.col("__clen")).otherwise(0)
+                ).cast("double")
+                / F.sum("__clen"),
+                6,
+            ).alias("shared_char_ratio"),
+        )
+    )

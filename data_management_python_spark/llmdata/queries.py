@@ -2920,3 +2920,127 @@ def _kcenter_oracle_sql(k: int = 5) -> str:
 def sim_kcenter_diverse(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kcenter_select(emb, "vec_id", "embedding", k=5)
+
+
+@_q(
+    "t_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, is_t, u.g FROM toks, UNNEST(t) AS u(g)),
+    big AS (
+      SELECT doc_id, is_t, u.g
+      FROM toks, UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS u(g)
+      WHERE len(t) >= 2
+    ),
+    grams AS (
+      SELECT doc_id, is_t,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+    ),
+    cnt AS (
+      SELECT b, COUNT(*) AS c_raw,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_tgt
+      FROM grams GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS DOUBLE) AS r_tot,
+             CAST(SUM(c_tgt) AS DOUBLE) AS t_tot
+      FROM cnt
+    ),
+    lr AS (
+      SELECT b, LN((c_tgt + 1.0) / (t_tot + 1024))
+               - LN((c_raw + 1.0) / (r_tot + 1024)) AS logr
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_feats,
+           ROUND(SUM(logr), 6) AS dsir_logratio,
+           (ROUND(SUM(logr), 6) > 0) AS prefers_target
+    FROM grams JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance resampling (Xie et al. 2023): hashed "
+    "unigram+bigram bag-of-features models of the target domain "
+    "(lang='en') vs the raw corpus, Laplace-smoothed; per-doc weight "
+    "= sum of per-feature log-probability ratios.  One explode pass, "
+    "one conditional-count agg builds BOTH models, a <=1024-row "
+    "log-ratio table broadcast back, one per-doc agg — two shuffles "
+    "at any corpus scale",
+)
+def t_dsir_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_weights(docs, target=F.col("lang") == "en")
+
+
+@_q(
+    "t_ngram_novelty",
+    f"""
+    WITH {_SHINGLE_SQL},
+    df AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s)
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS novel_ratio,
+           MAX(nd) AS max_dup_docs
+    FROM sh JOIN df USING (s)
+    GROUP BY doc_id
+    """,
+    doc="per-document n-gram novelty profile (C4/Gopher duplicate-"
+    "n-gram-fraction family): share of a doc's distinct trigram "
+    "shingles found in no other document, plus the doc frequency of "
+    "its most-shared shingle — catches boilerplate-heavy docs that "
+    "evade pairwise Jaccard; two shuffles on the dedup family's "
+    "existing shingle keys",
+)
+def t_ngram_novelty(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+@_q(
+    "d_cdc_chunks",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+    b AS (
+      SELECT doc_id, i AS e
+      FROM base, UNNEST(generate_series(24, len(text) - 1)) AS u(i)
+      WHERE CAST(('0x' || substr(md5(substr(text, i - 23, 24)), 1, 2))
+                 AS BIGINT) < 4
+    ),
+    ends AS (
+      SELECT doc_id, e FROM b
+      UNION ALL
+      SELECT doc_id, len(text) AS e FROM base
+    ),
+    chunks AS (
+      SELECT ends.doc_id,
+             e - (COALESCE(LAG(e) OVER (PARTITION BY ends.doc_id ORDER BY e), 0) + 1) + 1 AS clen,
+             md5(substr(base.text,
+                        COALESCE(LAG(e) OVER (PARTITION BY ends.doc_id ORDER BY e), 0) + 1,
+                        e - COALESCE(LAG(e) OVER (PARTITION BY ends.doc_id ORDER BY e), 0))) AS h
+      FROM ends JOIN base USING (doc_id)
+    ),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+           ROUND(SUM(CASE WHEN nd > 1 THEN clen ELSE 0 END) * 1.0
+                 / SUM(clen), 6) AS shared_char_ratio
+    FROM chunks JOIN freq USING (h)
+    GROUP BY doc_id
+    """,
+    doc="content-defined chunking dedup profile (rsync/LBFS boundary "
+    "rule, ~64-char expected chunks): per-doc share of characters in "
+    "chunks byte-identical to another document's chunk.  Insertion-"
+    "stable boundaries (an edit shifts only its own chunk); the "
+    "boundary scan is one hash per position all-JVM codegen, chunking "
+    "is a doc-partitioned window, then chunk-hash frequency + per-doc "
+    "rollup — the binary-data scale path swaps in an O(1)/byte gear "
+    "hash under mapInPandas with the same downstream plan",
+)
+def d_cdc_chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_stats(docs, "doc_id", "text", window=24, boundary_mod=4)

@@ -800,3 +800,96 @@ def nb_quality_classifier(
     return scored.join(labels, id_col).select(
         id_col, "log_odds", "predicted", F.col(label_col).alias("label")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): per-document importance log-weights from hashed-n-gram
+    bag-of-features models of a TARGET domain vs the RAW corpus.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (md5-derived so the oracle reproduces them bit-for-bit).  Both
+    categorical models are Laplace-smoothed bucket distributions; a
+    document's weight is ``sum over feature occurrences of
+    ln p_target(b) - ln p_raw(b)`` — positive means the doc looks more
+    like the target domain than the raw mix, the resampling signal a
+    curation pipeline feeds into weighted/temperature sampling.
+
+    Shape: one tokenize + explode pass (unigrams and bigrams from the
+    SAME token array), ONE grouped agg computing raw and target bucket
+    counts together (conditional count — the target model costs no
+    second pass), a <= ``n_buckets``-row log-ratio table broadcast back
+    onto the feature stream, and a final per-doc agg.  Nothing
+    driver-side; the ratio table is bounded by ``n_buckets`` regardless
+    of corpus size, so the whole plan is two shuffles (bucket counts,
+    per-doc sum) at any scale.  Rounded only at the per-doc aggregate
+    (partial-agg addition order differs between engines).
+
+    Reference scope anchor: the reference's pipelines select inputs by
+    metadata predicates only (e.g. project/sample filters,
+    dbutils.py-driven queries); distribution-matching selection is part
+    of the LLM-curation surface this engine adds on top.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        target.alias("__is_target"),
+        tokens(text_col).alias("__t"),
+    )
+    uni = toks.select(
+        id_col, "__is_target", F.explode("__t").alias("__g")
+    )
+    big = toks.select(
+        id_col,
+        "__is_target",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("__t", i),
+                        F.element_at("__t", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__g"),
+    )
+    feats = uni.unionByName(big).select(
+        id_col,
+        "__is_target",
+        (
+            F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__b"),
+    )
+    cnt = feats.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__c_raw"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__c_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("__c_raw").cast("double").alias("__r_tot"),
+        F.sum("__c_tgt").cast("double").alias("__t_tot"),
+    )
+    logr = cnt.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log((F.col("__c_tgt") + F.lit(1.0)) / (F.col("__t_tot") + F.lit(float(n_buckets))))
+            - F.log((F.col("__c_raw") + F.lit(1.0)) / (F.col("__r_tot") + F.lit(float(n_buckets))))
+        ).alias("__logr"),
+    )
+    return (
+        feats.join(F.broadcast(logr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("__logr"), 6).alias("dsir_logratio"),
+        )
+        .withColumn("prefers_target", F.col("dsir_logratio") > 0)
+    )

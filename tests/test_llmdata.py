@@ -2946,3 +2946,159 @@ def test_gif_roundtrip_property(w, h, n_colors, n_frames, seed):
     for k, (_d, arr) in enumerate(fr):
         exp = pal[np.frombuffer(frames[k], np.uint8).reshape(h, w)]
         assert np.array_equal(arr, exp)
+
+
+# ---------------------------------------------------------------------------
+# round-8 session additions: DSIR weights, n-gram novelty, CDC chunking
+
+
+def test_ngram_novelty_known_corpus(spark):
+    out = {
+        r.doc_id: r
+        for r in dedup.ngram_novelty(docs_df(spark), "doc_id", "text", n=3).collect()
+    }
+    # docs 1 and 4 are identical: every shingle appears in >= 2 docs
+    assert out[1].novel_ratio == 0.0
+    assert out[4].novel_ratio == 0.0
+    # doc 3 shares no vocabulary with anything
+    assert out[3].novel_ratio == 1.0
+    assert out[3].max_dup_docs == 1
+    # doc 2 differs from 1/4 only in the last word: exactly the one
+    # trailing shingle containing "cat" is unique to it
+    assert out[2].n_novel == 1
+    assert out[1].max_dup_docs == 3  # shingles shared by docs 1, 2, 4
+
+
+def test_dsir_weights_exact_brute_force(spark):
+    import hashlib
+    import math
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "alpha beta gamma delta", "en"),
+        (3, "uno dos tres cuatro cinco", "es"),
+        (4, "alpha beta uno dos", "fr"),
+        (5, "gamma gamma gamma beta", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r
+        for r in text.dsir_weights(
+            docs, target=F.col("lang") == "en", n_buckets=1024
+        ).collect()
+    }
+
+    def grams(t):
+        toks = t.strip().lower().split()
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 1024
+
+    c_raw, c_tgt, per_doc = {}, {}, {}
+    for doc_id, t, lang in rows:
+        bs = [bucket(g) for g in grams(t)]
+        per_doc[doc_id] = bs
+        for b in bs:
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if lang == "en":
+                c_tgt[b] = c_tgt.get(b, 0) + 1
+    r_tot = sum(c_raw.values())
+    t_tot = sum(c_tgt.values())
+    for doc_id, bs in per_doc.items():
+        want = round(
+            sum(
+                math.log((c_tgt.get(b, 0) + 1.0) / (t_tot + 1024))
+                - math.log((c_raw[b] + 1.0) / (r_tot + 1024))
+                for b in bs
+            ),
+            6,
+        )
+        assert abs(got[doc_id].dsir_logratio - want) < 1e-9, doc_id
+        assert got[doc_id].n_feats == len(bs)
+        assert got[doc_id].prefers_target == (want > 0)
+    # the pure-target vocabulary doc must look more target-like than
+    # the pure-raw-only one
+    assert got[1].dsir_logratio > got[3].dsir_logratio
+
+
+def _cdc_brute(text_val, window=24, boundary_mod=4):
+    import hashlib
+
+    n = len(text_val)
+    bounds = [
+        i
+        for i in range(window, n)
+        if int(
+            hashlib.md5(text_val[i - window : i].encode()).hexdigest()[:2], 16
+        )
+        < boundary_mod
+    ]
+    ends = bounds + [n]
+    chunks, prev = [], 0
+    for e in ends:
+        chunks.append(text_val[prev:e])
+        prev = e
+    return chunks
+
+
+def test_cdc_chunk_stats_brute_force_and_stability(spark):
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+             "adipiscing", "elit", "sed", "do", "eiusmod", "tempor"]
+    base_text = " ".join(rng.choice(words) for _ in range(200))
+    # doc 2 = doc 1 with a small mid-document insertion; doc 3 exact
+    # dup of 1; doc 4 unrelated
+    half = len(base_text) // 2
+    edited = base_text[:half] + " INSERTED PHRASE HERE " + base_text[half:]
+    unrelated = " ".join(rng.choice(words[::-1]) + str(i) for i in range(150))
+    rows = [(1, base_text), (2, edited), (3, base_text), (4, unrelated)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.cdc_chunk_stats(docs, "doc_id", "text").collect()
+    }
+
+    # paired brute force: chunk count and shared ratio per doc
+    all_chunks = {doc_id: _cdc_brute(t) for doc_id, t in rows}
+    owners: dict[str, set[int]] = {}
+    for doc_id, chs in all_chunks.items():
+        for c in chs:
+            owners.setdefault(hashlib.md5(c.encode()).hexdigest(), set()).add(
+                doc_id
+            )
+    for doc_id, chs in all_chunks.items():
+        assert got[doc_id].n_chunks == len(chs), doc_id
+        shared = sum(
+            len(c)
+            for c in chs
+            if len(owners[hashlib.md5(c.encode()).hexdigest()]) > 1
+        )
+        want = round(shared / sum(len(c) for c in chs), 6)
+        assert abs(got[doc_id].shared_char_ratio - want) < 1e-9, doc_id
+
+    # exact dup pair: fully shared
+    assert got[1].shared_char_ratio == 1.0
+    assert got[3].shared_char_ratio == 1.0
+    # content-defined boundaries localize the edit: the inserted-into
+    # copy still shares most of its characters with doc 1/3
+    assert got[2].shared_char_ratio > 0.5
+    # unrelated doc shares nothing
+    assert got[4].shared_char_ratio == 0.0
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "x" * 23)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r for r in dedup.cdc_chunk_stats(docs, "doc_id", "text").collect()
+    }
+    # below the window width there are no candidate boundaries: one
+    # whole-doc chunk, shared only via exact equality
+    assert got[1].n_chunks == 1 and got[1].shared_char_ratio == 1.0
+    assert got[2].n_chunks == 1
+    assert got[3].n_chunks == 1 and got[3].shared_char_ratio == 0.0

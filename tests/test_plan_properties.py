@@ -140,6 +140,10 @@ AUDITED = [
     "mm_incremental_neardup",
     "d_span_dedup_rewrite",
     "t_nb_quality",
+    # round-8, this session: DSIR / novelty / CDC curation ops
+    "t_dsir_weights",
+    "t_ngram_novelty",
+    "d_cdc_chunks",
 ]
 
 

@@ -38,7 +38,10 @@ NESTED_LOOP_OK = {"t_nb_quality", "sim_lsh_ann", "q15_top_supplier", "q22_idle_c
                   "t_exact_contamination",
                   # round-4: temperature quotas normalizer moved from a
                   # global window to the standard 1-row scalar crossJoin
-                  "t_temperature_sample"}
+                  "t_temperature_sample",
+                  # round-8: DSIR's corpus-total normalizer — the same
+                  # 1-row scalar crossJoin shape as t_unigram_xent
+                  "t_dsir_weights"}
 
 # queries allowed an UNPARTITIONED window (Exchange SinglePartition
 # feeding a WindowExec): each one's window frame is a small AGGREGATED
