@@ -1092,6 +1092,102 @@ def m_rebucket_split(spark, sf_dir):
 
 
 @_q(
+    "m_time_travel",
+    """
+    WITH seed AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 3 <> 0
+    ), added AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0
+    ), s1 AS (
+      SELECT * FROM seed UNION ALL SELECT * FROM added
+    ), s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'U' ELSE c_name END AS c_name,
+             c_acctbal
+      FROM s1
+    ), s3 AS (
+      SELECT * FROM s2 WHERE c_custkey % 7 <> 0
+    )
+    SELECT 'v0' AS version_tag, c_custkey, c_name, c_acctbal FROM seed
+    UNION ALL
+    SELECT 'v1', c_custkey, c_name, c_acctbal FROM s1
+    UNION ALL
+    SELECT 'v2', c_custkey, c_name, c_acctbal FROM s2
+    UNION ALL
+    SELECT 'v3', c_custkey, c_name, c_acctbal FROM s3
+    """,
+    doc="TIME TRAVEL end to end (round-8 store substrate): a history-"
+    "retaining bucketed TableStore in a per-call temp dir takes an "
+    "append, a partition-scoped upsert, and a keyed delete; the four "
+    "committed versions are then read back AS OF their commit seqs — "
+    "append versions resolve to live files, pre-mutation versions to "
+    "the archived per-bucket pre-images — and hash-checked against "
+    "the relationally reconstructed states.  Checkpointed so the "
+    "temp store is removed before returning (per-call isolation, "
+    "bench-concurrency safe; excluded from the plan audit like "
+    "m_partitioned_merge — the returned frame is a checkpoint scan, "
+    "and the archive/manifest protocol is pinned by "
+    "tests/test_store_history.py)",
+)
+def m_time_travel(spark, sf_dir):
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_management_python_spark.store import TableStore  # noqa: PLC0415
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="ttravel_")
+    try:
+        store = TableStore(spark, root, retain_history=True)
+        c.filter(F.col("c_custkey") % 3 != 0).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/cust")
+        store.enable_partitioning("cust", ["c_custkey"], n_buckets=8)
+        v0 = store.latest_version()
+        store.store_records(
+            "cust",
+            c.filter(
+                (F.col("c_custkey") % 3 == 0)
+                & (F.col("c_custkey") % 2 == 0)
+            ),
+        )
+        v1 = store.latest_version()
+        updates = (
+            store.table("cust")
+            .filter(F.col("c_custkey") % 5 == 0)
+            .select("c_custkey", F.lit("U").alias("c_name"), "c_acctbal")
+        )
+        store.upsert(
+            "cust", updates, on=["c_custkey"], update_columns=["c_name"]
+        )
+        v2 = store.latest_version()
+        store.delete_where(
+            "cust",
+            store.table("cust").filter(F.col("c_custkey") % 7 == 0).select(
+                "c_custkey"
+            ),
+            on=["c_custkey"],
+        )
+        v3 = store.latest_version()
+        out = None
+        for tag, v in (("v0", v0), ("v1", v1), ("v2", v2), ("v3", v3)):
+            frame = store.read_version("cust", v).select(
+                F.lit(tag).alias("version_tag"),
+                "c_custkey",
+                "c_name",
+                "c_acctbal",
+            )
+            out = frame if out is None else out.unionByName(frame)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "m_eav_bucketed_store",
     """
     WITH s1 AS (

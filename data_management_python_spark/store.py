@@ -161,6 +161,7 @@ class TableStore:
         root: str,
         attr_n_buckets: int | None = None,
         target_bucket_bytes: int = DEFAULT_TARGET_BUCKET_BYTES,
+        retain_history: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -189,6 +190,11 @@ class TableStore:
         # _store_with_attributes_txn)
         self._txn_mutex = threading.Lock()
         os.makedirs(root, exist_ok=True)
+        #: version retention (time travel) is a persisted root-level
+        #: property — see the "version history" section; the flag here
+        #: just turns it on at construction
+        if retain_history:
+            self.enable_history()
 
     # -- transactional commit log -------------------------------------------
     #
@@ -329,7 +335,13 @@ class TableStore:
             return self._txn
 
     def _commit(self) -> None:
-        """Atomic commit point (one rename), then cleanup."""
+        """Atomic commit point (one rename), then cleanup.  With
+        history on, the touched tables' version manifests are written
+        (journaled) BEFORE the rename — their data files are already
+        fully live; the rename only flips visibility — so a crash
+        before it rolls the manifests back with everything else."""
+        if self._history_on():
+            self._record_versions_in_txn()
         os.replace(self._txn_path("pending"), self._txn_path("committed"))
         self._roll_forward()
 
@@ -406,18 +418,20 @@ class TableStore:
         spec = self._read_journal("committed")
         if spec is None:
             return
+        retain = self._history_on()
         for op in spec.get("ops", []):
             if op["kind"] == "append":
                 shutil.rmtree(os.path.join(self.root, op["stage"]),
                               ignore_errors=True)
-            elif op["kind"] == "bucket_swap":
-                shutil.rmtree(os.path.join(self.root, op["pre"]),
-                              ignore_errors=True)
-                shutil.rmtree(os.path.join(self.root, op["tmp"]),
-                              ignore_errors=True)
-            elif op["kind"] == "swap":
-                shutil.rmtree(os.path.join(self.root, op["pre"]),
-                              ignore_errors=True)
+            elif op["kind"] in ("bucket_swap", "swap"):
+                pre = os.path.join(self.root, op["pre"])
+                if retain and os.path.isdir(pre):
+                    # superseded pre-image files become the archive
+                    # copies older manifests resolve to (swap pre = the
+                    # whole old table dir; bucket_swap pre = kb= dirs,
+                    # both already table-relative shaped)
+                    self._archive_superseded(pre, op["table"])
+                shutil.rmtree(pre, ignore_errors=True)
                 shutil.rmtree(os.path.join(self.root, op["tmp"]),
                               ignore_errors=True)
         with contextlib.suppress(OSError):
@@ -579,6 +593,349 @@ class TableStore:
                 "(its per-bucket swap loop is not undo-journaled); "
                 "call it as its own serialized verb"
             )
+
+    # -- version history (time travel) ---------------------------------------
+    #
+    # Opt-in per store root (``enable_history()``): every committed
+    # mutation records a MANIFEST of the touched tables' data files
+    # under _history/manifests/<table>/<seq>.json (one GLOBAL
+    # monotonically increasing commit seq across tables, so a
+    # multi-table transaction yields one cross-table-consistent
+    # version), and files a mutation would supersede are ARCHIVED to
+    # _history/files/<their original table-relative path> instead of
+    # deleted — parquet part names are write-unique (task UUIDs /
+    # txn-token prefixes), so the relpath identifies a file forever.
+    # ``read_version`` resolves a manifest's paths live-first,
+    # archive-second, which keeps old versions readable across both
+    # appends (files only added) and swaps (pre-images archived at
+    # roll-forward).  The reference keeps audit lineage as row-level
+    # date_created/date_modified columns (igfdb models); a lake engine
+    # generalizes that to whole-table snapshots with O(changed files)
+    # extra storage.
+    #
+    # Maintenance verbs (rebucket / resume_rebucket / compact /
+    # enable_partitioning outside a transaction) rewrite files without
+    # journaled pre-images: they TRUNCATE the table's history to the
+    # post-maintenance state (floor marker + fresh manifest) — the
+    # documented tradeoff; run them after ``vacuum_history`` would
+    # have pruned the tail anyway.  Archiving shares the commit log's
+    # local-filesystem-root assumption (os.replace), like
+    # rebucket/compact (see ``table_bytes``).
+
+    _HISTORY_DIR = "_history"
+
+    def _history_rel(self, *parts: str) -> str:
+        return os.path.join(self._HISTORY_DIR, *parts)
+
+    def _history_abs(self, *parts: str) -> str:
+        return os.path.join(self.root, self._HISTORY_DIR, *parts)
+
+    def enable_history(self) -> None:
+        """Turn on version retention for this store root (persisted —
+        every instance/process over the root sees it, including crash
+        recovery, which must know to archive rather than delete)."""
+        os.makedirs(self._history_abs(), exist_ok=True)
+        tmp = self._history_abs("config.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"retain": True}, f)
+        os.replace(tmp, self._history_abs("config.json"))
+
+    def _history_on(self) -> bool:
+        try:
+            with open(self._history_abs("config.json")) as f:
+                return bool(json.load(f).get("retain"))
+        except (OSError, ValueError):
+            return False
+
+    def _next_seq(self) -> int:
+        """Allocate the next commit seq (writer lock held by every
+        caller — allocation is single-writer by construction)."""
+        p = self._history_abs("seq.json")
+        try:
+            with open(p) as f:
+                cur = int(json.load(f)["seq"])
+        except (OSError, ValueError, KeyError):
+            cur = 0
+        nxt = cur + 1
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seq": nxt}, f)
+        os.replace(tmp, p)
+        return nxt
+
+    def _table_data_files(self, name: str) -> list[str]:
+        """Current table-relative data-file paths (sorted; parquet
+        only — sidecars/_SUCCESS never enter a manifest)."""
+        base = self._path(name)
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(base):
+            rel = os.path.relpath(dirpath, self.root)
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(rel, fn))
+        return sorted(out)
+
+    def _write_manifest(
+        self, name: str, seq: int, verb: str, journal: bool
+    ) -> None:
+        rel = self._history_rel("manifests", name, f"{seq}.json")
+        p = os.path.join(self.root, rel)
+        if journal:
+            # inside an explicit txn the manifest must vanish on
+            # rollback — a manifest describing a never-committed state
+            # would be served by read_version after recovery
+            self._journal_op(
+                f"_history/{name}",
+                {"kind": "filewrite", "rel": rel, "had": None},
+            )
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "seq": seq,
+                    "verb": verb,
+                    "ts": time.time(),
+                    "files": self._table_data_files(name),
+                },
+                f,
+            )
+        os.replace(tmp, p)
+
+    def _record_versions_in_txn(self) -> None:
+        """Manifest every real table the open txn touched, BEFORE the
+        commit rename (data files are fully in place by then; only
+        visibility flips at commit).  All writes are journaled
+        filewrites so a crash-then-rollback removes them."""
+        tables = [t for t in self._txn.tables if "/" not in t]
+        if not tables:
+            return
+        seq_rel = self._history_rel("seq.json")
+        try:
+            with open(os.path.join(self.root, seq_rel)) as f:
+                had = f.read()
+        except OSError:
+            had = None
+        self._journal_op(
+            "_history/seq", {"kind": "filewrite", "rel": seq_rel, "had": had}
+        )
+        seq = self._next_seq()
+        for name in tables:
+            self._write_manifest(name, seq, "txn", journal=True)
+
+    def _archive_superseded(self, src_abs: str, table: str) -> None:
+        """Move ``src_abs``'s parquet files into the archive under
+        their original table-relative paths.  Idempotent and safe
+        under concurrent roll-forwards (a file the other mover already
+        took is simply gone here); non-parquet leftovers are the
+        caller's rmtree's problem."""
+        dst_root = self._history_abs("files", table)
+        for dirpath, _dirs, files in os.walk(src_abs):
+            rel = os.path.relpath(dirpath, src_abs)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                d = dst_root if rel == "." else os.path.join(dst_root, rel)
+                os.makedirs(d, exist_ok=True)
+                with contextlib.suppress(OSError):
+                    os.replace(
+                        os.path.join(dirpath, fn), os.path.join(d, fn)
+                    )
+
+    def _manifest_seqs(self, name: str) -> list[int]:
+        d = self._history_abs("manifests", name)
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return []
+        out = []
+        for fn in names:
+            stem, ext = os.path.splitext(fn)
+            if ext == ".json" and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def _history_floor(self, name: str) -> int:
+        try:
+            with open(
+                self._history_abs("manifests", name, "floor.json")
+            ) as f:
+                return int(json.load(f)["floor"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _set_history_floor(self, name: str, floor: int, reason: str) -> None:
+        p = self._history_abs("manifests", name, "floor.json")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"floor": int(floor), "reason": reason}, f)
+        os.replace(tmp, p)
+
+    def list_versions(self, name: str) -> list[dict]:
+        """Committed versions of ``name`` visible to ``read_version``:
+        one dict per manifest (seq, verb, ts, n_files), oldest first."""
+        out = []
+        for seq in self._manifest_seqs(name):
+            try:
+                with open(
+                    self._history_abs("manifests", name, f"{seq}.json")
+                ) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue
+            out.append(
+                {
+                    "seq": m["seq"],
+                    "verb": m.get("verb", "?"),
+                    "ts": m.get("ts"),
+                    "n_files": len(m.get("files", ())),
+                }
+            )
+        return out
+
+    def latest_version(self) -> int:
+        """Highest commit seq allocated at this root (0 = none)."""
+        try:
+            with open(self._history_abs("seq.json")) as f:
+                return int(json.load(f)["seq"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Read ``name`` AS OF commit ``version`` (time travel): the
+        state the largest manifest seq <= ``version`` recorded.  A
+        multi-table transaction gives all its tables the same seq, so
+        reading several tables at one ``version`` is cross-table
+        consistent.  Requires history (``enable_history``) to have
+        been on when the versions were written; versions below a
+        vacuum/maintenance floor raise."""
+        if not self._history_on():
+            raise ValueError(
+                f"store {self.root!r} has no version history: call "
+                "enable_history() before the writes you want to travel to"
+            )
+        floor = self._history_floor(name)
+        cands = [s for s in self._manifest_seqs(name) if s <= version]
+        if not cands:
+            if floor > 0:
+                raise ValueError(
+                    f"history for {name!r} below seq {floor} was "
+                    "truncated (vacuum_history or a maintenance "
+                    f"rewrite); cannot read version {version}"
+                )
+            # never written as of that seq: the declared empty table
+            return self.table(name).limit(0)
+        mseq = max(cands)
+        with open(
+            self._history_abs("manifests", name, f"{mseq}.json")
+        ) as f:
+            manifest = json.load(f)
+        paths, missing = [], []
+        for rel in manifest.get("files", ()):
+            live = os.path.join(self.root, rel)
+            arch = self._history_abs("files", rel)
+            if os.path.exists(live):
+                paths.append(live)
+            elif os.path.exists(arch):
+                paths.append(arch)
+            else:
+                missing.append(rel)
+        if missing:
+            raise RuntimeError(
+                f"version {version} of {name!r} (manifest seq {mseq}) "
+                f"is missing {len(missing)} file(s), e.g. "
+                f"{missing[0]!r}: either another writer's transaction "
+                "is mid-swap (retry after it commits / "
+                "recover_transactions) or the files were removed by "
+                "vacuum_history/a maintenance rewrite"
+            )
+        if not paths:
+            return self.table(name).limit(0)
+        df = self.spark.read.parquet(*paths)
+        if self.BUCKET_COL in df.columns:  # pre-partitioning snapshots
+            df = df.drop(self.BUCKET_COL)
+        return df
+
+    def _truncate_history(self, name: str, verb: str) -> None:
+        """Collapse ``name``'s history to the current state: floor
+        first (older reads fail safe from that instant), then drop old
+        manifests + archived files, then manifest the present.  Called
+        by maintenance verbs, which rewrite files without journaled
+        pre-images."""
+        seq = self._next_seq()
+        self._set_history_floor(name, seq, verb)
+        for s in self._manifest_seqs(name):
+            if s < seq:
+                with contextlib.suppress(OSError):
+                    os.unlink(
+                        self._history_abs("manifests", name, f"{s}.json")
+                    )
+        shutil.rmtree(self._history_abs("files", name), ignore_errors=True)
+        self._write_manifest(name, seq, verb, journal=False)
+
+    def vacuum_history(
+        self, name: str | None = None, keep_last: int = 1
+    ) -> dict[str, int]:
+        """Prune version history: keep each table's ``keep_last``
+        newest manifests, raise its floor, and delete archived files
+        no remaining manifest references.  Live data files are never
+        touched (the archive only ever holds superseded copies).
+        Returns {table: n_files_deleted}.  Serialized like any
+        mutation."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        self._forbid_in_explicit_txn("vacuum_history")
+        with self._write_guard():
+            tables = (
+                [name]
+                if name is not None
+                else sorted(
+                    d
+                    for d in (
+                        os.listdir(self._history_abs("manifests"))
+                        if os.path.isdir(self._history_abs("manifests"))
+                        else []
+                    )
+                )
+            )
+            deleted: dict[str, int] = {}
+            for t in tables:
+                seqs = self._manifest_seqs(t)
+                if len(seqs) <= keep_last:
+                    continue
+                cut = seqs[-keep_last]
+                self._set_history_floor(t, cut, "vacuum")
+                keep_refs: set[str] = set()
+                for s in seqs:
+                    if s >= cut:
+                        with open(
+                            self._history_abs("manifests", t, f"{s}.json")
+                        ) as f:
+                            keep_refs.update(json.load(f).get("files", ()))
+                n = 0
+                froot = self._history_abs("files", t)
+                for dirpath, _dirs, files in os.walk(froot):
+                    for fn in files:
+                        p = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(
+                            p, self._history_abs("files")
+                        )
+                        if rel not in keep_refs:
+                            with contextlib.suppress(OSError):
+                                os.unlink(p)
+                                n += 1
+                for s in seqs:
+                    if s < cut:
+                        with contextlib.suppress(OSError):
+                            os.unlink(
+                                self._history_abs(
+                                    "manifests", t, f"{s}.json"
+                                )
+                            )
+                deleted[t] = n
+            return deleted
 
     # -- storage primitives -------------------------------------------------
 
@@ -1022,7 +1379,14 @@ class TableStore:
         store's ``target_bucket_bytes`` (floor ``MIN_AUTO_BUCKETS``).
         """
         with self._write_guard():
+            in_txn = self._txn is not None and self._txn.explicit
             self._enable_partitioning_locked(name, keys, n_buckets)
+            if not in_txn and self._history_on():
+                # non-txn layout conversion swaps files with no
+                # journaled pre-image: history collapses to the
+                # post-conversion state (inside a transaction the swap
+                # IS journaled and commit manifests it instead)
+                self._truncate_history(name, "enable_partitioning")
 
     def _enable_partitioning_locked(
         self, name: str, keys: list[str], n_buckets: int | None
@@ -1127,7 +1491,16 @@ class TableStore:
         :meth:`maybe_rebucket`'s doubling policy."""
         self._forbid_in_explicit_txn("rebucket")
         with self._write_guard():
+            part = self.partitioning_of(name)
             self._rebucket_locked(name, n_buckets, incremental)
+            if (
+                self._history_on()
+                and part is not None
+                and int(part[1]) != int(n_buckets)
+            ):
+                # files moved between buckets with no journaled
+                # pre-images: older manifests are unresolvable
+                self._truncate_history(name, "rebucket")
 
     def _rebucket_locked(
         self, name: str, n_buckets: int, incremental: bool | None
@@ -1290,7 +1663,10 @@ class TableStore:
         no split is in flight."""
         self._forbid_in_explicit_txn("resume_rebucket")
         with self._write_guard():
+            had_split = self._split_state(name) is not None
             self._resume_rebucket_locked(name)
+            if had_split and self._history_on():
+                self._truncate_history(name, "rebucket")
 
     def _resume_rebucket_locked(self, name: str) -> None:
         st = self._split_state(name)
@@ -1365,9 +1741,13 @@ class TableStore:
         ``sources.sinks.compact_dataset``."""
         self._forbid_in_explicit_txn("compact")
         with self._write_guard():
-            return self._compact_locked(
+            out = self._compact_locked(
                 name, target_file_bytes, small_file_bytes, min_small_files
             )
+            if out and self._history_on():
+                # rewritten buckets lost their old files un-archived
+                self._truncate_history(name, "compact")
+            return out
 
     def _compact_locked(
         self,
@@ -1643,10 +2023,16 @@ class TableStore:
                 w = w.partitionBy(self.BUCKET_COL)
             w.parquet(self._path(name))
             # (no sidecar re-materialization: with the layout read
-            # fresh from the sidecar on every call, part is non-None
-            # exactly when the sidecar exists — a table dir recreated
-            # externally WITHOUT its sidecar is, by definition,
-            # unpartitioned)
+            # fresh on every call, part is non-None exactly when the
+            # sidecar exists — a table dir recreated externally
+            # WITHOUT its sidecar is, by definition, unpartitioned)
+            if self._history_on():
+                # single-verb append: manifest directly (lock held); a
+                # crash between the data write and here just means the
+                # version becomes addressable at the next commit
+                self._write_manifest(
+                    name, self._next_seq(), "append", journal=False
+                )
 
     def store_with_attributes(
         self,

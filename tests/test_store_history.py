@@ -1,0 +1,275 @@
+"""Version history (time travel) + vacuum for TableStore.
+
+Round-8 substrate extension: with ``enable_history()`` on, every
+committed mutation manifests the touched tables' data files under one
+global commit seq, and superseded files are archived instead of
+deleted — ``read_version`` then reconstructs any committed state, and
+a multi-table transaction's tables share one seq (cross-table
+consistent as-of reads).  The reference's audit surface is row-level
+``date_created``/``date_modified`` stamps (igf_data/igfdb models);
+whole-table snapshots are the lake generalization.
+
+Pinned here:
+- as-of reads across append / upsert / delete / EAV store;
+- one seq per multi-table transaction, both tables consistent at it;
+- rollback of a crashed pre-commit transaction removes its manifests
+  (no never-committed version is ever served);
+- roll-FORWARD after a crash between commit and cleanup completes the
+  archive, keeping older versions readable;
+- reading a version mid-swap of another open transaction fails loud;
+- vacuum prunes manifests + unreferenced archive files and raises the
+  floor; maintenance (enable_partitioning) truncates with a floor;
+- history off => read_version refuses; never-written => empty frame.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+from data_management_python_spark.store import TableStore
+
+PROJECT_SCHEMA = (
+    "project_id long, project_igf_id string, project_name string, "
+    "start_timestamp timestamp, description string, status string, "
+    "deliverable string"
+)
+
+
+def _projects(spark, ids, status="ACTIVE"):
+    return spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", None, None, None, status, "FASTQ")
+         for i in ids],
+        PROJECT_SCHEMA,
+    )
+
+
+def _wide(spark, ids, suffix=""):
+    return spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", f"{i * 2}{suffix}", f"batch{i % 3}")
+         for i in ids],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+
+
+def _dead_pid() -> int:
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def _abandon_as_dead(store: TableStore) -> None:
+    pend = store._read_journal("pending")
+    assert pend is not None
+    pend["pid"] = _dead_pid()
+    with open(store._txn_path("pending"), "w") as f:
+        json.dump(pend, f)
+    store._txn = None
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "cat")
+
+
+def test_as_of_reads_across_mutations(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1, 2, 3]))
+    v1 = store.latest_version()
+    store.store_records("project", _projects(spark, [4, 5]))
+    v2 = store.latest_version()
+    store.upsert(
+        "project",
+        _projects(spark, [1], status="WITHDRAWN"),
+        on=["project_id"],
+        update_columns=["status"],
+    )
+    v3 = store.latest_version()
+    store.delete_where(
+        "project",
+        spark.createDataFrame([(2,)], "project_id long"),
+        on=["project_id"],
+    )
+    v4 = store.latest_version()
+    assert [v1, v2, v3, v4] == [1, 2, 3, 4]
+    assert store.read_version("project", v1).count() == 3
+    assert store.read_version("project", v2).count() == 5
+    assert store.read_version("project", v3).count() == 5
+    assert store.read_version("project", v4).count() == 4
+    s2 = {r.project_id: r.status
+          for r in store.read_version("project", v2).collect()}
+    s3 = {r.project_id: r.status
+          for r in store.read_version("project", v3).collect()}
+    assert s2[1] == "ACTIVE" and s3[1] == "WITHDRAWN"
+    # as-of between commits resolves to the floor'ed earlier manifest
+    assert store.read_version("project", v1).schema == store.table(
+        "project"
+    ).schema
+    verbs = [v["verb"] for v in store.list_versions("project")]
+    assert verbs == ["append", "append", "txn", "txn"]
+
+
+def test_multi_table_txn_shares_one_seq(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1, 2]))
+    store.store_with_attributes(
+        "project", _wide(spark, [1, 2]), key_column="project_id"
+    )
+    v = store.latest_version()
+    seqs_main = [m["seq"] for m in store.list_versions("project")]
+    seqs_attr = [m["seq"] for m in store.list_versions("project_attribute")]
+    assert v in seqs_main and v in seqs_attr  # same commit seq
+    # the pair is consistent at v: every attribute parent exists
+    mains = {
+        r.project_id for r in store.read_version("project", v).collect()
+    }
+    parents = {
+        r.project_id
+        for r in store.read_version("project_attribute", v).collect()
+    }
+    assert parents <= mains and parents
+    # ...and at v-1 the attribute table did not exist yet
+    assert store.read_version("project_attribute", v - 1).count() == 0
+
+
+def test_rolled_back_txn_leaves_no_manifest(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1]))
+    v1 = store.latest_version()
+    # crash INSIDE a transaction after a swap-shaped op: manifests are
+    # only written at commit, and the seq/journal state rolls back
+    store._acquire_lock(explicit=True)
+    store._txn_swap(
+        "project",
+        lambda tmp: _projects(spark, [9]).write.parquet(tmp),
+    )
+    # manifests-at-commit simulation: a pre-commit crash means
+    # _record_versions_in_txn may already have run; force it to pin
+    # that its filewrites roll back too
+    store._record_versions_in_txn()
+    assert store.latest_version() == v1 + 1  # allocated pre-crash
+    _abandon_as_dead(store)
+    store2 = TableStore(spark, root, attr_n_buckets=4)
+    assert store2.recover_transactions() == "back"
+    # the never-committed version is gone: seq restored, manifest gone
+    assert store2.latest_version() == v1
+    assert [m["seq"] for m in store2.list_versions("project")] == [v1]
+    assert store2.read_version("project", v1).count() == 1
+    assert {r.project_id for r in store2.table("project").collect()} == {1}
+
+
+def test_crash_between_commit_and_cleanup_archives_forward(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1, 2]))
+    v1 = store.latest_version()
+    # commit a swap-shaped txn but crash before cleanup: rename the
+    # journal to committed by hand after the swap (the exact state a
+    # death inside _commit's roll_forward leaves)
+    store._acquire_lock(explicit=True)
+    store._txn_swap(
+        "project",
+        lambda tmp: _projects(spark, [7, 8, 9]).write.parquet(tmp),
+    )
+    store._record_versions_in_txn()
+    v2 = store.latest_version()
+    os.replace(store._txn_path("pending"), store._txn_path("committed"))
+    store._txn = None
+    # pre-image still sits un-archived next to the table
+    assert any("__txnpre" in d for d in os.listdir(root))
+    store2 = TableStore(spark, root, attr_n_buckets=4)
+    store2.recover_transactions()  # rolls the committed marker forward
+    assert not any("__txnpre" in d for d in os.listdir(root))
+    # both versions readable: v1 resolves to archived files
+    assert store2.read_version("project", v1).count() == 2
+    assert store2.read_version("project", v2).count() == 3
+    assert store2.table("project").count() == 3
+
+
+def test_read_version_mid_swap_fails_loud(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1, 2]))
+    v1 = store.latest_version()
+    with store.transaction():
+        store.upsert(
+            "project",
+            _projects(spark, [1], status="WITHDRAWN"),
+            on=["project_id"],
+            update_columns=["status"],
+        )
+        # the old files are retracted into the txn pre-image: an as-of
+        # read must refuse, not silently return a partial state
+        with pytest.raises(RuntimeError, match="mid-swap|missing"):
+            store.read_version("project", v1).count()
+    # after commit the archive serves v1 again
+    assert store.read_version("project", v1).count() == 2
+
+
+def test_vacuum_prunes_and_floors(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1]))
+    store.upsert(
+        "project",
+        _projects(spark, [1], status="WITHDRAWN"),
+        on=["project_id"],
+        update_columns=["status"],
+    )
+    store.upsert(
+        "project",
+        _projects(spark, [1], status="FINISHED"),
+        on=["project_id"],
+        update_columns=["status"],
+    )
+    v1, v2, v3 = (m["seq"] for m in store.list_versions("project"))
+    deleted = store.vacuum_history(keep_last=2)
+    assert deleted.get("project", 0) >= 1
+    with pytest.raises(ValueError, match="truncated"):
+        store.read_version("project", v1)
+    assert store.read_version("project", v2).first().status == "WITHDRAWN"
+    assert store.read_version("project", v3).first().status == "FINISHED"
+    # archive holds nothing unreferenced: vacuum again deletes nothing
+    assert store.vacuum_history(keep_last=2) == {}
+
+
+def test_maintenance_truncates_with_floor(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1, 2, 3]))
+    v1 = store.latest_version()
+    store.enable_partitioning("project", ["project_id"], 4)
+    v2 = store.latest_version()
+    assert v2 > v1
+    with pytest.raises(ValueError, match="truncated"):
+        store.read_version("project", v1)
+    assert store.read_version("project", v2).count() == 3
+    # post-maintenance mutations version normally (per-bucket swaps
+    # archive their pre-images)
+    store.upsert(
+        "project",
+        _projects(spark, [2], status="WITHDRAWN"),
+        on=["project_id"],
+        update_columns=["status"],
+    )
+    v3 = store.latest_version()
+    assert {
+        r.status for r in store.read_version("project", v2).collect()
+    } == {"ACTIVE"}
+    got = {
+        r.project_id: r.status
+        for r in store.read_version("project", v3).collect()
+    }
+    assert got[2] == "WITHDRAWN" and got[1] == "ACTIVE"
+
+
+def test_history_off_and_never_written(spark, root):
+    plain = TableStore(spark, root, attr_n_buckets=4)
+    plain.store_records("project", _projects(spark, [1]))
+    with pytest.raises(ValueError, match="enable_history"):
+        plain.read_version("project", 1)
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    # versions only exist from enablement on; a never-manifested table
+    # at seq 0 reads as the declared empty frame
+    assert store.read_version("sample", 0).count() == 0
+    assert "sample_id" in store.read_version("sample", 0).columns

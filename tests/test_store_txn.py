@@ -580,20 +580,27 @@ from hypothesis import strategies as st
         max_size=4,
     ),
     crash_after=st.integers(min_value=0, max_value=25),
+    retain=st.booleans(),
     data=st.data(),
 )
-def test_txn_crash_recovery_property(spark, ops, crash_after, data):
+def test_txn_crash_recovery_property(spark, ops, crash_after, retain, data):
     """PROPERTY: for ANY sequence of transactional ops crashed at ANY
     rename boundary, recovery restores the byte-exact pre-transaction
     file tree.  Hypothesis drives random op sequences and a random
     crash point over os.replace calls (the primitive every commit-log
-    step bottoms out in); op payloads vary by example."""
+    step bottoms out in); op payloads vary by example.  With version
+    HISTORY on (``retain``), the restored tree includes the manifest/
+    seq state — a rolled-back transaction must never leave an
+    addressable version — and every surviving manifest stays readable.
+    """
     import tempfile
     import shutil as _sh
 
     root = tempfile.mkdtemp(prefix="txnprop_")
     try:
-        store = TableStore(spark, root, attr_n_buckets=4)
+        store = TableStore(
+            spark, root, attr_n_buckets=4, retain_history=retain
+        )
         base = data.draw(st.integers(min_value=1, max_value=50))
         store.store_records("project", _projects(spark, [base, base + 1]))
         store.enable_partitioning("project", ["project_id"], 4)
@@ -677,6 +684,14 @@ def test_txn_crash_recovery_property(spark, ops, crash_after, data):
             assert reader.fetch_by(
                 "project", project_id=999
             ).count() == 1
+            if retain:
+                # every surviving version stays readable, and the
+                # newest one equals the live table
+                for m in reader.list_versions("project"):
+                    reader.read_version("project", m["seq"]).count()
+                assert reader.read_version(
+                    "project", reader.latest_version()
+                ).count() == reader.table("project").count()
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
