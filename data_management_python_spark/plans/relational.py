@@ -1132,59 +1132,143 @@ def m_rebucket_split(spark, sf_dir):
     "tests/test_store_history.py)",
 )
 def m_time_travel(spark, sf_dir):
+    return _time_travel_bundle(spark, sf_dir, "states")
+
+
+def _time_travel_bundle(spark, sf_dir, want: str):
+    """Build the history-retaining temp store ONCE per session (the
+    m_time_travel / m_version_diff family): seed -> bucketed layout ->
+    append -> upsert -> delete, then capture BOTH the four tagged as-of
+    states and the v0->v3 change feed as eager checkpoints before the
+    temp root is removed.  The sibling frame is pushed into the
+    session cache from inside the build (nested distinct-key
+    session_cached is supported), so whichever family member runs
+    first pays the store build and the other reads a checkpoint."""
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
-    from data_management_python_spark.store import TableStore  # noqa: PLC0415
-
-    c = T(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_acctbal"
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
     )
-    root = tempfile.mkdtemp(prefix="ttravel_")
-    try:
-        store = TableStore(spark, root, retain_history=True)
-        c.filter(F.col("c_custkey") % 3 != 0).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/cust")
-        store.enable_partitioning("cust", ["c_custkey"], n_buckets=8)
-        v0 = store.latest_version()
-        store.store_records(
-            "cust",
-            c.filter(
-                (F.col("c_custkey") % 3 == 0)
-                & (F.col("c_custkey") % 2 == 0)
-            ),
+
+    def build():
+        from data_management_python_spark.store import (  # noqa: PLC0415
+            TableStore,
         )
-        v1 = store.latest_version()
-        updates = (
-            store.table("cust")
-            .filter(F.col("c_custkey") % 5 == 0)
-            .select("c_custkey", F.lit("U").alias("c_name"), "c_acctbal")
+
+        c = T(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
         )
-        store.upsert(
-            "cust", updates, on=["c_custkey"], update_columns=["c_name"]
-        )
-        v2 = store.latest_version()
-        store.delete_where(
-            "cust",
-            store.table("cust").filter(F.col("c_custkey") % 7 == 0).select(
-                "c_custkey"
-            ),
-            on=["c_custkey"],
-        )
-        v3 = store.latest_version()
-        out = None
-        for tag, v in (("v0", v0), ("v1", v1), ("v2", v2), ("v3", v3)):
-            frame = store.read_version("cust", v).select(
-                F.lit(tag).alias("version_tag"),
-                "c_custkey",
-                "c_name",
-                "c_acctbal",
+        root = tempfile.mkdtemp(prefix="ttravel_")
+        try:
+            store = TableStore(spark, root, retain_history=True)
+            c.filter(F.col("c_custkey") % 3 != 0).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/cust")
+            store.enable_partitioning("cust", ["c_custkey"], n_buckets=8)
+            v0 = store.latest_version()
+            store.store_records(
+                "cust",
+                c.filter(
+                    (F.col("c_custkey") % 3 == 0)
+                    & (F.col("c_custkey") % 2 == 0)
+                ),
             )
-            out = frame if out is None else out.unionByName(frame)
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+            v1 = store.latest_version()
+            updates = (
+                store.table("cust")
+                .filter(F.col("c_custkey") % 5 == 0)
+                .select(
+                    "c_custkey", F.lit("U").alias("c_name"), "c_acctbal"
+                )
+            )
+            store.upsert(
+                "cust", updates, on=["c_custkey"], update_columns=["c_name"]
+            )
+            v2 = store.latest_version()
+            store.delete_where(
+                "cust",
+                store.table("cust")
+                .filter(F.col("c_custkey") % 7 == 0)
+                .select("c_custkey"),
+                on=["c_custkey"],
+            )
+            v3 = store.latest_version()
+            out = None
+            for tag, v in (("v0", v0), ("v1", v1), ("v2", v2), ("v3", v3)):
+                frame = store.read_version("cust", v).select(
+                    F.lit(tag).alias("version_tag"),
+                    "c_custkey",
+                    "c_name",
+                    "c_acctbal",
+                )
+                out = frame if out is None else out.unionByName(frame)
+            frames = {
+                "states": out.localCheckpoint(eager=True),
+                "diff": store.diff_versions(
+                    "cust", v0, v3, on=["c_custkey"]
+                ).localCheckpoint(eager=True),
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        other = "diff" if want == "states" else "states"
+        session_cached(
+            spark, f"ttravel_{other}", sf_dir, lambda: frames[other]
+        )
+        return frames[want]
+
+    return session_cached(spark, f"ttravel_{want}", sf_dir, build)
+
+
+@_q(
+    "m_version_diff",
+    """
+    WITH seed AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 3 <> 0
+    ), added AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0
+    ), s1 AS (
+      SELECT * FROM seed UNION ALL SELECT * FROM added
+    ), s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'U' ELSE c_name END AS c_name,
+             c_acctbal
+      FROM s1
+    ), s3 AS (
+      SELECT * FROM s2 WHERE c_custkey % 7 <> 0
+    ), upd AS (
+      SELECT seed.c_custkey
+      FROM seed JOIN s3 USING (c_custkey)
+      WHERE seed.c_name IS DISTINCT FROM s3.c_name
+         OR seed.c_acctbal IS DISTINCT FROM s3.c_acctbal
+    )
+    SELECT 'insert' AS change_type, c_custkey, c_name, c_acctbal
+    FROM s3 WHERE c_custkey NOT IN (SELECT c_custkey FROM seed)
+    UNION ALL
+    SELECT 'delete', c_custkey, c_name, c_acctbal
+    FROM seed WHERE c_custkey NOT IN (SELECT c_custkey FROM s3)
+    UNION ALL
+    SELECT 'update_preimage', seed.c_custkey, seed.c_name, seed.c_acctbal
+    FROM seed JOIN upd USING (c_custkey)
+    UNION ALL
+    SELECT 'update_postimage', s3.c_custkey, s3.c_name, s3.c_acctbal
+    FROM s3 JOIN upd USING (c_custkey)
+    """,
+    doc="CHANGE DATA FEED between two committed store versions "
+    "(round-8 substrate; Delta-CDF shape): diff_versions(v0 -> v3) on "
+    "the time-travel family's temp store emits insert / delete / "
+    "update_preimage / update_postimage rows from ONE full-outer key "
+    "join of the two as-of reads — state-to-state, so the cost is "
+    "independent of how many commits separate the versions.  Oracle "
+    "reconstructs the same change set relationally.  Shares the "
+    "session-cached store build with m_time_travel; checkpoint-return "
+    "shape, excluded from the plan audit like m_partitioned_merge "
+    "(the join plan is pinned by tests/test_store_history.py)",
+)
+def m_version_diff(spark, sf_dir):
+    return _time_travel_bundle(spark, sf_dir, "diff")
 
 
 @_q(

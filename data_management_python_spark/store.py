@@ -858,6 +858,63 @@ class TableStore:
             df = df.drop(self.BUCKET_COL)
         return df
 
+    def diff_versions(
+        self, name: str, v_from: int, v_to: int, on: list[str]
+    ) -> DataFrame:
+        """CHANGE DATA FEED between two committed versions: one row per
+        changed row-version, Delta-CDF-shaped — ``change_type`` in
+        {insert, delete, update_preimage, update_postimage} plus the
+        table's logical columns.  ``on`` names the row identity (the
+        natural key ``upsert``/``delete_where`` address by).
+
+        Plan: one full-outer join of the two as-of reads on the key,
+        presence markers on both sides, null-safe inequality over the
+        non-key columns for update detection — a single key-shuffle
+        regardless of how many commits separate the versions (the diff
+        is state-to-state, not a replay of the log).  Downstream
+        consumers get the reference's "what changed since" question
+        (status-transition polling over pipeline/seed tables,
+        find_and_process_new_* scans) as one relational operator."""
+        a = self.read_version(name, v_from)
+        b = self.read_version(name, v_to)
+        data_cols = [c for c in b.columns if c not in on]
+        missing = [c for c in on if c not in b.columns]
+        if missing:
+            raise ValueError(f"key columns {missing} not in {name!r}")
+        a2 = a.select(
+            *[F.col(c) for c in on],
+            *[F.col(c).alias(f"__a_{c}") for c in data_cols],
+            F.lit(True).alias("__in_a"),
+        )
+        b2 = b.select(
+            *[F.col(c) for c in on],
+            *[F.col(c).alias(f"__b_{c}") for c in data_cols],
+            F.lit(True).alias("__in_b"),
+        )
+        j = a2.join(b2, on=on, how="full_outer")
+        changed = F.lit(False)
+        for c in data_cols:
+            changed = changed | ~F.col(f"__a_{c}").eqNullSafe(
+                F.col(f"__b_{c}")
+            )
+
+        def _rows(side: str, tag: str, pred):
+            return j.filter(pred).select(
+                F.lit(tag).alias("change_type"),
+                *on,
+                *[
+                    F.col(f"__{side}_{c}").alias(c) for c in data_cols
+                ],
+            )
+
+        both = F.col("__in_a").isNotNull() & F.col("__in_b").isNotNull()
+        return (
+            _rows("b", "insert", F.col("__in_a").isNull())
+            .unionByName(_rows("a", "delete", F.col("__in_b").isNull()))
+            .unionByName(_rows("a", "update_preimage", both & changed))
+            .unionByName(_rows("b", "update_postimage", both & changed))
+        )
+
     def _truncate_history(self, name: str, verb: str) -> None:
         """Collapse ``name``'s history to the current state: floor
         first (older reads fail safe from that instant), then drop old

@@ -273,3 +273,39 @@ def test_history_off_and_never_written(spark, root):
     # at seq 0 reads as the declared empty frame
     assert store.read_version("sample", 0).count() == 0
     assert "sample_id" in store.read_version("sample", 0).columns
+
+
+def test_diff_versions_change_feed(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1, 2, 3]))
+    v1 = store.latest_version()
+    store.store_records("project", _projects(spark, [4]))
+    store.upsert(
+        "project",
+        _projects(spark, [2], status="WITHDRAWN"),
+        on=["project_id"],
+        update_columns=["status"],
+    )
+    store.delete_where(
+        "project",
+        spark.createDataFrame([(3,)], "project_id long"),
+        on=["project_id"],
+    )
+    v4 = store.latest_version()
+    rows = store.diff_versions(
+        "project", v1, v4, on=["project_id"]
+    ).collect()
+    got = {(r.change_type, r.project_id) for r in rows}
+    assert got == {
+        ("insert", 4),
+        ("delete", 3),
+        ("update_preimage", 2),
+        ("update_postimage", 2),
+    }
+    by = {(r.change_type, r.project_id): r for r in rows}
+    assert by[("update_preimage", 2)].status == "ACTIVE"
+    assert by[("update_postimage", 2)].status == "WITHDRAWN"
+    # unchanged row 1 emits nothing; a self-diff is empty
+    assert store.diff_versions(
+        "project", v4, v4, on=["project_id"]
+    ).count() == 0

@@ -113,6 +113,11 @@ HEAVY = [
     "mm_video_neardup",
     "d_span_dedup_rewrite",
     "e_store_ingest",
+    # round-8 session additions
+    "t_dsir_weights",
+    "t_ngram_novelty",
+    "d_cdc_chunks",
+    "m_time_travel",
 ]
 
 KEY_SHIFT = {
