@@ -237,14 +237,24 @@ def attribute_schema(parent: str) -> StructType:
     )
 
 
-def validate_enums(df: DataFrame, table: str) -> DataFrame:
+def validate_enums(
+    df: DataFrame,
+    table: str,
+    extra_domains: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Return rows violating any enum domain of ``table`` with an
     ``enum_violation`` column naming the offending column.
 
     Spark-side emulation of the reference's SQL Enum CHECK
     (igfTables.py, e.g. :38 status enum). Empty result == valid.
+    ``extra_domains`` overrides/extends per-column domains — the
+    MODIFY COLUMN ... ENUM(...) migration surface (TableStore
+    ``modify_enum``; reference migrations/versions/*, e.g. pipeline
+    pipeline_type gaining AIRFLOW/NEXTFLOW).
     """
-    doms = ENUMS.get(table, {})
+    doms = dict(ENUMS.get(table, {}))
+    if extra_domains:
+        doms.update(extra_domains)
     checks = [
         F.when(
             F.col(c).isNotNull() & ~F.col(c).isin(vals), F.lit(c)

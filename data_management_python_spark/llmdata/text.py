@@ -836,32 +836,34 @@ def dsir_weights(
     dbutils.py-driven queries); distribution-matching selection is part
     of the LLM-curation surface this engine adds on top.
     """
+    # the trivially-true size filter is a CollapseProject BARRIER (the
+    # dedup._shingle_parts pattern): without it the adjacent projects
+    # merge and the bigram lambda re-evaluates the regex split per
+    # element access — O(tokens^2 x len) per document
     toks = docs.select(
         F.col(id_col),
         target.alias("__is_target"),
         tokens(text_col).alias("__t"),
-    )
-    uni = toks.select(
-        id_col, "__is_target", F.explode("__t").alias("__g")
-    )
-    big = toks.select(
+    ).filter(F.size("__t") >= 1)
+    # unigrams and bigrams concatenated into ONE array before the
+    # explode: a single scan + single generator pass over the corpus
+    # (the union-of-two-explodes shape read the token arrays twice)
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("__t", i),
+                F.element_at("__t", i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
         id_col,
         "__is_target",
-        F.explode(
-            F.when(
-                F.size("__t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__t") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("__t", i),
-                        F.element_at("__t", i + 1),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("__g"),
-    )
-    feats = uni.unionByName(big).select(
+        F.explode(F.concat(F.col("__t"), bigrams)).alias("__g"),
+    ).select(
         id_col,
         "__is_target",
         (
@@ -869,9 +871,19 @@ def dsir_weights(
             % n_buckets
         ).alias("__b"),
     )
-    cnt = feats.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__c_raw"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__c_tgt"),
+    # ONE pass over the raw feature stream: pre-aggregate to
+    # (doc, bucket) counts, then derive BOTH the bucket models and the
+    # per-doc sums from that single exchange (ReuseExchange wires the
+    # two branches to one evaluation — the broadcast-join-the-raw-
+    # stream shape evaluated the tokenize+explode twice)
+    db = feats.groupBy(id_col, "__is_target", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cnt = db.groupBy("__b").agg(
+        F.sum("__c").alias("__c_raw"),
+        F.sum(
+            F.when(F.col("__is_target"), F.col("__c")).otherwise(0)
+        ).alias("__c_tgt"),
     )
     tot = cnt.agg(
         F.sum("__c_raw").cast("double").alias("__r_tot"),
@@ -885,11 +897,13 @@ def dsir_weights(
         ).alias("__logr"),
     )
     return (
-        feats.join(F.broadcast(logr), "__b")
+        db.join(F.broadcast(logr), "__b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("__logr"), 6).alias("dsir_logratio"),
+            F.sum("__c").alias("n_feats"),
+            F.round(F.sum(F.col("__c") * F.col("__logr")), 6).alias(
+                "dsir_logratio"
+            ),
         )
         .withColumn("prefers_target", F.col("dsir_logratio") > 0)
     )

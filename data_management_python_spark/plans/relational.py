@@ -1272,6 +1272,102 @@ def m_version_diff(spark, sf_dir):
 
 
 @_q(
+    "m_schema_evolution",
+    """
+    SELECT c_custkey AS project_id, c_name AS project_igf_id,
+           'ACTIVE' AS status, 'FASTQ' AS deliverable,
+           CAST(NULL AS VARCHAR) AS cost_center
+    FROM customer WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'ACTIVE', 'METHYLATION',
+           'CC' || CAST(c_custkey % 4 AS VARCHAR)
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+    doc="SCHEMA EVOLUTION end to end (round-8 substrate; the "
+    "reference's alembic migration surface, migrations/versions/*): "
+    "a temp TableStore's project table takes ADD COLUMN cost_center "
+    "(old rows read NULL, zero files rewritten), MODIFY COLUMN "
+    "deliverable ENUM(+METHYLATION) (a pre-widening write with the "
+    "new value is asserted to fail, the post-widening write passes), "
+    "DROP COLUMN description (logical hide), and ADD UNIQUE "
+    "project_igf_id (a violating append is asserted to fail); the "
+    "evolved table read back over MIXED pre/post-evolution files is "
+    "hash-checked against the relational reconstruction.  "
+    "Checkpoint-return shape, excluded from the plan audit like "
+    "m_partitioned_merge (the override mechanics are pinned by "
+    "tests/test_store_schema_evolution.py)",
+)
+def m_schema_evolution(spark, sf_dir):
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_management_python_spark.store import TableStore  # noqa: PLC0415
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    root = tempfile.mkdtemp(prefix="schemaevo_")
+    try:
+        store = TableStore(spark, root)
+
+        def proj(rows, deliverable="FASTQ", cc=None):
+            out = rows.select(
+                F.col("c_custkey").alias("project_id"),
+                F.col("c_name").alias("project_igf_id"),
+                F.lit("ACTIVE").alias("status"),
+                F.lit(deliverable).alias("deliverable"),
+            )
+            if cc:
+                out = out.withColumn(
+                    "cost_center",
+                    F.concat(
+                        F.lit("CC"),
+                        (F.col("project_id") % 4).cast("string"),
+                    ),
+                )
+            return out
+
+        store.store_records(
+            "project", proj(c.filter(F.col("c_custkey") % 3 != 0))
+        )
+        store.add_column("project", "cost_center", "string")
+        store.drop_column("project", "description")
+        store.add_unique("project", ["project_igf_id"])
+        rest = c.filter(F.col("c_custkey") % 3 == 0)
+        try:  # pre-widening: METHYLATION is outside the base domain
+            store.store_records(
+                "project", proj(rest, deliverable="METHYLATION", cc=True)
+            )
+            raise RuntimeError("enum gate did not fire")
+        except ValueError:
+            pass
+        store.modify_enum(
+            "project",
+            "deliverable",
+            ["FASTQ", "ALIGNMENT", "ANALYSIS", "COSMX", "METHYLATION"],
+        )
+        store.store_records(
+            "project", proj(rest, deliverable="METHYLATION", cc=True)
+        )
+        try:  # the declared UNIQUE refuses a duplicate igf id
+            store.store_records("project", proj(rest.limit(1)))
+            raise RuntimeError("unique gate did not fire")
+        except ValueError:
+            pass
+        return (
+            store.table("project")
+            .select(
+                "project_id",
+                "project_igf_id",
+                "status",
+                "deliverable",
+                "cost_center",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@_q(
     "m_eav_bucketed_store",
     """
     WITH s1 AS (

@@ -994,6 +994,246 @@ class TableStore:
                 deleted[t] = n
             return deleted
 
+    # -- schema evolution (migrations) ---------------------------------------
+    #
+    # The reference evolves its catalog with alembic migrations
+    # (migrations/versions/*): ADD COLUMN, MODIFY COLUMN ENUM(...)
+    # domain widening, ADD UNIQUE.  The lake equivalents live in a
+    # per-table override sidecar (_schema/<table>.json at the store
+    # root, so it survives table swaps): reads project the EVOLVED
+    # schema over the physical files via an explicit read schema
+    # (files predating an ADD COLUMN yield NULL for it — Delta's ADD
+    # COLUMN semantics; no backfill rewrite), writes align to the
+    # evolved schema, DROPped columns are hidden without touching a
+    # byte, enum domains feed the store's validate_enums gate, and
+    # UNIQUE constraints are enforced at append time (within-batch +
+    # against the bucket-pruned existing rows).  Catalog tables only —
+    # ad-hoc temp tables have no declared base schema to evolve.
+    # Time-travel reads return data in its as-written shape (the
+    # manifest records files, not DDL) — documented, like Delta's
+    # schema-per-version.
+
+    def _schema_override_path(self, name: str) -> str:
+        return os.path.join(self.root, "_schema", f"{name}.json")
+
+    def _schema_override(self, name: str) -> dict | None:
+        try:
+            with open(self._schema_override_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_schema_override(self, name: str, spec: dict) -> None:
+        p = self._schema_override_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, p)
+
+    def _base_struct(self, name: str):
+        if name in CORE_SCHEMAS:
+            return CORE_SCHEMAS[name]
+        parent = name.removesuffix("_attribute")
+        if parent in ATTRIBUTE_PARENTS:
+            return attribute_schema(parent)
+        return None
+
+    def _evolved_struct(self, name: str):
+        """Declared schema with the override applied (drops removed,
+        adds appended), or None when the table has neither a declared
+        base nor an override."""
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        base = self._base_struct(name)
+        ov = self._schema_override(name)
+        if base is None or ov is None:
+            return base
+        dropped = set(ov.get("drop", ()))
+        fields = [f for f in base.fields if f.name not in dropped]
+        for add in ov.get("add", ()):
+            fields.append(
+                T.StructField(
+                    add["name"],
+                    T._parse_datatype_string(add["dtype"]),
+                    nullable=True,
+                )
+            )
+        return T.StructType(fields)
+
+    def _evolution_guard(self, name: str, verb: str) -> dict:
+        self._forbid_in_explicit_txn(verb)
+        if self._base_struct(name) is None:
+            raise ValueError(
+                f"{verb}: {name!r} is not a catalog table — schema "
+                "evolution needs a declared base schema"
+            )
+        return self._schema_override(name) or {
+            "add": [],
+            "drop": [],
+            "enums": {},
+            "uniques": [],
+        }
+
+    def add_column(self, name: str, column: str, dtype: str) -> None:
+        """ADD COLUMN (alembic op.add_column; e.g. analysis_name,
+        migrations/versions/*adding_tables*): existing files are
+        untouched and read the new column as NULL; subsequent writes
+        carry it.  O(1) metadata, no rewrite at any table size."""
+        with self._write_guard():
+            spec = self._evolution_guard(name, "add_column")
+            from pyspark.sql import types as T  # noqa: PLC0415
+
+            T._parse_datatype_string(dtype)  # validate early
+            current = [f.name for f in self._evolved_struct(name).fields]
+            if column in current:
+                raise ValueError(f"{name!r} already has column {column!r}")
+            if column in spec.get("drop", ()):
+                raise ValueError(
+                    f"{column!r} was DROPped from {name!r}; re-adding "
+                    "would resurrect hidden file data — use a new name"
+                )
+            spec.setdefault("add", []).append(
+                {"name": column, "dtype": dtype}
+            )
+            self._write_schema_override(name, spec)
+
+    def drop_column(self, name: str, column: str) -> None:
+        """Logical DROP COLUMN: reads stop projecting it; no byte of
+        any file is rewritten (the physical data ages out with normal
+        rewrites).  Refused for bucket keys and unique-constraint
+        members."""
+        with self._write_guard():
+            spec = self._evolution_guard(name, "drop_column")
+            current = [f.name for f in self._evolved_struct(name).fields]
+            if column not in current:
+                raise ValueError(f"{name!r} has no column {column!r}")
+            part = self.partitioning_of(name)
+            if part is not None and column in part[0]:
+                raise ValueError(
+                    f"cannot drop bucket key {column!r} of {name!r}"
+                )
+            if any(column in u for u in spec.get("uniques", ())):
+                raise ValueError(
+                    f"{column!r} is part of a UNIQUE constraint on "
+                    f"{name!r}; drop the constraint first"
+                )
+            adds = spec.get("add", [])
+            added = [a for a in adds if a["name"] == column]
+            if added:
+                spec["add"] = [a for a in adds if a["name"] != column]
+            else:
+                spec.setdefault("drop", []).append(column)
+            spec.get("enums", {}).pop(column, None)
+            self._write_schema_override(name, spec)
+
+    def modify_enum(self, name: str, column: str, values: list[str]) -> None:
+        """MODIFY COLUMN ... ENUM(...): replace the column's allowed
+        domain (the reference's most common migration — e.g. pipeline
+        pipeline_type gaining AIRFLOW/NEXTFLOW, platform model lists
+        growing).  Existing rows are NOT revalidated (MySQL keeps old
+        values too); the new domain gates subsequent writes."""
+        if not values:
+            raise ValueError("enum domain cannot be empty")
+        with self._write_guard():
+            spec = self._evolution_guard(name, "modify_enum")
+            current = [f.name for f in self._evolved_struct(name).fields]
+            if column not in current:
+                raise ValueError(f"{name!r} has no column {column!r}")
+            spec.setdefault("enums", {})[column] = list(values)
+            self._write_schema_override(name, spec)
+
+    def add_unique(self, name: str, columns: list[str]) -> None:
+        """ADD UNIQUE (e.g. analysis(project_id, analysis_name)):
+        registered in the override and enforced on every subsequent
+        ``store_records`` — within the batch and against existing rows
+        (bucket-pruned when the layout allows).  Raises now if the
+        CURRENT table already violates it (MySQL refuses the ALTER the
+        same way).  Rows with NULL in any member column are exempt,
+        matching SQL UNIQUE."""
+        if not columns:
+            raise ValueError("unique constraint needs columns")
+        with self._write_guard():
+            spec = self._evolution_guard(name, "add_unique")
+            current = [f.name for f in self._evolved_struct(name).fields]
+            missing = [c for c in columns if c not in current]
+            if missing:
+                raise ValueError(f"{name!r} has no columns {missing}")
+            cur = self.table(name)
+            dup = (
+                cur.na.drop(subset=list(columns))
+                .groupBy(*columns)
+                .count()
+                .filter(F.col("count") > 1)
+            )
+            if not dup.isEmpty():
+                row = dup.first()
+                raise ValueError(
+                    f"existing rows violate UNIQUE{tuple(columns)} on "
+                    f"{name!r}: e.g. {tuple(row[c] for c in columns)}"
+                )
+            uniques = spec.setdefault("uniques", [])
+            if list(columns) not in uniques:
+                uniques.append(list(columns))
+            self._write_schema_override(name, spec)
+
+    def _enforce_uniques(self, name: str, aligned: DataFrame) -> None:
+        """Append-time UNIQUE enforcement: the reference's DB refused
+        violating inserts via index; the lake equivalent is one
+        within-batch agg plus one (bucket-pruned where possible)
+        anti-probe against existing rows, both O(batch)-driven."""
+        spec = self._schema_override(name)
+        uniques = (spec or {}).get("uniques", [])
+        if not uniques:
+            return
+        part = self.partitioning_of(name)
+        for cols in uniques:
+            batch = aligned.na.drop(subset=cols)
+            dup = (
+                batch.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+            )
+            if not dup.isEmpty():
+                row = dup.first()
+                raise ValueError(
+                    f"batch violates UNIQUE{tuple(cols)} on {name!r}: "
+                    f"{tuple(row[c] for c in cols)} appears "
+                    f"{row['__n']} times"
+                )
+            if not self._has_data(name):
+                continue
+            existing = None
+            if part is not None and set(part[0]) <= set(cols):
+                keys, n_buckets = part
+                touched = self._touched_buckets(batch, keys, n_buckets)
+                raw = self._read_raw(name)
+                if self.BUCKET_COL in raw.columns:
+                    spec_l = self._layout(name)
+                    buckets = (
+                        self._expand_split_buckets(spec_l, touched)
+                        if spec_l is not None
+                        else touched
+                    )
+                    existing = raw.filter(
+                        F.col(self.BUCKET_COL).isin(
+                            [int(b) for b in buckets]
+                        )
+                    ).drop(self.BUCKET_COL)
+            if existing is None:
+                existing = self.table(name)
+            clash = batch.join(
+                existing.na.drop(subset=cols).select(*cols),
+                on=list(cols),
+                how="left_semi",
+            )
+            if not clash.isEmpty():
+                row = clash.first()
+                raise ValueError(
+                    f"append violates UNIQUE{tuple(cols)} on {name!r}: "
+                    f"key {tuple(row[c] for c in cols)} already exists"
+                )
+
     # -- storage primitives -------------------------------------------------
 
     def _path(self, table: str) -> str:
@@ -1106,12 +1346,20 @@ class TableStore:
                     "before reading"
                 )
         if self._has_data(name):
+            if self._schema_override(name) is not None:
+                sch = self._evolved_struct(name)
+                if sch is not None:
+                    # explicit evolved schema: files predating an ADD
+                    # COLUMN read it as NULL, DROPped columns are not
+                    # projected, and mixed-schema dirs read
+                    # deterministically (no footer sampling); the kb=
+                    # partition column is appended by partition
+                    # discovery as usual
+                    return self.spark.read.schema(sch).parquet(p)
             return self.spark.read.parquet(p)
-        if name in CORE_SCHEMAS:
-            return self.spark.createDataFrame([], CORE_SCHEMAS[name])
-        parent = name.removesuffix("_attribute")
-        if parent in ATTRIBUTE_PARENTS:
-            return self.spark.createDataFrame([], attribute_schema(parent))
+        sch = self._evolved_struct(name)
+        if sch is not None:
+            return self.spark.createDataFrame([], sch)
         raise KeyError(f"unknown table {name!r}")
 
     def _declared_dtypes(self, name: str) -> list[tuple[str, str]] | None:
@@ -1121,14 +1369,10 @@ class TableStore:
         listing + footer read that costs ~100 ms per call and adds
         nothing: the store only ever writes catalog tables, whose
         on-disk schema IS the declared one).  None for unknown
-        tables."""
-        if name in CORE_SCHEMAS:
-            sch = CORE_SCHEMAS[name]
-        else:
-            parent = name.removesuffix("_attribute")
-            if parent not in ATTRIBUTE_PARENTS:
-                return None
-            sch = attribute_schema(parent)
+        tables.  Applies the schema-evolution override (adds/drops)."""
+        sch = self._evolved_struct(name)
+        if sch is None:
+            return None
         return [(f.name, f.dataType.simpleString()) for f in sch.fields]
 
     def _snapshot_view(self, name: str) -> DataFrame | None:
@@ -1180,17 +1424,20 @@ class TableStore:
         if not keep:
             # committed state is empty: declared schema, like a
             # never-written table
-            if name in CORE_SCHEMAS:
-                return self.spark.createDataFrame([], CORE_SCHEMAS[name])
-            parent = name.removesuffix("_attribute")
-            if parent in ATTRIBUTE_PARENTS:
-                return self.spark.createDataFrame(
-                    [], attribute_schema(parent)
-                )
+            sch = self._evolved_struct(name)
+            if sch is not None:
+                return self.spark.createDataFrame([], sch)
             return None
         # basePath keeps kb= partition-column inference working on an
-        # explicit file list
-        return self.spark.read.option("basePath", p).parquet(*keep)
+        # explicit file list; with an evolution override the evolved
+        # schema is pinned explicitly (mixed-schema file lists must
+        # not depend on footer sampling)
+        reader = self.spark.read.option("basePath", p)
+        if self._schema_override(name) is not None:
+            sch = self._evolved_struct(name)
+            if sch is not None:
+                reader = reader.schema(sch)
+        return reader.parquet(*keep)
 
     def _has_data(self, name: str) -> bool:
         """True iff the table has at least one parquet file on disk."""
@@ -2033,7 +2280,10 @@ class TableStore:
         with self._write_guard():
             self._check_mutable(name)
             if validate and name in CORE_SCHEMAS:
-                bad = validate_enums(data, name)
+                ov = self._schema_override(name)
+                bad = validate_enums(
+                    data, name, (ov or {}).get("enums") or None
+                )
                 if not bad.isEmpty():
                     row = bad.first()
                     raise ValueError(
@@ -2052,6 +2302,7 @@ class TableStore:
                     for c, _ in decl
                 ]
             )
+            self._enforce_uniques(name, aligned)
             part = self.partitioning_of(name)
             writer = aligned
             if part is not None:

@@ -1,0 +1,197 @@
+"""Schema evolution for TableStore: the lake-side alembic surface.
+
+The reference migrates its catalog with alembic
+(migrations/versions/*): ADD COLUMN (analysis_name), MODIFY COLUMN
+ENUM(...) domain widening (pipeline_type gaining AIRFLOW/NEXTFLOW,
+platform model lists growing), ADD UNIQUE (analysis(project_id,
+analysis_name)).  The store's equivalents live in a per-table
+override sidecar honored by every read/write path:
+
+- add_column: existing files untouched, read NULL for the new column
+  (Delta ADD COLUMN semantics — O(1) metadata at any table size);
+- drop_column: logical hide, zero bytes rewritten; bucket keys and
+  unique members refused;
+- modify_enum: new domain gates subsequent writes, old rows stay;
+- add_unique: refused if current rows violate; enforced per append
+  within-batch AND against existing rows (bucket-pruned when the
+  layout allows), NULL members exempt like SQL UNIQUE.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_python_spark.store import TableStore
+
+PROJECT_SCHEMA = (
+    "project_id long, project_igf_id string, project_name string, "
+    "start_timestamp timestamp, description string, status string, "
+    "deliverable string"
+)
+
+
+def _projects(spark, ids, status="ACTIVE", deliverable="FASTQ"):
+    return spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", None, None, None, status, deliverable)
+         for i in ids],
+        PROJECT_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "cat")
+
+
+def _file_set(store, name):
+    import os
+
+    p = store._path(name)
+    out = set()
+    for dirpath, _dirs, files in os.walk(p):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.add(os.path.join(dirpath, fn))
+    return out
+
+
+def test_add_column_old_rows_null_new_rows_carry(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    store.store_records("project", _projects(spark, [1, 2]))
+    before = _file_set(store, "project")
+    store.add_column("project", "cost_center", "string")
+    # no rewrite: the old files are byte-identical
+    assert _file_set(store, "project") == before
+    got = {r.project_id: r.cost_center
+           for r in store.table("project").collect()}
+    assert got == {1: None, 2: None}
+    # subsequent writes carry the evolved column
+    store.store_records(
+        "project",
+        _projects(spark, [3]).withColumn("cost_center", F.lit("CC9")),
+    )
+    got = {r.project_id: r.cost_center
+           for r in store.table("project").collect()}
+    assert got == {1: None, 2: None, 3: "CC9"}
+    # double-add and unknown-dtype refused
+    with pytest.raises(ValueError, match="already has"):
+        store.add_column("project", "cost_center", "string")
+    with pytest.raises(Exception):
+        store.add_column("project", "x", "not_a_type")
+
+
+def test_add_column_survives_bucketed_merge(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    store.store_records("project", _projects(spark, [1, 2, 3]))
+    store.enable_partitioning("project", ["project_id"], 4)
+    store.add_column("project", "cost_center", "string")
+    store.upsert(
+        "project",
+        _projects(spark, [2]).withColumn("cost_center", F.lit("CC1")),
+        on=["project_id"],
+        update_columns=["cost_center"],
+    )
+    got = {r.project_id: r.cost_center
+           for r in store.table("project").collect()}
+    assert got == {1: None, 2: "CC1", 3: None}
+    # keyed read over the evolved bucketed layout
+    assert store.fetch_by("project", project_id=2).first().cost_center == "CC1"
+
+
+def test_drop_column_hides_without_rewrite(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    store.store_records("project", _projects(spark, [1]))
+    before = _file_set(store, "project")
+    store.drop_column("project", "description")
+    assert _file_set(store, "project") == before
+    assert "description" not in store.table("project").columns
+    # appends no longer need it; re-adding the name is refused (the
+    # hidden file data would resurrect)
+    store.store_records("project", _projects(spark, [2]))
+    with pytest.raises(ValueError, match="resurrect"):
+        store.add_column("project", "description", "string")
+    # dropping a bucket key is refused
+    store.enable_partitioning("project", ["project_id"], 4)
+    with pytest.raises(ValueError, match="bucket key"):
+        store.drop_column("project", "project_id")
+
+
+def test_modify_enum_widens_domain(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    # the reference's own migration shape: deliverable domain grows
+    with pytest.raises(ValueError, match="enum violation"):
+        store.store_records(
+            "project", _projects(spark, [1], deliverable="METHYLATION")
+        )
+    store.modify_enum(
+        "project",
+        "deliverable",
+        ["FASTQ", "ALIGNMENT", "ANALYSIS", "COSMX", "METHYLATION"],
+    )
+    store.store_records(
+        "project", _projects(spark, [1], deliverable="METHYLATION")
+    )
+    assert store.table("project").first().deliverable == "METHYLATION"
+    # other columns' base domains still enforced
+    with pytest.raises(ValueError, match="enum violation"):
+        store.store_records(
+            "project", _projects(spark, [2], status="NOT_A_STATUS")
+        )
+    # ...and the overridden column still rejects outside the NEW domain
+    with pytest.raises(ValueError, match="enum violation"):
+        store.store_records(
+            "project", _projects(spark, [2], deliverable="BOGUS")
+        )
+
+
+def test_add_unique_enforced_on_append(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    store.store_records("project", _projects(spark, [1, 2]))
+    store.add_unique("project", ["project_igf_id"])
+    # cross-append duplicate refused
+    with pytest.raises(ValueError, match="UNIQUE"):
+        store.store_records("project", _projects(spark, [1]))
+    # within-batch duplicate refused
+    dup = _projects(spark, [7]).unionByName(_projects(spark, [7]))
+    with pytest.raises(ValueError, match="UNIQUE"):
+        store.store_records("project", dup)
+    # clean append passes; NULL members exempt (SQL UNIQUE)
+    store.store_records("project", _projects(spark, [3]))
+    nulls = _projects(spark, [8, 9]).withColumn(
+        "project_igf_id", F.lit(None).cast("string")
+    )
+    store.store_records("project", nulls)
+    assert store.table("project").count() == 5
+    # declaring over existing violations is refused (MySQL refuses
+    # the ALTER the same way)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        store.add_unique("project", ["status"])
+    # a unique member cannot be dropped
+    with pytest.raises(ValueError, match="UNIQUE"):
+        store.drop_column("project", "project_igf_id")
+
+
+def test_add_unique_bucket_pruned_path(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    store.store_records("project", _projects(spark, range(1, 30)))
+    store.enable_partitioning("project", ["project_id"], 8)
+    store.add_unique("project", ["project_id"])
+    with pytest.raises(ValueError, match="already exists"):
+        store.store_records("project", _projects(spark, [5]))
+    store.store_records("project", _projects(spark, [100]))
+    assert store.fetch_by("project", project_id=100).count() == 1
+
+
+def test_evolution_guards(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    with pytest.raises(ValueError, match="catalog table"):
+        store.add_column("some_temp", "x", "string")
+    store.store_records("project", _projects(spark, [1]))
+    with pytest.raises(ValueError, match="not supported inside"):
+        with store.transaction():
+            store.add_column("project", "x", "string")
+    # empty-but-declared evolved table reads with the evolved schema
+    store.add_column("sample", "provenance", "string")
+    assert "provenance" in store.table("sample").columns
+    assert store.table("sample").count() == 0
