@@ -1274,13 +1274,14 @@ def m_version_diff(spark, sf_dir):
 @_q(
     "m_schema_evolution",
     """
-    SELECT c_custkey AS project_id, c_name AS project_igf_id,
+    SELECT c_custkey AS project_id,
+           'IGF' || CAST(c_custkey AS VARCHAR) AS project_igf_id,
            'ACTIVE' AS status, 'FASTQ' AS deliverable,
            CAST(NULL AS VARCHAR) AS cost_center
     FROM customer WHERE c_custkey % 3 <> 0
     UNION ALL
-    SELECT c_custkey, c_name, 'ACTIVE', 'METHYLATION',
-           'CC' || CAST(c_custkey % 4 AS VARCHAR)
+    SELECT c_custkey, 'IGF' || CAST(c_custkey AS VARCHAR), 'ACTIVE',
+           'METHYLATION', 'CC' || CAST(c_custkey % 4 AS VARCHAR)
     FROM customer WHERE c_custkey % 3 = 0
     """,
     doc="SCHEMA EVOLUTION end to end (round-8 substrate; the "
@@ -1309,9 +1310,14 @@ def m_schema_evolution(spark, sf_dir):
         store = TableStore(spark, root)
 
         def proj(rows, deliverable="FASTQ", cc=None):
+            # igf id derived from the key, not c_name: name text
+            # repeats across stress-replica copies, and the UNIQUE
+            # declared below must hold at any replication factor
             out = rows.select(
                 F.col("c_custkey").alias("project_id"),
-                F.col("c_name").alias("project_igf_id"),
+                F.concat(
+                    F.lit("IGF"), F.col("c_custkey").cast("string")
+                ).alias("project_igf_id"),
                 F.lit("ACTIVE").alias("status"),
                 F.lit(deliverable).alias("deliverable"),
             )
