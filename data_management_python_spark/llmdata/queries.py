@@ -3049,3 +3049,95 @@ def t_ngram_novelty(spark, sf_dir):
 def d_cdc_chunks(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.cdc_chunk_stats(docs, "doc_id", "text", window=24, boundary_mod=4)
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
+    """Chained-CTE replay of kmeans_assign's deterministic trajectory:
+    per round, a QUALIFY row_number argmin over 6-rounded distances
+    (ties on cid — the struct array_min order), then 6-rounded per-dim
+    means with empty cells inheriting the previous centroid.  Shared
+    CTEs are MATERIALIZED (the round-4 iterative-oracle lesson:
+    inlining re-derives the corpus per round)."""
+    parts = [
+        """v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, e, list_sum(list_transform(e, x -> x * x)) AS n2
+      FROM v
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             e, n2
+      FROM n ORDER BY vec_id LIMIT """ + str(k) + """
+    )"""
+    ]
+    for t in range(1, iterations + 2):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, e, n2, cid, d FROM (
+        SELECT n.vec_id, n.e, n.n2, c.cid,
+               ROUND(n.n2 - 2 * list_dot_product(n.e, c.e) + c.n2, 6) AS d
+        FROM n, {prev} c
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) = 1
+    )"""
+        )
+        if t == iterations + 1:
+            break
+        parts.append(
+            f"""m{t} AS (
+      SELECT cid, j, ROUND(AVG(e[j]), 6) AS mv
+      FROM a{t}, UNNEST(generate_series(1, {d})) AS u(j)
+      GROUP BY cid, j
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT {prev}.cid,
+             COALESCE(mm.e, {prev}.e) AS e,
+             COALESCE(mm.n2, {prev}.n2) AS n2
+      FROM {prev} LEFT JOIN (
+        SELECT cid, list(mv ORDER BY j) AS e,
+               list_sum(list_transform(list(mv ORDER BY j),
+                                       x -> x * x)) AS n2
+        FROM m{t} GROUP BY cid
+      ) mm USING (cid)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM a{iterations + 1}"
+    )
+
+
+@_q(
+    "sim_kmeans_clusters",
+    _kmeans_oracle_sql(8, 3, 64),
+    doc="deterministic Lloyd k-means clustering of the embedding "
+    "corpus (similarity.kmeans_assign, k=8, 3 rounds from the "
+    "k lowest-id seeds): the clustering step before SemDeDup-style "
+    "intra-cluster pruning / topic balancing / IVF list construction. "
+    "Centroids ride as plan literals (O(k x d) driver state); each "
+    "round is one map-only assignment pass + ONE (k x d)-cardinality "
+    "partial-agg shuffle for per-dim means — corpus-size-independent "
+    "reduce state.  Distances AND per-round means rounded to 6 with "
+    "cid tie-breaks (the kcenter engine-boundary discipline), so the "
+    "oracle replays every round's every assignment exactly",
+)
+def sim_kmeans_clusters(spark, sf_dir):
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.kmeans_assign(
+            emb, "vec_id", "embedding", k=8, iterations=3
+        )
+
+    # the trained trajectory is a pure function of the corpus: build
+    # once per session (kmeans_assign already returns an eager
+    # checkpoint — the iteration jobs are the cost worth sharing)
+    return session_cached(spark, "kmeans_clusters", sf_dir, build)

@@ -1330,3 +1330,89 @@ def kcenter_select(
         [(i, cid, d) for i, (cid, _, _, d) in enumerate(chosen)],
         f"selection_order int, {id_col} long, min_dist_sq double",
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd k-means CLUSTERING of an embedding corpus:
+    ``iterations`` update rounds from the k lowest-id seed vectors,
+    then the final per-vector assignment — the clustering step a
+    curation pipeline runs before SemDeDup-style intra-cluster
+    pruning, topic balancing, or IVF list construction (the existing
+    :func:`kmeans_centroids` trains a quantizer but is documented
+    non-bit-reproducible; this variant is the ORACLE-CHECKABLE twin).
+
+    Engine-stable by the repo's kcenter discipline
+    (:func:`kcenter_select`): per-centroid squared distances are
+    ROUNDED to 6 places before the argmin (ties break on the lower
+    centroid id via struct array_min), and per-dim centroid means are
+    ROUNDED to 6 before the next round, so the whole trajectory —
+    every assignment of every round — replays identically in another
+    engine.  Empty cells keep their previous centroid, mirroring the
+    classic implementation.
+
+    Scale shape: centroids ride as plan LITERALS (O(k x d) driver
+    state); each round is one map-only assignment pass plus ONE
+    partial-agg shuffle of (k x d) cardinality — per-dim means via
+    posexplode groupBy(cell, pos), independent of corpus size; only
+    the k x d mean matrix is ever collected.  No join, no lineage
+    growth (fresh plan per round off the persisted projection).
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    nrm2 = F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    v = v.withColumn("__n2", nrm2).persist()
+    seeds = v.orderBy(id_col).limit(k).collect()
+    if not seeds:
+        v.unpersist()
+        return spark.createDataFrame(
+            [], f"{id_col} long, cluster_id int, dist_sq double"
+        )
+    cents = [list(r["__v"]) for r in seeds]
+
+    def _best_expr():
+        pairs = []
+        for i, cv in enumerate(cents):
+            cn2 = sum(x * x for x in cv)
+            d = F.round(
+                F.col("__n2")
+                - 2.0 * dot(F.col("__v"), F.array(*[F.lit(x) for x in cv]))
+                + F.lit(cn2),
+                6,
+            )
+            pairs.append(
+                F.named_struct(
+                    F.lit("d"), d, F.lit("c"), F.lit(i)
+                )
+            )
+        return F.array_min(F.array(*pairs))
+
+    for _ in range(iterations):
+        means = (
+            v.select(
+                _best_expr()["c"].alias("__cell"),
+                F.posexplode("__v").alias("__pos", "__val"),
+            )
+            .groupBy("__cell", "__pos")
+            .agg(F.round(F.avg("__val"), 6).alias("__m"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty cells keep centroids
+        for row in means:
+            nxt[row["__cell"]][row["__pos"]] = float(row["__m"])
+        cents = nxt
+    best = _best_expr()
+    out = v.select(
+        F.col(id_col),
+        best["c"].alias("cluster_id"),
+        best["d"].alias("dist_sq"),
+    ).localCheckpoint(eager=True)
+    v.unpersist()
+    return out

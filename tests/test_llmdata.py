@@ -3102,3 +3102,72 @@ def test_cdc_short_doc_single_chunk(spark):
     assert got[1].n_chunks == 1 and got[1].shared_char_ratio == 1.0
     assert got[2].n_chunks == 1
     assert got[3].n_chunks == 1 and got[3].shared_char_ratio == 0.0
+
+
+def test_kmeans_assign_matches_lloyd_reference(spark):
+    """Distributed deterministic k-means replays the single-machine
+    Lloyd loop exactly: same seeds (k lowest ids), same per-round
+    assignments (rounded distances, centroid-id tie-breaks), same
+    rounded per-dim means, empty cells keeping their centroid."""
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.llmdata.similarity import kmeans_assign
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sub = emb.filter("vec_id < 80")
+    rows = {
+        r.vec_id: [float(x) for x in r.embedding] for r in sub.collect()
+    }
+    k, iterations = 4, 3
+
+    def n2(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cents = [list(rows[vid]) for vid in sorted(rows)[:k]]
+
+    def assign():
+        out = {}
+        for vid, v in rows.items():
+            best = None
+            for ci, c in enumerate(cents):
+                d = round(n2(v) - 2 * dot(v, c) + n2(c), 6)
+                if best is None or (d, ci) < best:
+                    best = (d, ci)
+            out[vid] = best
+        return out
+
+    for _ in range(iterations):
+        a = assign()
+        dims = len(cents[0])
+        for ci in range(k):
+            members = [rows[vid] for vid, b in a.items() if b[1] == ci]
+            if not members:
+                continue  # empty cell keeps its centroid
+            for j in range(dims):
+                acc = 0.0
+                for m in members:
+                    acc += m[j]
+                cents[ci][j] = round(acc / len(members), 6)
+    want = assign()
+
+    got = {
+        r.vec_id: (r.dist_sq, r.cluster_id)
+        for r in kmeans_assign(
+            sub, "vec_id", "embedding", k=k, iterations=iterations
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for vid in want:
+        assert got[vid][1] == want[vid][1], vid
+        assert abs(got[vid][0] - want[vid][0]) < 1e-9, vid
+    # every cluster is non-empty at this corpus (sanity that the test
+    # actually exercised multi-cluster assignment)
+    assert len({c for _, c in got.values()}) > 1
