@@ -3112,6 +3112,65 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
     )
 
 
+def _semdedup_kmeans_oracle_sql(
+    k: int = 8, iterations: int = 3, d: int = 64, threshold: float = 0.45
+) -> str:
+    """SemDeDup over the k-means partition: the kmeans trajectory CTEs
+    plus a within-cluster lower-id max-cosine verdict per vector."""
+    base = _kmeans_oracle_sql(k, iterations, d)
+    with_body = base[: base.rindex("SELECT vec_id, cid AS cluster_id")]
+    t = iterations + 1
+    return (
+        with_body
+        + f""",
+    nr AS (SELECT vec_id, e, sqrt(n2) AS nrm FROM n),
+    mc AS (
+      SELECT hi.vec_id,
+             MAX(ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)) AS m
+      FROM a{t} hi
+      JOIN a{t} lo ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+      JOIN nr x ON x.vec_id = hi.vec_id
+      JOIN nr y ON y.vec_id = lo.vec_id
+      GROUP BY hi.vec_id
+    )
+    SELECT a.vec_id, a.cid AS cluster_id, mc.m AS max_cos_lower,
+           (mc.m IS NULL OR mc.m < {threshold}) AS kept
+    FROM a{t} a LEFT JOIN mc USING (vec_id)"""
+    )
+
+
+@_q(
+    "d_semdedup_kmeans",
+    _semdedup_kmeans_oracle_sql(8, 3, 64, 0.45),
+    doc="SemDeDup exactly as published (Abbas et al. 2023): k-means "
+    "partition (the cached sim_kmeans_clusters trajectory), then drop "
+    "any vector whose exact cosine to a lower-id CLUSTER-MATE reaches "
+    "0.45 — the cluster bounds the pair space to sum(|cluster|^2), "
+    "never corpus^2, and at scale k grows with the corpus (k~N/1000) "
+    "so per-cluster pair counts stay bounded.  Complements "
+    "d_semantic_dedup, whose hyperplane buckets play the cluster "
+    "role.  One verdict row per vector (max_cos_lower NULL for each "
+    "cluster's lowest id); cosine rounded to 6 before max/compare",
+)
+def d_semdedup_kmeans(spark, sf_dir):
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = session_cached(
+        spark,
+        "kmeans_clusters",
+        sf_dir,
+        lambda: similarity.kmeans_assign(
+            emb, "vec_id", "embedding", k=8, iterations=3
+        ),
+    )
+    return similarity.semdedup_kmeans(
+        emb, "vec_id", "embedding", threshold=0.45, assignments=a
+    )
+
+
 @_q(
     "sim_kmeans_clusters",
     _kmeans_oracle_sql(8, 3, 64),

@@ -1416,3 +1416,83 @@ def kmeans_assign(
     ).localCheckpoint(eager=True)
     v.unpersist()
     return out
+
+
+def semdedup_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.45,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup exactly as published (Abbas et al. 2023): k-means the
+    embedding corpus, then WITHIN EACH CLUSTER drop any vector whose
+    exact cosine to a lower-id cluster-mate reaches ``threshold`` —
+    the cluster bounds the pair space, so pruning cost is
+    sum(|cluster|^2), never corpus^2.  Complements
+    :func:`semantic_dedup_survivors`, whose hyperplane buckets play
+    the cluster role; this variant uses the real k-means partition
+    (pass ``assignments`` to reuse a cached :func:`kmeans_assign`
+    frame).
+
+    One-shot relational rule (drop iff max cosine to ANY lower-id
+    mate >= threshold) — deterministic, no iterative chain.  Cosine is
+    rounded to 6 before the max/compare, the repo's engine-boundary
+    discipline.  At 100 TB, k scales with the corpus (k ~ N/1000) so
+    per-cluster pair counts stay bounded; the self-join shuffles on
+    cluster_id only.
+
+    Returns one verdict row per vector: (id, cluster_id,
+    max_cos_lower — NULL for each cluster's lowest id, kept).
+    """
+    a = assignments
+    if a is None:
+        a = kmeans_assign(corpus, id_col, vec_col, k, iterations)
+    vec = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _pd_norm(F.col(vec_col)).alias("__n"),
+    )
+    t = a.select(id_col, "cluster_id").join(vec, id_col)
+    hi = t.select(
+        F.col(id_col).alias("__hi"),
+        "cluster_id",
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
+    )
+    lo = t.select(
+        F.col(id_col).alias("__lo"),
+        "cluster_id",
+        F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
+    )
+    mc = (
+        hi.join(lo, "cluster_id")
+        .filter(F.col("__lo") < F.col("__hi"))
+        .select(
+            F.col("__hi"),
+            F.round(
+                _pd_dot(F.col("__v1"), F.col("__v2"))
+                / (F.col("__n1") * F.col("__n2")),
+                6,
+            ).alias("__cos"),
+        )
+        .groupBy("__hi")
+        .agg(F.max("__cos").alias("max_cos_lower"))
+        .withColumnRenamed("__hi", id_col)
+    )
+    return (
+        a.select(id_col, "cluster_id")
+        .join(mc, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "max_cos_lower",
+            (
+                F.col("max_cos_lower").isNull()
+                | (F.col("max_cos_lower") < threshold)
+            ).alias("kept"),
+        )
+    )

@@ -3171,3 +3171,37 @@ def test_kmeans_assign_matches_lloyd_reference(spark):
     # every cluster is non-empty at this corpus (sanity that the test
     # actually exercised multi-cluster assignment)
     assert len({c for _, c in got.values()}) > 1
+
+
+def test_semdedup_kmeans_planted_duplicates(spark):
+    from data_management_python_spark.llmdata.similarity import (
+        semdedup_kmeans,
+    )
+
+    # two tight pairs far apart + one singleton; k=2 puts each pair in
+    # one cluster, and within each the higher id must drop
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.01, 0.999, 0.0]),  # near-dup of 10
+        (20, [0.0, 0.6, 0.8, 0.0]),     # same cluster as 10/11, distinct
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r
+        for r in semdedup_kmeans(
+            emb, "vec_id", "embedding", k=2, iterations=2, threshold=0.95
+        ).collect()
+    }
+    assert got[1].kept and not got[2].kept
+    assert got[10].kept and not got[11].kept
+    # 20 is in 10's cluster but below the threshold to both mates
+    assert got[20].kept and got[20].max_cos_lower < 0.95
+    # cluster-minimum ids carry NULL max_cos_lower
+    assert got[1].max_cos_lower is None and got[10].max_cos_lower is None
+    # the two pairs landed in different clusters
+    assert got[1].cluster_id != got[10].cluster_id
