@@ -1118,6 +1118,13 @@ class TableStore:
                     f"{column!r} is part of a UNIQUE constraint on "
                     f"{name!r}; drop the constraint first"
                 )
+            if any(
+                column == fk["column"] for fk in spec.get("fks", ())
+            ):
+                raise ValueError(
+                    f"{column!r} carries a FOREIGN KEY on {name!r}; "
+                    "drop the constraint first"
+                )
             adds = spec.get("add", [])
             added = [a for a in adds if a["name"] == column]
             if added:
@@ -1176,6 +1183,122 @@ class TableStore:
             if list(columns) not in uniques:
                 uniques.append(list(columns))
             self._write_schema_override(name, spec)
+
+    def add_foreign_key(
+        self,
+        name: str,
+        column: str,
+        parent_table: str,
+        parent_column: str,
+    ) -> None:
+        """Declare a FOREIGN KEY (the reference's igfTables.py FK DDL,
+        e.g. sample.project_id -> project.project_id): refused if
+        current rows already orphan, then enforced on every subsequent
+        ``store_records`` of the child (bucket-pruned anti-probe) and
+        as ON DELETE RESTRICT on ``delete_where`` of the parent.  NULL
+        child values are exempt, matching SQL FK semantics."""
+        with self._write_guard():
+            spec = self._evolution_guard(name, "add_foreign_key")
+            current = [f.name for f in self._evolved_struct(name).fields]
+            if column not in current:
+                raise ValueError(f"{name!r} has no column {column!r}")
+            pstruct = self._evolved_struct(parent_table)
+            if pstruct is None:
+                raise ValueError(
+                    f"FK parent {parent_table!r} is not a catalog table"
+                )
+            if parent_column not in [f.name for f in pstruct.fields]:
+                raise ValueError(
+                    f"{parent_table!r} has no column {parent_column!r}"
+                )
+            orphans = (
+                self.table(name)
+                .na.drop(subset=[column])
+                .join(
+                    self.table(parent_table).select(
+                        F.col(parent_column).alias(column)
+                    ),
+                    on=column,
+                    how="left_anti",
+                )
+            )
+            if not orphans.isEmpty():
+                row = orphans.first()
+                raise ValueError(
+                    f"existing rows violate FK {name}.{column} -> "
+                    f"{parent_table}.{parent_column}: e.g. {row[column]!r}"
+                )
+            fks = spec.setdefault("fks", [])
+            entry = {
+                "column": column,
+                "parent_table": parent_table,
+                "parent_column": parent_column,
+            }
+            if entry not in fks:
+                fks.append(entry)
+            self._write_schema_override(name, spec)
+
+    def _enforce_fks(self, name: str, aligned: DataFrame) -> None:
+        """Append-time FK enforcement: one keyed anti-probe per
+        declared FK against the parent (the reference's DB refused
+        violating inserts via the constraint)."""
+        spec = self._schema_override(name)
+        for fk in (spec or {}).get("fks", []):
+            col = fk["column"]
+            if col not in aligned.columns:
+                continue
+            orphans = aligned.na.drop(subset=[col]).join(
+                self.table(fk["parent_table"]).select(
+                    F.col(fk["parent_column"]).alias(col)
+                ),
+                on=col,
+                how="left_anti",
+            )
+            if not orphans.isEmpty():
+                row = orphans.first()
+                raise ValueError(
+                    f"append violates FK {name}.{col} -> "
+                    f"{fk['parent_table']}.{fk['parent_column']}: "
+                    f"{row[col]!r} has no parent row"
+                )
+
+    def _enforce_delete_restrict(
+        self, name: str, keys: DataFrame, on: list[str]
+    ) -> None:
+        """ON DELETE RESTRICT: refuse deleting parent rows a declared
+        child FK still references.  Scans the _schema overrides for
+        children of ``name`` — O(#declared tables) tiny JSON reads,
+        one child semi-probe per referencing FK."""
+        sdir = os.path.join(self.root, "_schema")
+        try:
+            names = os.listdir(sdir)
+        except OSError:
+            return
+        for fn in names:
+            if not fn.endswith(".json"):
+                continue
+            child = fn[: -len(".json")]
+            spec = self._schema_override(child)
+            for fk in (spec or {}).get("fks", []):
+                if fk["parent_table"] != name or fk["parent_column"] not in (
+                    on
+                ):
+                    continue
+                referenced = self.table(child).join(
+                    keys.select(
+                        F.col(fk["parent_column"]).alias(fk["column"])
+                    ),
+                    on=fk["column"],
+                    how="left_semi",
+                )
+                if not referenced.isEmpty():
+                    row = referenced.first()
+                    raise ValueError(
+                        f"delete from {name!r} RESTRICTed: "
+                        f"{child}.{fk['column']} still references "
+                        f"{row[fk['column']]!r} (delete/cascade the "
+                        "child rows first)"
+                    )
 
     def _enforce_uniques(self, name: str, aligned: DataFrame) -> None:
         """Append-time UNIQUE enforcement: the reference's DB refused
@@ -2303,6 +2426,7 @@ class TableStore:
                 ]
             )
             self._enforce_uniques(name, aligned)
+            self._enforce_fks(name, aligned)
             part = self.partitioning_of(name)
             writer = aligned
             if part is not None:
@@ -2686,6 +2810,7 @@ class TableStore:
         including transaction participation and the standalone
         single-op transaction (atomic across every touched bucket)."""
         with self.transaction():
+            self._enforce_delete_restrict(name, keys, on)
             self._delete_where_locked(name, keys, on)
 
     def _delete_where_locked(

@@ -35,6 +35,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from data_management_python_spark.store import TableStore
 
@@ -88,6 +89,70 @@ def stream_into_store(
             store, table, batch_df, batch_id, stream_id,
             validate=validate, transform=transform,
         )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_cdc_batch(
+    store: TableStore,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    on: list[str],
+) -> bool:
+    """Apply one micro-batch of a CHANGE FEED idempotently: rows shaped
+    like :meth:`TableStore.diff_versions` output (``change_type`` in
+    insert / delete / update_preimage / update_postimage plus the
+    table columns).  Inserts and update postimages MERGE in via
+    ``upsert``; deletes go through ``delete_where``; preimages are
+    informational and ignored.  All of it plus the stream marker
+    commits in ONE store transaction — the exactly-once contract of
+    :func:`ingest_batch`, extended from pure appends to mutations
+    (the reference's status-update pollers applied the same
+    "what changed since" deltas inside one ORM session).
+
+    A change feed is state-to-state (one verdict per key per batch),
+    so upsert-then-delete ordering is safe; both verbs are
+    partition-scoped on a bucketed table, so the batch cost is
+    O(touched buckets), not table size."""
+    if batch_id <= store.get_stream_marker(stream_id):
+        return False
+    ups = batch_df.filter(
+        F.col("change_type").isin("insert", "update_postimage")
+    ).drop("change_type")
+    dels = batch_df.filter(F.col("change_type") == "delete").select(*on)
+    with store.transaction():
+        if not ups.isEmpty():
+            store.upsert(table, ups, on=on)
+        if not dels.isEmpty():
+            store.delete_where(table, dels, on=on)
+        store.set_stream_marker(stream_id, batch_id)
+    return True
+
+
+def stream_cdc_into_store(
+    stream_df: DataFrame,
+    store: TableStore,
+    table: str,
+    stream_id: str,
+    checkpoint_dir: str,
+    on: list[str],
+    trigger_once: bool = False,
+):
+    """Run a change-feed stream into a TableStore table with
+    exactly-once apply semantics (see :func:`apply_cdc_batch`).
+    Returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(store, table, batch_df, batch_id, stream_id, on)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

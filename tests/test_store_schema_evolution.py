@@ -195,3 +195,57 @@ def test_evolution_guards(spark, root):
     store.add_column("sample", "provenance", "string")
     assert "provenance" in store.table("sample").columns
     assert store.table("sample").count() == 0
+
+
+def _samples(spark, ids, project_ids):
+    return spark.createDataFrame(
+        [(i, f"IGF{i:05d}", p, "ACTIVE") for i, p in zip(ids, project_ids)],
+        "sample_id long, sample_igf_id string, project_id long, "
+        "status string",
+    )
+
+
+def test_foreign_key_enforced_on_append_and_delete(spark, root):
+    store = TableStore(spark, root, attr_n_buckets=4)
+    store.store_records("project", _projects(spark, [1, 2]))
+    store.store_records("sample", _samples(spark, [10], [1]))
+    store.add_foreign_key("sample", "project_id", "project", "project_id")
+    # orphan append refused
+    with pytest.raises(ValueError, match="has no parent"):
+        store.store_records("sample", _samples(spark, [11], [99]))
+    # valid append passes; NULL parent exempt (SQL FK semantics)
+    store.store_records("sample", _samples(spark, [12], [2]))
+    null_parent = _samples(spark, [13], [1]).withColumn(
+        "project_id", F.lit(None).cast("long")
+    )
+    store.store_records("sample", null_parent)
+    assert store.table("sample").count() == 3
+    # ON DELETE RESTRICT: project 1 still has sample 10
+    with pytest.raises(ValueError, match="RESTRICT"):
+        store.delete_where(
+            "project",
+            spark.createDataFrame([(1,)], "project_id long"),
+            on=["project_id"],
+        )
+    # delete the child first, then the parent goes through
+    store.delete_where(
+        "sample",
+        spark.createDataFrame([(10,)], "sample_id long"),
+        on=["sample_id"],
+    )
+    store.delete_where(
+        "project",
+        spark.createDataFrame([(1,)], "project_id long"),
+        on=["project_id"],
+    )
+    assert {r.project_id for r in store.table("project").collect()} == {2}
+    # declaring over existing orphans is refused
+    store2_root = root + "2"
+    s2 = TableStore(spark, store2_root, attr_n_buckets=4)
+    s2.store_records("project", _projects(spark, [1]))
+    s2.store_records("sample", _samples(spark, [20], [7]))
+    with pytest.raises(ValueError, match="existing rows violate FK"):
+        s2.add_foreign_key("sample", "project_id", "project", "project_id")
+    # the FK column cannot be dropped while the constraint stands
+    with pytest.raises(ValueError, match="FOREIGN KEY"):
+        store.drop_column("sample", "project_id")
