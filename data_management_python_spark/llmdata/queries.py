@@ -3200,3 +3200,99 @@ def sim_kmeans_clusters(spark, sf_dir):
     # once per session (kmeans_assign already returns an eager
     # checkpoint — the iteration jobs are the cost worth sharing)
     return session_cached(spark, "kmeans_clusters", sf_dir, build)
+
+
+def _hll_oracle_block(scope: str, src_cte: str) -> str:
+    """One deterministic-HLL estimate block over ``src_cte`` (a CTE
+    named ``vals_{scope}`` with a ``v`` column)."""
+    s = scope
+    return f"""
+    jr_{s} AS (
+      SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) % 256 AS j,
+             53 - length(ltrim(bin(CAST(('0x' || substr(md5(v), 9, 13))
+                                        AS BIGINT)), '0')) AS r
+      FROM vals_{s}
+    ),
+    regs_{s} AS (SELECT j, MAX(r) AS M FROM jr_{s} GROUP BY j),
+    regf_{s} AS (
+      SELECT COALESCE(regs_{s}.M, 0) AS M
+      FROM generate_series(0, 255) AS g(j)
+      LEFT JOIN regs_{s} ON regs_{s}.j = g.j
+    ),
+    agg_{s} AS (
+      SELECT SUM(POWER(2.0, -M)) AS S,
+             SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS V
+      FROM regf_{s}
+    ),
+    est_{s} AS (
+      SELECT CASE WHEN 47072.71267120224 / S <= 640.0 AND V > 0
+                  THEN 256.0 * LN(256.0 / V)
+                  ELSE 47072.71267120224 / S END AS est,
+             V
+      FROM agg_{s}
+    ),
+    out_{s} AS (
+      SELECT '{s}' AS scope, 256 AS m, CAST(V AS BIGINT) AS n_zero_registers,
+             ROUND(est, 6) AS hll_estimate,
+             x.cd AS exact_distinct,
+             ROUND((ROUND(est, 6) - x.cd) / x.cd, 6) AS rel_error
+      FROM est_{s}
+      CROSS JOIN (SELECT COUNT(DISTINCT v) AS cd FROM vals_{s}) x
+    )"""
+
+
+_HLL_ORACLE = (
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    vals_tokens AS (SELECT u.v FROM toks, UNNEST(t) AS u(v)),
+    vals_shingles AS (
+      SELECT u.v
+      FROM toks, UNNEST(list_transform(generate_series(1, len(t) - 2),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(v)
+      WHERE len(t) >= 3
+    ),"""
+    + _hll_oracle_block("tokens", "")
+    + ","
+    + _hll_oracle_block("shingles", "")
+    + """
+    SELECT * FROM out_tokens
+    UNION ALL
+    SELECT * FROM out_shingles
+    """
+)
+
+
+@_q(
+    "a_hll_distinct",
+    _HLL_ORACLE,
+    doc="deterministic HyperLogLog cardinality, both regimes in one "
+    "query (m=256 registers): the token vocabulary is tiny, so its "
+    "sketch exercises the LINEAR-COUNTING small-range branch, while "
+    "the trigram-shingle universe (tens of thousands) exercises the "
+    "bias-corrected harmonic estimate.  md5-derived bucket/rank make "
+    "every register and the closed-form estimate bit-replayable in "
+    "SQL (Spark's approx_count_distinct never can — engine-private "
+    "hashing); registers are MERGEABLE by element-wise max (property "
+    "test), the shard-combine algebra that replaces full distinct "
+    "shuffles at 100 TB.  One 2^p-register partial agg per scope; "
+    "exact_distinct/rel_error ride along as QA columns",
+)
+def a_hll_distinct(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("v")
+    )
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3, distinct=False)
+    sh = sh.select(F.col("shingle").alias("v"))
+    out_t = stats.hll_distinct(toks, "v", p=8, exact=True).select(
+        F.lit("tokens").alias("scope"), "*"
+    )
+    out_s = stats.hll_distinct(sh, "v", p=8, exact=True).select(
+        F.lit("shingles").alias("scope"), "*"
+    )
+    return out_t.unionByName(out_s)

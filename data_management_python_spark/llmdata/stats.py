@@ -150,3 +150,99 @@ def pca_project(
         id_col,
         *[F.col("__p").getItem(c).alias(f"pc{c + 1}") for c in range(k)],
     )
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """The (bucket, max-rank) register table of the deterministic HLL
+    sketch — the MERGEABLE asset: registers of a union are the
+    element-wise max of the parts' registers, so shards/days combine
+    without re-reading data (pinned by property test).  md5-derived
+    bucket (first p hex bits) and rank (leading zeros of the next 52
+    bits + 1 via the bin()/ltrim idiom both engines share)."""
+    m = 1 << p
+    h = F.md5(F.col(col).cast("string"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    ).alias("__j")
+    w = F.conv(F.substring(h, 9, 13), 16, 10).cast("long")
+    rank = (F.lit(53) - F.length(F.ltrim(F.bin(w), F.lit("0")))).alias("__r")
+    return (
+        df.select(bucket, rank).groupBy("__j").agg(F.max("__r").alias("__M"))
+    )
+
+
+def merge_hll_registers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register tables: element-wise max per bucket."""
+    return (
+        a.unionByName(b)
+        .groupBy("__j")
+        .agg(F.max("__M").alias("__M"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Closed-form HLL estimate from a register table: harmonic mean
+    of 2^-M over ALL 2^p registers (absent ones count rank 0), alpha
+    bias correction, linear-counting small-range branch.  1 row:
+    (m, n_zero_registers, hll_estimate)."""
+    m = 1 << p
+    spark = regs.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").alias("__j"))
+        .join(regs, "__j", "left")
+        .select(F.coalesce(F.col("__M"), F.lit(0)).alias("__M"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__M"))).alias("__S"),
+        F.sum(F.when(F.col("__M") == 0, 1).otherwise(0)).alias("__V"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__S")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("__V") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__V")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("__V").cast("bigint").alias("n_zero_registers"),
+        F.round(est, 6).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count — the mergeable
+    cardinality sketch a 100-TB pipeline uses where exact COUNT
+    DISTINCT would shuffle every value (vocabulary sizes, unique URLs
+    per crawl, per-shard user counts).  Spark's built-in
+    ``approx_count_distinct`` is HLL++ with engine-private hashing, so
+    it can never hash-match an oracle; this sketch derives every
+    register from md5, making the estimate — harmonic sum, alpha
+    correction, linear-counting branch — bit-replayable in SQL.
+
+    Shape: one groupBy(bucket).max(rank) partial agg (2^p registers of
+    reduce state regardless of input size; see :func:`hll_registers` /
+    :func:`merge_hll_registers` for the shard-merge algebra), then a
+    1-row closed-form estimate.  ``exact`` appends the true distinct
+    count and relative error (costs the real distinct shuffle the
+    sketch exists to avoid; keep for oracle/QA runs).
+    """
+    out = hll_estimate(hll_registers(df, col, p), p)
+    if exact:
+        ex = df.agg(
+            F.countDistinct(F.col(col)).alias("exact_distinct")
+        )
+        out = out.crossJoin(F.broadcast(ex)).withColumn(
+            "rel_error",
+            F.round(
+                (F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ),
+        )
+    return out

@@ -3205,3 +3205,53 @@ def test_semdedup_kmeans_planted_duplicates(spark):
     assert got[1].max_cos_lower is None and got[10].max_cos_lower is None
     # the two pairs landed in different clusters
     assert got[1].cluster_id != got[10].cluster_id
+
+
+def test_hll_registers_merge_algebra_and_brute_force(spark):
+    """HLL sketch-of-union == element-wise-max merge of shard sketches
+    (the shippable-across-shards property), and the whole register
+    table + estimate replay a Python md5 reimplementation exactly."""
+    import hashlib
+    import math
+
+    from data_management_python_spark.llmdata import stats
+
+    a_vals = [f"tok{i}" for i in range(300)]
+    b_vals = [f"tok{i}" for i in range(150, 600)]  # overlaps a
+    df_a = spark.createDataFrame([(v,) for v in a_vals], "v string")
+    df_b = spark.createDataFrame([(v,) for v in b_vals], "v string")
+    df_u = df_a.unionByName(df_b)
+
+    regs_a = stats.hll_registers(df_a, "v")
+    regs_b = stats.hll_registers(df_b, "v")
+    merged = stats.merge_hll_registers(regs_a, regs_b)
+    union = stats.hll_registers(df_u, "v")
+    assert {(r["__j"], r["__M"]) for r in merged.collect()} == {
+        (r["__j"], r["__M"]) for r in union.collect()
+    }
+    est_m = stats.hll_estimate(merged).first()
+    est_u = stats.hll_estimate(union).first()
+    assert est_m.hll_estimate == est_u.hll_estimate
+
+    # brute-force replay: registers and estimate bit-for-bit
+    def reg(vals):
+        out = {}
+        for v in set(vals):
+            hx = hashlib.md5(v.encode()).hexdigest()
+            j = int(hx[:8], 16) % 256
+            w = int(hx[8:21], 16)
+            r = 53 - len(bin(w)[2:].lstrip("0")) if w else 53
+            out[j] = max(out.get(j, 0), r)
+        return out
+
+    want = reg(a_vals + b_vals)
+    assert {(j, M) for j, M in want.items()} == {
+        (r["__j"], r["__M"]) for r in union.collect()
+    }
+    S = sum(2.0 ** -want.get(j, 0) for j in range(256))
+    V = sum(1 for j in range(256) if want.get(j, 0) == 0)
+    alpha = 0.7213 / (1.0 + 1.079 / 256)
+    raw = alpha * 256 * 256 / S
+    est = 256.0 * math.log(256.0 / V) if (raw <= 640.0 and V > 0) else raw
+    assert abs(est_u.hll_estimate - round(est, 6)) < 1e-6
+    assert est_u.n_zero_registers == V
