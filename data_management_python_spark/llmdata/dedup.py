@@ -1302,3 +1302,88 @@ def cdc_chunk_stats(
             ).alias("shared_char_ratio"),
         )
     )
+
+
+def bloom_dedup_probe(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int | None = None,
+    k: int = 4,
+    bits_per_element: int = 10,
+) -> DataFrame:
+    """Bloom-filter membership probe of a delta batch against a
+    standing corpus: the O(m_bits) SKETCH a 100-TB incremental dedup
+    ships instead of the corpus itself (the exact-probe twin is
+    d_incremental_dedup's band table).  The base's texts set k
+    md5-derived bit positions each; a delta doc is ``bloom_maybe``
+    iff ALL its k positions are set.  NO FALSE NEGATIVES by
+    construction — every truly-present doc probes positive (pinned by
+    test and visible in the oracle columns); false positives are the
+    m/k/n trade.  Bit sets from shards merge by union (OR), the same
+    shippable algebra as the HLL/CMS registers.
+
+    Shape: the filter is a <= m_bits-row distinct-position table
+    (broadcast to the probe join); the probe explodes k positions per
+    delta doc and aggregates all-present per doc — O(delta x k), no
+    base rescan.  Returns (id, bloom_maybe, exact_present).
+
+    ``m_bits=None`` (default) sizes the filter from the BASE volume:
+    the next power of two above ``bits_per_element`` x |base| (one
+    O(1) count job — the same volume-derived sizing discipline as the
+    store's bucket counts).  At 10 bits/element with k=4 the
+    false-positive rate stays ~1%; a fixed m over a growing corpus
+    silently degrades toward always-maybe (measured 42% FP when 3.3k
+    docs were forced into 8k bits).  The sizing formula is
+    integer-exact (bit length of 10n-1), so an oracle reproduces m
+    from the same count."""
+
+    if m_bits is None:
+        n_base = base.count()
+        m_bits = 1 << max(
+            1, (bits_per_element * max(1, n_base) - 1).bit_length()
+        )
+
+    def positions(text_c):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), text_c)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+                for i in range(k)
+            ]
+        )
+
+    bits = (
+        base.select(F.explode(positions(F.col(text_col))).alias("__p"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    probe = delta.select(
+        F.col(id_col), F.explode(positions(F.col(text_col))).alias("__p")
+    )
+    maybe = (
+        probe.join(F.broadcast(bits), "__p", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.min(F.coalesce(F.col("__set"), F.lit(0))) == 1).alias(
+                "bloom_maybe"
+            )
+        )
+    )
+    truth = delta.join(
+        base.select(F.md5(F.col(text_col)).alias("__h")).distinct(),
+        F.md5(F.col(text_col)) == F.col("__h"),
+        "left",
+    ).select(
+        F.col(id_col), F.col("__h").isNotNull().alias("exact_present")
+    )
+    return maybe.join(truth, id_col).select(
+        id_col, "bloom_maybe", "exact_present"
+    )

@@ -3296,3 +3296,131 @@ def a_hll_distinct(spark, sf_dir):
         F.lit("shingles").alias("scope"), "*"
     )
     return out_t.unionByName(out_s)
+
+
+@_q(
+    "a_cms_counts",
+    """
+    WITH toks AS (
+      SELECT u.v
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(v)
+    ),
+    jr AS (
+      SELECT u.i,
+             CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || v), 1, 8))
+                  AS BIGINT) % 1024 AS b
+      FROM toks, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    regs AS (SELECT i, b, COUNT(*) AS c FROM jr GROUP BY i, b),
+    exact AS (SELECT v, COUNT(*) AS exact_count FROM toks GROUP BY v),
+    top AS (
+      SELECT v, exact_count FROM exact
+      ORDER BY exact_count DESC, v LIMIT 20
+    ),
+    keyed AS (
+      SELECT t.v, t.exact_count, u.i,
+             CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || t.v), 1, 8))
+                  AS BIGINT) % 1024 AS b
+      FROM top t, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    est AS (
+      SELECT v, exact_count,
+             MIN(COALESCE(r.c, 0)) AS cms_estimate
+      FROM keyed k LEFT JOIN regs r ON r.i = k.i AND r.b = k.b
+      GROUP BY v, exact_count
+    )
+    SELECT v AS term, exact_count, cms_estimate,
+           cms_estimate - exact_count AS overestimate
+    FROM est
+    """,
+    doc="Count-Min Sketch frequencies (4 x 1024 md5-seeded counters): "
+    "the mergeable frequency twin of a_hll_distinct — shard sketches "
+    "combine by counter SUM, reduce state is depth x width regardless "
+    "of corpus size, and point estimates NEVER underestimate (the CMS "
+    "guarantee, visible as the non-negative overestimate column "
+    "against the exact counts of the top-20 tokens).  Complements the "
+    "EXACT Misra-Gries heavy hitters (t_heavy_hitters) as the "
+    "fixed-memory sketch a 100-TB frequency pass ships between "
+    "stages; every counter replays in SQL",
+)
+def a_cms_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("v")
+    )
+    exact = toks.groupBy("v").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("v")).limit(20)
+    regs = stats.cms_registers(toks, "v", depth=4, width=1024)
+    est = stats.cms_point_estimates(
+        regs, top.select("v"), "v", depth=4, width=1024
+    )
+    return (
+        top.join(est, "v")
+        .select(
+            F.col("v").alias("term"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+@_q(
+    "d_bloom_probe",
+    """
+    WITH base AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+    delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    msize AS (
+      SELECT CAST(POWER(2, length(bin(10 * COUNT(*) - 1))) AS BIGINT) AS m
+      FROM base
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || text), 1, 8))
+                  AS BIGINT) % (SELECT m FROM msize) AS p
+      FROM base, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    probe AS (
+      SELECT d.doc_id,
+             CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || d.text), 1, 8))
+                  AS BIGINT) % (SELECT m FROM msize) AS p
+      FROM delta d, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    maybe AS (
+      SELECT doc_id,
+             (MIN(CASE WHEN bits.p IS NULL THEN 0 ELSE 1 END) = 1) AS bloom_maybe
+      FROM probe LEFT JOIN bits ON bits.p = probe.p
+      GROUP BY doc_id
+    ),
+    truth AS (
+      SELECT doc_id,
+             EXISTS (SELECT 1 FROM base b WHERE md5(b.text) = md5(d.text))
+               AS exact_present
+      FROM delta d
+    )
+    SELECT doc_id, bloom_maybe, exact_present
+    FROM maybe JOIN truth USING (doc_id)
+    """,
+    doc="Bloom-filter membership probe of a delta batch against a "
+    "standing corpus (volume-sized: next power of two above 10 bits "
+    "per base doc, 4 md5-derived hashes — a FIXED m on a growing "
+    "corpus silently degrades toward always-maybe): the O(m_bits) "
+    "sketch an incremental dedup ships instead of the corpus — NO "
+    "FALSE NEGATIVES by construction (every exact_present doc probes "
+    "bloom_maybe; the oracle columns make the guarantee and the "
+    "false-positive tail visible), shard bit-sets merge by OR.  The "
+    "filter is a bounded distinct-position table broadcast to the "
+    "probe join; probing is O(delta x k), the base is never "
+    "rescanned.  The exact-probe twin is d_incremental_dedup's "
+    "standing band table",
+)
+def d_bloom_probe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup.bloom_dedup_probe(base, delta, "doc_id", "text", k=4)

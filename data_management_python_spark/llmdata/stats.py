@@ -246,3 +246,107 @@ def hll_distinct(
             ),
         )
     return out
+
+
+def cms_registers(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min Sketch register table (row, bucket, count): ``depth``
+    md5-derived hash rows (seeded by row-index prefix), ``width``
+    buckets each.  The frequency twin of :func:`hll_registers` —
+    mergeable by SUM per (row, bucket), so shard/day sketches combine
+    without re-reading data; reduce state is depth x width counters
+    regardless of input size.  One generator explode (depth rows per
+    value) + one partial-agg shuffle."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__i"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}:"),
+                                    F.col(col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("__b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("__rb"))
+        .select(F.col("__rb.__i").alias("__i"), F.col("__rb.__b").alias("__b"))
+        .groupBy("__i", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def merge_cms_registers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two CMS register tables: counter SUM per (row, bucket)."""
+    return (
+        a.unionByName(b)
+        .groupBy("__i", "__b")
+        .agg(F.sum("__c").alias("__c"))
+    )
+
+
+def cms_point_estimates(
+    regs: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """CMS point-frequency estimates for a probe frame: est(x) =
+    min over rows of counter[row][hash_row(x)] — an OVERESTIMATE by
+    construction (never under; pinned by test/oracle).  Probe values
+    explode into their depth (row, bucket) keys and join the register
+    table — O(|probes| x depth) lookups, never a scan of the sketch
+    domain."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__i"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}:"),
+                                    F.col(col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("__b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    keyed = probes.select(
+        F.col(col), F.explode(rows).alias("__rb")
+    ).select(
+        col, F.col("__rb.__i").alias("__i"), F.col("__rb.__b").alias("__b")
+    )
+    return (
+        keyed.join(regs, ["__i", "__b"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("__c"), F.lit(0))).alias("cms_estimate")
+        )
+    )

@@ -3255,3 +3255,33 @@ def test_hll_registers_merge_algebra_and_brute_force(spark):
     est = 256.0 * math.log(256.0 / V) if (raw <= 640.0 and V > 0) else raw
     assert abs(est_u.hll_estimate - round(est, 6)) < 1e-6
     assert est_u.n_zero_registers == V
+
+
+def test_bloom_probe_no_false_negatives_and_sizing(spark):
+    """The Bloom guarantee: every truly-present delta doc probes
+    positive at ANY filter size; volume sizing keeps the FP tail
+    small."""
+    from data_management_python_spark.llmdata.dedup import bloom_dedup_probe
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    dup_texts = [f"base document number {i}" for i in range(0, 40)]
+    fresh = [f"totally new content {i}" for i in range(160)]
+    delta = spark.createDataFrame(
+        [(1000 + j, t) for j, t in enumerate(dup_texts + fresh)],
+        "doc_id long, text string",
+    )
+    got = bloom_dedup_probe(base, delta, "doc_id", "text").collect()
+    for r in got:
+        if r.exact_present:
+            assert r.bloom_maybe, r.doc_id  # NO false negatives, ever
+    fp = sum(1 for r in got if r.bloom_maybe and not r.exact_present)
+    assert fp <= len(fresh) * 0.10  # ~1% expected at 10 bits/element
+    # a deliberately tiny filter still keeps the guarantee (only the
+    # FP rate degrades)
+    tiny = bloom_dedup_probe(
+        base, delta, "doc_id", "text", m_bits=64
+    ).collect()
+    assert all(r.bloom_maybe for r in tiny if r.exact_present)
