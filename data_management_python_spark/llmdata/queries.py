@@ -3352,7 +3352,14 @@ def a_cms_counts(spark, sf_dir):
         ).alias("v")
     )
     exact = toks.groupBy("v").agg(F.count(F.lit(1)).alias("exact_count"))
-    top = exact.orderBy(F.desc("exact_count"), F.asc("v")).limit(20)
+    # the probe set is 20 rows referenced three times (probe keys, the
+    # exact column, the final join): eager-checkpoint it so the exact
+    # agg's corpus scan runs once, not per reference
+    top = (
+        exact.orderBy(F.desc("exact_count"), F.asc("v"))
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
     regs = stats.cms_registers(toks, "v", depth=4, width=1024)
     est = stats.cms_point_estimates(
         regs, top.select("v"), "v", depth=4, width=1024

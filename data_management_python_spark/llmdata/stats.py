@@ -232,10 +232,15 @@ def hll_distinct(
     count and relative error (costs the real distinct shuffle the
     sketch exists to avoid; keep for oracle/QA runs).
     """
-    out = hll_estimate(hll_registers(df, col, p), p)
+    # distinct-first: registers are insensitive to duplicates, so the
+    # sketch and the exact QA count both derive from ONE distinct
+    # exchange (ReuseExchange wires the two aggregates to a single
+    # evaluation — the raw-stream variant scanned the corpus twice)
+    vals = df.select(F.col(col)).distinct()
+    out = hll_estimate(hll_registers(vals, col, p), p)
     if exact:
-        ex = df.agg(
-            F.countDistinct(F.col(col)).alias("exact_distinct")
+        ex = vals.agg(
+            F.count(F.lit(1)).alias("exact_distinct")
         )
         out = out.crossJoin(F.broadcast(ex)).withColumn(
             "rel_error",

@@ -118,6 +118,13 @@ HEAVY = [
     "t_ngram_novelty",
     "d_cdc_chunks",
     "m_time_travel",
+    "sim_kmeans_clusters",
+    "d_semdedup_kmeans",
+    "a_hll_distinct",
+    "a_cms_counts",
+    "d_bloom_probe",
+    "m_schema_evolution",
+    "m_version_diff",
 ]
 
 KEY_SHIFT = {
