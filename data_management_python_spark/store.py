@@ -874,11 +874,36 @@ class TableStore:
         is state-to-state, not a replay of the log).  Downstream
         consumers get the reference's "what changed since" question
         (status-transition polling over pipeline/seed tables,
-        find_and_process_new_* scans) as one relational operator."""
+        find_and_process_new_* scans) as one relational operator.
+
+        Schema-evolution-safe: as-of reads carry their as-written
+        shape, so a version predating an ADD COLUMN lacks it — both
+        sides are aligned to the UNION of their columns (absent ones
+        read NULL), and the added column then surfaces as
+        update_pre/postimage rows exactly when its value changed."""
         a = self.read_version(name, v_from)
         b = self.read_version(name, v_to)
-        data_cols = [c for c in b.columns if c not in on]
-        missing = [c for c in on if c not in b.columns]
+        all_cols = list(a.columns) + [
+            c for c in b.columns if c not in a.columns
+        ]
+        b_types = dict(b.dtypes)
+        a_types = dict(a.dtypes)
+
+        def _aligned(df, types):
+            other = b_types if types is a_types else a_types
+            return df.select(
+                *[
+                    F.col(c)
+                    if c in types
+                    else F.lit(None).cast(other[c]).alias(c)
+                    for c in all_cols
+                ]
+            )
+
+        a = _aligned(a, a_types)
+        b = _aligned(b, b_types)
+        data_cols = [c for c in all_cols if c not in on]
+        missing = [c for c in on if c not in all_cols]
         if missing:
             raise ValueError(f"key columns {missing} not in {name!r}")
         a2 = a.select(

@@ -309,3 +309,31 @@ def test_diff_versions_change_feed(spark, root):
     assert store.diff_versions(
         "project", v4, v4, on=["project_id"]
     ).count() == 0
+
+
+def test_diff_versions_across_schema_evolution(spark, root):
+    """A diff spanning an ADD COLUMN must not crash: the older as-of
+    side aligns to the union schema with NULLs, and the new column
+    surfaces as updates exactly where its value changed."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, root, attr_n_buckets=4, retain_history=True)
+    store.store_records("project", _projects(spark, [1, 2]))
+    v1 = store.latest_version()
+    store.add_column("project", "cost_center", "string")
+    store.upsert(
+        "project",
+        _projects(spark, [2]).withColumn("cost_center", F.lit("CC7")),
+        on=["project_id"],
+        update_columns=["cost_center"],
+    )
+    v2 = store.latest_version()
+    rows = store.diff_versions(
+        "project", v1, v2, on=["project_id"]
+    ).collect()
+    got = {(r.change_type, r.project_id): r for r in rows}
+    # row 1 never gained a cost_center value: no change rows at all
+    assert ("update_postimage", 1) not in got
+    assert got[("update_postimage", 2)].cost_center == "CC7"
+    assert got[("update_preimage", 2)].cost_center is None
+    assert set(got) == {("update_preimage", 2), ("update_postimage", 2)}
