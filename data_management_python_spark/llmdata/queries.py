@@ -3431,3 +3431,108 @@ def d_bloom_probe(spark, sf_dir):
     base = docs.filter(F.col("doc_id") % 3 != 0)
     delta = docs.filter(F.col("doc_id") % 3 == 0)
     return dedup.bloom_dedup_probe(base, delta, "doc_id", "text", k=4)
+
+
+@_q(
+    "e_hll_user_cardinality",
+    """
+    WITH ev AS (
+      SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT)
+               AS window_start_ms,
+             user_id
+      FROM events
+    ),
+    jr AS (
+      SELECT window_start_ms,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS j,
+             53 - length(ltrim(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 13))
+                                        AS BIGINT)), '0')) AS r
+      FROM ev
+    ),
+    regs AS (
+      SELECT window_start_ms, j, MAX(r) AS M
+      FROM jr GROUP BY window_start_ms, j
+    ),
+    agg AS (
+      SELECT window_start_ms,
+             (256 - COUNT(*)) + SUM(POWER(2.0, -M)) AS S,
+             256 - COUNT(*) AS V
+      FROM regs GROUP BY window_start_ms
+    ),
+    est AS (
+      SELECT window_start_ms,
+             CASE WHEN 47072.71267120224 / S <= 640.0 AND V > 0
+                  THEN 256.0 * LN(256.0 / V)
+                  ELSE 47072.71267120224 / S END AS est
+      FROM agg
+    ),
+    exact AS (
+      SELECT window_start_ms, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM ev GROUP BY window_start_ms
+    )
+    SELECT e.window_start_ms, ROUND(est, 6) AS hll_estimate,
+           x.exact_distinct,
+           ROUND((ROUND(est, 6) - x.exact_distinct) / x.exact_distinct, 6)
+             AS rel_error
+    FROM est e JOIN exact x USING (window_start_ms)
+    """,
+    doc="per-window distinct-user cardinality via the deterministic "
+    "HLL (hourly tumbling windows over the event stream): the "
+    "windowed form needs NO register-range join — a present register "
+    "always has rank >= 1, so the zero registers are exactly the "
+    "absent ones (V = m - n_present, and they contribute 1.0 each to "
+    "the harmonic sum).  Two partial aggs keyed (window, bucket) then "
+    "(window) — per-window reduce state is <= 256 counters at any "
+    "event volume, the monitor shape a streaming deployment merges "
+    "per batch (see streaming ingest HLL test); exact/rel_error ride "
+    "along as QA columns",
+)
+def e_hll_user_cardinality(spark, sf_dir):
+    from data_management_python_spark.functions import epoch_ms  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        F.floor(epoch_ms(F.col("ts")) / F.lit(3600000)) * 3600000
+    ).cast("bigint")
+    h = F.md5(F.col("user_id").cast("string"))
+    j = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 256).alias(
+        "__j"
+    )
+    w = F.conv(F.substring(h, 9, 13), 16, 10).cast("long")
+    r = (F.lit(53) - F.length(F.ltrim(F.bin(w), F.lit("0")))).alias("__r")
+    base = ev.select(win.alias("window_start_ms"), "user_id")
+    regs = (
+        base.select("window_start_ms", j, r)
+        .groupBy("window_start_ms", "__j")
+        .agg(F.max("__r").alias("__M"))
+    )
+    agg = regs.groupBy("window_start_ms").agg(
+        (
+            (F.lit(256) - F.count(F.lit(1)))
+            + F.sum(F.pow(F.lit(2.0), -F.col("__M")))
+        ).alias("__S"),
+        (F.lit(256) - F.count(F.lit(1))).alias("__V"),
+    )
+    raw = F.lit(47072.71267120224) / F.col("__S")
+    est = F.when(
+        (raw <= F.lit(640.0)) & (F.col("__V") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("__V")),
+    ).otherwise(raw)
+    exact = base.groupBy("window_start_ms").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        agg.select("window_start_ms", F.round(est, 6).alias("hll_estimate"))
+        .join(exact, "window_start_ms")
+        .select(
+            "window_start_ms",
+            "hll_estimate",
+            "exact_distinct",
+            F.round(
+                (F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

@@ -162,3 +162,76 @@ def stream_cdc_into_store(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_monitor_batch(
+    store: TableStore,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    col: str,
+    p: int = 8,
+) -> bool:
+    """Fold one micro-batch into a standing HLL register table — the
+    STREAMING cardinality monitor built from the sketch's merge
+    algebra (stats.hll_registers: union == element-wise register max).
+    The standing table holds <= 2^p rows (j, M); each batch computes
+    its own registers (one bounded agg over the batch), max-merges
+    them with the standing rows, and upserts the merged registers +
+    the stream marker in ONE store transaction.  Exactly-once via the
+    marker — and max-merge is additionally IDEMPOTENT, so even a
+    replayed batch without the marker could never corrupt the
+    registers (pinned by test).  Reading the current estimate is
+    stats.hll_estimate over the table at any moment."""
+    from data_management_python_spark.llmdata import stats  # noqa: PLC0415
+
+    if batch_id <= store.get_stream_marker(stream_id):
+        return False
+    path = store._path(table)
+    spark = batch_df.sparkSession
+    if not store._has_data(table):
+        spark.createDataFrame([], "j long, M int").write.mode(
+            "overwrite"
+        ).parquet(path)
+    batch_regs = stats.hll_registers(batch_df, col, p).select(
+        F.col("__j").alias("j"), F.col("__M").alias("M")
+    )
+    merged = (
+        store.table(table)
+        .unionByName(batch_regs)
+        .groupBy("j")
+        .agg(F.max("M").alias("M"))
+    )
+    with store.transaction():
+        store.upsert(table, merged, on=["j"])
+        store.set_stream_marker(stream_id, batch_id)
+    return True
+
+
+def stream_hll_into_store(
+    stream_df: DataFrame,
+    store: TableStore,
+    table: str,
+    col: str,
+    stream_id: str,
+    checkpoint_dir: str,
+    p: int = 8,
+    trigger_once: bool = False,
+):
+    """Run a stream into a standing HLL register table (see
+    :func:`hll_monitor_batch`).  Returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hll_monitor_batch(
+            store, table, batch_df, batch_id, stream_id, col, p
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -240,3 +240,67 @@ def test_cdc_roundtrip_diff_then_apply(spark, dirs):
         for r in dst.table("project").collect()
     }
     assert got == want
+
+
+def test_stream_hll_monitor_registers_match_full_corpus(spark, dirs):
+    """The streaming cardinality monitor: per-batch registers
+    max-merged into a standing store table must equal the one-shot
+    registers of the full corpus (the merge algebra), survive restart
+    re-delivery, and be idempotent even WITHOUT the marker."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.llmdata import stats
+    from data_management_python_spark.streaming.ingest import (
+        hll_monitor_batch,
+        stream_hll_into_store,
+    )
+
+    store = TableStore(spark, dirs["root"], attr_n_buckets=4)
+    all_vals = [f"user{i}" for i in range(900)]
+    for b in range(3):
+        spark.createDataFrame(
+            [(v,) for v in all_vals[b * 300 : (b + 1) * 300 + 50]],
+            "v string",
+        ).write.parquet(dirs["input"] + f"/b{b}")
+    stream = spark.readStream.schema("v string").parquet(
+        dirs["input"] + "/*"
+    )
+    q = stream_hll_into_store(
+        stream, store, "hll_users", "v", "hll-mon", dirs["ckpt"],
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.j, r.M) for r in store.table("hll_users").collect()
+    }
+    want = {
+        (r["__j"], r["__M"])
+        for r in stats.hll_registers(
+            spark.createDataFrame([(v,) for v in set(all_vals)], "v string"),
+            "v",
+        ).collect()
+    }
+    assert got == want
+    # replayed batch id: skipped by the marker
+    replay = spark.createDataFrame([("userX",)], "v string")
+    assert hll_monitor_batch(
+        store, "hll_users", replay, 0, "hll-mon", "v"
+    ) is False
+    # and even a FORCED re-application of existing data cannot corrupt
+    # the registers: max-merge is idempotent
+    assert hll_monitor_batch(
+        store, "hll_users",
+        spark.createDataFrame([(v,) for v in all_vals[:300]], "v string"),
+        99, "hll-mon", "v",
+    ) is True
+    assert {
+        (r.j, r.M) for r in store.table("hll_users").collect()
+    } == want
+    # the live estimate reads straight off the standing table
+    est = stats.hll_estimate(
+        store.table("hll_users").select(
+            F.col("j").alias("__j"), F.col("M").alias("__M")
+        )
+    ).first()
+    exact = len(set(all_vals))
+    assert abs(est.hll_estimate - exact) / exact < 0.25
