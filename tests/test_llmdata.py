@@ -3285,3 +3285,38 @@ def test_bloom_probe_no_false_negatives_and_sizing(spark):
         base, delta, "doc_id", "text", m_bits=64
     ).collect()
     assert all(r.bloom_maybe for r in tiny if r.exact_present)
+
+
+def test_cms_merge_algebra_and_never_underestimates(spark):
+    """CMS sketch-of-union == counter-SUM merge of shard sketches, and
+    point estimates never underestimate the true frequency — for every
+    probed value, not just the heavy ones."""
+    from data_management_python_spark.llmdata import stats
+
+    a_vals = [f"t{i % 40}" for i in range(400)]
+    b_vals = [f"t{i % 70}" for i in range(350)]
+    df_a = spark.createDataFrame([(v,) for v in a_vals], "v string")
+    df_b = spark.createDataFrame([(v,) for v in b_vals], "v string")
+    df_u = df_a.unionByName(df_b)
+
+    merged = stats.merge_cms_registers(
+        stats.cms_registers(df_a, "v"), stats.cms_registers(df_b, "v")
+    )
+    union = stats.cms_registers(df_u, "v")
+    assert {
+        (r["__i"], r["__b"], r["__c"]) for r in merged.collect()
+    } == {(r["__i"], r["__b"], r["__c"]) for r in union.collect()}
+
+    from collections import Counter
+
+    truth = Counter(a_vals + b_vals)
+    probes = spark.createDataFrame(
+        [(v,) for v in truth], "v string"
+    )
+    est = {
+        r.v: r.cms_estimate
+        for r in stats.cms_point_estimates(union, probes, "v").collect()
+    }
+    assert set(est) == set(truth)
+    for v, n in truth.items():
+        assert est[v] >= n, (v, est[v], n)  # the CMS guarantee
