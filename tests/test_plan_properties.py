@@ -144,6 +144,11 @@ AUDITED = [
     "t_dsir_weights",
     "t_ngram_novelty",
     "d_cdc_chunks",
+    # round-8, this session: deterministic sketches
+    "a_hll_distinct",
+    "a_cms_counts",
+    "d_bloom_probe",
+    "e_hll_user_cardinality",
 ]
 
 

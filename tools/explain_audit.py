@@ -41,7 +41,10 @@ NESTED_LOOP_OK = {"t_nb_quality", "sim_lsh_ann", "q15_top_supplier", "q22_idle_c
                   "t_temperature_sample",
                   # round-8: DSIR's corpus-total normalizer — the same
                   # 1-row scalar crossJoin shape as t_unigram_xent
-                  "t_dsir_weights"}
+                  "t_dsir_weights",
+                  # round-8: the HLL QA column's 1-row exact-count
+                  # crossJoin (same scalar-broadcast shape)
+                  "a_hll_distinct"}
 
 # queries allowed an UNPARTITIONED window (Exchange SinglePartition
 # feeding a WindowExec): each one's window frame is a small AGGREGATED
