@@ -57,7 +57,6 @@ from __future__ import annotations
 import contextlib
 import json
 import os
-import shutil
 import threading
 import time
 import uuid
@@ -69,9 +68,11 @@ from pyspark.sql import functions as F
 from data_management_python_spark.catalog import (
     ATTRIBUTE_PARENTS,
     CORE_SCHEMAS,
+    ENUMS,
     attribute_schema,
     validate_enums,
 )
+from data_management_python_spark.fsio import open_fs
 from data_management_python_spark.eav import (
     melt_attributes,
     unmelt_attributes,
@@ -189,7 +190,12 @@ class TableStore:
         # independent table writes on worker threads (see
         # _store_with_attributes_txn)
         self._txn_mutex = threading.Lock()
-        os.makedirs(root, exist_ok=True)
+        #: filesystem primitives for everything under the root — os/
+        #: os/shutil for plain paths, Hadoop FileSystem/FileContext for
+        #: scheme:// roots (hdfs://, file://, ...); object-store
+        #: schemes are refused with the reason (see fsio.py)
+        self.fs = open_fs(spark, root)
+        self.fs.makedirs(root)
         #: version retention (time travel) is a persisted root-level
         #: property — see the "version history" section; the flag here
         #: just turns it on at construction
@@ -221,8 +227,11 @@ class TableStore:
     # explicit txn REFUSE (same pattern as the stranded-sibling
     # checks): old-or-new, never mixed.
     #
-    # Scope and assumptions: local(-mounted) filesystem root (same as
-    # rebucket/compact — O_EXCL create and rename are the primitives);
+    # Scope and assumptions: any rename-atomic filesystem root —
+    # plain local paths, or hdfs://-semantics schemes through fsio's
+    # Hadoop FileSystem/FileContext backend (exclusive create and
+    # atomic overwrite-rename are the two primitives; object stores
+    # lacking them are refused at construction);
     # one TableStore instance per thread (the lock serializes
     # instances/processes, not threads sharing one instance); writer
     # liveness is judged by pid on THIS host — a lock from a dead pid
@@ -238,8 +247,7 @@ class TableStore:
 
     def _read_journal(self, which: str) -> dict | None:
         try:
-            with open(self._txn_path(which)) as f:
-                return json.load(f)
+            return json.loads(self.fs.read_text(self._txn_path(which)))
         except (OSError, ValueError):
             return None
 
@@ -255,10 +263,11 @@ class TableStore:
             "tables": t.tables,
             "ops": t.ops,
         }
-        tmp = self._txn_path("pending") + f".{t.token}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(spec, f)
-        os.replace(tmp, self._txn_path("pending"))
+        self.fs.write_text_atomic(
+            self._txn_path("pending"),
+            json.dumps(spec),
+            tmp=self._txn_path("pending") + f".{t.token}.tmp",
+        )
 
     def _journal_op(self, table: str, op: dict) -> None:
         """Record an undoable op (and its table) BEFORE performing it.
@@ -284,7 +293,7 @@ class TableStore:
         return True
 
     def _acquire_lock(self, explicit: bool) -> _Txn:
-        os.makedirs(os.path.dirname(self._txn_path("pending")), exist_ok=True)
+        self.fs.makedirs(os.path.dirname(self._txn_path("pending")))
         deadline = time.monotonic() + self.lock_timeout
         while True:
             # finish any committed-but-uncleaned txn first (cheap no-op
@@ -292,10 +301,7 @@ class TableStore:
             self._roll_forward()
             token = uuid.uuid4().hex
             try:
-                fd = os.open(
-                    self._txn_path("pending"),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
+                self.fs.create_exclusive(self._txn_path("pending"))
             except FileExistsError:
                 pend = self._read_journal("pending")
                 if pend is not None and not self._pid_alive(pend.get("pid", -1)):
@@ -312,14 +318,14 @@ class TableStore:
                     # so nothing moved; dropping the lock is the whole
                     # recovery)
                     try:
-                        age = time.time() - os.path.getmtime(
+                        age = time.time() - self.fs.getmtime(
                             self._txn_path("pending")
                         )
                     except OSError:
                         continue  # vanished: retry the create
                     if age > 5.0:
                         with contextlib.suppress(OSError):
-                            os.unlink(self._txn_path("pending"))
+                            self.fs.unlink(self._txn_path("pending"))
                         continue
                 if time.monotonic() >= deadline:
                     raise ConcurrentWriterError(
@@ -329,7 +335,6 @@ class TableStore:
                     ) from None
                 time.sleep(0.02)
                 continue
-            os.close(fd)
             self._txn = _Txn(token, explicit)
             self._write_journal()
             return self._txn
@@ -342,44 +347,42 @@ class TableStore:
         before it rolls the manifests back with everything else."""
         if self._history_on():
             self._record_versions_in_txn()
-        os.replace(self._txn_path("pending"), self._txn_path("committed"))
+        self.fs.replace(self._txn_path("pending"), self._txn_path("committed"))
         self._roll_forward()
 
     def _rollback(self) -> None:
         for op in reversed(self._txn.ops):
             self._undo_op(op)
         with contextlib.suppress(OSError):
-            os.unlink(self._txn_path("pending"))
+            self.fs.unlink(self._txn_path("pending"))
 
     def _undo_op(self, op: dict) -> None:
         kind = op["kind"]
         if kind == "append":
             for rel in op["files"]:
                 with contextlib.suppress(OSError):
-                    os.unlink(os.path.join(self.root, rel))
-            shutil.rmtree(os.path.join(self.root, op["stage"]),
-                          ignore_errors=True)
+                    self.fs.unlink(os.path.join(self.root, rel))
+            self.fs.rmtree(os.path.join(self.root, op["stage"]))
         elif kind == "swap":
             live = self._path(op["table"])
             pre = os.path.join(self.root, op["pre"])
-            if os.path.exists(pre):
+            if self.fs.exists(pre):
                 # the pre-image exists from the moment the live dir is
                 # renamed aside, so: drop whatever is live (absent, the
                 # new copy, or nothing yet) and restore the original
-                shutil.rmtree(live, ignore_errors=True)
-                os.replace(pre, live)
+                self.fs.rmtree(live)
+                self.fs.replace(pre, live)
             elif not op["had_live"]:
                 # the table did not exist before the txn and the new
                 # copy may already have been renamed in: remove it
-                shutil.rmtree(live, ignore_errors=True)
+                self.fs.rmtree(live)
             # (pre absent + had_live: crash before the live->pre
             # rename — the live dir still IS the original; keep it)
-            shutil.rmtree(os.path.join(self.root, op["tmp"]),
-                          ignore_errors=True)
+            self.fs.rmtree(os.path.join(self.root, op["tmp"]))
         elif kind == "sidecar":
             if op["had"] is None:
                 with contextlib.suppress(OSError):
-                    os.unlink(self._sidecar(op["table"]))
+                    self.fs.unlink(self._sidecar(op["table"]))
             else:
                 self._write_sidecar_atomic(op["table"], op["had"])
         elif kind == "bucket_swap":
@@ -388,29 +391,27 @@ class TableStore:
             for b, had_live in op["buckets"]:
                 live = os.path.join(path, f"{self.BUCKET_COL}={b}")
                 pre = os.path.join(pre_root, f"{self.BUCKET_COL}={b}")
-                if os.path.exists(pre):
+                if self.fs.exists(pre):
                     # retracted: drop whatever is live, restore original
-                    shutil.rmtree(live, ignore_errors=True)
-                    os.replace(pre, live)
+                    self.fs.rmtree(live)
+                    self.fs.replace(pre, live)
                 elif not had_live:
                     # bucket did not exist pre-txn; a new copy may have
                     # been moved in already
-                    shutil.rmtree(live, ignore_errors=True)
+                    self.fs.rmtree(live)
                 # (pre absent + had_live: crash before this bucket's
                 # retraction — live still IS the original; keep it)
-            shutil.rmtree(pre_root, ignore_errors=True)
-            shutil.rmtree(os.path.join(self.root, op["tmp"]),
-                          ignore_errors=True)
+            self.fs.rmtree(pre_root)
+            self.fs.rmtree(os.path.join(self.root, op["tmp"]))
         elif kind == "filewrite":
             p = os.path.join(self.root, op["rel"])
             if op["had"] is None:
                 with contextlib.suppress(OSError):
-                    os.unlink(p)
+                    self.fs.unlink(p)
             else:
-                tmp = p + ".undo.tmp"
-                with open(tmp, "w") as f:
-                    f.write(op["had"])
-                os.replace(tmp, p)
+                self.fs.write_text_atomic(
+                    p, op["had"], tmp=p + ".undo.tmp"
+                )
 
     def _roll_forward(self) -> None:
         """Finish a committed txn's cleanup: drop pre-images and stage
@@ -421,21 +422,19 @@ class TableStore:
         retain = self._history_on()
         for op in spec.get("ops", []):
             if op["kind"] == "append":
-                shutil.rmtree(os.path.join(self.root, op["stage"]),
-                              ignore_errors=True)
+                self.fs.rmtree(os.path.join(self.root, op["stage"]))
             elif op["kind"] in ("bucket_swap", "swap"):
                 pre = os.path.join(self.root, op["pre"])
-                if retain and os.path.isdir(pre):
+                if retain and self.fs.isdir(pre):
                     # superseded pre-image files become the archive
                     # copies older manifests resolve to (swap pre = the
                     # whole old table dir; bucket_swap pre = kb= dirs,
                     # both already table-relative shaped)
                     self._archive_superseded(pre, op["table"])
-                shutil.rmtree(pre, ignore_errors=True)
-                shutil.rmtree(os.path.join(self.root, op["tmp"]),
-                              ignore_errors=True)
+                self.fs.rmtree(pre)
+                self.fs.rmtree(os.path.join(self.root, op["tmp"]))
         with contextlib.suppress(OSError):
-            os.unlink(self._txn_path("committed"))
+            self.fs.unlink(self._txn_path("committed"))
 
     def recover_transactions(self) -> str | None:
         """Resolve any crashed transaction at this root: a committed
@@ -452,11 +451,11 @@ class TableStore:
             # an unparseable-but-present lock file (torn write of the
             # very first journal flush) from a dead-or-any writer:
             # nothing was journaled, so nothing moved — drop the lock
-            if os.path.exists(self._txn_path("pending")) and (
+            if self.fs.exists(self._txn_path("pending")) and (
                 self._txn is None
             ):
                 with contextlib.suppress(OSError):
-                    os.unlink(self._txn_path("pending"))
+                    self.fs.unlink(self._txn_path("pending"))
                 return "back"
             return None
         if self._txn is not None and self._txn.token == pend.get("token"):
@@ -479,15 +478,13 @@ class TableStore:
         # after the unlink could race a fast new writer's fresh dirs
         self._sweep_orphan_txn_dirs()
         with contextlib.suppress(OSError):
-            os.unlink(self._txn_path("pending"))
+            self.fs.unlink(self._txn_path("pending"))
         return "back"
 
     def _sweep_orphan_txn_dirs(self) -> None:
-        for d in os.listdir(self.root):
-            if "__txn" in d and os.path.isdir(os.path.join(self.root, d)):
-                shutil.rmtree(
-                    os.path.join(self.root, d), ignore_errors=True
-                )
+        for d in self.fs.listdir(self.root):
+            if "__txn" in d and self.fs.isdir(os.path.join(self.root, d)):
+                self.fs.rmtree(os.path.join(self.root, d))
 
     @contextlib.contextmanager
     def transaction(self):
@@ -535,7 +532,7 @@ class TableStore:
             yield
         finally:
             with contextlib.suppress(OSError):
-                os.unlink(self._txn_path("pending"))
+                self.fs.unlink(self._txn_path("pending"))
             self._txn = None
 
     # -- streaming-ingestion batch markers -----------------------------------
@@ -556,8 +553,11 @@ class TableStore:
         exactly-once ingestion contract (see streaming/ingest.py)."""
         rel = self._marker_rel(stream_id)  # validates OUTSIDE the try
         try:
-            with open(os.path.join(self.root, rel)) as f:
-                return int(json.load(f)["batch_id"])
+            return int(
+                json.loads(
+                    self.fs.read_text(os.path.join(self.root, rel))
+                )["batch_id"]
+            )
         except (OSError, ValueError, KeyError):
             return -1
 
@@ -572,19 +572,15 @@ class TableStore:
         p = os.path.join(self.root, rel)
         if self._txn is not None and self._txn.explicit:
             try:
-                with open(p) as f:
-                    had = f.read()
+                had = self.fs.read_text(p)
             except OSError:
                 had = None
             self._journal_op(
                 f"_ingest/{stream_id}",
                 {"kind": "filewrite", "rel": rel, "had": had},
             )
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": int(batch_id)}, f)
-        os.replace(tmp, p)
+        self.fs.makedirs(os.path.dirname(p))
+        self.fs.write_text_atomic(p, json.dumps({"batch_id": int(batch_id)}))
 
     def _forbid_in_explicit_txn(self, verb: str) -> None:
         if self._txn is not None and self._txn.explicit:
@@ -618,9 +614,9 @@ class TableStore:
     # journaled pre-images: they TRUNCATE the table's history to the
     # post-maintenance state (floor marker + fresh manifest) — the
     # documented tradeoff; run them after ``vacuum_history`` would
-    # have pruned the tail anyway.  Archiving shares the commit log's
-    # local-filesystem-root assumption (os.replace), like
-    # rebucket/compact (see ``table_bytes``).
+    # have pruned the tail anyway.  Archiving runs through the same
+    # fsio primitives as the commit log, so it works on any
+    # rename-atomic root (see ``table_bytes``).
 
     _HISTORY_DIR = "_history"
 
@@ -633,17 +629,55 @@ class TableStore:
     def enable_history(self) -> None:
         """Turn on version retention for this store root (persisted —
         every instance/process over the root sees it, including crash
-        recovery, which must know to archive rather than delete)."""
-        os.makedirs(self._history_abs(), exist_ok=True)
-        tmp = self._history_abs("config.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"retain": True}, f)
-        os.replace(tmp, self._history_abs("config.json"))
+        recovery, which must know to archive rather than delete).
+
+        Tables that ALREADY hold data get an initial manifest at a
+        freshly allocated seq plus a history floor at that seq: their
+        enable-time state is readable as-of that version, and asking
+        for any earlier version raises (pre-enablement history was
+        never retained) instead of silently reading as empty —
+        'table was empty then' and 'history did not exist then' must
+        be distinguishable."""
+        with self._write_guard():
+            already = self._history_on()
+            self.fs.makedirs(self._history_abs())
+            self.fs.write_text_atomic(
+                self._history_abs("config.json"),
+                json.dumps({"retain": True}),
+                tmp=self._history_abs("config.json.tmp"),
+            )
+            if already:
+                return
+            preexisting = [
+                t for t in self._data_table_names() if self._has_data(t)
+            ]
+            if preexisting:
+                seq = self._next_seq()
+                for name in preexisting:
+                    self._write_manifest(name, seq, "enable", journal=False)
+                    self._set_history_floor(name, seq, "enable_history")
+
+    def _data_table_names(self) -> list[str]:
+        """Top-level table directories at the root (reserved dirs —
+        ``_history``/``_schema``/``_ingest``/journals — excluded)."""
+        try:
+            entries = self.fs.listdir(self.root)
+        except OSError:
+            return []
+        return sorted(
+            e
+            for e in entries
+            if not e.startswith(("_", "."))
+            and self.fs.isdir(os.path.join(self.root, e))
+        )
 
     def _history_on(self) -> bool:
         try:
-            with open(self._history_abs("config.json")) as f:
-                return bool(json.load(f).get("retain"))
+            return bool(
+                json.loads(
+                    self.fs.read_text(self._history_abs("config.json"))
+                ).get("retain")
+            )
         except (OSError, ValueError):
             return False
 
@@ -652,16 +686,12 @@ class TableStore:
         caller — allocation is single-writer by construction)."""
         p = self._history_abs("seq.json")
         try:
-            with open(p) as f:
-                cur = int(json.load(f)["seq"])
+            cur = int(json.loads(self.fs.read_text(p))["seq"])
         except (OSError, ValueError, KeyError):
             cur = 0
         nxt = cur + 1
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"seq": nxt}, f)
-        os.replace(tmp, p)
+        self.fs.makedirs(os.path.dirname(p))
+        self.fs.write_text_atomic(p, json.dumps({"seq": nxt}))
         return nxt
 
     def _table_data_files(self, name: str) -> list[str]:
@@ -669,7 +699,7 @@ class TableStore:
         only — sidecars/_SUCCESS never enter a manifest)."""
         base = self._path(name)
         out: list[str] = []
-        for dirpath, _dirs, files in os.walk(base):
+        for dirpath, _dirs, files in self.fs.walk(base):
             rel = os.path.relpath(dirpath, self.root)
             for fn in files:
                 if fn.endswith(".parquet"):
@@ -689,19 +719,34 @@ class TableStore:
                 f"_history/{name}",
                 {"kind": "filewrite", "rel": rel, "had": None},
             )
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self.fs.makedirs(os.path.dirname(p))
+        # record the AS-WRITTEN logical schema: a manifest mixing
+        # pre-/post-ADD-COLUMN footers must not depend on which file's
+        # footer Spark samples at read time (read_version pins this).
+        # All-nullable, because parquet reads resolve every column
+        # nullable — the as-of schema must equal the live-read schema
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        sch = self._evolved_struct(name)
+        if sch is not None:
+            sch = T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, True, f.metadata)
+                    for f in sch.fields
+                ]
+            )
+        self.fs.write_text_atomic(
+            p,
+            json.dumps(
                 {
                     "seq": seq,
                     "verb": verb,
                     "ts": time.time(),
                     "files": self._table_data_files(name),
-                },
-                f,
-            )
-        os.replace(tmp, p)
+                    "schema": sch.json() if sch is not None else None,
+                }
+            ),
+        )
 
     def _record_versions_in_txn(self) -> None:
         """Manifest every real table the open txn touched, BEFORE the
@@ -713,8 +758,7 @@ class TableStore:
             return
         seq_rel = self._history_rel("seq.json")
         try:
-            with open(os.path.join(self.root, seq_rel)) as f:
-                had = f.read()
+            had = self.fs.read_text(os.path.join(self.root, seq_rel))
         except OSError:
             had = None
         self._journal_op(
@@ -731,22 +775,22 @@ class TableStore:
         took is simply gone here); non-parquet leftovers are the
         caller's rmtree's problem."""
         dst_root = self._history_abs("files", table)
-        for dirpath, _dirs, files in os.walk(src_abs):
+        for dirpath, _dirs, files in self.fs.walk(src_abs):
             rel = os.path.relpath(dirpath, src_abs)
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
                 d = dst_root if rel == "." else os.path.join(dst_root, rel)
-                os.makedirs(d, exist_ok=True)
+                self.fs.makedirs(d)
                 with contextlib.suppress(OSError):
-                    os.replace(
+                    self.fs.replace(
                         os.path.join(dirpath, fn), os.path.join(d, fn)
                     )
 
     def _manifest_seqs(self, name: str) -> list[int]:
         d = self._history_abs("manifests", name)
         try:
-            names = os.listdir(d)
+            names = self.fs.listdir(d)
         except OSError:
             return []
         out = []
@@ -758,20 +802,24 @@ class TableStore:
 
     def _history_floor(self, name: str) -> int:
         try:
-            with open(
-                self._history_abs("manifests", name, "floor.json")
-            ) as f:
-                return int(json.load(f)["floor"])
+            return int(
+                json.loads(
+                    self.fs.read_text(
+                        self._history_abs(
+                            "manifests", name, "floor.json"
+                        )
+                    )
+                )["floor"]
+            )
         except (OSError, ValueError, KeyError):
             return 0
 
     def _set_history_floor(self, name: str, floor: int, reason: str) -> None:
         p = self._history_abs("manifests", name, "floor.json")
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"floor": int(floor), "reason": reason}, f)
-        os.replace(tmp, p)
+        self.fs.makedirs(os.path.dirname(p))
+        self.fs.write_text_atomic(
+            p, json.dumps({"floor": int(floor), "reason": reason})
+        )
 
     def list_versions(self, name: str) -> list[dict]:
         """Committed versions of ``name`` visible to ``read_version``:
@@ -779,10 +827,13 @@ class TableStore:
         out = []
         for seq in self._manifest_seqs(name):
             try:
-                with open(
-                    self._history_abs("manifests", name, f"{seq}.json")
-                ) as f:
-                    m = json.load(f)
+                m = json.loads(
+                    self.fs.read_text(
+                        self._history_abs(
+                            "manifests", name, f"{seq}.json"
+                        )
+                    )
+                )
             except (OSError, ValueError):
                 continue
             out.append(
@@ -798,8 +849,11 @@ class TableStore:
     def latest_version(self) -> int:
         """Highest commit seq allocated at this root (0 = none)."""
         try:
-            with open(self._history_abs("seq.json")) as f:
-                return int(json.load(f)["seq"])
+            return int(
+                json.loads(
+                    self.fs.read_text(self._history_abs("seq.json"))
+                )["seq"]
+            )
         except (OSError, ValueError, KeyError):
             return 0
 
@@ -828,17 +882,18 @@ class TableStore:
             # never written as of that seq: the declared empty table
             return self.table(name).limit(0)
         mseq = max(cands)
-        with open(
-            self._history_abs("manifests", name, f"{mseq}.json")
-        ) as f:
-            manifest = json.load(f)
+        manifest = json.loads(
+            self.fs.read_text(
+                self._history_abs("manifests", name, f"{mseq}.json")
+            )
+        )
         paths, missing = [], []
         for rel in manifest.get("files", ()):
             live = os.path.join(self.root, rel)
             arch = self._history_abs("files", rel)
-            if os.path.exists(live):
+            if self.fs.exists(live):
                 paths.append(live)
-            elif os.path.exists(arch):
+            elif self.fs.exists(arch):
                 paths.append(arch)
             else:
                 missing.append(rel)
@@ -853,7 +908,23 @@ class TableStore:
             )
         if not paths:
             return self.table(name).limit(0)
-        df = self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        sch_json = manifest.get("schema")
+        if sch_json:
+            # pin the manifest's as-written schema: an append AFTER an
+            # ADD COLUMN leaves the version's file set with mixed
+            # footers, and footer sampling could silently drop (or
+            # NULL out) the added column for the whole as-of read
+            from pyspark.sql import types as T  # noqa: PLC0415
+
+            reader = reader.schema(
+                T.StructType.fromJson(json.loads(sch_json))
+            )
+        else:
+            # pre-round-9 manifest without a recorded schema: merge
+            # all footers so no file's columns are silently dropped
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         if self.BUCKET_COL in df.columns:  # pre-partitioning snapshots
             df = df.drop(self.BUCKET_COL)
         return df
@@ -951,10 +1022,10 @@ class TableStore:
         for s in self._manifest_seqs(name):
             if s < seq:
                 with contextlib.suppress(OSError):
-                    os.unlink(
+                    self.fs.unlink(
                         self._history_abs("manifests", name, f"{s}.json")
                     )
-        shutil.rmtree(self._history_abs("files", name), ignore_errors=True)
+        self.fs.rmtree(self._history_abs("files", name))
         self._write_manifest(name, seq, verb, journal=False)
 
     def vacuum_history(
@@ -976,8 +1047,8 @@ class TableStore:
                 else sorted(
                     d
                     for d in (
-                        os.listdir(self._history_abs("manifests"))
-                        if os.path.isdir(self._history_abs("manifests"))
+                        self.fs.listdir(self._history_abs("manifests"))
+                        if self.fs.isdir(self._history_abs("manifests"))
                         else []
                     )
                 )
@@ -992,13 +1063,18 @@ class TableStore:
                 keep_refs: set[str] = set()
                 for s in seqs:
                     if s >= cut:
-                        with open(
-                            self._history_abs("manifests", t, f"{s}.json")
-                        ) as f:
-                            keep_refs.update(json.load(f).get("files", ()))
+                        keep_refs.update(
+                            json.loads(
+                                self.fs.read_text(
+                                    self._history_abs(
+                                        "manifests", t, f"{s}.json"
+                                    )
+                                )
+                            ).get("files", ())
+                        )
                 n = 0
                 froot = self._history_abs("files", t)
-                for dirpath, _dirs, files in os.walk(froot):
+                for dirpath, _dirs, files in self.fs.walk(froot):
                     for fn in files:
                         p = os.path.join(dirpath, fn)
                         rel = os.path.relpath(
@@ -1006,12 +1082,12 @@ class TableStore:
                         )
                         if rel not in keep_refs:
                             with contextlib.suppress(OSError):
-                                os.unlink(p)
+                                self.fs.unlink(p)
                                 n += 1
                 for s in seqs:
                     if s < cut:
                         with contextlib.suppress(OSError):
-                            os.unlink(
+                            self.fs.unlink(
                                 self._history_abs(
                                     "manifests", t, f"{s}.json"
                                 )
@@ -1043,18 +1119,16 @@ class TableStore:
 
     def _schema_override(self, name: str) -> dict | None:
         try:
-            with open(self._schema_override_path(name)) as f:
-                return json.load(f)
+            return json.loads(
+                self.fs.read_text(self._schema_override_path(name))
+            )
         except (OSError, ValueError):
             return None
 
     def _write_schema_override(self, name: str, spec: dict) -> None:
         p = self._schema_override_path(name)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(spec, f)
-        os.replace(tmp, p)
+        self.fs.makedirs(os.path.dirname(p))
+        self.fs.write_text_atomic(p, json.dumps(spec))
 
     def _base_struct(self, name: str):
         if name in CORE_SCHEMAS:
@@ -1062,29 +1136,99 @@ class TableStore:
         parent = name.removesuffix("_attribute")
         if parent in ATTRIBUTE_PARENTS:
             return attribute_schema(parent)
+        ov = self._schema_override(name)
+        if ov and ov.get("base"):  # declare_table'd ad-hoc table
+            from pyspark.sql import types as T  # noqa: PLC0415
+
+            return T.StructType.fromJson(ov["base"])
         return None
+
+    def declare_table(self, name: str, schema: str | Any) -> None:
+        """Declare an ad-hoc (non-catalog) table's schema — the lake
+        analog of CREATE TABLE for tables the genomics catalog doesn't
+        know (e.g. standing sketch registers).  ``schema`` is a DDL
+        string ("j long, M int") or a StructType.  After this, every
+        store verb (``table``/``store_records``/``upsert``/history)
+        treats the name like a catalog table: reads of a never-written
+        table return the declared empty frame, writes align/cast to
+        it, and schema evolution applies.  Idempotent for an identical
+        schema; refuses redeclaration with a different one (evolve via
+        ``add_column``/``drop_column`` instead)."""
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        if name in CORE_SCHEMAS or name.removesuffix(
+            "_attribute"
+        ) in ATTRIBUTE_PARENTS:
+            raise ValueError(
+                f"{name!r} is a catalog table; its schema is declared"
+            )
+        struct = (
+            T._parse_datatype_string(schema)
+            if isinstance(schema, str)
+            else schema
+        )
+        if not isinstance(struct, T.StructType):
+            raise ValueError(f"not a struct schema: {schema!r}")
+        with self._write_guard():
+            ov = self._schema_override(name)
+            if ov and ov.get("base"):
+                if ov["base"] == struct.jsonValue():
+                    return
+                raise ValueError(
+                    f"{name!r} already declared with a different "
+                    "schema; use add_column/drop_column to evolve it"
+                )
+            spec = ov or {"add": [], "drop": [], "enums": {}, "uniques": []}
+            spec["base"] = struct.jsonValue()
+            self._write_schema_override(name, spec)
 
     def _evolved_struct(self, name: str):
         """Declared schema with the override applied (drops removed,
         adds appended), or None when the table has neither a declared
-        base nor an override."""
+        base nor an override.  SESSION-TYPED: under
+        ``spark.sql.timestampType=TIMESTAMP_NTZ`` the write verbs'
+        ``cast("timestamp")`` resolves to NTZ, so files carry NTZ —
+        the declared struct must say the same or every schema pin
+        (live evolved reads, as-of manifest reads, empty-table frames)
+        would disagree with what a footer read returns."""
         from pyspark.sql import types as T  # noqa: PLC0415
 
         base = self._base_struct(name)
         ov = self._schema_override(name)
-        if base is None or ov is None:
-            return base
-        dropped = set(ov.get("drop", ()))
-        fields = [f for f in base.fields if f.name not in dropped]
-        for add in ov.get("add", ()):
-            fields.append(
-                T.StructField(
-                    add["name"],
-                    T._parse_datatype_string(add["dtype"]),
-                    nullable=True,
+        if base is not None and ov is not None:
+            dropped = set(ov.get("drop", ()))
+            fields = [f for f in base.fields if f.name not in dropped]
+            for add in ov.get("add", ()):
+                fields.append(
+                    T.StructField(
+                        add["name"],
+                        T._parse_datatype_string(add["dtype"]),
+                        nullable=True,
+                    )
                 )
+            base = T.StructType(fields)
+        if base is None:
+            return None
+        if (
+            self.spark.conf.get(
+                "spark.sql.timestampType", "TIMESTAMP_LTZ"
             )
-        return T.StructType(fields)
+            == "TIMESTAMP_NTZ"
+        ):
+            base = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        T.TimestampNTZType()
+                        if isinstance(f.dataType, T.TimestampType)
+                        else f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in base.fields
+                ]
+            )
+        return base
 
     def _evolution_guard(self, name: str, verb: str) -> dict:
         self._forbid_in_explicit_txn(verb)
@@ -1296,7 +1440,7 @@ class TableStore:
         one child semi-probe per referencing FK."""
         sdir = os.path.join(self.root, "_schema")
         try:
-            names = os.listdir(sdir)
+            names = self.fs.listdir(sdir)
         except OSError:
             return
         for fn in names:
@@ -1336,6 +1480,10 @@ class TableStore:
             return
         part = self.partitioning_of(name)
         for cols in uniques:
+            if not set(cols) <= set(aligned.columns):
+                # partial batch (merge path) without the unique
+                # columns: those columns insert as NULL == exempt
+                continue
             batch = aligned.na.drop(subset=cols)
             dup = (
                 batch.groupBy(*cols)
@@ -1398,7 +1546,7 @@ class TableStore:
 
     def _read_raw(self, name: str) -> DataFrame:
         p = self._path(name)
-        if os.path.exists(self._txn_path("pending")):
+        if self.fs.exists(self._txn_path("pending")):
             pend = self._read_journal("pending")
             if (
                 pend is not None
@@ -1438,7 +1586,7 @@ class TableStore:
                     "TableStore.recover_transactions() if the writer "
                     "crashed"
                 )
-        if os.path.exists(p + "__splitting"):
+        if self.fs.exists(p + "__splitting"):
             # a crashed incremental rebucket: the live tree may be
             # missing a bucket (retracted into the temp) or holding a
             # partial sibling move — plain reads would silently drop
@@ -1450,7 +1598,7 @@ class TableStore:
                 "mid-bucket; call TableStore.resume_rebucket("
                 f"{name!r}) before reading"
             )
-        if os.path.exists(p + "__precompact"):
+        if self.fs.exists(p + "__precompact"):
             # a crashed TABLE-LEVEL swap (_swap / enable_partitioning)
             # left the previous copy renamed aside — and possibly the
             # live dir ABSENT, in which case a plain read would
@@ -1464,11 +1612,11 @@ class TableStore:
                 "the store root (it RESTORES a live-absent "
                 "__precompact) before reading"
             )
-        if os.path.exists(p):
+        if self.fs.exists(p):
             stranded = [
                 d
-                for d in os.listdir(p)
-                if os.path.isdir(os.path.join(p, d))
+                for d in self.fs.listdir(p)
+                if self.fs.isdir(os.path.join(p, d))
                 and (
                     d.endswith(("__precompact", "__compacting", "__tmp"))
                     # a _temporary dir is Spark's in-flight append
@@ -1548,8 +1696,8 @@ class TableStore:
         txn names the table anymore."""
         p = self._path(name)
         files = []
-        if os.path.exists(p):
-            for dirpath, _dirs, fnames in os.walk(p):
+        if self.fs.exists(p):
+            for dirpath, _dirs, fnames in self.fs.walk(p):
                 for fn in fnames:
                     if fn.endswith(".parquet"):
                         files.append(os.path.join(dirpath, fn))
@@ -1590,9 +1738,9 @@ class TableStore:
     def _has_data(self, name: str) -> bool:
         """True iff the table has at least one parquet file on disk."""
         p = self._path(name)
-        return os.path.exists(p) and any(
+        return self.fs.exists(p) and any(
             f.endswith(".parquet")
-            for _, _, files in os.walk(p)
+            for _, _, files in self.fs.walk(p)
             for f in files
         )
 
@@ -1603,16 +1751,13 @@ class TableStore:
         the SIGNAL works on any scheme a real deployment points
         ``root`` at; 0 for a never-written table.
 
-        .. note:: The MAINTENANCE this signal triggers does not (yet)
-           share that reach: the rebucket/split/resume protocol and
-           the sidecar/commit writes use ``os.replace``/``shutil``,
-           which require a LOCAL (or local-mounted, e.g. NFS/fuse)
-           filesystem root.  On an object-store root (s3a://, gs://)
-           reads and appends work, but ``rebucket``/``compact``/
-           ``maybe_rebucket`` and every ``_swap``-based mutation must
-           be routed through a rename-capable root — run maintenance
-           against a mounted view, or port the rename/delete steps to
-           the Hadoop FS handle this method already obtains."""
+        Round-9: the MAINTENANCE this signal triggers now shares that
+        reach — every sidecar/journal/manifest/rename primitive runs
+        through ``self.fs`` (fsio.py), so rebucket/compact/``_swap``
+        and the commit log work on any rename-atomic scheme
+        (``hdfs://``, ``file://``, ``viewfs://``).  Object-store
+        schemes without atomic rename are refused at construction
+        with the reason (fsio.open_fs)."""
         p = self._path(name)
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
@@ -1663,10 +1808,10 @@ class TableStore:
                 # flatten the layout — table() would stop dropping the
                 # internal kb column)
                 keys, n_buckets = part
-                with open(
-                    os.path.join(tmp, "_partitioning.json"), "w"
-                ) as f:
-                    json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+                self.fs.write_text_atomic(
+                    os.path.join(tmp, "_partitioning.json"),
+                    json.dumps({"keys": keys, "n_buckets": n_buckets}),
+                )
 
         if self._txn is not None and self._txn.explicit:
             # inside a transaction the pre-image must survive until
@@ -1702,14 +1847,14 @@ class TableStore:
             "table": name,
             "pre": pre_rel,
             "tmp": tmp_rel,
-            "had_live": os.path.exists(live),
+            "had_live": self.fs.exists(live),
         }
         self._journal_op(name, op)
         tmp = os.path.join(self.root, tmp_rel)
         write_fn(tmp)
         if op["had_live"]:
-            os.replace(live, os.path.join(self.root, pre_rel))
-        os.replace(tmp, live)
+            self.fs.replace(live, os.path.join(self.root, pre_rel))
+        self.fs.replace(tmp, live)
 
     # -- hash-bucket partitioning (partition-scoped MERGE substrate) --------
 
@@ -1742,8 +1887,7 @@ class TableStore:
         the expansion, pruning to buckets that no longer hold the
         rows."""
         try:
-            with open(self._sidecar(name)) as f:
-                return json.load(f)
+            return json.loads(self.fs.read_text(self._sidecar(name)))
         except (OSError, ValueError):
             return None
 
@@ -1755,10 +1899,7 @@ class TableStore:
         return spec if spec is not None and "splitting_to" in spec else None
 
     def _write_sidecar_atomic(self, name: str, spec: dict) -> None:
-        tmp = self._sidecar(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(spec, f)
-        os.replace(tmp, self._sidecar(name))
+        self.fs.write_text_atomic(self._sidecar(name), json.dumps(spec))
 
     def _check_mutable(self, name: str) -> None:
         """Mutations and appends REFUSE while an incremental rebucket
@@ -1878,7 +2019,7 @@ class TableStore:
                 self._journal_op(
                     name, {"kind": "sidecar", "table": name, "had": None}
                 )
-            os.makedirs(self._path(name), exist_ok=True)
+            self.fs.makedirs(self._path(name))
             # atomic (tmp + rename): a torn sidecar parses as
             # unpartitioned and the next append would land FLAT
             self._write_sidecar_atomic(
@@ -1901,10 +2042,10 @@ class TableStore:
             )
             # sidecar INSIDE the temp dir: spec + data swap in
             # atomically (see _swap)
-            with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
-                json.dump(
-                    {"keys": list(keys), "n_buckets": n_buckets}, f
-                )
+            self.fs.write_text_atomic(
+                os.path.join(tmp, "_partitioning.json"),
+                json.dumps({"keys": list(keys), "n_buckets": n_buckets}),
+            )
 
         if self._txn is not None and self._txn.explicit:
             # conversion rewrite inside a transaction: the pre-image
@@ -1994,8 +2135,10 @@ class TableStore:
             .partitionBy(self.BUCKET_COL)
             .parquet(tmp)
         )
-        with open(os.path.join(tmp, "_partitioning.json"), "w") as f:
-            json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+        self.fs.write_text_atomic(
+            os.path.join(tmp, "_partitioning.json"),
+            json.dumps({"keys": keys, "n_buckets": n_buckets}),
+        )
         swap_directory(self.spark, self._path(name), tmp)
 
     def _split_one_bucket(
@@ -2019,8 +2162,8 @@ class TableStore:
         delete-children-then-restore depends on."""
         path = self._path(name)
         tmp = path + "__splitting"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        if self.fs.exists(tmp):
+            self.fs.rmtree(tmp)
         live = os.path.join(path, f"{self.BUCKET_COL}={b}")
         (
             self._cluster_by_bucket(
@@ -2033,12 +2176,12 @@ class TableStore:
             .partitionBy(self.BUCKET_COL)
             .parquet(tmp)
         )
-        os.replace(live, os.path.join(tmp, f"__old_{self.BUCKET_COL}={b}"))
+        self.fs.replace(live, os.path.join(tmp, f"__old_{self.BUCKET_COL}={b}"))
         for k in range(new // old):
             child = f"{self.BUCKET_COL}={b + k * old}"
             src = os.path.join(tmp, child)
-            if os.path.exists(src):
-                os.replace(src, os.path.join(path, child))
+            if self.fs.exists(src):
+                self.fs.replace(src, os.path.join(path, child))
         # SUPERSEDE the retracted copy with one atomic rename BEFORE
         # deleting anything: rmtree is not atomic, and a crash midway
         # through it would leave a PARTIAL __old marker that recovery
@@ -2047,11 +2190,11 @@ class TableStore:
         # marker renamed aside, recovery sees a markerless temp (a
         # dead partial write) and simply drops it; the children are
         # already complete in the live tree.
-        os.replace(
+        self.fs.replace(
             os.path.join(tmp, f"__old_{self.BUCKET_COL}={b}"),
             os.path.join(tmp, f"__superseded_{self.BUCKET_COL}={b}"),
         )
-        shutil.rmtree(tmp)
+        self.fs.rmtree(tmp)
 
     def _split_rebucket(
         self, name: str, keys: list[str], old: int, new: int
@@ -2083,12 +2226,12 @@ class TableStore:
             # implies every existing child came from the current
             # attempt and is reconstructible from the marker.
             already_split = any(
-                os.path.exists(
+                self.fs.exists(
                     os.path.join(path, f"{self.BUCKET_COL}={b + k * old}")
                 )
                 for k in range(1, new // old)
             )
-            if not already_split and os.path.exists(
+            if not already_split and self.fs.exists(
                 os.path.join(path, f"{self.BUCKET_COL}={b}")
             ):
                 self._split_one_bucket(name, keys, old, new, b)
@@ -2125,14 +2268,14 @@ class TableStore:
         path = self._path(name)
         tmp = path + "__splitting"
         if st is None:
-            if os.path.exists(tmp):  # flip already happened
-                shutil.rmtree(tmp)
+            if self.fs.exists(tmp):  # flip already happened
+                self.fs.rmtree(tmp)
             return
         old, new = int(st["n_buckets"]), int(st["splitting_to"])
-        if os.path.exists(tmp):
+        if self.fs.exists(tmp):
             marker = [
                 d
-                for d in os.listdir(tmp)
+                for d in self.fs.listdir(tmp)
                 if d.startswith(f"__old_{self.BUCKET_COL}=")
             ]
             if marker:
@@ -2141,13 +2284,13 @@ class TableStore:
                     child = os.path.join(
                         path, f"{self.BUCKET_COL}={b + k * old}"
                     )
-                    if os.path.exists(child):
-                        shutil.rmtree(child)
-                os.replace(
+                    if self.fs.exists(child):
+                        self.fs.rmtree(child)
+                self.fs.replace(
                     os.path.join(tmp, marker[0]),
                     os.path.join(path, f"{self.BUCKET_COL}={b}"),
                 )
-            shutil.rmtree(tmp)
+            self.fs.rmtree(tmp)
         self._split_rebucket(name, list(st["keys"]), old, new)
 
     def maybe_rebucket(
@@ -2288,17 +2431,17 @@ class TableStore:
             self._txn_merge_buckets(name, touched, out)
             return
         tmp_root = path + "__merging"
-        if os.path.exists(tmp_root):
-            shutil.rmtree(tmp_root)
+        if self.fs.exists(tmp_root):
+            self.fs.rmtree(tmp_root)
         out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
             tmp_root
         )
         for b in touched:
             live = f"{path}/{self.BUCKET_COL}={b}"
             tmp = f"{tmp_root}/{self.BUCKET_COL}={b}"
-            if os.path.exists(tmp):
+            if self.fs.exists(tmp):
                 swap_directory(self.spark, live, tmp)
-            elif os.path.exists(live):
+            elif self.fs.exists(live):
                 # every row in the bucket was deleted: rename the live
                 # dir INTO the merge temp tree (atomic, same fs) before
                 # anything is removed — a crash mid-delete then leaves
@@ -2306,11 +2449,11 @@ class TableStore:
                 # reads, swept by cleanup_compaction_leftovers), never
                 # a half-deleted live bucket that reads as a random
                 # subset of the old rows
-                os.replace(
+                self.fs.replace(
                     live,
                     os.path.join(tmp_root, f"__deleted_{self.BUCKET_COL}={b}"),
                 )
-        shutil.rmtree(tmp_root, ignore_errors=True)
+        self.fs.rmtree(tmp_root)
 
     def _txn_merge_buckets(
         self, name: str, touched: list[int], out: DataFrame
@@ -2340,7 +2483,7 @@ class TableStore:
             "buckets": [
                 [
                     int(b),
-                    os.path.exists(
+                    self.fs.exists(
                         os.path.join(path, f"{self.BUCKET_COL}={b}")
                     ),
                 ]
@@ -2353,16 +2496,16 @@ class TableStore:
         out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
             tmp_root
         )
-        os.makedirs(pre_root, exist_ok=True)
+        self.fs.makedirs(pre_root)
         for b, had_live in op["buckets"]:
             live = os.path.join(path, f"{self.BUCKET_COL}={b}")
             new = os.path.join(tmp_root, f"{self.BUCKET_COL}={b}")
             if had_live:
-                os.replace(
+                self.fs.replace(
                     live, os.path.join(pre_root, f"{self.BUCKET_COL}={b}")
                 )
-            if os.path.exists(new):
-                os.replace(new, live)
+            if self.fs.exists(new):
+                self.fs.replace(new, live)
             # (no new dir = every row of the bucket deleted: the
             # retraction above already removed it from the live tree)
 
@@ -2390,7 +2533,7 @@ class TableStore:
             w = w.partitionBy(self.BUCKET_COL)
         w.parquet(stage)
         moves: list[tuple[str, str]] = []
-        for dirpath, _dirs, files in os.walk(stage):
+        for dirpath, _dirs, files in self.fs.walk(stage):
             relsub = os.path.relpath(dirpath, stage)
             for fn in files:
                 if not fn.endswith(".parquet"):
@@ -2406,9 +2549,9 @@ class TableStore:
             self._write_journal()
         for src, dst_rel in moves:
             dst = os.path.join(self.root, dst_rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-        shutil.rmtree(stage, ignore_errors=True)
+            self.fs.makedirs(os.path.dirname(dst))
+            self.fs.replace(src, dst)
+        self.fs.rmtree(stage)
 
     def store_records(
         self, name: str, data: DataFrame, validate: bool = True
@@ -2795,6 +2938,44 @@ class TableStore:
         with self.transaction():
             self._upsert_locked(name, updates, on, update_columns)
 
+    def _enforce_merge_constraints(
+        self, name: str, updates: DataFrame, on: list[str]
+    ) -> None:
+        """Constraint enforcement for the MERGE path (round-9): the
+        reference DB enforced UNIQUE/FK/enum on EVERY write, but until
+        now only ``store_records`` checked them — an upsert (or the
+        CDC apply path, which routes inserts through upsert) could
+        create an orphan-FK child row or duplicate a UNIQUE key.
+
+        Cost-gated: the probes run only when the table actually
+        declares constraints (or has enum columns), so unconstrained
+        merges pay nothing.  FKs and enums bind UPDATED values too, so
+        they check the whole batch; UNIQUE checks only the brand-new
+        (anti-joined) insert subset — a matched row legitimately
+        'collides' with itself."""
+        spec = self._schema_override(name) or {}
+        doms = name in ENUMS or bool(spec.get("enums"))
+        if not (spec.get("uniques") or spec.get("fks") or doms):
+            return
+        self._enforce_fks(name, updates)
+        if doms:
+            bad = validate_enums(
+                updates, name, spec.get("enums") or None
+            )
+            if not bad.isEmpty():
+                row = bad.first()
+                raise ValueError(
+                    f"enum violation in {name} (upsert): "
+                    f"{row['enum_violation']}"
+                )
+        if spec.get("uniques"):
+            inserts = updates
+            if self._has_data(name):
+                inserts = updates.join(
+                    self.table(name).select(*on), on=on, how="left_anti"
+                )
+            self._enforce_uniques(name, inserts)
+
     def _upsert_locked(
         self,
         name: str,
@@ -2803,7 +2984,7 @@ class TableStore:
         update_columns: list[str] | None,
     ) -> None:
         part = self.partitioning_of(name)
-        if part is not None and os.path.exists(self._path(name)):
+        if part is not None and self.fs.exists(self._path(name)):
             keys, n_buckets = part
             if not set(keys) <= set(on):
                 raise ValueError(
@@ -2817,6 +2998,7 @@ class TableStore:
                     f"partition-scoped upsert on {name} cannot update "
                     f"bucket key columns {sorted(set(update_columns) & set(keys))}"
                 )
+            self._enforce_merge_constraints(name, updates, on)
             touched = self._touched_buckets(updates, keys, n_buckets)
             if not touched:
                 return
@@ -2826,6 +3008,7 @@ class TableStore:
                 lambda cur: merge_upsert(cur, updates, on, update_columns),
             )
             return
+        self._enforce_merge_constraints(name, updates, on)
         merged = merge_upsert(self.table(name), updates, on, update_columns)
         self._swap(name, merged)
 
@@ -2842,7 +3025,7 @@ class TableStore:
         self, name: str, keys: DataFrame, on: list[str]
     ) -> None:
         part = self.partitioning_of(name)
-        if part is not None and os.path.exists(self._path(name)):
+        if part is not None and self.fs.exists(self._path(name)):
             bkeys, n_buckets = part
             if not set(bkeys) <= set(on):
                 raise ValueError(

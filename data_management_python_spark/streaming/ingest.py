@@ -188,12 +188,13 @@ def hll_monitor_batch(
 
     if batch_id <= store.get_stream_marker(stream_id):
         return False
-    path = store._path(table)
-    spark = batch_df.sparkSession
-    if not store._has_data(table):
-        spark.createDataFrame([], "j long, M int").write.mode(
-            "overwrite"
-        ).parquet(path)
+    # declare (don't directly write) the register table: the schema
+    # lands through the store's own catalog surface, so reads of the
+    # never-written table return the declared empty frame and the
+    # first upsert below creates the data under the same commit log
+    # and writer lock as every other mutation (round-9, was a direct
+    # parquet write through private APIs)
+    store.declare_table(table, "j long, M int")
     batch_regs = stats.hll_registers(batch_df, col, p).select(
         F.col("__j").alias("j"), F.col("__M").alias("M")
     )

@@ -49,6 +49,19 @@ sys.path.insert(0, REPO)
 
 HASHES_PATH = os.path.join(REPO, "PLAN_HASHES.json")
 
+#: the ONE scale factor every digest is computed at.  Six queries
+#: embed data-derived literals in their analyzed plans (volume-sized
+#: bloom bits, decile/RFM quantile boundaries, pagerank 1/N, tf-idf
+#: vocab, pack-sequences prefix target), so a digest is only
+#: comparable to another digest computed at the SAME sf_dir — round-8
+#: shipped a sidecar regenerated at sf0.1 that a sf0.01 selfcheck
+#: then "destabilized".  Every caller (main(), selfcheck) digests at
+#: this pinned dir; two consecutive runs at ANY check SF now write
+#: byte-identical PLAN_HASHES.json (pinned by
+#: tests/test_plan_hashes_fresh.py's src-digest tripwire plus the
+#: two-fresh-session full-registry diff run for round 9).
+DIGEST_SF_DIR = "/root/testdata/sf0.001"
+
 
 def _rounds_present() -> int:
     return len(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
@@ -199,7 +212,7 @@ def regenerate(spark, sf_dir: str) -> list[str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DIGEST_SF_DIR
     from data_management_python_spark.session import get_spark
 
     spark = get_spark(app_name="plan_hashes")

@@ -188,11 +188,18 @@ def main():
         # entry): regenerate the plan-digest sidecar so a query change
         # can never ship with a stale PLAN_HASHES.json (round-7;
         # vanilla sessions skip it — ANSI-mode analysis inserts
-        # different cast nodes and would churn digests)
-        from plan_hashes import regenerate  # noqa: PLC0415
+        # different cast nodes and would churn digests).
+        # ALWAYS at the pinned DIGEST_SF_DIR, never this run's sf_dir:
+        # six queries embed data-derived literals in their analyzed
+        # plans (volume-sized bloom bits, decile/RFM quantile
+        # boundaries, pagerank 1/N, tf-idf vocab, pack prefix target),
+        # so digests computed at different SFs legitimately differ —
+        # round-8's "unstable digests" were exactly a sf0.1-final
+        # regeneration diffed against a sf0.01 rerun (round-9 fix)
+        from plan_hashes import DIGEST_SF_DIR, regenerate  # noqa: PLC0415
 
         print()
-        regenerate(spark, sf_dir)
+        regenerate(spark, DIGEST_SF_DIR)
     ratio = spark_total / duck_total if duck_total else float("nan")
     print(
         f"\n{n_pass} pass, {n_fail} fail | spark {spark_total:.1f}s vs "
