@@ -3536,3 +3536,54 @@ def e_hll_user_cardinality(spark, sf_dir):
             ).alias("rel_error"),
         )
     )
+
+
+@_q(
+    "e_cms_stream_registers",
+    """
+    WITH jr AS (
+      SELECT u.i,
+             CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 256 AS b
+      FROM events, UNNEST([0, 1, 2, 3]) AS u(i)
+    )
+    SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM jr GROUP BY i, b
+    """,
+    doc="standing Count-Min register table built by the STREAMING "
+    "frequency monitor (streaming/ingest.cms_monitor_batch): events "
+    "arrive as 4 micro-batches with batch 1 DELIVERED TWICE (the "
+    "at-least-once re-delivery foreachBatch can produce) — each batch "
+    "SUM-merges its registers + the stream marker in one store "
+    "transaction.  CMS merge is SUM, not idempotent like the HLL's "
+    "max, so the exactly-once marker is load-bearing: the oracle IS "
+    "the one-shot full-corpus sketch, so any double-count fails the "
+    "hash.  Completes the sketch-monitor pair with "
+    "e_hll_user_cardinality; restart/replay also pinned by "
+    "tests/test_stream_ingest.py",
+)
+def e_cms_stream_registers(spark, sf_dir):
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_management_python_spark.store import TableStore  # noqa: PLC0415
+    from data_management_python_spark.streaming.ingest import (  # noqa: PLC0415
+        cms_monitor_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="cmsmon_")
+    try:
+        store = TableStore(spark, root)
+        for bid in (0, 1, 1, 2, 3):  # the second 1 is the replay
+            batch = ev.filter(F.col("user_id") % 4 == bid).select(
+                "user_id"
+            )
+            cms_monitor_batch(
+                store, "cms_users", batch, bid, "ev-cms", "user_id",
+                depth=4, width=256,
+            )
+        return store.table("cms_users").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -57,6 +57,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import socket
 import threading
 import time
 import uuid
@@ -185,6 +186,16 @@ class TableStore:
         #: raising ConcurrentWriterError (a DEAD one is recovered and
         #: taken over immediately)
         self.lock_timeout = 60.0
+        #: seconds a FOREIGN-host writer's lock must sit unrefreshed
+        #: (journal mtime) before takeover — pid liveness is only
+        #: judgeable on the owner's host, so cross-host recovery is
+        #: lease-based.  Every journaled op refreshes the mtime; set
+        #: this ABOVE the longest single Spark write a transaction
+        #: performs between journal entries, or an active foreign
+        #: writer mid-write could be usurped.  Same-host recovery is
+        #: unaffected (immediate on dead pid).
+        self.cross_host_lease = 600.0
+        self._host = socket.gethostname()
         self._txn: _Txn | None = None
         # serializes journal mutations when a transaction overlaps
         # independent table writes on worker threads (see
@@ -234,9 +245,12 @@ class TableStore:
     # lacking them are refused at construction);
     # one TableStore instance per thread (the lock serializes
     # instances/processes, not threads sharing one instance); writer
-    # liveness is judged by pid on THIS host — a lock from a dead pid
-    # is recovered and taken over, a live one is awaited up to
-    # ``lock_timeout``.  upsert/delete_where participate in open
+    # liveness is judged by pid for SAME-host locks (dead pid ->
+    # immediate recovery and takeover; live -> awaited up to
+    # ``lock_timeout``) and by an mtime LEASE for FOREIGN-host locks
+    # (``cross_host_lease`` since the last journal write — pid
+    # numbers don't travel across hosts, and two NFS writers must
+    # never both judge each other dead).  upsert/delete_where participate in open
     # transactions (their touched buckets keep pre-images until
     # commit); rebucket/compact/resume_rebucket are MAINTENANCE, not
     # data mutations, and stay forbidden inside a transaction — run
@@ -258,6 +272,7 @@ class TableStore:
         spec = {
             "token": t.token,
             "pid": os.getpid(),
+            "host": self._host,
             "ts": time.time(),
             "explicit": t.explicit,
             "tables": t.tables,
@@ -292,6 +307,25 @@ class TableStore:
             return True  # exists but not ours / unjudgeable: assume live
         return True
 
+    def _writer_dead(self, pend: dict) -> bool:
+        """Is the pending journal's writer safely considered dead?
+        SAME host (or a pre-round-9 journal without a host field):
+        pid liveness, immediate.  FOREIGN host: pid numbers are
+        meaningless here — two NFS/HDFS writers on different hosts
+        must never both judge each other dead — so takeover waits for
+        the mtime LEASE to expire (every journal write refreshes it);
+        an actively journaling foreign writer is never usurped."""
+        host = pend.get("host")
+        if host is None or host == self._host:
+            return not self._pid_alive(pend.get("pid", -1))
+        try:
+            age = time.time() - self.fs.getmtime(
+                self._txn_path("pending")
+            )
+        except OSError:
+            return False  # lock vanished: the caller's loop retries
+        return age > self.cross_host_lease
+
     def _acquire_lock(self, explicit: bool) -> _Txn:
         self.fs.makedirs(os.path.dirname(self._txn_path("pending")))
         deadline = time.monotonic() + self.lock_timeout
@@ -304,7 +338,7 @@ class TableStore:
                 self.fs.create_exclusive(self._txn_path("pending"))
             except FileExistsError:
                 pend = self._read_journal("pending")
-                if pend is not None and not self._pid_alive(pend.get("pid", -1)):
+                if pend is not None and self._writer_dead(pend):
                     # abandoned by a dead writer: roll it back and retry
                     self.recover_transactions()
                     continue
@@ -463,7 +497,16 @@ class TableStore:
                 "recover_transactions called inside this store's own "
                 "open transaction"
             )
-        if self._pid_alive(pend.get("pid", -1)):
+        if not self._writer_dead(pend):
+            owner = pend.get("host")
+            if owner is not None and owner != self._host:
+                raise ConcurrentWriterError(
+                    f"store {self.root!r} is locked by a writer on "
+                    f"foreign host {owner!r} (pid liveness is not "
+                    "judgeable across hosts); takeover only after "
+                    f"its lease ({self.cross_host_lease}s since the "
+                    "last journal write) expires"
+                )
             raise ConcurrentWriterError(
                 f"store {self.root!r} has a LIVE writer "
                 f"(pid {pend.get('pid')}); not rolling back live work"

@@ -236,3 +236,85 @@ def stream_hll_into_store(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_monitor_batch(
+    store: TableStore,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> bool:
+    """Fold one micro-batch into a standing Count-Min register table —
+    the streaming FREQUENCY monitor, completing the sketch pair with
+    :func:`hll_monitor_batch` (reference parity: the demultiplexing
+    stats the reference polled per run, kept as a running sketch).
+    The standing table holds <= depth x width rows (i, b, c); each
+    batch computes its own registers (one bounded agg) and SUM-merges
+    them with the standing rows in ONE store transaction with the
+    stream marker.
+
+    Exactly-once is load-bearing here in a way it is not for the HLL:
+    CMS merge is SUM, NOT idempotent — a replayed batch without the
+    marker would double-count every token it carries (the HLL's
+    max-merge would shrug it off).  The marker commits in the same
+    transaction as the register upsert, so a crash between them is
+    impossible and foreachBatch's at-least-once re-delivery becomes
+    exactly-once (pinned by test: forced replay of a committed batch
+    id is a no-op and total counter mass stays depth x corpus rows).
+    """
+    from data_management_python_spark.llmdata import stats  # noqa: PLC0415
+
+    if batch_id <= store.get_stream_marker(stream_id):
+        return False
+    store.declare_table(table, "i int, b long, c long")
+    batch_regs = stats.cms_registers(
+        batch_df, col, depth=depth, width=width
+    ).select(
+        F.col("__i").cast("int").alias("i"),
+        F.col("__b").alias("b"),
+        F.col("__c").alias("c"),
+    )
+    merged = (
+        store.table(table)
+        .unionByName(batch_regs)
+        .groupBy("i", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    with store.transaction():
+        store.upsert(table, merged, on=["i", "b"])
+        store.set_stream_marker(stream_id, batch_id)
+    return True
+
+
+def stream_cms_into_store(
+    stream_df: DataFrame,
+    store: TableStore,
+    table: str,
+    col: str,
+    stream_id: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    trigger_once: bool = False,
+):
+    """Run a stream into a standing Count-Min register table (see
+    :func:`cms_monitor_batch`).  Returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cms_monitor_batch(
+            store, table, batch_df, batch_id, stream_id, col,
+            depth=depth, width=width,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -21,6 +21,7 @@ import json
 import os
 import subprocess
 import threading
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -754,3 +755,58 @@ def test_store_with_attributes_nested_in_user_txn(spark, root):
         key_column="project_id",
     )
     assert store.partitioning_of("project_attribute")[1] >= n0
+
+
+def test_cross_host_lock_not_taken_over_by_pid_liveness(spark, tmp_path):
+    """Round-9 (verdict item 4): pid liveness is only meaningful on
+    the lock owner's own host — two writers on different hosts over a
+    shared (NFS/HDFS) root must NOT both judge the other dead.  A
+    pending journal stamped with a FOREIGN host name is never
+    recovered by pid check; takeover needs the mtime LEASE to expire."""
+    root = str(tmp_path / "cat")
+    store = TableStore(spark, root)
+    store.store_records("project", _projects(spark, [1]))
+    # forge a foreign-host writer's live lock: dead pid ON THIS HOST,
+    # but the host field says another machine — pid is unjudgeable
+    store._acquire_lock(explicit=True)
+    pend = store._read_journal("pending")
+    pend["pid"] = _dead_pid()
+    pend["host"] = "some-other-host"
+    store.fs.write_text_atomic(
+        store._txn_path("pending"), json.dumps(pend)
+    )
+    store._txn = None
+    s2 = TableStore(spark, root)
+    s2.lock_timeout = 0.6
+    # acquire refuses: the foreign lock's lease has not expired
+    with pytest.raises(ConcurrentWriterError):
+        s2._acquire_lock(explicit=False)
+    # recovery refuses too — never roll back a possibly-live writer
+    with pytest.raises(ConcurrentWriterError, match="foreign host"):
+        s2.recover_transactions()
+    # expire the lease (backdate the journal mtime) -> takeover works
+    old = time.time() - s2.cross_host_lease - 10
+    os.utime(store._txn_path("pending"), (old, old))
+    assert s2.recover_transactions() == "back"
+    # and a plain verb now succeeds
+    s2.store_records("project", _projects(spark, [2]))
+    assert s2.table("project").count() == 2
+
+
+def test_same_host_dead_writer_still_recovered_fast(spark, tmp_path):
+    """The same-host path keeps its pid-liveness semantics: a dead
+    local writer's lock is rolled back and taken over immediately,
+    no lease wait."""
+    root = str(tmp_path / "cat")
+    store = TableStore(spark, root)
+    store._acquire_lock(explicit=True)
+    store.store_records("project", _projects(spark, [1]))
+    pend = store._read_journal("pending")
+    pend["pid"] = _dead_pid()  # host stays THIS host
+    store.fs.write_text_atomic(
+        store._txn_path("pending"), json.dumps(pend)
+    )
+    store._txn = None
+    s2 = TableStore(spark, root)
+    s2.store_records("project", _projects(spark, [5]))  # takes over inline
+    assert {r.project_id for r in s2.table("project").collect()} == {5}

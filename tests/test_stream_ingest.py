@@ -304,3 +304,83 @@ def test_stream_hll_monitor_registers_match_full_corpus(spark, dirs):
     ).first()
     exact = len(set(all_vals))
     assert abs(est.hll_estimate - exact) / exact < 0.25
+
+
+def test_stream_cms_monitor_registers_match_full_corpus(spark, dirs):
+    """Round-9 (verdict item 5): the streaming FREQUENCY monitor —
+    per-batch CMS registers SUM-merged into a standing store table
+    must equal the one-shot registers of the full corpus.  Unlike the
+    HLL's max-merge, SUM is NOT idempotent, so exactly-once hangs
+    entirely on the one-txn marker: a replayed batch id must be a
+    no-op (pinned below), or every restart would double-count."""
+    from data_management_python_spark.llmdata import stats
+    from data_management_python_spark.streaming.ingest import (
+        cms_monitor_batch,
+        stream_cms_into_store,
+    )
+
+    store = TableStore(spark, dirs["root"], attr_n_buckets=4)
+    all_vals = [f"tok{i % 37}" for i in range(600)]
+    for b in range(3):
+        spark.createDataFrame(
+            [(v,) for v in all_vals[b * 200 : (b + 1) * 200]],
+            "v string",
+        ).write.parquet(dirs["input"] + f"/b{b}")
+    stream = spark.readStream.schema("v string").parquet(
+        dirs["input"] + "/*"
+    )
+    from pyspark.sql import functions as F
+
+    q = stream_cms_into_store(
+        stream, store, "cms_tokens", "v", "cms-mon", dirs["ckpt"],
+        depth=4, width=64, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.i, r.b, r.c) for r in store.table("cms_tokens").collect()
+    }
+    want = {
+        (r["__i"], r["__b"], r["__c"])
+        for r in stats.cms_registers(
+            spark.createDataFrame([(v,) for v in all_vals], "v string"),
+            "v", depth=4, width=64,
+        ).collect()
+    }
+    assert got == want
+    # replayed batch id: the marker makes the SUM-merge exactly-once
+    replay = spark.createDataFrame([("tokX",)], "v string")
+    assert cms_monitor_batch(
+        store, "cms_tokens", replay, 0, "cms-mon", "v",
+        depth=4, width=64,
+    ) is False
+    assert {
+        (r.i, r.b, r.c) for r in store.table("cms_tokens").collect()
+    } == want
+    # a NEW batch folds in by SUM: total counter mass grows by
+    # depth x batch rows exactly
+    assert cms_monitor_batch(
+        store, "cms_tokens",
+        spark.createDataFrame([("tokX",), ("tokY",)], "v string"),
+        7, "cms-mon", "v", depth=4, width=64,
+    ) is True
+    total = sum(r.c for r in store.table("cms_tokens").collect())
+    assert total == 4 * 600 + 4 * 2
+    # point estimates off the standing table never underestimate
+    probes = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(37)], "v string"
+    )
+    regs = store.table("cms_tokens").select(
+        F.col("i").alias("__i"), F.col("b").alias("__b"),
+        F.col("c").alias("__c"),
+    )
+    est = {
+        r.v: r.cms_estimate
+        for r in stats.cms_point_estimates(
+            regs, probes, "v", depth=4, width=64
+        ).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(all_vals)
+    for v, n in exact.items():
+        assert est[v] >= n
