@@ -1203,44 +1203,156 @@ def ngram_novelty(
     )
 
 
-def cdc_chunk_stats(
+# -- content-defined chunking ------------------------------------------------
+#
+# Rabin-style polynomial rolling hash over the trailing ``window``
+# characters: h = sum_j cp[j] * B^(w-1-j) mod M, boundary when
+# h < M * boundary_mod / 256.  B = 263 deliberately (NOT 257: 257 == 1
+# mod 256, which would make the low byte an order-INDEPENDENT char sum
+# and anagram windows would share boundaries); comparing the full
+# modulus against a threshold uses all 20 hash bits.  The same
+# constants drive the O(1)-per-byte production scan (mapInPandas,
+# numpy), the engine-portable explode twin, and the DuckDB oracle —
+# identical chunking in all three by construction.
+
+CDC_B = 263
+CDC_M = 1 << 20
+
+
+def _cdc_poly_coeffs(window: int) -> list[int]:
+    return [pow(CDC_B, window - 1 - j, CDC_M) for j in range(window)]
+
+
+def cdc_poly_oracle_sql(window: int = 24, boundary_mod: int = 4) -> str:
+    """The DuckDB boundary-position CTE body for the polynomial rule —
+    generated next to the constants so the oracle can never drift from
+    the Spark implementations."""
+    coeffs = "[" + ",".join(str(c) for c in _cdc_poly_coeffs(window)) + "]"
+    thr = (CDC_M // 256) * boundary_mod
+    return (
+        f"SELECT doc_id, i AS e "
+        f"FROM base, UNNEST(generate_series({window}, len(text) - 1)) AS u(i) "
+        f"WHERE list_sum(list_transform(range(0, {window}), j -> "
+        f"unicode(substr(text, i - {window - 1} + j, 1)) * ({coeffs})[j + 1])) "
+        f"% {CDC_M} < {thr}"
+    )
+
+
+def _cdc_chunks_rolling(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 24,
-    boundary_mod: int = 4,
+    id_col: str,
+    text_col: str,
+    window: int,
+    boundary_mod: int,
 ) -> DataFrame:
-    """Content-defined chunking (CDC) dedup profile: split each
-    document at CONTENT-DERIVED boundaries — a position ends a chunk
-    when the hash of the trailing ``window`` characters falls under
-    ``boundary_mod``/256 — then report, per document, how much of it
-    is made of chunks byte-identical to a chunk of some OTHER
-    document.  Content-defined boundaries are what make the chunking
-    insertion-stable (an edit shifts at most the chunk it lands in,
-    unlike fixed-width blocks), the property rsync/LBFS/backup dedup
-    built on and the reason span-level corpus dedup uses it.
+    """PRODUCTION boundary scan: one Arrow-batched pass per document,
+    O(1) amortized per character (numpy computes all window hashes in
+    ``window`` vectorized adds), chunk md5 in C via hashlib — no
+    per-position explode, no shuffle until the chunk-hash agg.  Emits
+    (id, __clen, __h): the exact rows the explode twin produces, so
+    the whole downstream plan (frequency join + per-doc rollup) is
+    shared and the DuckDB oracle replays every hash."""
+    import pandas as pd  # noqa: PLC0415
 
-    Expected chunk length is ``256/boundary_mod * 16`` chars at the
-    defaults (~64): long enough to be meaningful, short enough that
-    near-dup documents still share most chunks.
+    coeffs = _cdc_poly_coeffs(window)
+    thr = (CDC_M // 256) * boundary_mod
+    id_type = dict(docs.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, __clen int, __h string"
 
-    Shape: a per-character position explode (the honest cost of a
-    content-defined boundary scan in ANY engine — one hash per
-    position), all JVM-side md5/substring expressions inside one
-    codegen stage, then a doc-partitioned window to pair consecutive
-    boundaries into chunks, one chunk-hash agg for cross-doc
-    frequency, and a per-doc rollup.  A production BINARY path would
-    swap the md5-per-window for an O(1)-per-byte gear/rolling hash in
-    ``mapInPandas`` (same downstream plan); the md5 form is the
-    engine-portable twin the oracle can reproduce exactly.
-    """
+    def gen(batches):
+        import hashlib  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        c_arr = np.array(coeffs, dtype=np.int64)
+        for pdf in batches:
+            texts, dids = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) < 1:
+                    continue
+                texts.append(txt)
+                dids.append(did)
+            if not texts:
+                yield pd.DataFrame(
+                    {id_col: [], "__clen": [], "__h": []}
+                )
+                continue
+            # ONE concatenated codepoint array per Arrow batch: the
+            # window hashes for every doc compute in `window`
+            # vectorized adds over the whole batch (per-doc numpy
+            # dispatch overhead dominated short-doc corpora);
+            # cross-doc windows are masked out afterwards
+            big = "".join(texts)
+            cp = np.frombuffer(
+                big.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n_total = len(cp)
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            starts = np.concatenate(
+                ([0], np.cumsum(lens)[:-1])
+            )  # global 0-based doc starts
+            di = np.array([], dtype=np.int64)
+            local_e = np.array([], dtype=np.int64)
+            if n_total >= window:
+                # acc[k] = hash of cp[k : k+window] (1-based global
+                # end k+window); max accumulator 24 * 2^20 * 0x10FFFF
+                # < 2^46, inside int64 with one final mod
+                acc = np.zeros(n_total - window + 1, dtype=np.int64)
+                for j in range(window):
+                    acc += cp[j : j + n_total - window + 1] * c_arr[j]
+                cand = np.nonzero((acc % CDC_M) < thr)[0] + window
+                di = np.searchsorted(starts, cand - 1, side="right") - 1
+                local_e = cand - starts[di]
+                # keep ends whose window sits fully inside the doc and
+                # that are not the doc's final char (the end is always
+                # a chunk end anyway): e in [window, len-1]
+                valid = (local_e >= window) & (local_e <= lens[di] - 1)
+                di, local_e = di[valid], local_e[valid]
+            ids_out, lens_out, hs_out = [], [], []
+            ptr, nb = 0, len(di)
+            for k, (did, txt) in enumerate(zip(dids, texts)):
+                s = 0
+                while ptr < nb and di[ptr] == k:
+                    e = int(local_e[ptr])
+                    ptr += 1
+                    ids_out.append(did)
+                    lens_out.append(e - s)
+                    hs_out.append(
+                        hashlib.md5(txt[s:e].encode("utf-8")).hexdigest()
+                    )
+                    s = e
+                ids_out.append(did)
+                lens_out.append(len(txt) - s)
+                hs_out.append(
+                    hashlib.md5(txt[s:].encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {id_col: ids_out, "__clen": lens_out, "__h": hs_out}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def _cdc_chunks_explode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    boundary_mod: int,
+    boundary: str,
+) -> DataFrame:
+    """Engine-portable boundary scan: per-character position explode,
+    boundary predicate as a pure column expression (``md5`` — the
+    original rsync-flavored rule — or ``poly``, the rolling hash's
+    exact math), then a doc-partitioned window pairs consecutive
+    boundaries into chunks.  O(chars) exploded rows: the honest cost
+    of a content-defined scan without a sequential pass — kept as the
+    parity twin the production path is pinned against."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     base = docs.select(F.col(id_col), F.col(text_col).alias("__txt")).filter(
         F.length("__txt") >= 1
     )
-    # candidate boundary positions: window..len-1 (a boundary at the
-    # final char is the doc end, which is always a chunk end anyway)
     pos = base.select(
         id_col,
         "__txt",
@@ -1251,27 +1363,52 @@ def cdc_chunk_stats(
             ).otherwise(F.array().cast("array<int>"))
         ).alias("__i"),
     )
-    bounds = pos.filter(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.substring(
-                        F.col("__txt"), F.col("__i") - (window - 1), F.lit(window)
-                    )
+    if boundary == "md5":
+        pred = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.substring(
+                            F.col("__txt"),
+                            F.col("__i") - (window - 1),
+                            F.lit(window),
+                        )
+                    ),
+                    1,
+                    2,
                 ),
-                1,
-                2,
+                16,
+                10,
+            ).cast("int")
+            < boundary_mod
+        )
+    elif boundary == "poly":
+        coeffs = F.array(*[F.lit(c) for c in _cdc_poly_coeffs(window)])
+        thr = (CDC_M // 256) * boundary_mod
+        h = F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.ascii(
+                F.col("__txt").substr(
+                    F.col("__i") - F.lit(window - 1) + j, F.lit(1)
+                )
+            ).cast("long")
+            * F.element_at(coeffs, (j + F.lit(1)).cast("int")).cast(
+                "long"
             ),
-            16,
-            10,
-        ).cast("int")
-        < boundary_mod
-    ).select(id_col, "__txt", F.col("__i").alias("__e"))
+        )
+        pred = (h % F.lit(CDC_M)) < F.lit(thr)
+    else:
+        raise ValueError(f"unknown boundary rule {boundary!r}")
+    bounds = pos.filter(pred).select(
+        id_col, "__txt", F.col("__i").alias("__e")
+    )
     ends = bounds.unionByName(
         base.select(id_col, "__txt", F.length("__txt").alias("__e"))
     )
     w = Window.partitionBy(id_col).orderBy("__e")
-    chunks = ends.withColumn(
+    return ends.withColumn(
         "__s", F.lag("__e", 1, 0).over(w) + 1
     ).select(
         id_col,
@@ -1282,9 +1419,16 @@ def cdc_chunk_stats(
             )
         ).alias("__h"),
     )
+
+
+def _cdc_rollup(chunks: DataFrame, id_col: str) -> DataFrame:
     freq = chunks.groupBy("__h").agg(
         F.countDistinct(F.col(id_col)).alias("__nd")
     )
+    # the frequency table is O(chars/64) rows — at corpus scale it is
+    # NOT a broadcastable dim, so the hash-keyed shuffle join is the
+    # plan that survives 100 TB (AQE converts it to a broadcast on
+    # its own when the corpus is actually small)
     return (
         chunks.join(freq, "__h")
         .groupBy(id_col)
@@ -1301,6 +1445,195 @@ def cdc_chunk_stats(
                 6,
             ).alias("shared_char_ratio"),
         )
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 24,
+    boundary_mod: int = 4,
+    boundary: str = "md5",
+    engine: str = "explode",
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup profile: split each
+    document at CONTENT-DERIVED boundaries — a position ends a chunk
+    when the hash of the trailing ``window`` characters falls under
+    ``boundary_mod``/256 of the hash space — then report, per
+    document, how much of it is made of chunks byte-identical to a
+    chunk of some OTHER document.  Content-defined boundaries are what
+    make the chunking insertion-stable (an edit shifts at most the
+    chunk it lands in, unlike fixed-width blocks), the property
+    rsync/LBFS/backup dedup built on and the reason span-level corpus
+    dedup uses it.
+
+    Expected chunk length is ``256/boundary_mod * 16`` chars at the
+    defaults (~64): long enough to be meaningful, short enough that
+    near-dup documents still share most chunks.
+
+    Two engines, one downstream plan (chunk-hash frequency join +
+    per-doc rollup):
+
+    - ``engine="explode"`` — per-character position explode with the
+      boundary predicate as a pure column expression (``boundary`` in
+      {"md5", "poly"}); engine-portable, the form a SQL oracle can
+      replay position by position.
+    - ``engine="rolling"`` (requires ``boundary="poly"``) — the
+      PRODUCTION path: one Arrow-batched mapInPandas pass computes
+      every window hash in ``window`` vectorized numpy adds (O(1)
+      amortized per character) and the chunk md5 in C, emitting only
+      (id, len, hash) rows.  No explode, no O(chars) shuffle — at
+      100 TB the scan is a map-only pass whose output is
+      O(chars / 64).  Pinned chunk-for-chunk against the explode twin
+      by tests/test_cdc_rolling.py.
+    """
+    if engine == "rolling":
+        if boundary != "poly":
+            raise ValueError(
+                "engine='rolling' implements the polynomial boundary "
+                "rule; pass boundary='poly' (md5 is not a rolling hash)"
+            )
+        chunks = _cdc_chunks_rolling(
+            docs, id_col, text_col, window, boundary_mod
+        )
+        # the rollup references the chunk frame twice (frequency agg
+        # + the join back); without a materialization the Arrow scan
+        # runs twice — checkpoint the ~chars/64 chunk rows once.
+        # Input partitioning carries through: large corpora are
+        # already split by files.maxPartitionBytes, so the scan
+        # parallelizes without an extra text shuffle
+        chunks = chunks.localCheckpoint(eager=True)
+    elif engine == "explode":
+        chunks = _cdc_chunks_explode(
+            docs, id_col, text_col, window, boundary_mod, boundary
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    return _cdc_rollup(chunks, id_col)
+
+
+def longest_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_freq: int = 64,
+) -> DataFrame:
+    """EXACT longest duplicated token span per document pair — the
+    read side of the suffix-array substring-dedup family (Lee et al.
+    2022), complementing the SAMPLED detection
+    (:func:`duplicated_spans`) and the span WRITE side
+    (:func:`remove_duplicated_spans`).
+
+    Relational suffix-array equivalence: a span of L >= k tokens
+    shared verbatim by two documents appears as L-k+1 consecutive
+    shared k-gram anchors at a CONSTANT position offset, so grouping
+    shared-anchor pairs by (doc_a, doc_b, pos_a - pos_b) and finding
+    maximal consecutive pos_a runs (the islands trick: pos_a minus
+    its rank) recovers every maximal duplicated span exactly — the
+    same answer a per-bucket suffix ordering yields, expressed as one
+    hash-keyed self-join plus two windows instead of an index build.
+
+    Scale shape: anchors are 60-bit md5 hashes (8-byte shuffle keys,
+    never strings), one partial-agg frequency pass gates degenerate
+    grams BEFORE the self-join (``max_gram_freq`` caps per-gram
+    occurrence count, bounding pair fan-out to C(cap, 2) per gram —
+    the boilerplate/stop-gram explosion every suffix-array dedup
+    truncates one way or another), the join is bucket-local on the
+    hash, and the windows partition by (pair, delta): no step holds
+    more than one gram bucket or one pair's anchors.  Returns one row
+    per document pair: (doc_a, doc_b, span_tokens, start_a, start_b,
+    span_text) with 1-based token positions, longest span first on
+    ties by (start_a, start_b); pairs sharing no >= k-token span
+    produce no row.  Brute-force-pinned by
+    tests/test_suffix_spans.py; the registered oracle replays the
+    identical hash math.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).filter(F.size("__toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(F.col("__toks"), i + j)
+                                for j in range(k)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    occ = toked.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.pos").alias("__pos"), F.col("g.h").alias("__h")
+    )
+    ok = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(F.col(id_col)).alias("__nd"),
+        )
+        .filter((F.col("__n") <= max_gram_freq) & (F.col("__nd") >= 2))
+        .select("__h")
+    )
+    shared = occ.join(ok, "__h")
+    a = shared.select(
+        F.col("__h"),
+        F.col(id_col).alias("__da"),
+        F.col("__pos").alias("__pa"),
+    )
+    b = shared.select(
+        F.col("__h"),
+        F.col(id_col).alias("__db"),
+        F.col("__pos").alias("__pb"),
+    )
+    pairs = a.join(b, "__h").filter(F.col("__da") < F.col("__db"))
+    wd = Window.partitionBy("__da", "__db", "__delta").orderBy("__pa")
+    runs = pairs.withColumn(
+        "__delta", F.col("__pa") - F.col("__pb")
+    ).withColumn("__grp", F.col("__pa") - F.row_number().over(wd))
+    spans = runs.groupBy("__da", "__db", "__delta", "__grp").agg(
+        (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+        F.min("__pa").alias("start_a"),
+        F.min("__pb").alias("start_b"),
+    )
+    wp = Window.partitionBy("__da", "__db").orderBy(
+        F.desc("span_tokens"), F.asc("start_a"), F.asc("start_b")
+    )
+    best = (
+        spans.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__delta", "__grp")
+    )
+    return best.join(
+        toked.select(F.col(id_col).alias("__da"), "__toks"), "__da"
+    ).select(
+        F.col("__da").alias("doc_a"),
+        F.col("__db").alias("doc_b"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__toks"), F.col("start_a"), F.col("span_tokens")),
+        ).alias("span_text"),
     )
 
 

@@ -3011,10 +3011,7 @@ def t_ngram_novelty(spark, sf_dir):
     """
     WITH base AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
     b AS (
-      SELECT doc_id, i AS e
-      FROM base, UNNEST(generate_series(24, len(text) - 1)) AS u(i)
-      WHERE CAST(('0x' || substr(md5(substr(text, i - 23, 24)), 1, 2))
-                 AS BIGINT) < 4
+      {poly_bounds}
     ),
     ends AS (
       SELECT doc_id, e FROM b
@@ -3036,19 +3033,24 @@ def t_ngram_novelty(spark, sf_dir):
                  / SUM(clen), 6) AS shared_char_ratio
     FROM chunks JOIN freq USING (h)
     GROUP BY doc_id
-    """,
+    """.format(poly_bounds=dedup.cdc_poly_oracle_sql(window=24, boundary_mod=4)),
     doc="content-defined chunking dedup profile (rsync/LBFS boundary "
     "rule, ~64-char expected chunks): per-doc share of characters in "
     "chunks byte-identical to another document's chunk.  Insertion-"
-    "stable boundaries (an edit shifts only its own chunk); the "
-    "boundary scan is one hash per position all-JVM codegen, chunking "
-    "is a doc-partitioned window, then chunk-hash frequency + per-doc "
-    "rollup — the binary-data scale path swaps in an O(1)/byte gear "
-    "hash under mapInPandas with the same downstream plan",
+    "stable boundaries (an edit shifts only its own chunk).  Round-9: "
+    "runs the PRODUCTION O(1)-per-byte Rabin rolling-hash scan — one "
+    "Arrow-batched mapInPandas pass emits (id, len, md5) chunk rows, "
+    "no per-position explode, no O(chars) shuffle — pinned "
+    "chunk-for-chunk against the engine-portable explode twin "
+    "(tests/test_cdc_rolling.py); the oracle replays the identical "
+    "polynomial boundary math position by position",
 )
 def d_cdc_chunks(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.cdc_chunk_stats(docs, "doc_id", "text", window=24, boundary_mod=4)
+    return dedup.cdc_chunk_stats(
+        docs, "doc_id", "text", window=24, boundary_mod=4,
+        boundary="poly", engine="rolling",
+    )
 
 
 def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
@@ -3165,6 +3167,9 @@ def d_semdedup_kmeans(spark, sf_dir):
         lambda: similarity.kmeans_assign(
             emb, "vec_id", "embedding", k=8, iterations=3
         ),
+        persist=True,  # pure function of the corpus: round-9
+        # cross-session snapshot, so a fresh session's first family
+        # member stops paying the whole Lloyd trajectory
     )
     return similarity.semdedup_kmeans(
         emb, "vec_id", "embedding", threshold=0.45, assignments=a
@@ -3199,7 +3204,9 @@ def sim_kmeans_clusters(spark, sf_dir):
     # the trained trajectory is a pure function of the corpus: build
     # once per session (kmeans_assign already returns an eager
     # checkpoint — the iteration jobs are the cost worth sharing)
-    return session_cached(spark, "kmeans_clusters", sf_dir, build)
+    return session_cached(
+        spark, "kmeans_clusters", sf_dir, build, persist=True
+    )
 
 
 def _hll_oracle_block(scope: str, src_cte: str) -> str:
@@ -3587,3 +3594,73 @@ def e_cms_stream_registers(spark, sf_dir):
         return store.table("cms_users").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@_q(
+    "d_suffix_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    ok AS (
+      SELECT h FROM occ GROUP BY h
+      HAVING COUNT(*) <= 64 AND COUNT(DISTINCT doc_id) >= 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM occ a JOIN ok USING (h) JOIN occ b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, pa - pb AS delta, pa, pb,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+      FROM pairs
+    ),
+    spans AS (
+      SELECT da, db, COUNT(*) + 7 AS span_tokens,
+             MIN(pa) AS start_a, MIN(pb) AS start_b
+      FROM runs GROUP BY da, db, delta, grp
+    ),
+    best AS (
+      SELECT da, db, span_tokens, start_a, start_b
+      FROM spans
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY da, db
+        ORDER BY span_tokens DESC, start_a, start_b) = 1
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(span_tokens AS BIGINT) AS span_tokens,
+           CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b,
+           array_to_string(t[start_a:start_a + span_tokens - 1], ' ')
+             AS span_text
+    FROM best JOIN toks ON toks.doc_id = best.da
+    """,
+    doc="EXACT longest duplicated token span per document pair — the "
+    "suffix-array substring-dedup read side (Lee et al. 2022), "
+    "complementing the sampled k-gram detection (d_span_dedup) and "
+    "the span rewrite (d_span_dedup_rewrite).  A shared L-token span "
+    "appears as L-k+1 consecutive shared k-gram anchors at constant "
+    "offset, so grouping anchor pairs by (pair, pos_a - pos_b) and "
+    "the islands trick (pos - rank) recover every MAXIMAL span "
+    "exactly — what a per-bucket suffix ordering yields, as one "
+    "hash-keyed self-join plus two windows.  60-bit anchors shuffle, "
+    "never strings; a frequency gate caps per-gram occurrences at 64 "
+    "BEFORE the self-join (the boilerplate explosion every "
+    "suffix-array dedup truncates); brute-force DP parity pinned by "
+    "tests/test_suffix_spans.py",
+)
+def d_suffix_spans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.longest_duplicate_spans(
+        docs, "doc_id", "text", k=8, max_gram_freq=64
+    )

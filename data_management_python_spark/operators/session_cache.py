@@ -37,11 +37,87 @@ _KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
 _BUILDING = threading.local()
 
 
+_PERSIST_ROOT_ENV = "SPARK_GRAFT_FAMILY_CACHE"
+
+
+def _persist_root() -> str:
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    return os.environ.get(
+        _PERSIST_ROOT_ENV,
+        os.path.join(tempfile.gettempdir(), "spark_graft_family_cache"),
+    )
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content key for a test-data dir: path + every file's
+    (name, size, mtime_ns), hashed.  A regenerated corpus changes the
+    key, so a stale snapshot can never be served — it is simply never
+    found."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    parts = [sf_dir]
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            st = os.stat(os.path.join(sf_dir, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        parts.append("<unlistable>")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:20]
+
+
+def _persist_store(spark: SparkSession, sf_dir: str):
+    import os  # noqa: PLC0415
+
+    from data_management_python_spark.store import (  # noqa: PLC0415
+        TableStore,
+    )
+
+    root = os.path.join(_persist_root(), _corpus_fingerprint(sf_dir))
+    return TableStore(spark, root)
+
+
+def _table_slug(name: str) -> str:
+    import re  # noqa: PLC0415
+
+    return "fam_" + re.sub(r"[^A-Za-z0-9_]", "_", name)
+
+
+def _persist_load(spark: SparkSession, name: str, sf_dir: str):
+    """The snapshot frame (eagerly checkpointed, matching the build
+    path's contract) or None."""
+    try:
+        store = _persist_store(spark, sf_dir)
+        slug = _table_slug(name)
+        if not store._has_data(slug):
+            return None
+        return store.table(slug).localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 — cache read is best-effort
+        return None
+
+
+def _persist_save(
+    spark: SparkSession, name: str, sf_dir: str, df: DataFrame
+) -> None:
+    try:
+        store = _persist_store(spark, sf_dir)
+        slug = _table_slug(name)
+        if store._has_data(slug):
+            return  # another session won the race
+        store.declare_table(slug, df.schema)
+        store.store_records(slug, df, validate=False)
+    except Exception:  # noqa: BLE001 — cache write is best-effort
+        pass
+
+
 def session_cached(
     spark: SparkSession,
     name: str,
     sf_dir: str,
     build: Callable[[], DataFrame],
+    persist: bool = False,
 ) -> DataFrame:
     """Return the frame built by ``build()``, eagerly localCheckpointed
     once per (session, name, sf_dir) and shared by later calls.
@@ -51,6 +127,19 @@ def session_cached(
     into the same build; without the lock one eager localCheckpoint
     per racer is orphaned).  Distinct keys build concurrently — the
     global lock only guards the map lookups, never a build.
+
+    ``persist=True`` (round-9) additionally snapshots the built frame
+    into a TableStore under a CONTENT-KEYED cache root (the input
+    dir's file sizes+mtimes fingerprint the corpus), so a FRESH
+    session whose inputs are unchanged reads the prior session's
+    build back in milliseconds instead of re-deriving it — the
+    "cold first family member pays the whole trajectory" cost
+    becomes once per corpus, not once per session.  Best-effort by
+    design: any cache I/O failure falls back to building (the store's
+    writer lock serializes concurrent sessions; a changed corpus gets
+    a new root, so staleness is structurally impossible).  Opt-in per
+    family because the snapshot must be a pure function of
+    (name, sf_dir) — builds that capture other state must not persist.
 
     Re-entrancy-safe: a ``build`` that itself calls ``session_cached``
     (for its own key or another family's) is detected via a
@@ -107,7 +196,11 @@ def session_cached(
         # stack, not only the outermost one
         held.append(key)
         try:
-            df = build().localCheckpoint(eager=True)
+            df = _persist_load(spark, name, sf_dir) if persist else None
+            if df is None:
+                df = build().localCheckpoint(eager=True)
+                if persist:
+                    _persist_save(spark, name, sf_dir, df)
         finally:
             held.pop()
         with _CACHE_LOCK:
@@ -119,7 +212,11 @@ def session_cached(
             return hit
         held.append(key)
         try:
-            df = build().localCheckpoint(eager=True)
+            df = _persist_load(spark, name, sf_dir) if persist else None
+            if df is None:
+                df = build().localCheckpoint(eager=True)
+                if persist:
+                    _persist_save(spark, name, sf_dir, df)
         finally:
             held.pop()
         with _CACHE_LOCK:

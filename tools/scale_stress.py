@@ -190,8 +190,23 @@ def build(spark, src: str, dst: str, factor: int) -> None:
 #: delta->base band probing, codes-only PQ serving, and the
 #: prefix-filtered exact-Jaccard branch.  documents/embeddings-only
 #: corpora suffice (these queries touch no other table).
-MEGA = ["d_incremental_dedup", "sim_ivf_pq_ann", "d_ngram_jaccard"]
-MEGA_TABLES = ("documents", "embeddings")
+#: round-9 additions: the round-8 families whose 100x rows were
+#: missing (verdict item 6) — perceptual video near-dup, the rolling-
+#: hash CDC scan, DSIR weights, SemDeDup (k scales with corpus), and
+#: the store substrate pair (time travel, exactly-once ingest), which
+#: read ``customer`` — hence its replication below.
+MEGA = [
+    "d_incremental_dedup",
+    "sim_ivf_pq_ann",
+    "d_ngram_jaccard",
+    "mm_video_neardup",
+    "d_cdc_chunks",
+    "t_dsir_weights",
+    "m_time_travel",
+    "e_store_ingest",
+    "d_semdedup_kmeans",
+]
+MEGA_TABLES = ("documents", "embeddings", "customer")
 
 
 def build_docs_only(spark, src: str, dst: str, factor: int) -> None:
