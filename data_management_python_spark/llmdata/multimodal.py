@@ -2594,6 +2594,8 @@ def video_near_dup_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     min_match_frac: float = 0.6,
+    band_tuple: int | None = None,
+    auto_tuple_at: int = 100_000,
 ) -> DataFrame:
     """Clip-level near-dup over per-frame hashes: candidate clips
     share at least one exact (frame index, hash band) bucket — the
@@ -2608,22 +2610,94 @@ def video_near_dup_pairs(
     matching frames band-collides — i.e. recall at clip level is
     exact whenever at least one aligned frame pair is within
     threshold, which min_match_frac > 0 requires anyway.  All
-    JVM-side.  Output: (id_1, id_2, n_matched, match_frac)."""
-    per_word = n_bands
-    band_bits = 64 // per_word
+    JVM-side.  Output: (id_1, id_2, n_matched, match_frac).
+
+    BAND-TUPLE mode (round-9): a FIXED 16-bit band space saturates as
+    the corpus grows — measured at the 100x stress corpus, random
+    bucket collisions took raw candidates from 2.0M (52k clips) to
+    200M (520k clips), 98x pairs for 10x clips, with NO hot-key skew
+    (top bucket 283): uniform occupancy growth, the N^2/2^band_bits
+    term emerging.  The generalized pigeonhole fixes it without
+    losing exactness: split the hash into 8 blocks of 8 bits and key
+    candidates by every 4-block COMBINATION (C(8,4) = 70 keys of 32
+    bits).  With <= max_hamming differing bits, at most max_hamming
+    blocks are dirty, so >= 4 clean blocks exist and their
+    combination collides — recall stays EXACT for
+    max_hamming <= 8 - 4 = 4.  Random collisions drop
+    2^32/2^16 / (70/4) ~ 3700x per pair at 17.5x more (linear) band
+    rows — the right trade once the quadratic term dominates.  Both
+    modes verify exactly, so the OUTPUT IS IDENTICAL either way; the
+    mode is therefore auto-picked by corpus size (``auto_tuple_at``
+    clips, override with ``band_tuple`` = 1 or 4) without affecting
+    any oracle."""
+    if band_tuple not in (None, 1, 4):
+        raise ValueError(f"band_tuple must be 1 or 4, got {band_tuple}")
+    if band_tuple == 4 and max_hamming > 4:
+        raise ValueError(
+            "band_tuple=4 over 8x8-bit blocks is pigeonhole-exact "
+            f"only for max_hamming <= 4, got {max_hamming}"
+        )
     fh = frame_hashes.filter(F.col("dhash").isNotNull())
-    bands = fh.select(
-        id_col,
-        "frame_idx",
-        "dhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            f"shiftrightunsigned(dhash, band * {band_bits}) "
-            f"& {(1 << band_bits) - 1}"
-        ),
-    )
+    t = band_tuple
+    if t is None:
+        if max_hamming > 4:
+            t = 1  # tuple mode cannot guarantee recall: stay classic
+        else:
+            n_clips = fh.select(id_col).distinct().count()
+            t = 4 if n_clips >= auto_tuple_at else 1
+    if t == 1:
+        per_word = n_bands
+        band_bits = 64 // per_word
+        bands = fh.select(
+            id_col,
+            "frame_idx",
+            "dhash",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_bands - 1))
+            ).alias("band"),
+        ).withColumn(
+            "band_val",
+            F.expr(
+                f"shiftrightunsigned(dhash, band * {band_bits}) "
+                f"& {(1 << band_bits) - 1}"
+            ),
+        )
+    else:
+        import itertools  # noqa: PLC0415
+
+        # 8 blocks of 8 bits; key = concatenated values of each
+        # 4-block combination (70 x 32-bit keys, exact recall by the
+        # generalized pigeonhole — see docstring)
+        blocks = [
+            F.expr(f"shiftrightunsigned(dhash, {8 * j}) & 255")
+            for j in range(8)
+        ]
+        combos = F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("band"),
+                    sum(
+                        blocks[bj] * F.lit(1 << (8 * pos))
+                        for pos, bj in enumerate(combo)
+                    )
+                    .cast("long")
+                    .alias("band_val"),
+                )
+                for ci, combo in enumerate(
+                    itertools.combinations(range(8), 4)
+                )
+            ]
+        )
+        bands = fh.select(
+            id_col,
+            "frame_idx",
+            F.explode(combos).alias("__c"),
+        ).select(
+            id_col,
+            "frame_idx",
+            F.col("__c.band").alias("band"),
+            F.col("__c.band_val").alias("band_val"),
+        )
     a = bands.select(
         F.col(id_col).alias("id_1"), "frame_idx", "band", "band_val"
     )
@@ -2631,7 +2705,12 @@ def video_near_dup_pairs(
         F.col(id_col).alias("id_2"), "frame_idx", "band", "band_val"
     )
     cand = (
-        a.join(b, on=["frame_idx", "band", "band_val"])
+        # the band frames are O(corpus): never a broadcast candidate,
+        # whatever the size estimate says (AQE broadcast of the 70x
+        # tuple-band explode collected >1 GiB to the driver at the
+        # 100x stress corpus, and a shuffle-hash build OOMed) — pin
+        # the sort-merge join, the only strategy that spills
+        a.join(b.hint("merge"), on=["frame_idx", "band", "band_val"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .dropDuplicates(["id_1", "id_2"])

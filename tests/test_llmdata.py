@@ -3320,3 +3320,141 @@ def test_cms_merge_algebra_and_never_underestimates(spark):
     assert set(est) == set(truth)
     for v, n in truth.items():
         assert est[v] >= n, (v, est[v], n)  # the CMS guarantee
+
+
+def test_video_band_tuple_mode_identical_pairs(spark):
+    """Round-9: tuple banding (8 blocks x 4-combinations, 32-bit keys)
+    must return EXACTLY the classic mode's pairs — both have exact
+    recall (generalized pigeonhole) and exact verify, so the output
+    is mode-independent; only candidate volume differs."""
+    from data_management_python_spark.llmdata.multimodal import (
+        synthetic_video_corpus,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 61)], "doc_id long"
+    )
+    fh = video_frame_hashes(
+        synthetic_video_corpus(docs, plant_every=10)
+    ).localCheckpoint(eager=True)
+    classic = {
+        (r.id_1, r.id_2)
+        for r in video_near_dup_pairs(fh, band_tuple=1).collect()
+    }
+    tuple4 = {
+        (r.id_1, r.id_2)
+        for r in video_near_dup_pairs(fh, band_tuple=4).collect()
+    }
+    assert classic == tuple4 == {(-d, d) for d in range(10, 61, 10)}
+
+
+def test_band_tuple_pigeonhole_exact():
+    """Analytic pigeonhole check for the 8x8-bit 4-combination keys:
+    ANY two 64-bit words within Hamming 4 share at least one of the
+    C(8,4) concatenated block keys."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    combos = list(itertools.combinations(range(8), 4))
+
+    def keys(h):
+        blocks = [(h >> (8 * j)) & 255 for j in range(8)]
+        return {
+            (ci, tuple(blocks[b] for b in combo))
+            for ci, combo in enumerate(combos)
+        }
+
+    for _ in range(300):
+        h1 = rng.getrandbits(64)
+        h2 = h1
+        for _ in range(rng.randint(0, 4)):  # flip <= 4 bits
+            h2 ^= 1 << rng.randrange(64)
+        assert keys(h1) & keys(h2), f"{h1:x} vs {h2:x} share no key"
+
+
+def test_video_band_tuple_rejects_wide_threshold():
+    import pytest
+
+    from data_management_python_spark.llmdata.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        video_near_dup_pairs(None, max_hamming=5, band_tuple=4)
+
+
+def test_cap_cluster_sizes_bounds_and_identity(spark):
+    """cap_cluster_sizes: cells at or under the cap pass through as a
+    pure relabeling (capped semdedup == exact semdedup), oversized
+    cells split into bounded sub-cells deterministically."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.llmdata import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+         for i in range(1, 121)],
+        "vec_id long, embedding array<float>",
+    )
+    a = similarity.kmeans_assign(emb, "vec_id", "embedding", k=4,
+                                 iterations=2)
+    # no cell near the cap: capped verdicts == exact verdicts
+    exact = {
+        (r.vec_id, r.max_cos_lower)
+        for r in similarity.semdedup_kmeans(
+            emb, assignments=a, threshold=0.45
+        ).collect()
+    }
+    capped_a = similarity.cap_cluster_sizes(a, max_cluster=1000)
+    capped = {
+        (r.vec_id, r.max_cos_lower)
+        for r in similarity.semdedup_kmeans(
+            emb, assignments=capped_a, threshold=0.45
+        ).collect()
+    }
+    assert capped == exact
+    # force splitting: every sub-cell lands at or near the cap
+    tiny = similarity.cap_cluster_sizes(a, max_cluster=10)
+    sizes = [r["count"] for r in tiny.groupBy("cluster_id").count()
+             .collect()]
+    assert max(sizes) <= 2 * 10  # hash split: bounded, not exact-even
+    assert tiny.count() == a.count()  # relabel only, no row change
+    # deterministic across invocations
+    s1 = sorted((r.vec_id, r.cluster_id) for r in tiny.collect())
+    s2 = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in similarity.cap_cluster_sizes(a, max_cluster=10)
+        .collect()
+    )
+    assert s1 == s2
+
+
+def test_semdedup_cells_arrow_matches_exact(spark):
+    """The Arrow per-cell SemDeDup verdict (scale path) must agree
+    with the pair-join exact twin verdict-for-verdict on the same
+    assignments."""
+    from data_management_python_spark.llmdata import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 17) / 17.0 for j in range(16)])
+         for i in range(1, 201)],
+        "vec_id long, embedding array<float>",
+    )
+    a = similarity.kmeans_assign(emb, "vec_id", "embedding", k=5,
+                                 iterations=2)
+    exact = {
+        (r.vec_id, r.max_cos_lower, r.kept)
+        for r in similarity.semdedup_kmeans(
+            emb, assignments=a, threshold=0.45
+        ).collect()
+    }
+    arrow = {
+        (r.vec_id, r.max_cos_lower, r.kept)
+        for r in similarity.semdedup_cells_arrow(
+            emb, a, threshold=0.45
+        ).collect()
+    }
+    assert arrow == exact
