@@ -203,6 +203,10 @@ def hll_monitor_batch(
         .unionByName(batch_regs)
         .groupBy("j")
         .agg(F.max("M").alias("M"))
+        # the register table is <= 2^p rows: one output file, not one
+        # sliver per shuffle partition (32 tiny files per batch made
+        # the standing-table reread the monitor's dominant cost)
+        .coalesce(1)
     )
     with store.transaction():
         store.upsert(table, merged, on=["j"])
@@ -283,6 +287,8 @@ def cms_monitor_batch(
         .unionByName(batch_regs)
         .groupBy("i", "b")
         .agg(F.sum("c").alias("c"))
+        # <= depth x width rows: same one-file contract as the HLL
+        .coalesce(1)
     )
     with store.transaction():
         store.upsert(table, merged, on=["i", "b"])
