@@ -1581,19 +1581,40 @@ def longest_duplicate_spans(
             .alias("h"),
         ),
     )
-    occ = toked.select(F.col(id_col), F.explode(grams).alias("g")).select(
-        id_col, F.col("g.pos").alias("__pos"), F.col("g.h").alias("__h")
+    from data_management_python_spark.session import (  # noqa: PLC0415
+        operator_width,
     )
-    ok = (
-        occ.groupBy("__h")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.countDistinct(F.col(id_col)).alias("__nd"),
+
+    width = operator_width(df.sparkSession)
+    # ONE hash-keyed shuffle gates AND dedups the anchor scan: the
+    # old groupBy-then-join computed the tokenize+md5 explode twice
+    # (once per shuffle); window aggregates over the same partition
+    # do both in a single pass.  The explicit repartition also frees
+    # the scan from the input's file count (a single parquet file
+    # otherwise serializes the whole md5 pass through one task).
+    occ = (
+        toked.repartition(width, id_col)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(
+            id_col, F.col("g.pos").alias("__pos"), F.col("g.h").alias("__h")
         )
-        .filter((F.col("__n") <= max_gram_freq) & (F.col("__nd") >= 2))
-        .select("__h")
     )
-    shared = occ.join(ok, "__h")
+    wg = Window.partitionBy("__h")
+    shared = (
+        occ.withColumn("__n", F.count(F.lit(1)).over(wg))
+        .withColumn(
+            "__nd", F.size(F.collect_set(F.col(id_col)).over(wg))
+        )
+        .filter(
+            (F.col("__n") <= max_gram_freq) & (F.col("__nd") >= 2)
+        )
+        .drop("__n", "__nd")
+        # the self-join below references this frame twice; the gated
+        # anchor set is the (bounded) duplication structure — the
+        # same standing-asset shape as the LSH band table — so
+        # materialize it once instead of re-running the scan per side
+        .localCheckpoint(eager=True)
+    )
     a = shared.select(
         F.col("__h"),
         F.col(id_col).alias("__da"),

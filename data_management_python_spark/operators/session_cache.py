@@ -91,7 +91,7 @@ def _persist_load(spark: SparkSession, name: str, sf_dir: str):
     try:
         store = _persist_store(spark, sf_dir)
         slug = _table_slug(name)
-        if not store._has_data(slug):
+        if not store.has_data(slug):
             return None
         return store.table(slug).localCheckpoint(eager=True)
     except Exception:  # noqa: BLE001 — cache read is best-effort
@@ -104,7 +104,7 @@ def _persist_save(
     try:
         store = _persist_store(spark, sf_dir)
         slug = _table_slug(name)
-        if store._has_data(slug):
+        if store.has_data(slug):
             return  # another session won the race
         store.declare_table(slug, df.schema)
         store.store_records(slug, df, validate=False)

@@ -1778,6 +1778,13 @@ class TableStore:
                 reader = reader.schema(sch)
         return reader.parquet(*keep)
 
+    def has_data(self, name: str) -> bool:
+        """True iff the table has at least one parquet file on disk —
+        the public existence probe (cheap: one directory walk, no
+        Spark job); a declared-but-never-written table reads as an
+        empty frame and reports False here."""
+        return self._has_data(name)
+
     def _has_data(self, name: str) -> bool:
         """True iff the table has at least one parquet file on disk."""
         p = self._path(name)
