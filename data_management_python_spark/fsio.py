@@ -266,6 +266,14 @@ class HadoopFsIO:
         self.replace(tmp, p)
 
     def create_exclusive(self, p: str) -> None:
+        # Hadoop's create() silently mkdir-p's missing parents where
+        # os.open raises — align to the os contract (the backends
+        # must be behaviorally interchangeable; pinned by the
+        # random-op equivalence property test).  The check-then-
+        # create window is harmless: callers pre-create the lock dir
+        parent = os.path.dirname(p)
+        if parent and not self._fs.exists(self._p(parent)):
+            raise FileNotFoundError(parent)
         try:
             out = self._fs.create(self._p(p), False)
         except Exception as e:  # noqa: BLE001

@@ -197,3 +197,75 @@ def test_stream_marker_and_declared_table_on_file_root(spark, furl):
         on=["j"],
     )
     assert store.table("registers").count() == 2
+
+
+def test_fsio_backends_equivalent_under_random_ops(spark, tmp_path):
+    """Property: the two fsio backends expose the SAME observable
+    semantics for every primitive the store uses — a deterministic
+    pseudo-random op sequence applied to both must produce identical
+    results, errors, and final trees.  This is the contract that
+    makes the file:// suite representative of hdfs:// behavior."""
+    import random
+
+    from data_management_python_spark.fsio import open_fs
+
+    lroot = str(tmp_path / "local")
+    hroot = "file://" + str(tmp_path / "hadoop")
+    lfs, hfs = open_fs(spark, lroot), open_fs(spark, hroot)
+    lfs.makedirs(lroot)
+    hfs.makedirs(hroot)
+    rng = random.Random(97)
+    names = [f"d{i}/f{j}.json" for i in range(3) for j in range(3)]
+
+    def run(fs, root, op, name, payload):
+        p = root + "/" + name
+        try:
+            if op == "write":
+                fs.makedirs(root + "/" + name.split("/")[0])
+                fs.write_text_atomic(p, payload)
+                return ("ok", None)
+            if op == "read":
+                return ("ok", fs.read_text(p))
+            if op == "exists":
+                return ("ok", fs.exists(p))
+            if op == "excl":
+                fs.create_exclusive(p)
+                return ("ok", None)
+            if op == "unlink":
+                fs.unlink(p)
+                return ("ok", None)
+            if op == "replace":
+                fs.replace(p, root + "/" + names[0])
+                return ("ok", None)
+            if op == "listdir":
+                return ("ok", sorted(fs.listdir(root + "/" + name.split("/")[0])))
+            if op == "rmtree":
+                fs.rmtree(root + "/" + name.split("/")[0])
+                return ("ok", None)
+        except FileExistsError:
+            return ("exists_err", None)
+        except FileNotFoundError:
+            return ("notfound_err", None)
+        except OSError:
+            return ("os_err", None)
+        raise AssertionError(op)
+
+    ops = ["write", "read", "exists", "excl", "unlink", "replace",
+           "listdir", "rmtree"]
+    for step in range(120):
+        op = rng.choice(ops)
+        name = rng.choice(names)
+        payload = f"v{step}"
+        rl = run(lfs, lroot, op, name, payload)
+        rh = run(hfs, hroot, op, name, payload)
+        assert rl == rh, f"step {step} {op} {name}: {rl} != {rh}"
+
+    def tree(fs, root):
+        out = {}
+        for dirpath, _dirs, files in fs.walk(root):
+            rel = dirpath[len(root):].lstrip("/")
+            for fn in files:
+                out[(rel, fn)] = fs.read_text(dirpath + "/" + fn)
+        return out
+
+    assert tree(lfs, lroot) == tree(hfs, hroot)
