@@ -149,12 +149,39 @@ class LocalFsIO:
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _java_exception_classes(exc: Exception) -> list[str]:
+    """Fully-qualified class names of the wrapped Java exception and
+    its cause chain (empty when ``exc`` isn't a py4j Java error) —
+    classification by CLASS is exact where the message wording is
+    free-form and filesystem-dependent."""
+    names: list[str] = []
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:  # bounded: causes can cycle
+        try:
+            names.append(je.getClass().getName())
+            je = je.getCause()
+        except Exception:  # noqa: BLE001 — dead gateway mid-walk
+            break
+        seen += 1
+    return names
+
+
 def _is_missing(exc: Exception) -> bool:
+    for cls in _java_exception_classes(exc):
+        if cls.endswith("FileNotFoundException"):
+            return True
     s = str(exc)
     return "FileNotFoundException" in s or "does not exist" in s
 
 
 def _is_exists(exc: Exception) -> bool:
+    # a FileAlreadyExists raised by a connector with different wording
+    # must still classify as FileExistsError — create_exclusive's
+    # callers CONTEND on it (lock wait/retry) rather than crash
+    for cls in _java_exception_classes(exc):
+        if cls.endswith("FileAlreadyExistsException"):
+            return True
     s = str(exc)
     return "FileAlreadyExistsException" in s or "already exists" in s
 

@@ -41,28 +41,56 @@ _PERSIST_ROOT_ENV = "SPARK_GRAFT_FAMILY_CACHE"
 
 
 def _persist_root() -> str:
+    """Default persist root is PER-USER, not the shared world-writable
+    tempdir: on a multi-user host a shared path lets another user
+    pre-create the directory (permission failures) or pre-populate
+    poisoned snapshots that loads would trust.  XDG cache dir when
+    resolvable, else tempdir suffixed with the uid; created 0700."""
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
-    return os.environ.get(
-        _PERSIST_ROOT_ENV,
-        os.path.join(tempfile.gettempdir(), "spark_graft_family_cache"),
-    )
+    explicit = os.environ.get(_PERSIST_ROOT_ENV)
+    if explicit:
+        return explicit
+    home = os.path.expanduser("~")
+    if home and home != "~":
+        root = os.path.join(home, ".cache", "spark_graft_family_cache")
+    else:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_family_cache-{os.getuid()}",
+        )
+    try:
+        os.makedirs(root, mode=0o700, exist_ok=True)
+    except OSError:
+        pass  # creation failure surfaces (best-effort) at first use
+    return root
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
     """Content key for a test-data dir: path + every file's
-    (name, size, mtime_ns), hashed.  A regenerated corpus changes the
-    key, so a stale snapshot can never be served — it is simply never
-    found."""
+    (relpath, size, mtime_ns), hashed — RECURSIVELY, because parquet
+    tables are directories: an in-place rewrite of a nested part file
+    changes neither the top-level entry set nor the subdir's own stat,
+    and a top-level-only fingerprint would serve a stale snapshot.  A
+    regenerated corpus changes the key, so a stale snapshot can never
+    be served — it is simply never found."""
     import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
 
     parts = [sf_dir]
     try:
-        for fn in sorted(os.listdir(sf_dir)):
-            st = os.stat(os.path.join(sf_dir, fn))
-            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+        entries = []
+        for dirpath, dirnames, filenames in os.walk(sf_dir):
+            dirnames.sort()
+            rel_dir = os.path.relpath(dirpath, sf_dir)
+            for fn in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, fn))
+                rel = fn if rel_dir == "." else os.path.join(rel_dir, fn)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+        parts.extend(entries)
+        if not entries:
+            parts.append("<empty>")
     except OSError:
         parts.append("<unlistable>")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:20]
@@ -104,10 +132,16 @@ def _persist_save(
     try:
         store = _persist_store(spark, sf_dir)
         slug = _table_slug(name)
-        if store.has_data(slug):
-            return  # another session won the race
-        store.declare_table(slug, df.schema)
-        store.store_records(slug, df, validate=False)
+        # probe + append must be ATOMIC under the store's cross-process
+        # writer lock: store_records is a TRUE append, so two sessions
+        # both passing a bare has_data==False would each append and
+        # permanently DOUBLE the snapshot every later session loads.
+        # The re-check runs inside the transaction, after the lock.
+        with store.transaction():
+            if store.has_data(slug):
+                return  # another session won the race
+            store.declare_table(slug, df.schema)
+            store.store_records(slug, df, validate=False)
     except Exception:  # noqa: BLE001 — cache write is best-effort
         pass
 

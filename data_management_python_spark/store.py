@@ -201,6 +201,9 @@ class TableStore:
         # independent table writes on worker threads (see
         # _store_with_attributes_txn)
         self._txn_mutex = threading.Lock()
+        # lease-heartbeat thread state (see _start_lease_heartbeat)
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
         #: filesystem primitives for everything under the root — os/
         #: os/shutil for plain paths, Hadoop FileSystem/FileContext for
         #: scheme:// roots (hdfs://, file://, ...); object-store
@@ -326,6 +329,46 @@ class TableStore:
             return False  # lock vanished: the caller's loop retries
         return age > self.cross_host_lease
 
+    def _start_lease_heartbeat(self) -> None:
+        """Keep the cross-host lease alive THROUGH long Spark writes:
+        the lease is judged by the pending journal's mtime, which
+        otherwise only refreshes when an op is journaled — one
+        compact/rebucket/_swap of a large table easily exceeds the
+        lease between journal entries, and a foreign host would judge
+        this live writer dead and usurp it mid-write.  A daemon thread
+        re-persists the journal (refreshing mtime and ``ts``) every
+        third of the lease while the lock is held; commit/rollback/
+        guard-exit stop and JOIN it before releasing the lock file so
+        a late beat can never resurrect a released lock."""
+        token = self._txn.token
+        stop = threading.Event()
+        interval = max(1.0, min(self.cross_host_lease / 3.0, 120.0))
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                with self._txn_mutex:
+                    t = self._txn
+                    if t is None or t.token != token or stop.is_set():
+                        return
+                    with contextlib.suppress(OSError):
+                        self._write_journal()
+
+        self._hb_stop = stop
+        self._hb_thread = threading.Thread(
+            target=beat, name="tablestore-lease-heartbeat", daemon=True
+        )
+        self._hb_thread.start()
+
+    def _stop_lease_heartbeat(self) -> None:
+        stop = getattr(self, "_hb_stop", None)
+        if stop is None:
+            return
+        stop.set()
+        thread = self._hb_thread
+        self._hb_stop = None
+        self._hb_thread = None
+        thread.join()
+
     def _acquire_lock(self, explicit: bool) -> _Txn:
         self.fs.makedirs(os.path.dirname(self._txn_path("pending")))
         deadline = time.monotonic() + self.lock_timeout
@@ -371,6 +414,7 @@ class TableStore:
                 continue
             self._txn = _Txn(token, explicit)
             self._write_journal()
+            self._start_lease_heartbeat()
             return self._txn
 
     def _commit(self) -> None:
@@ -381,10 +425,12 @@ class TableStore:
         before it rolls the manifests back with everything else."""
         if self._history_on():
             self._record_versions_in_txn()
+        self._stop_lease_heartbeat()  # joined BEFORE the lock moves
         self.fs.replace(self._txn_path("pending"), self._txn_path("committed"))
         self._roll_forward()
 
     def _rollback(self) -> None:
+        self._stop_lease_heartbeat()
         for op in reversed(self._txn.ops):
             self._undo_op(op)
         with contextlib.suppress(OSError):
@@ -574,6 +620,7 @@ class TableStore:
         try:
             yield
         finally:
+            self._stop_lease_heartbeat()
             with contextlib.suppress(OSError):
                 self.fs.unlink(self._txn_path("pending"))
             self._txn = None

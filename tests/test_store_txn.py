@@ -810,3 +810,36 @@ def test_same_host_dead_writer_still_recovered_fast(spark, tmp_path):
     s2 = TableStore(spark, root)
     s2.store_records("project", _projects(spark, [5]))  # takes over inline
     assert {r.project_id for r in s2.table("project").collect()} == {5}
+
+
+def test_lease_heartbeat_refreshes_lock_during_long_write(spark, tmp_path):
+    """Round-10 ADVICE fix: the cross-host lease is judged by the
+    pending journal's mtime, which previously only refreshed when an
+    op was journaled — one long Spark write inside a txn could exceed
+    the lease and get a LIVE writer usurped by a foreign host.  The
+    heartbeat thread must re-touch the journal while the lock is held,
+    and must be joined before release so a late beat can never
+    resurrect a released lock."""
+    root = str(tmp_path / "cat")
+    store = TableStore(spark, root)
+    store.cross_host_lease = 1.5  # heartbeat every 0.5s
+    store._acquire_lock(explicit=True)
+    try:
+        time.sleep(2.0)  # longer than the lease, no ops journaled
+        age = time.time() - store.fs.getmtime(store._txn_path("pending"))
+        assert age < 1.2, "heartbeat did not refresh the lease mtime"
+        # a foreign-host observer would NOT judge this writer dead
+        pend = store._read_journal("pending")
+        pend["host"] = "some-other-host"  # view it as s2 would
+        s2 = TableStore(spark, root)
+        s2.cross_host_lease = 1.5
+        assert not s2._writer_dead(pend)
+    finally:
+        store._rollback()
+        store._txn = None
+    assert store._hb_thread is None  # joined, not leaked
+    time.sleep(0.8)  # one more interval: no resurrection
+    assert not store.fs.exists(store._txn_path("pending"))
+    # normal verbs still work afterwards
+    store.store_records("project", _projects(spark, [1]))
+    assert store.table("project").count() == 1
