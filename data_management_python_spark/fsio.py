@@ -33,16 +33,35 @@ Atomicity contract (what the commit protocol actually relies on):
   never momentarily vanishes.
 
 HDFS / file:// / viewfs provide both.  Object stores (s3/s3a/gs/
-wasb/abfs/…) provide NEITHER — rename is copy+delete and exclusive
-create is last-PUT-wins — so :func:`open_fs` REFUSES them with a
-pointer at this note rather than silently running a protocol whose
-crash states would corrupt the table.  The object-store path is the
-manifest-pointer (append-only) commit design; until that lands, an
-object-store root is an explicit error, not a latent data hazard.
+wasb/abfs/…) provide NEITHER — rename is copy+delete and a plain
+create is last-PUT-wins — so their backends advertise
+``rename_atomic = False`` and the store switches to its
+MANIFEST-POINTER commit mode (append-only: immutable data segments,
+per-table pointer files, the commit marker PUT as the commit point —
+see store.py "object-store commit mode").  That mode leans on the
+primitives object stores DO provide, each public and documented:
+
+- atomic whole-object PUT (:meth:`put_text`): readers see the old or
+  the new object in full, never a torn write — S3/GCS/Azure all
+  guarantee this, so single-file metadata updates need no tmp+rename.
+- conditional PUT (:meth:`put_if_absent`): exactly one winner among
+  concurrent creators of the same key — S3 ``If-None-Match: *``
+  (since 2024, the primitive Delta/Iceberg commit protocols use),
+  GCS ``ifGenerationMatch=0``, Azure ``If-None-Match: *``.  This
+  replaces O_EXCL for the writer lock.
+- strongly consistent LIST (S3 since 2020; GCS/Azure always).
+
+:class:`ObjectStoreFsIO` is the local SIMULATION of those semantics
+(the test surface): ``replace``/``create_exclusive`` RAISE — proving
+no code path in manifest-commit mode depends on them — while
+``put_text``/``put_if_absent`` emulate the stores' native atomic PUT
+locally.  :class:`HadoopObjectFsIO` is the same discipline over a
+real ``s3a://``-class connector.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import shutil
@@ -78,24 +97,24 @@ def scheme_of(path: str) -> str | None:
     return m.group(1).lower() if m else None
 
 
+class UnsupportedFsOperation(OSError):
+    """The backend's filesystem cannot provide this primitive (e.g.
+    atomic rename on an object store) — reaching it is a PROTOCOL bug:
+    manifest-commit mode must never call it."""
+
+
 def open_fs(spark, root: str):
     """The FsIO implementation for ``root``: :class:`LocalFsIO` for
     plain paths, :class:`HadoopFsIO` for ``scheme://`` roots with
-    rename-atomic semantics, and a refusal (with the reason) for
-    object-store schemes — see the module docstring."""
+    rename-atomic semantics, and :class:`HadoopObjectFsIO`
+    (``rename_atomic = False`` — the store switches to manifest-
+    pointer commits) for object-store schemes — see the module
+    docstring."""
     sch = scheme_of(root)
     if sch is None:
         return LocalFsIO()
     if sch in OBJECT_STORE_SCHEMES:
-        raise ValueError(
-            f"TableStore root {root!r} is on an object store "
-            f"({sch}://): its rename is copy+delete and its create "
-            "is last-PUT-wins, so the store's commit/lock protocol "
-            "cannot run safely there.  Use an HDFS-semantics "
-            "filesystem (hdfs://, viewfs://, a mounted file:// "
-            "root), or wait for the manifest-pointer append-only "
-            "commit mode (fsio.py module docstring)."
-        )
+        return HadoopObjectFsIO(spark, root)
     return HadoopFsIO(spark, root)
 
 
@@ -104,6 +123,10 @@ class LocalFsIO:
     store behavior for plain local roots."""
 
     is_local = True
+    #: atomic rename-with-clobber + O_EXCL create available: the store
+    #: runs its rename-based commit protocol.  False switches it to
+    #: manifest-pointer commits (see module docstring).
+    rename_atomic = True
 
     def exists(self, p: str) -> bool:
         return os.path.exists(p)
@@ -113,6 +136,9 @@ class LocalFsIO:
 
     def getmtime(self, p: str) -> float:
         return os.path.getmtime(p)
+
+    def getsize(self, p: str) -> int:
+        return os.path.getsize(p)
 
     def makedirs(self, p: str) -> None:
         os.makedirs(p, exist_ok=True)
@@ -138,6 +164,30 @@ class LocalFsIO:
     def create_exclusive(self, p: str) -> None:
         fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.close(fd)
+
+    def put_text(self, p: str, text: str) -> None:
+        """Atomic full-content overwrite — the local analog of an
+        object store's whole-object PUT."""
+        self.write_text_atomic(p, text)
+
+    def put_if_absent(self, p: str, text: str) -> None:
+        """Atomic create-with-content, exactly one winner among
+        concurrent callers (the conditional-PUT primitive).  Locally:
+        write a private temp, then ``os.link`` it to the destination —
+        link is atomic AND exclusive, so the winner's file appears
+        with its full content in one step (no empty-lock window)."""
+        import uuid  # noqa: PLC0415
+
+        tmp = f"{p}.cput-{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            raise FileExistsError(p) from None
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
 
     def replace(self, src: str, dst: str) -> None:
         os.replace(src, dst)
@@ -202,19 +252,47 @@ class HadoopFsIO:
     """
 
     is_local = False
+    rename_atomic = True
 
     def __init__(self, spark, root: str):
         self._jvm = spark._jvm
         self._gw = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
-        jp = self._jvm.org.apache.hadoop.fs.Path(root)
-        self._fs = jp.getFileSystem(self._conf)
-        self._fctx = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            jp.toUri(), self._conf
-        )
-        ren = self._jvm.org.apache.hadoop.fs.Options.Rename
-        self._overwrite = self._gw.new_array(ren, 1)
-        self._overwrite[0] = ren.OVERWRITE
+        self._root = root
+        # JVM handles are LAZY: resolving a FileSystem for a scheme
+        # loads its connector class, which may not ship in every
+        # environment (e.g. hadoop-aws for s3a) — backend SELECTION
+        # must not require the connector, only actual I/O does
+        self.__fs = None
+        self.__fctx = None
+        self.__overwrite = None
+
+    @property
+    def _fs(self):
+        if self.__fs is None:
+            jp = self._jvm.org.apache.hadoop.fs.Path(self._root)
+            self.__fs = jp.getFileSystem(self._conf)
+        return self.__fs
+
+    @property
+    def _fctx(self):
+        if self.__fctx is None:
+            jp = self._jvm.org.apache.hadoop.fs.Path(self._root)
+            self.__fctx = (
+                self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                    jp.toUri(), self._conf
+                )
+            )
+        return self.__fctx
+
+    @property
+    def _overwrite(self):
+        if self.__overwrite is None:
+            ren = self._jvm.org.apache.hadoop.fs.Options.Rename
+            arr = self._gw.new_array(ren, 1)
+            arr[0] = ren.OVERWRITE
+            self.__overwrite = arr
+        return self.__overwrite
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -236,6 +314,14 @@ class HadoopFsIO:
                 f"getmtime {p}: {e}"
             ) from e
         return st.getModificationTime() / 1000.0
+
+    def getsize(self, p: str) -> int:
+        try:
+            return int(self._fs.getFileStatus(self._p(p)).getLen())
+        except Exception as e:  # noqa: BLE001
+            raise FileNotFoundError(p) if _is_missing(e) else OSError(
+                f"getsize {p}: {e}"
+            ) from e
 
     def makedirs(self, p: str) -> None:
         self._fs.mkdirs(self._p(p))
@@ -334,3 +420,115 @@ class HadoopFsIO:
             self._fs.delete(self._p(p), True)
         except Exception:  # noqa: BLE001 — ignore_errors=True parity
             pass
+
+    def put_text(self, p: str, text: str) -> None:
+        """Whole-object overwrite through ``create(overwrite=true)``.
+        On object-store connectors the content uploads as ONE PUT at
+        ``close()`` — atomic by the store's contract; on HDFS-class
+        filesystems this is a plain create (callers in rename-atomic
+        mode use :meth:`write_text_atomic` instead)."""
+        out = self._fs.create(self._p(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def put_if_absent(self, p: str, text: str) -> None:
+        """Create-with-content, failing when the object exists.  On
+        object-store connectors with conditional-create support (s3a
+        ``fs.s3a.create.conditional.enabled``, HADOOP-19256; the GCS
+        and ABFS connectors' generation/etag preconditions) the
+        exclusivity commits WITH the content PUT at ``close()`` —
+        atomic end to end.  Without it, ``create(overwrite=false)``
+        is check-then-create; the store's lease machinery (mtime
+        lease + grace window for content-less locks) bounds the
+        residual race exactly as it does for HDFS-local semantics."""
+        try:
+            out = self._fs.create(self._p(p), False)
+        except Exception as e:  # noqa: BLE001
+            raise FileExistsError(p) if _is_exists(e) else OSError(
+                f"create {p}: {e}"
+            ) from e
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+
+class ObjectStoreFsIO(LocalFsIO):
+    """Local-directory SIMULATION of object-store filesystem
+    semantics — the test surface for the store's manifest-pointer
+    commit mode (``TableStore(..., object_store=True)``).
+
+    What it takes away (the two primitives object stores lack):
+    ``replace`` (atomic rename) and ``create_exclusive`` (O_EXCL)
+    RAISE :class:`UnsupportedFsOperation` — so any code path still
+    depending on them fails loudly in tests instead of shipping a
+    protocol whose crash states corrupt tables on S3/GCS/Azure.
+
+    What it keeps: ``put_text`` / ``put_if_absent`` emulate the
+    stores' NATIVE atomic whole-object PUT and conditional PUT
+    (module docstring lists the public store-side guarantees); the
+    local tmp+rename / link inside those emulations is implementation
+    detail of the emulation, not a protocol dependency.
+    ``write_text_atomic`` routes to ``put_text`` because single-object
+    overwrite IS atomic on object stores — no tmp+rename exists."""
+
+    rename_atomic = False
+
+    def replace(self, src: str, dst: str) -> None:
+        raise UnsupportedFsOperation(
+            f"atomic rename {src!r} -> {dst!r}: object stores rename "
+            "by copy+delete; the manifest-commit protocol must never "
+            "rely on rename atomicity"
+        )
+
+    def create_exclusive(self, p: str) -> None:
+        raise UnsupportedFsOperation(
+            f"exclusive create {p!r}: a plain object-store PUT is "
+            "last-writer-wins; use put_if_absent (conditional PUT)"
+        )
+
+    def write_text_atomic(
+        self, p: str, text: str, tmp: str | None = None
+    ) -> None:
+        # single-object PUT is natively atomic — tmp+rename is neither
+        # available nor needed (the emulation below uses a local
+        # os.replace internally, which is the SIMULATION of the PUT's
+        # atomicity, not a protocol dependency)
+        self.put_text(p, text)
+
+    def put_text(self, p: str, text: str) -> None:
+        import uuid  # noqa: PLC0415
+
+        tmp = f"{p}.put-{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, p)
+
+
+class HadoopObjectFsIO(HadoopFsIO):
+    """Object-store connector backend (``s3a://``, ``gs://``,
+    ``abfs://``, …): the :class:`ObjectStoreFsIO` discipline over a
+    real Hadoop connector.  ``rename_atomic = False`` switches the
+    store to manifest-pointer commits; the rename/O_EXCL primitives
+    raise rather than run the connector's non-atomic emulations."""
+
+    rename_atomic = False
+
+    def replace(self, src: str, dst: str) -> None:
+        raise UnsupportedFsOperation(
+            f"atomic rename {src!r} -> {dst!r}: this root's rename is "
+            "copy+delete; manifest-commit mode must never call it"
+        )
+
+    def create_exclusive(self, p: str) -> None:
+        raise UnsupportedFsOperation(
+            f"exclusive create {p!r}: plain create is last-PUT-wins "
+            "here; use put_if_absent (conditional PUT)"
+        )
+
+    def write_text_atomic(
+        self, p: str, text: str, tmp: str | None = None
+    ) -> None:
+        self.put_text(p, text)

@@ -65,10 +65,17 @@ def test_backend_selection(spark, tmp_path):
     assert scheme_of("HDFS://nn/x") == "hdfs"
     assert isinstance(open_fs(spark, str(tmp_path)), LocalFsIO)
     assert isinstance(open_fs(spark, "file://" + str(tmp_path)), HadoopFsIO)
-    with pytest.raises(ValueError, match="object store"):
-        open_fs(spark, "s3a://bucket/root")
-    with pytest.raises(ValueError, match="object store"):
-        TableStore(spark, "gs://bucket/root")
+    # round-10: object-store schemes are no longer refused — they get
+    # the rename-free backend, switching the store to manifest-pointer
+    # commits (tests/test_store_objectstore.py pins that protocol)
+    from data_management_python_spark.fsio import (  # noqa: PLC0415
+        HadoopObjectFsIO,
+    )
+
+    obj = open_fs(spark, "s3a://bucket/root")
+    assert isinstance(obj, HadoopObjectFsIO)
+    assert obj.rename_atomic is False
+    assert open_fs(spark, str(tmp_path)).rename_atomic is True
 
 
 def test_hadoop_fsio_primitives(spark, tmp_path):
