@@ -3579,7 +3579,15 @@ def e_cms_stream_registers(spark, sf_dir):
         cms_monitor_batch,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # ONE source scan, like a real stream (each micro-batch arrives
+    # materialized; only this harness re-derives batches from a
+    # table) — the per-batch filters below run over the checkpointed
+    # projection instead of re-scanning events four times
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .localCheckpoint(eager=True)
+    )
     root = tempfile.mkdtemp(prefix="cmsmon_")
     try:
         store = TableStore(spark, root)

@@ -209,7 +209,10 @@ def hll_monitor_batch(
         .coalesce(1)
     )
     with store.transaction():
-        store.upsert(table, merged, on=["j"])
+        # merged IS the complete post-state (standing union batch,
+        # re-aggregated): a full replace skips the upsert's redundant
+        # join against the very rows being superseded
+        store.overwrite(table, merged, validate=False)
         store.set_stream_marker(stream_id, batch_id)
     return True
 
@@ -291,7 +294,9 @@ def cms_monitor_batch(
         .coalesce(1)
     )
     with store.transaction():
-        store.upsert(table, merged, on=["i", "b"])
+        # same full-replace shape as the HLL monitor: merged is the
+        # complete post-state, so upsert's target join is pure cost
+        store.overwrite(table, merged, validate=False)
         store.set_stream_marker(stream_id, batch_id)
     return True
 

@@ -1344,3 +1344,76 @@ def test_store_with_attributes_key_type_mismatch_no_dups(spark, tmp_path):
     )
     store.store_with_attributes("project", extra, key_column="project_id")
     assert store.table("project_attribute").count() == 9
+
+
+def test_overwrite_replaces_contents(store, spark):
+    """overwrite: the table's content becomes exactly the new frame —
+    on flat AND bucketed layouts — with constraint probes cost-gated
+    like the merge path (round-10; motivated by the sketch monitors,
+    whose merged register frame is the complete post-state)."""
+    from pyspark.sql import functions as F
+
+    store.store_records(
+        "project",
+        spark.createDataFrame(
+            [(1, "IGFQ0001", "ACTIVE"), (2, "IGFQ0002", "ACTIVE")],
+            "project_id long, project_igf_id string, status string",
+        ),
+    )
+    store.overwrite(
+        "project",
+        spark.createDataFrame(
+            [(5, "IGFQ0005", "FINISHED")],
+            "project_id long, project_igf_id string, status string",
+        ),
+    )
+    rows = store.table("project").collect()
+    assert [(r.project_id, r.status) for r in rows] == [(5, "FINISHED")]
+    # enum domain still enforced on the replace
+    import pytest
+
+    with pytest.raises(ValueError, match="enum violation"):
+        store.overwrite(
+            "project",
+            spark.createDataFrame(
+                [(6, "IGFQ0006", "NOT_A_STATUS")],
+                "project_id long, project_igf_id string, status string",
+            ),
+        )
+    # bucketed layout preserved through the replace
+    store.enable_partitioning("sample", ["sample_id"], 4)
+    store.store_records(
+        "sample",
+        spark.createDataFrame(
+            [(i, f"IGF{i}", 5, "ACTIVE") for i in range(1, 9)],
+            "sample_id long, sample_igf_id string, project_id long, "
+            "status string",
+        ),
+    )
+    store.overwrite(
+        "sample",
+        spark.createDataFrame(
+            [(i, f"IGF{i}", 5, "FAILED") for i in range(1, 4)],
+            "sample_id long, sample_igf_id string, project_id long, "
+            "status string",
+        ),
+    )
+    assert store.partitioning_of("sample") == (["sample_id"], 4)
+    assert store.table("sample").count() == 3
+    assert store.fetch_by("sample", sample_id=2).first().status == "FAILED"
+    # joins an open transaction: rollback restores the pre-state
+    try:
+        with store.transaction():
+            store.overwrite(
+                "sample",
+                spark.createDataFrame(
+                    [(99, "IGF99", 5, "ACTIVE")],
+                    "sample_id long, sample_igf_id string, "
+                    "project_id long, status string",
+                ),
+            )
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    assert store.table("sample").count() == 3
+    assert store.table("sample").filter(F.col("sample_id") == 99).isEmpty()

@@ -496,6 +496,7 @@ _REUSED = {
         # layout keeps kb= inside segments.  The logical contract is
         # pinned by the equivalence test above.)
         "test_eav_null_key_rows_do_not_duplicate",
+        "test_overwrite_replaces_contents",
         "test_fetch_by_empty_in_list_returns_empty",
         "test_store_with_attributes_key_type_mismatch_no_dups",
     ],
