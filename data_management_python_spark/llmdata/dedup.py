@@ -1513,6 +1513,103 @@ def cdc_chunk_stats(
     return _cdc_rollup(chunks, id_col)
 
 
+def _suffix_occurrences(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(tokenized docs, anchor occurrences) shared by the suffix-span
+    family: one row per k-gram position with its 60-bit md5 anchor —
+    the relational stand-in for a suffix array's sorted positions.
+    The occurrence scan is repartitioned by id so the tokenize+md5
+    explode parallelizes regardless of the input's file count."""
+    from data_management_python_spark.session import (  # noqa: PLC0415
+        operator_width,
+    )
+
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    ).filter(F.size("__toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(F.col("__toks"), i + j)
+                                for j in range(k)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    width = operator_width(df.sparkSession)
+    occ = (
+        toked.repartition(width, id_col)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(
+            id_col, F.col("g.pos").alias("__pos"), F.col("g.h").alias("__h")
+        )
+    )
+    return toked, occ
+
+
+def _spans_from_anchor_pairs(pairs: DataFrame, k: int) -> DataFrame:
+    """Maximal spans from shared-anchor pairs (__da, __db, __pa, __pb):
+    a span of L tokens is L-k+1 consecutive anchors at constant
+    offset, so group by (pair, __pa - __pb) and the islands trick
+    (pos minus rank) recovers every maximal run; the best-span window
+    then keeps the longest per pair (ties by start positions)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    wd = Window.partitionBy("__da", "__db", "__delta").orderBy("__pa")
+    runs = pairs.withColumn(
+        "__delta", F.col("__pa") - F.col("__pb")
+    ).withColumn("__grp", F.col("__pa") - F.row_number().over(wd))
+    spans = runs.groupBy("__da", "__db", "__delta", "__grp").agg(
+        (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+        F.min("__pa").alias("start_a"),
+        F.min("__pb").alias("start_b"),
+    )
+    wp = Window.partitionBy("__da", "__db").orderBy(
+        F.desc("span_tokens"), F.asc("start_a"), F.asc("start_b")
+    )
+    return (
+        spans.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__delta", "__grp")
+    )
+
+
+def _spans_with_text(
+    best: DataFrame, toked: DataFrame, id_col: str
+) -> DataFrame:
+    return best.join(
+        toked.select(F.col(id_col).alias("__da"), "__toks"), "__da"
+    ).select(
+        F.col("__da").alias("doc_a"),
+        F.col("__db").alias("doc_b"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("__toks"), F.col("start_a"), F.col("span_tokens")),
+        ).alias("span_text"),
+    )
+
+
 def longest_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1552,53 +1649,11 @@ def longest_duplicate_spans(
     """
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    toked = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
-    ).filter(F.size("__toks") >= k)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
-        lambda i: F.struct(
-            i.cast("int").alias("pos"),
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            *[
-                                F.element_at(F.col("__toks"), i + j)
-                                for j in range(k)
-                            ],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
-        ),
-    )
-    from data_management_python_spark.session import (  # noqa: PLC0415
-        operator_width,
-    )
-
-    width = operator_width(df.sparkSession)
+    toked, occ = _suffix_occurrences(df, id_col, text_col, k)
     # ONE hash-keyed shuffle gates AND dedups the anchor scan: the
     # old groupBy-then-join computed the tokenize+md5 explode twice
     # (once per shuffle); window aggregates over the same partition
-    # do both in a single pass.  The explicit repartition also frees
-    # the scan from the input's file count (a single parquet file
-    # otherwise serializes the whole md5 pass through one task).
-    occ = (
-        toked.repartition(width, id_col)
-        .select(F.col(id_col), F.explode(grams).alias("g"))
-        .select(
-            id_col, F.col("g.pos").alias("__pos"), F.col("g.h").alias("__h")
-        )
-    )
+    # do both in a single pass.
     wg = Window.partitionBy("__h")
     shared = (
         occ.withColumn("__n", F.count(F.lit(1)).over(wg))
@@ -1626,35 +1681,263 @@ def longest_duplicate_spans(
         F.col("__pos").alias("__pb"),
     )
     pairs = a.join(b, "__h").filter(F.col("__da") < F.col("__db"))
-    wd = Window.partitionBy("__da", "__db", "__delta").orderBy("__pa")
-    runs = pairs.withColumn(
-        "__delta", F.col("__pa") - F.col("__pb")
-    ).withColumn("__grp", F.col("__pa") - F.row_number().over(wd))
-    spans = runs.groupBy("__da", "__db", "__delta", "__grp").agg(
-        (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
-        F.min("__pa").alias("start_a"),
-        F.min("__pb").alias("start_b"),
-    )
-    wp = Window.partitionBy("__da", "__db").orderBy(
-        F.desc("span_tokens"), F.asc("start_a"), F.asc("start_b")
-    )
-    best = (
-        spans.withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__delta", "__grp")
-    )
-    return best.join(
-        toked.select(F.col(id_col).alias("__da"), "__toks"), "__da"
+    best = _spans_from_anchor_pairs(pairs, k)
+    return _spans_with_text(best, toked, id_col)
+
+
+def suffix_gate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_freq: int = 64,
+) -> DataFrame:
+    """OBSERVABILITY for the suffix-span frequency gate (round-10
+    verdict item: ``max_gram_freq`` silently truncates recall on
+    boilerplate-heavy corpora — standard for the family, but the
+    operator emitted no signal about how much was gated).  One row:
+    total anchors, anchors dropped by the cap, distinct grams dropped,
+    and the gated share — cheap (the same single anchor scan +
+    per-gram aggregate the detection pass runs) and monitorable: a
+    rising ``gated_share`` means spans are being missed and the cap
+    (or the boilerplate stripping upstream) needs attention."""
+    _, occ = _suffix_occurrences(df, id_col, text_col, k)
+    per_gram = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+    return per_gram.agg(
+        F.sum("__n").cast("bigint").alias("n_anchors"),
+        F.sum(
+            F.when(F.col("__n") > max_gram_freq, F.col("__n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_gated_anchors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(
+            F.when(F.col("__n") > max_gram_freq, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_gated_grams"),
     ).select(
-        F.col("__da").alias("doc_a"),
-        F.col("__db").alias("doc_b"),
-        F.col("span_tokens").cast("bigint").alias("span_tokens"),
-        F.col("start_a").cast("bigint").alias("start_a"),
-        F.col("start_b").cast("bigint").alias("start_b"),
-        F.concat_ws(
-            " ",
-            F.slice(F.col("__toks"), F.col("start_a"), F.col("span_tokens")),
-        ).alias("span_text"),
+        "n_anchors",
+        "n_gated_anchors",
+        "n_grams",
+        "n_gated_grams",
+        F.round(
+            F.col("n_gated_anchors")
+            / F.greatest(F.col("n_anchors"), F.lit(1)),
+            6,
+        ).alias("gated_share"),
+    )
+
+
+def suffix_anchor_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_freq: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING assets of incremental exact-substring dedup —
+    built once per corpus, probed by every delta batch without
+    re-tokenizing the base:
+
+    - ``detail``: (id, __pos, __h) anchor occurrences for grams whose
+      base frequency is within the cap (a gram already over the cap
+      in the base alone stays over it in any union — its detail can
+      never feed a pair, so it is not stored).
+    - ``summary``: (__h, __n) occurrence counts for EVERY base gram —
+      the probe needs exact union counts to apply the frequency gate
+      the one-shot operator applies, including grams whose detail was
+      dropped.
+
+    In production both are TableStore tables (the summary is one row
+    per distinct gram; the detail is bounded by corpus tokens).  The
+    registered query keeps them session-cached, the same stand-in the
+    MinHash band table uses (see incremental_near_dup)."""
+    _, occ = _suffix_occurrences(df, id_col, text_col, k)
+    occ = occ.localCheckpoint(eager=True)  # one scan feeds both assets
+    summary = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+    detail = occ.join(
+        summary.filter(F.col("__n") <= max_gram_freq).select("__h"),
+        "__h",
+        "left_semi",
+    )
+    return detail, summary
+
+
+def incremental_duplicate_spans(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_freq: int = 64,
+    base_detail: DataFrame | None = None,
+    base_summary: DataFrame | None = None,
+) -> DataFrame:
+    """Exact longest duplicated token span for every NEW pair a delta
+    batch introduces — the incremental form of
+    :func:`longest_duplicate_spans`, mirroring
+    :func:`incremental_near_dup`'s standing-asset shape for the
+    exact-substring family (Lee et al. 2022): today's crawl probes
+    the standing anchor table; the base corpus is never re-tokenized.
+
+    Semantics: the frequency gate uses UNION counts (base summary +
+    delta counts — exactly what the one-shot operator over
+    base ∪ delta applies), and only pairs involving at least one
+    delta document are reported (base-base pairs were reported when
+    the base was processed).  Document ids must be unique across
+    base ∪ delta.  Output schema matches the one-shot operator.
+
+    Scale shape: per-batch work is O(delta anchors + matching gram
+    volume).  The delta tokenizes once; the standing ``detail`` joins
+    by gram hash (bucket-local, fan-out bounded by the cap); span
+    text materializes only for result documents (a semi-join keeps
+    the token-slice pass at O(result docs), never O(base)).  Pass
+    ``base_detail``/``base_summary`` from
+    :func:`suffix_anchor_assets` to skip the base scan entirely."""
+    if base_detail is None or base_summary is None:
+        base_detail, base_summary = suffix_anchor_assets(
+            base, id_col, text_col, k, max_gram_freq
+        )
+    _, d_occ = _suffix_occurrences(delta, id_col, text_col, k)
+    d_occ = d_occ.localCheckpoint(eager=True)  # feeds counts + 2 sides
+    d_cnt = d_occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+    # union-count gate: kept grams are those under the cap across
+    # base + delta (grams unseen in the base carry __n = 0)
+    kept = (
+        d_cnt.join(base_summary, "__h", "left")
+        .filter(
+            F.coalesce(F.col("__n"), F.lit(0)) + F.col("__nd")
+            <= max_gram_freq
+        )
+        .select("__h")
+    )
+    det_d = d_occ.join(kept, "__h", "left_semi")
+    # the base detail only needs grams the delta actually carries —
+    # a semi-join against the (bounded) kept set, never a base rescan
+    det_b = base_detail.join(kept, "__h", "left_semi")
+    d_side = det_d.select(
+        "__h",
+        F.col(id_col).alias("__di"),
+        F.col("__pos").alias("__dp"),
+    )
+    # cross pairs (delta x base), normalized so doc_a is the smaller
+    # id with positions swapped to match
+    b_side = det_b.select(
+        "__h",
+        F.col(id_col).alias("__bi"),
+        F.col("__pos").alias("__bp"),
+    )
+    cross = (
+        d_side.join(b_side, "__h")
+        .select(
+            F.least("__di", "__bi").alias("__da"),
+            F.greatest("__di", "__bi").alias("__db"),
+            F.when(F.col("__di") < F.col("__bi"), F.col("__dp"))
+            .otherwise(F.col("__bp"))
+            .alias("__pa"),
+            F.when(F.col("__di") < F.col("__bi"), F.col("__bp"))
+            .otherwise(F.col("__dp"))
+            .alias("__pb"),
+        )
+    )
+    within = (
+        d_side.join(
+            det_d.select(
+                "__h",
+                F.col(id_col).alias("__db"),
+                F.col("__pos").alias("__pb"),
+            ),
+            "__h",
+        )
+        .filter(F.col("__di") < F.col("__db"))
+        .select(
+            F.col("__di").alias("__da"), "__db",
+            F.col("__dp").alias("__pa"), "__pb",
+        )
+    )
+    best = _spans_from_anchor_pairs(cross.unionByName(within), k)
+    # span text: tokenize ONLY documents that appear as doc_a in a
+    # result (base or delta) — O(results), not O(corpus)
+    docs = base.select(id_col, text_col).unionByName(
+        delta.select(id_col, text_col)
+    )
+    a_ids = best.select(F.col("__da").alias(id_col)).distinct()
+    toked_a = (
+        docs.join(F.broadcast(a_ids), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.split(
+                F.trim(F.lower(F.col(text_col))), r"\s+"
+            ).alias("__toks"),
+        )
+    )
+    return _spans_with_text(best, toked_a, id_col)
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_freq: int = 64,
+) -> DataFrame:
+    """The EXACT span-rewrite: the write side driven by
+    :func:`longest_duplicate_spans` output (round-10; the sampled
+    fingerprint rewrite :func:`remove_duplicated_spans` excises
+    k-token windows around SAMPLED hits — this one excises the
+    maximal detected spans exactly).  Per detected pair the
+    occurrence in the LOWEST-id document survives and the higher
+    document's span token range [start_b, start_b + span_tokens) is
+    cut; a document excised by several pairs cuts the UNION of its
+    ranges.  Output (id, clean_text, n_tokens_removed), one row per
+    input document, whitespace-normalized for touched and untouched
+    documents alike — the same contract as the sampled rewrite, so
+    downstream tokenization sees one format.
+
+    Scale shape: detection is the gated anchor pipeline; the cut
+    ranges aggregate to ONE array per touched document; the excision
+    is a pure column expression (token index filtered by EXISTS over
+    the range array) — untouched documents never join anything
+    heavier than a left join against the (duplicate-density-bounded)
+    cuts frame.  Brute-force rewrite parity pinned by
+    tests/test_suffix_spans.py."""
+    spans = longest_duplicate_spans(df, id_col, text_col, k, max_gram_freq)
+    cuts = spans.groupBy(F.col("doc_b").alias(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_b").cast("int").alias("s"),
+                F.col("span_tokens").cast("int").alias("n"),
+            )
+        ).alias("__cuts")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        # positions in the spans frame are 1-based; transform's index
+        # is 0-based — compare on the 1-based grid
+        lambda s: ~F.exists(
+            F.col("__cuts"),
+            lambda c: (s["i"] + 1 >= c["s"])
+            & (s["i"] + 1 < c["s"] + c["n"]),
+        ),
+    )
+    out = df.join(cuts, on=id_col, how="left")
+    cleaned = F.when(
+        F.col("__cuts").isNull(), F.array_join(toks, " ")
+    ).otherwise(F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+    removed = F.when(F.col("__cuts").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    return out.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        removed.cast("bigint").alias("n_tokens_removed"),
     )
 
 
