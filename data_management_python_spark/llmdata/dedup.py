@@ -1755,8 +1755,14 @@ def suffix_anchor_assets(
     per distinct gram; the detail is bounded by corpus tokens).  The
     registered query keeps them session-cached, the same stand-in the
     MinHash band table uses (see incremental_near_dup)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     _, occ = _suffix_occurrences(df, id_col, text_col, k)
-    occ = occ.localCheckpoint(eager=True)  # one scan feeds both assets
+    # one scan feeds both assets — DISK_ONLY: the anchor set is
+    # O(corpus tokens) (27M rows at the 100x stress), and a standing
+    # asset's natural home is serialized storage, not deserialized
+    # executor memory blocks (MEMORY_AND_DISK unroll OOMed at 100x)
+    occ = occ.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     summary = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
     detail = occ.join(
         summary.filter(F.col("__n") <= max_gram_freq).select("__h"),

@@ -3817,8 +3817,17 @@ def d_incremental_spans(spark, sf_dir):
             ).withColumn("__kind", F.lit("s"))
         )
 
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # DISK_ONLY: the packed asset is O(corpus tokens) — serialized
+    # storage, not deserialized memory blocks (100x stress OOMed the
+    # default level; a real deployment keeps this as a table anyway)
     assets = session_cached(
-        spark, "suffix_anchor_assets", sf_dir, build_assets
+        spark,
+        "suffix_anchor_assets",
+        sf_dir,
+        build_assets,
+        storage_level=StorageLevel.DISK_ONLY,
     )
     detail = assets.filter(F.col("__kind") == "d").select(
         "__h", "doc_id", "__pos"

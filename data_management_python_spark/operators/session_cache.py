@@ -152,6 +152,7 @@ def session_cached(
     sf_dir: str,
     build: Callable[[], DataFrame],
     persist: bool = False,
+    storage_level=None,
 ) -> DataFrame:
     """Return the frame built by ``build()``, eagerly localCheckpointed
     once per (session, name, sf_dir) and shared by later calls.
@@ -232,7 +233,9 @@ def session_cached(
         try:
             df = _persist_load(spark, name, sf_dir) if persist else None
             if df is None:
-                df = build().localCheckpoint(eager=True)
+                df = build().localCheckpoint(
+                    eager=True, storageLevel=storage_level
+                )
                 if persist:
                     _persist_save(spark, name, sf_dir, df)
         finally:
@@ -248,7 +251,9 @@ def session_cached(
         try:
             df = _persist_load(spark, name, sf_dir) if persist else None
             if df is None:
-                df = build().localCheckpoint(eager=True)
+                df = build().localCheckpoint(
+                    eager=True, storageLevel=storage_level
+                )
                 if persist:
                     _persist_save(spark, name, sf_dir, df)
         finally:

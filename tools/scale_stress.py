@@ -205,8 +205,16 @@ MEGA = [
     "m_time_travel",
     "e_store_ingest",
     "d_semdedup_kmeans",
+    # round-10 additions (verdict item 3 + the new span family).
+    # d_incremental_spans' standing anchor assets are session-cached,
+    # so min-of-2 measures the PROBE cost — which is the operator's
+    # steady-state contract (the base is tokenized once per corpus).
+    "d_suffix_spans",
+    "e_cms_stream_registers",
+    "d_incremental_spans",
+    "d_exact_span_rewrite",
 ]
-MEGA_TABLES = ("documents", "embeddings", "customer")
+MEGA_TABLES = ("documents", "embeddings", "customer", "events")
 
 
 def build_docs_only(spark, src: str, dst: str, factor: int) -> None:
@@ -230,6 +238,8 @@ def build_docs_only(spark, src: str, dst: str, factor: int) -> None:
 
     os.makedirs(dst, exist_ok=True)
     for t in MEGA_TABLES:
+        if os.path.exists(os.path.join(dst, f"{t}.parquet")):
+            continue  # incremental: later rounds add tables to a dir
         base = load_table(spark, src, t)
         parts = []
         for i in range(factor):
@@ -264,7 +274,7 @@ def build_docs_only(spark, src: str, dst: str, factor: int) -> None:
         )
 
 
-def main_mega(factor: int) -> None:
+def main_mega(factor: int, only: list[str] | None = None) -> None:
     """Measure the MEGA families at 10x and ``factor``x (default 100x):
     the printed ratio is big/10x against a data growth of factor/10 —
     a ratio at or below that growth means no super-linear blow-up
@@ -278,15 +288,15 @@ def main_mega(factor: int) -> None:
     dirs = {}
     for f in (10, factor):
         d = f"/tmp/mega_sf{f}x"
-        if not os.path.exists(os.path.join(d, "documents.parquet")):
-            print(f"building {d} (factor {f}, docs+embeddings only)...")
-            build_docs_only(spark, src, d, f)
+        # per-table incremental: build_docs_only skips tables already
+        # replicated, so later rounds can add tables to existing dirs
+        build_docs_only(spark, src, d, f)
         dirs[f] = d
     qs = collect_queries()
     growth = factor / 10
     print(f"{'query':24s} {'x10':>9s} {'x' + str(factor):>9s} "
           f"{'ratio':>7s}  (data growth {growth:.0f}x, steady min-of-2)")
-    for name in MEGA:
+    for name in (only or MEGA):
         times = {}
         for f in (10, factor):
             # min of two runs: the first invocation in a session pays
@@ -305,9 +315,132 @@ def main_mega(factor: int) -> None:
     spark.stop()
 
 
+def main_boiler() -> None:
+    """Boilerplate stress for the suffix-span frequency gate (round-10
+    verdict item 3): a corpus where a fixed 30-token boilerplate
+    header precedes 20% of documents, swept over max_gram_freq — the
+    gate's recall truncation (gated-gram share) and the pair fan-out
+    it prevents (sum of C(n,2) over kept grams) become measurable
+    instead of silent.  Records: runtime, result pairs, gated share,
+    and the anchor-pair upper bound the join would face."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.llmdata import dedup
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="boiler_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    boiler = " ".join(f"bp{i}" for i in range(30))
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+    n_docs = corpus.count()
+    n_boiler = corpus.filter(F.col("text").startswith("bp0 ")).count()
+    print(f"corpus: {n_docs} docs, {n_boiler} carrying the 30-token "
+          "boilerplate header (23 identical 8-grams each)")
+    print(f"{'cap':>6s} {'secs':>7s} {'pairs':>8s} {'gated_share':>12s} "
+          f"{'join fan-out bound':>19s}")
+    for cap in (16, 64, 256, 1024):
+        stats = dedup.suffix_gate_stats(
+            corpus, k=8, max_gram_freq=cap
+        ).first()
+        # pair fan-out the self-join faces under this cap: sum over
+        # KEPT grams of C(n, 2) (cheap: per-gram counts only)
+        _, occ = dedup._suffix_occurrences(corpus, "doc_id", "text", 8)
+        bound = (
+            occ.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= cap)
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2))
+            .first()[0]
+        )
+        t0 = time.time()
+        pairs = dedup.longest_duplicate_spans(
+            corpus, k=8, max_gram_freq=cap
+        ).count()
+        secs = time.time() - t0
+        print(f"{cap:6d} {secs:7.2f} {pairs:8d} "
+              f"{stats.gated_share:12.4f} {int(bound):19d}")
+    spark.stop()
+
+
+def main_dims() -> None:
+    """High-dimensional embedding stress (round-10 verdict item 6):
+    sim_ivf_pq_ann and sim_knn_graph at 64d (the testdata width) vs a
+    384d synthetic corpus (the real-embedding width) at the SAME row
+    count — the codes-only serving claim predicts IVF-PQ's growth to
+    be bounded by the train/encode passes (linear in dims) while the
+    kNN graph's exact verify pays the full dims factor."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.plans import collect_queries
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="dims_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    dst = "/tmp/embed_384d"
+    if not os.path.exists(os.path.join(dst, "embeddings.parquet")):
+        os.makedirs(dst, exist_ok=True)
+        emb = load_table(spark, src, "embeddings")
+        # 384d = 6 tiled copies of the 64d vector, each tile slightly
+        # rotated by a per-tile offset: cosine structure (and the
+        # planted near-dup pairs) survive, dims grow 6x
+        tiled = emb.select(
+            "vec_id",
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(5)),
+                    lambda tile: F.transform(
+                        F.col("embedding"),
+                        lambda x, i: (
+                            x + (tile * F.lit(0.01)) * ((i % 7) - 3)
+                        ).cast("float"),
+                    ),
+                )
+            ).alias("embedding"),
+        )
+        tiled.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(dst, "embeddings.parquet")
+        )
+    qs = collect_queries()
+    print(f"{'query':16s} {'64d':>8s} {'384d':>8s} {'ratio':>6s}  "
+          "(same rows; dims grow 6x)")
+    for name in ("sim_ivf_pq_ann", "sim_knn_graph"):
+        times = {}
+        for label, d in (("64d", src), ("384d", dst)):
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name].fn(spark, d).count()
+                ts.append(time.time() - t0)
+            times[label] = min(ts)
+        print(f"{name:16s} {times['64d']:8.2f} {times['384d']:8.2f} "
+              f"{times['384d'] / times['64d']:6.1f}")
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--mega":
-        main_mega(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+        main_mega(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100,
+            sys.argv[3].split(",") if len(sys.argv) > 3 else None,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--boiler":
+        main_boiler()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--dims":
+        main_dims()
         return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = "/root/testdata/sf0.1"
