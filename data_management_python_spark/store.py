@@ -1133,6 +1133,129 @@ class TableStore:
             for b in flagged
         ]
 
+    def _obj_txn_checkpoint(self) -> None:
+        """COMMIT the work journaled so far inside the current lock
+        session without releasing it: retire superseded files the way
+        a commit's roll-forward would (history keeps them live), then
+        truncate the journal — a later crash rolls back only ops
+        journaled AFTER this point.  The durability unit behind the
+        object mode's RESUMABLE maintenance loops (incremental
+        rebucket): each bucket's step commits before the next starts."""
+        t = self._txn
+        retain = self._history_on()
+        with self._txn_mutex:
+            if not retain:
+                for op in t.ops:
+                    if op["kind"] == "objptr":
+                        for base, rel in op.get("retire", ()):
+                            with contextlib.suppress(OSError):
+                                self.fs.unlink(
+                                    os.path.join(self.root, base, rel)
+                                )
+            t.ops = []
+            self._write_journal()
+
+    def _obj_journal_sidecar(self, name: str) -> None:
+        """Journal the sidecar's pre-image (kind filewrite) so a crash
+        rolls the layout spec back with everything else."""
+        rel = os.path.join(name, "_partitioning.json")
+        try:
+            had = self.fs.read_text(self._sidecar(name))
+        except OSError:
+            had = None
+        self._journal_op(
+            name, {"kind": "filewrite", "rel": rel, "had": had}
+        )
+
+    def _obj_split_rebucket(
+        self, name: str, keys: list[str], old: int, new: int
+    ) -> None:
+        """Incremental bucket split in manifest-commit mode: one old
+        bucket at a time is read (pointer-pruned), re-hashed at the
+        new count into its ``{b + j*old}`` children, and committed as
+        its own pointer flip + sidecar progress update — a crash
+        anywhere resumes at the next bucket (:meth:`resume_rebucket`),
+        and no step ever holds more than one bucket's rows.  The
+        rename mode's directory-move protocol (_split_one_bucket) is
+        replaced by JOURNAL CHECKPOINTS: each bucket's objptr +
+        sidecar ops commit via :meth:`_obj_txn_checkpoint` before the
+        next bucket starts, so rollback scope is always exactly the
+        in-flight bucket.  Mid-split reads stay correct the same way
+        as rename mode: the sidecar's ``splitting_to`` drives
+        :meth:`_expand_split_buckets` for pruned reads, and unpruned
+        reads see every row regardless of which bucket dir holds it."""
+        spec = self._layout(name)
+        if "splitting_to" not in spec:
+            self._obj_journal_sidecar(name)
+            spec = {
+                "keys": list(keys),
+                "n_buckets": old,
+                "splitting_to": new,
+                "split_done": [],
+            }
+            self._write_sidecar_atomic(name, spec)
+            self._obj_txn_checkpoint()
+        done = {int(b) for b in spec.get("split_done", ())}
+        prefix_of = f"{self.BUCKET_COL}="
+        present = sorted(
+            {
+                int(e[1].split("=", 1)[1].split("/", 1)[0])
+                for e in self._obj_current_files(name)
+                if e[1].startswith(prefix_of)
+            }
+        )
+        for b in [b for b in present if b < old and b not in done]:
+            prefix = f"{self.BUCKET_COL}={b}/"
+            old_text = self._read_ptr_text(name)
+            cur = (
+                json.loads(old_text)["files"]
+                if old_text
+                else self._obj_external_entries(name)
+            )
+            bucket_files = [e for e in cur if e[1].startswith(prefix)]
+            if bucket_files:
+                rows = self._obj_frame(name, bucket_files).drop(
+                    self.BUCKET_COL
+                )
+                out = self._cluster_by_bucket(
+                    rows.withColumn(
+                        self.BUCKET_COL, self._bucket_expr(keys, new)
+                    ),
+                    max(1, new // old),  # a bucket splits k ways
+                )
+                seg_rel = self._obj_new_seg(name)
+                self._obj_journal_ptr(
+                    name,
+                    old_text,
+                    seg_rel,
+                    [(e[0], e[1]) for e in bucket_files],
+                )
+                out.write.mode("overwrite").partitionBy(
+                    self.BUCKET_COL
+                ).parquet(os.path.join(self.root, seg_rel))
+                keep = [
+                    e for e in cur if not e[1].startswith(prefix)
+                ]
+                self._obj_commit_ptr(name, old_text, keep, seg_rel, [])
+            self._obj_journal_sidecar(name)
+            done.add(b)
+            self._write_sidecar_atomic(
+                name,
+                {
+                    "keys": list(keys),
+                    "n_buckets": old,
+                    "splitting_to": new,
+                    "split_done": sorted(done),
+                },
+            )
+            self._obj_txn_checkpoint()
+        # every bucket split: flip the layout
+        self._obj_journal_sidecar(name)
+        self._write_sidecar_atomic(
+            name, {"keys": list(keys), "n_buckets": new}
+        )
+        self._obj_txn_checkpoint()
+
     # -- streaming-ingestion batch markers -----------------------------------
 
     @staticmethod
@@ -2783,14 +2906,9 @@ class TableStore:
                 f"multiple of the old ({old} -> {n_buckets} is not)"
             )
         if self.manifest_commits:
-            if incremental:
-                raise ValueError(
-                    "incremental split rebucket is a rename-mode "
-                    "optimization (per-bucket directory moves); an "
-                    "object-store root rewrites via one new segment "
-                    "+ manifest commit — call rebucket without "
-                    "incremental=True"
-                )
+            if splittable and incremental is not False:
+                self._obj_split_rebucket(name, keys, old, n_buckets)
+                return
             current = self.table(name)
 
             def write_rebucketed(tmp: str) -> None:
@@ -2965,6 +3083,16 @@ class TableStore:
 
     def _resume_rebucket_locked(self, name: str) -> None:
         st = self._split_state(name)
+        if self.manifest_commits:
+            if st is not None:
+                # continue the checkpointed split from its done-list
+                self._obj_split_rebucket(
+                    name,
+                    list(st["keys"]),
+                    int(st["n_buckets"]),
+                    int(st["splitting_to"]),
+                )
+            return
         path = self._path(name)
         tmp = path + "__splitting"
         if st is None:

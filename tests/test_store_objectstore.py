@@ -379,18 +379,79 @@ def test_rolled_back_txn_leaves_no_manifest_object(spark, tmp_path):
     assert {r.project_id for r in store2.table("project").collect()} == {1}
 
 
-def test_incremental_rebucket_refused_with_reason(spark, tmp_path):
-    s = ObjectModeStore(spark, str(tmp_path / "cat"))
+def test_incremental_split_rebucket_object_mode(spark, tmp_path):
+    """Round-10: the incremental bucket split works in manifest mode
+    too — one committed pointer flip per old bucket (journal
+    checkpoints), resumable after a crash, mid-split reads exact."""
+    root = str(tmp_path / "cat")
+    s = ObjectModeStore(spark, root)
     s.enable_partitioning("sample", ["sample_id"], 2)
     s.store_records("sample", spark.createDataFrame(
-        [(i, f"IGF{i}", 1, "ACTIVE") for i in range(1, 9)],
+        [(i, f"IGF{i}", 1, "ACTIVE") for i in range(1, 17)],
         "sample_id long, sample_igf_id string, project_id long, "
         "status string"))
-    with pytest.raises(ValueError, match="rename-mode optimization"):
-        s.rebucket("sample", 4, incremental=True)
-    s.rebucket("sample", 4)  # one-shot rewrite path works
-    assert s.partitioning_of("sample") == (["sample_id"], 4)
-    assert s.table("sample").count() == 8
+    before = {r.sample_id for r in s.table("sample").collect()}
+    s.rebucket("sample", 8)  # default = the incremental split path
+    assert s.partitioning_of("sample") == (["sample_id"], 8)
+    assert {r.sample_id for r in s.table("sample").collect()} == before
+    # pruned fetch works against the grown layout
+    assert s.fetch_by("sample", sample_id=7).count() == 1
+
+
+def test_incremental_split_crash_resumes_object_mode(
+    spark, tmp_path, monkeypatch
+):
+    """A crash after the FIRST bucket's committed step loses nothing:
+    the done-list records the bucket, reads mid-split see every row
+    (pruned reads expand across the split), and resume_rebucket
+    finishes from where it stopped."""
+    root = str(tmp_path / "cat")
+    s = ObjectModeStore(spark, root)
+    s.enable_partitioning("sample", ["sample_id"], 2)
+    s.store_records("sample", spark.createDataFrame(
+        [(i, f"IGF{i}", 1, "ACTIVE") for i in range(1, 17)],
+        "sample_id long, sample_igf_id string, project_id long, "
+        "status string"))
+    before = {r.sample_id for r in s.table("sample").collect()}
+
+    real = TableStore._obj_txn_checkpoint
+    calls = {"n": 0}
+
+    def crash_after_two(self):
+        # checkpoint 1 = split marker, 2 = first bucket done; crash
+        # during the SECOND bucket's step (its ops still journaled)
+        calls["n"] += 1
+        real(self)
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-split")
+
+    monkeypatch.setattr(TableStore, "_obj_txn_checkpoint", crash_after_two)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        s.rebucket("sample", 8)
+    monkeypatch.setattr(TableStore, "_obj_txn_checkpoint", real)
+    # split is IN FLIGHT: layout still old count, progress recorded
+    st = s._split_state("sample")
+    assert st is not None and st["splitting_to"] == 8
+    assert len(st.get("split_done", [])) == 1
+    # mid-split reads: full row set; pruned fetch expands the split
+    s2 = ObjectModeStore(spark, root)
+    assert {r.sample_id for r in s2.table("sample").collect()} == before
+    assert s2.fetch_by("sample", sample_id=3).count() == 1
+    # mutations refuse until resumed (same contract as rename mode)
+    with pytest.raises(RuntimeError, match="unfinished"):
+        s2.store_records("sample", spark.createDataFrame(
+            [(99, "IGF99", 1, "ACTIVE")],
+            "sample_id long, sample_igf_id string, project_id long, "
+            "status string"))
+    s2.resume_rebucket("sample")
+    assert s2.partitioning_of("sample") == (["sample_id"], 8)
+    assert {r.sample_id for r in s2.table("sample").collect()} == before
+    # and a post-split pruned read + append work
+    s2.store_records("sample", spark.createDataFrame(
+        [(99, "IGF99", 1, "ACTIVE")],
+        "sample_id long, sample_igf_id string, project_id long, "
+        "status string"))
+    assert s2.fetch_by("sample", sample_id=99).count() == 1
 
 
 def test_external_files_adopted_into_pointer_management(spark, tmp_path):
