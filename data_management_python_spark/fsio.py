@@ -69,9 +69,10 @@ from typing import Iterator
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
 
-#: schemes whose rename is copy+delete (non-atomic) and whose
-#: "exclusive" create is last-PUT-wins — the commit protocol's two
-#: load-bearing primitives both break, so these roots are refused
+#: schemes whose rename is copy+delete (non-atomic) and whose plain
+#: create is last-PUT-wins — the rename protocol's two load-bearing
+#: primitives both break, so these roots get the object backend
+#: (rename_atomic=False) and the store's manifest-pointer commit mode
 OBJECT_STORE_SCHEMES = frozenset(
     {
         "s3",

@@ -276,7 +276,8 @@ class TableStore:
     # plain local paths, or hdfs://-semantics schemes through fsio's
     # Hadoop FileSystem/FileContext backend (exclusive create and
     # atomic overwrite-rename are the two primitives; object stores
-    # lacking them are refused at construction);
+    # lacking them switch the store to the MANIFEST-POINTER commit
+    # mode — see the "object-store commit mode" section);
     # one TableStore instance per thread (the lock serializes
     # instances/processes, not threads sharing one instance); writer
     # liveness is judged by pid for SAME-host locks (dead pid ->
