@@ -611,3 +611,163 @@ for _mod, _names in _REUSED.items():
             _mod, getattr(_mod, _n)
         )
 del _mod, _names, _n
+
+
+# -- crash-recovery property under manifest commits ----------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from tests.test_store_txn import (  # noqa: E402
+    _abandon_as_dead,
+    _projects as _txn_projects,
+    _wide as _txn_wide,
+)
+
+
+def _obj_snapshot(root: str) -> dict[str, int]:
+    """Relative-path -> size map of the store tree, excluding the
+    journal dir AND the local PUT-emulation temp files (`.put-*.tmp` /
+    `.cput-*.tmp`): a real object store has no temp objects — the PUT
+    either lands whole or not at all — so emulation internals are not
+    store state."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if rel.split(os.sep)[0] == "_txn":
+            continue
+        for fn in files:
+            if ".put-" in fn or ".cput-" in fn:
+                continue
+            p = os.path.join(dirpath, fn)
+            out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append_p", "append_s", "attr", "upsert"]),
+        min_size=1,
+        max_size=4,
+    ),
+    crash_after=st.integers(min_value=0, max_value=25),
+    retain=st.booleans(),
+    data=st.data(),
+)
+def test_objectstore_txn_crash_recovery_property(
+    spark, ops, crash_after, retain, data
+):
+    """PROPERTY (object-mode twin of the rename-mode crash property):
+    for ANY transactional op sequence crashed at ANY atomic-PUT
+    boundary, recovery restores the exact pre-transaction tree —
+    pointer, sidecars, segments, and (with history on) manifest/seq
+    state.  Crashes inject at os.replace, which in the simulation is
+    the COMMIT POINT of every PUT (journal flush, pointer flip,
+    sidecar write) — precisely the protocol's atomic steps."""
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="objprop_")
+    try:
+        store = ObjectModeStore(
+            spark, root, attr_n_buckets=4, retain_history=retain
+        )
+        base = data.draw(st.integers(min_value=1, max_value=50))
+        store.store_records(
+            "project", _txn_projects(spark, [base, base + 1])
+        )
+        store.enable_partitioning("project", ["project_id"], 4)
+        store.store_with_attributes(
+            "project", _txn_wide(spark, [base]), key_column="project_id"
+        )
+        before = _obj_snapshot(root)
+
+        def run_ops(st_):
+            for i, op in enumerate(ops):
+                if op == "append_p":
+                    st_.store_records(
+                        "project", _txn_projects(spark, [100 + i])
+                    )
+                elif op == "append_s":
+                    st_.store_records(
+                        "sample",
+                        spark.createDataFrame(
+                            [(200 + i, f"IGF{i}", base, "ACTIVE")],
+                            "sample_id long, sample_igf_id string, "
+                            "project_id long, status string",
+                        ),
+                    )
+                elif op == "attr":
+                    st_._store_with_attributes_txn(
+                        "project",
+                        _txn_wide(spark, [base + 1], suffix=f"v{i}"),
+                        "project_id", None, False,
+                    )
+                elif op == "upsert":
+                    st_._upsert_locked(
+                        "project",
+                        _txn_projects(spark, [base]).withColumn(
+                            "status", F.lit("FINISHED")
+                        ),
+                        ["project_id"],
+                        ["status"],
+                    )
+
+        class _Crash(BaseException):
+            pass
+
+        orig_replace = os.replace
+        count = {"n": 0}
+
+        def counting(src, dst):
+            if str(src).startswith(root) or str(dst).startswith(root):
+                count["n"] += 1
+                if count["n"] > crash_after:
+                    raise _Crash
+            return orig_replace(src, dst)
+
+        store._acquire_lock(explicit=True)
+        os.replace = counting
+        crashed = True
+        try:
+            run_ops(store)
+            crashed = False
+        except _Crash:
+            pass
+        finally:
+            os.replace = orig_replace
+        if not crashed:
+            store._commit()
+            store._txn = None
+            after = _obj_snapshot(root)
+            assert after != before or not ops
+            assert not os.path.exists(store._txn_path("pending"))
+            assert not os.path.exists(store._txn_path("committed"))
+        else:
+            _abandon_as_dead(store)
+            reader = ObjectModeStore(spark, root, attr_n_buckets=4)
+            reader.recover_transactions()
+            assert _obj_snapshot(root) == before, (
+                f"ops={ops} crash_after={crash_after}"
+            )
+            reader.store_records(
+                "project", _txn_projects(spark, [999])
+            )
+            assert reader.fetch_by(
+                "project", project_id=999
+            ).count() == 1
+            if retain:
+                for m in reader.list_versions("project"):
+                    reader.read_version("project", m["seq"]).count()
+                assert reader.read_version(
+                    "project", reader.latest_version()
+                ).count() == reader.table("project").count()
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
