@@ -1773,7 +1773,7 @@ def suffix_anchor_assets(
 
 
 def incremental_duplicate_spans(
-    base: DataFrame,
+    base: DataFrame | None,
     delta: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1781,6 +1781,8 @@ def incremental_duplicate_spans(
     max_gram_freq: int = 64,
     base_detail: DataFrame | None = None,
     base_summary: DataFrame | None = None,
+    delta_occ: DataFrame | None = None,
+    text_from_delta: bool = False,
 ) -> DataFrame:
     """Exact longest duplicated token span for every NEW pair a delta
     batch introduces — the incremental form of
@@ -1807,8 +1809,12 @@ def incremental_duplicate_spans(
         base_detail, base_summary = suffix_anchor_assets(
             base, id_col, text_col, k, max_gram_freq
         )
-    _, d_occ = _suffix_occurrences(delta, id_col, text_col, k)
-    d_occ = d_occ.localCheckpoint(eager=True)  # feeds counts + 2 sides
+    if delta_occ is not None:
+        d_occ = delta_occ  # caller-shared anchor scan (the monitor
+        # computes it anyway for its asset update — no second pass)
+    else:
+        _, d_occ = _suffix_occurrences(delta, id_col, text_col, k)
+        d_occ = d_occ.localCheckpoint(eager=True)  # counts + 2 sides
     d_cnt = d_occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
     # union-count gate: kept grams are those under the cap across
     # base + delta (grams unseen in the base carry __n = 0)
@@ -1865,6 +1871,56 @@ def incremental_duplicate_spans(
         )
     )
     best = _spans_from_anchor_pairs(cross.unionByName(within), k)
+    if text_from_delta:
+        # the span is VERBATIM-equal on both sides (lowered), so it
+        # can be sliced from whichever side is the DELTA document —
+        # every reported pair has one — and the base corpus text is
+        # never touched (the streaming monitor's shape: no standing
+        # docs table at all).  The slice key/start flip to the delta
+        # side; output is string-identical to the doc_a slice.
+        d_ids = delta.select(id_col).distinct()
+        flagged = best.join(
+            F.broadcast(
+                d_ids.select(F.col(id_col).alias("__da"))
+                .withColumn("__a_is_delta", F.lit(True))
+            ),
+            "__da",
+            "left",
+        )
+        keyed = flagged.select(
+            "__da",
+            "__db",
+            "span_tokens",
+            "start_a",
+            "start_b",
+            F.when(F.col("__a_is_delta"), F.col("__da"))
+            .otherwise(F.col("__db"))
+            .alias("__tid"),
+            F.when(F.col("__a_is_delta"), F.col("start_a"))
+            .otherwise(F.col("start_b"))
+            .alias("__tstart"),
+        )
+        toked_d = delta.select(
+            F.col(id_col).alias("__tid"),
+            F.split(
+                F.trim(F.lower(F.col(text_col))), r"\s+"
+            ).alias("__toks"),
+        )
+        return keyed.join(toked_d, "__tid").select(
+            F.col("__da").alias("doc_a"),
+            F.col("__db").alias("doc_b"),
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+            F.col("start_a").cast("bigint").alias("start_a"),
+            F.col("start_b").cast("bigint").alias("start_b"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"),
+                    F.col("__tstart"),
+                    F.col("span_tokens"),
+                ),
+            ).alias("span_text"),
+        )
     # span text: tokenize ONLY documents that appear as doc_a in a
     # result (base or delta) — O(results), not O(corpus)
     docs = base.select(id_col, text_col).unionByName(

@@ -329,3 +329,146 @@ def stream_cms_into_store(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def span_monitor_batch(
+    store: TableStore,
+    prefix: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_freq: int = 64,
+) -> bool:
+    """Fold one micro-batch into the STANDING exact-substring dedup
+    state — the streaming twin of
+    :func:`llmdata.dedup.incremental_duplicate_spans`, completing the
+    monitor family (HLL cardinality, CMS frequency, and now duplicate
+    spans).  Three store tables under ``prefix`` — the corpus TEXT is
+    never retained (span text slices from the delta side, which is
+    verbatim-equal to the base side):
+
+    - ``{prefix}_detail``   gated anchor occurrences (h, id, pos)
+    - ``{prefix}_summary``  per-gram occurrence counts (h, n)
+    - ``{prefix}_pairs``    every reported duplicate-span pair
+
+    Each batch probes the standing assets (the base corpus is never
+    re-tokenized), appends the NEW pairs it introduces, and folds its
+    anchors into the assets: the summary SUM-merges (NOT idempotent —
+    the stream marker in the same transaction is load-bearing exactly
+    like the CMS monitor's), and detail rows append only for grams
+    whose merged count stays within the cap (a gram that later
+    crosses the cap leaves inert detail rows the probe's union-count
+    gate excludes — counts only grow, so detail is complete for every
+    gram that can still pass a future gate).
+
+    The frequency gate is therefore evaluated with the counts AS OF
+    each pair's report time (the batch that completed the pair) — the
+    registered twin's oracle replays exactly that cumulative gating.
+    """
+    from data_management_python_spark.llmdata import dedup  # noqa: PLC0415
+
+    if batch_id <= store.get_stream_marker(stream_id):
+        return False
+    t_detail = f"{prefix}_detail"
+    t_summary = f"{prefix}_summary"
+    t_pairs = f"{prefix}_pairs"
+    store.declare_table(
+        t_detail, f"__h long, {id_col} long, __pos int"
+    )
+    store.declare_table(t_summary, "__h long, __n long")
+    store.declare_table(
+        t_pairs,
+        "doc_a long, doc_b long, span_tokens long, start_a long, "
+        "start_b long, span_text string",
+    )
+    batch_df = batch_df.select(id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    detail = store.table(t_detail)
+    summary = store.table(t_summary)
+    # ONE anchor scan serves the probe and the asset update; span
+    # text slices from the DELTA side (verbatim-equal to the base
+    # side), so NO standing docs table exists — the monitor's state
+    # is anchors + counts + reported pairs, never corpus text
+    _, d_occ = dedup._suffix_occurrences(batch_df, id_col, text_col, k)
+    d_occ = d_occ.localCheckpoint(eager=True)
+    pairs = dedup.incremental_duplicate_spans(
+        None,
+        batch_df,
+        id_col,
+        text_col,
+        k=k,
+        max_gram_freq=max_gram_freq,
+        base_detail=detail,
+        base_summary=summary,
+        delta_occ=d_occ,
+        text_from_delta=True,
+    ).localCheckpoint(eager=True)
+    d_cnt = d_occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+    # PINNED before the transaction: fresh_detail's gate references
+    # this frame, and the txn overwrites t_summary — a lazy plan
+    # would re-read the already-merged table mid-append and gate on
+    # doubled counts
+    merged_summary = (
+        summary.unionByName(
+            d_cnt.select("__h", F.col("__nd").cast("long").alias("__n"))
+        )
+        .groupBy("__h")
+        .agg(F.sum("__n").alias("__n"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    # batch grams within the merged cap — batch-bounded, so both the
+    # gate join and the detail filter run as broadcasts (the standing
+    # summary is corpus-scale and must never be the broadcast side)
+    kept_new = (
+        merged_summary.join(
+            F.broadcast(d_cnt.select("__h")), "__h", "left_semi"
+        )
+        .filter(F.col("__n") <= max_gram_freq)
+        .select("__h")
+    )
+    fresh_detail = d_occ.join(
+        F.broadcast(kept_new), "__h", "left_semi"
+    ).select("__h", id_col, F.col("__pos").cast("int").alias("__pos"))
+    with store.transaction():
+        store.overwrite(t_summary, merged_summary, validate=False)
+        store.store_records(t_detail, fresh_detail, validate=False)
+        store.store_records(t_pairs, pairs, validate=False)
+        store.set_stream_marker(stream_id, batch_id)
+    return True
+
+
+def stream_spans_into_store(
+    stream_df: DataFrame,
+    store: TableStore,
+    prefix: str,
+    stream_id: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_freq: int = 64,
+    trigger_once: bool = False,
+):
+    """Run a document stream into the standing exact-substring dedup
+    state (see :func:`span_monitor_batch`).  Returns the
+    StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        span_monitor_batch(
+            store, prefix, batch_df, batch_id, stream_id,
+            id_col, text_col, k, max_gram_freq,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -484,3 +484,89 @@ def test_two_concurrent_streams_object_mode(spark, tmp_path):
     assert got == [1, 2, 3, 101, 102]
     assert store_a.get_stream_marker("stream-a") == 1
     assert store_a.get_stream_marker("stream-b") == 0
+
+
+def test_span_monitor_cumulative_gate_and_replay(spark, tmp_path):
+    """Round-10 streaming exact-substring monitor
+    (streaming/ingest.span_monitor_batch): batches fold into standing
+    anchor assets; every duplicate-span pair is reported EXACTLY ONCE,
+    at the batch that completed it, gated by gram counts AS OF that
+    time.  Reference: the one-shot operator (DP-brute- and
+    oracle-pinned) over each batch prefix — pairs reported at batch T
+    must equal one-shot(docs with batch <= T) pairs involving batch-T
+    docs.  The summary SUM-merge is non-idempotent, so the forced
+    replay of batch 1 is the load-bearing exactly-once check: a
+    double-fold would shift the gate and corrupt later reports."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.llmdata import dedup
+    from data_management_python_spark.streaming.ingest import (
+        span_monitor_batch,
+    )
+
+    words = ["w%d" % i for i in range(40)]
+
+    def doc(seed, n):
+        return " ".join(
+            words[(seed * 11 + 5 * i + i * i) % 40] for i in range(n)
+        )
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        # batch 0: two docs sharing a 10-token span
+        (1, 0, doc(1, 12) + " " + span + " " + doc(2, 6)),
+        (2, 0, doc(3, 5) + " " + span + " " + doc(4, 9)),
+        # batch 1: completes a cross-batch pair with doc 1
+        (11, 1, doc(5, 8) + " " + span + " " + doc(6, 7)),
+        (12, 1, doc(7, 30)),
+        # batch 2: a fresh within-batch pair + another cross pair
+        (21, 2, doc(8, 4) + " t1 t2 t3 t4 t5 t6 t7 t8 t9 " + doc(9, 6)),
+        (22, 2, doc(10, 7) + " t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+        (23, 2, doc(11, 6) + " " + span),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bt int, text string")
+    root = str(tmp_path / "spanmon")
+    store = TableStore(spark, root)
+    reported: dict[int, set] = {}
+    for bid in (0, 1, 1, 2):  # second 1 = forced replay
+        batch = df.filter(F.col("bt") == bid).select("doc_id", "text")
+        before = (
+            store.table("spans_pairs").count()
+            if store.has_data("spans_pairs")
+            else 0
+        )
+        applied = span_monitor_batch(
+            store, "spans", batch, bid, "t-spans", k=8, max_gram_freq=64
+        )
+        after = store.table("spans_pairs").count()
+        if bid == 1 and not applied:
+            assert after == before  # replay: nothing re-reported
+        reported[bid] = {
+            (r.doc_a, r.doc_b, r.span_tokens, r.start_a, r.start_b,
+             r.span_text)
+            for r in store.table("spans_pairs").collect()
+        }
+    # per-prefix parity vs the one-shot operator: pairs present after
+    # batch T == union over t<=T of (one-shot over prefix-t docs,
+    # restricted to pairs involving a batch-t doc)
+    expected: set = set()
+    for t in (0, 1, 2):
+        prefix = df.filter(F.col("bt") <= t).select("doc_id", "text")
+        t_ids = {
+            r.doc_id for r in df.filter(F.col("bt") == t).collect()
+        }
+        expected |= {
+            (r.doc_a, r.doc_b, r.span_tokens, r.start_a, r.start_b,
+             r.span_text)
+            for r in dedup.longest_duplicate_spans(
+                prefix, k=8, max_gram_freq=64
+            ).collect()
+            if r.doc_a in t_ids or r.doc_b in t_ids
+        }
+    assert reported[2] == expected
+    # the planted pairs all arrived
+    got_pairs = {(a, b) for a, b, *_ in reported[2]}
+    assert (1, 2) in got_pairs          # within batch 0
+    assert (1, 11) in got_pairs         # cross 0 -> 1
+    assert (21, 22) in got_pairs        # within batch 2
+    assert (1, 23) in got_pairs         # cross 0 -> 2
