@@ -128,6 +128,14 @@ class LocalFsIO:
     #: runs its rename-based commit protocol.  False switches it to
     #: manifest-pointer commits (see module docstring).
     rename_atomic = True
+    #: is :meth:`put_if_absent` a TRUE conditional PUT (exactly one
+    #: winner, content lands with the creation)?  False means the
+    #: backend can only check-then-create — a residual race window the
+    #: store's lock machinery must bound (ownership re-verification on
+    #: every journal write + the mtime lease; see _acquire_lock).  The
+    #: active regime is recorded in every journal spec so operators can
+    #: see which guarantee their deployment actually runs under.
+    conditional_put_atomic = True
 
     def exists(self, p: str) -> bool:
         return os.path.exists(p)
@@ -508,6 +516,32 @@ class ObjectStoreFsIO(LocalFsIO):
         os.replace(tmp, p)
 
 
+class CheckThenCreateFsIO(ObjectStoreFsIO):
+    """Weak-regime simulation: an object store (or connector
+    configuration) WITHOUT conditional PUT.  ``put_if_absent`` is
+    check-then-create — exists() then put_text() — the exact
+    primitive ``FileSystem.create(path, overwrite=false)`` reduces to
+    on a connector lacking HADOOP-19256-class conditional create.
+    Two writers landing inside the check→PUT window can BOTH succeed
+    (the second clobbers the first); the store bounds that residual
+    race with ownership re-verification on every journal write plus
+    the mtime lease (see store._verify_lock_owned).  ``race_hook``
+    (a callable) runs between the check and the PUT so tests can
+    force the interleaving deterministically."""
+
+    conditional_put_atomic = False
+
+    def __init__(self):
+        self.race_hook = None
+
+    def put_if_absent(self, p: str, text: str) -> None:
+        if os.path.exists(p):
+            raise FileExistsError(p)
+        if self.race_hook is not None:
+            self.race_hook()
+        self.put_text(p, text)
+
+
 class HadoopObjectFsIO(HadoopFsIO):
     """Object-store connector backend (``s3a://``, ``gs://``,
     ``abfs://``, …): the :class:`ObjectStoreFsIO` discipline over a
@@ -516,6 +550,51 @@ class HadoopObjectFsIO(HadoopFsIO):
     raise rather than run the connector's non-atomic emulations."""
 
     rename_atomic = False
+    #: capability names HADOOP-19256-era connectors answer for
+    #: conditional create (s3a; the GCS/ABFS connectors' generation/
+    #: etag preconditions surface under the same PathCapabilities
+    #: mechanism) — probed lazily, result cached
+    _COND_CREATE_CAPS = (
+        "fs.capability.conditional.create",
+        "fs.capability.create.conditional",
+    )
+
+    @property
+    def conditional_put_atomic(self) -> bool:
+        """Probe (once) whether this connector's
+        ``create(overwrite=false)`` commits exclusivity WITH the
+        content PUT (true conditional create) or is check-then-create.
+        Order: PathCapabilities on the root; then the s3a enable flag
+        (``fs.s3a.create.conditional.enabled``); unknown probes report
+        False — the store then runs the weaker lock regime (ownership
+        re-verification + lease), which is correct on both, just
+        noisier, and records the regime in every journal spec."""
+        cached = getattr(self, "_cond_put", None)
+        if cached is not None:
+            return cached
+        result = False
+        try:
+            jp = self._jvm.org.apache.hadoop.fs.Path(self._root)
+            for cap in self._COND_CREATE_CAPS:
+                try:
+                    if bool(self._fs.hasPathCapability(jp, cap)):
+                        result = True
+                        break
+                except Exception:  # noqa: BLE001 — older Hadoop: no method/cap
+                    continue
+            if not result and scheme_of(self._root) in ("s3", "s3a", "s3n"):
+                result = (
+                    str(
+                        self._conf.get(
+                            "fs.s3a.create.conditional.enabled", "false"
+                        )
+                    ).lower()
+                    == "true"
+                )
+        except Exception:  # noqa: BLE001 — dead gateway / no connector
+            result = False
+        self._cond_put = result
+        return result
 
     def replace(self, src: str, dst: str) -> None:
         raise UnsupportedFsOperation(

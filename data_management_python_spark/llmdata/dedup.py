@@ -1731,6 +1731,66 @@ def suffix_gate_stats(
     )
 
 
+def incremental_span_gate_stats(
+    union_summary: DataFrame,
+    delta_counts: DataFrame,
+    max_gram_freq: int = 64,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Gate observability for the INCREMENTAL / STREAMING
+    exact-substring paths — the per-batch twin of
+    :func:`suffix_gate_stats` (which covers the one-shot operator).
+    ``union_summary`` carries the UNION occurrence counts (standing
+    summary merged with the batch: exactly what the probe gates on);
+    ``delta_counts`` is the batch's per-gram counts (__h, __nd).  One
+    row: anchors/grams the batch contributed, how many fell to the
+    frequency gate at union counts, and the gated share — the number
+    that turns silent recall truncation into a monitorable drift
+    signal exactly where it matters operationally (a rising
+    ``gated_share`` across batches means boilerplate is saturating
+    the cap and spans are being missed)."""
+    j = union_summary.join(F.broadcast(delta_counts), "__h")
+    out = j.agg(
+        F.coalesce(F.sum("__nd"), F.lit(0))
+        .cast("bigint")
+        .alias("n_anchors"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__n") > max_gram_freq, F.col("__nd")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_gated_anchors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__n") > max_gram_freq, 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_gated_grams"),
+    ).select(
+        "n_anchors",
+        "n_gated_anchors",
+        "n_grams",
+        "n_gated_grams",
+        F.round(
+            F.col("n_gated_anchors")
+            / F.greatest(F.col("n_anchors"), F.lit(1)),
+            6,
+        ).alias("gated_share"),
+    )
+    if batch_id is not None:
+        out = out.select(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"), "*"
+        )
+    return out
+
+
 def suffix_anchor_assets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1923,6 +1983,15 @@ def incremental_duplicate_spans(
         )
     # span text: tokenize ONLY documents that appear as doc_a in a
     # result (base or delta) — O(results), not O(corpus)
+    if base is None:
+        raise ValueError(
+            "incremental_duplicate_spans: base=None with standing "
+            "assets requires text_from_delta=True — the span-text "
+            "pass would otherwise need the base documents (doc_a can "
+            "be a base id).  Pass the base frame, or set "
+            "text_from_delta=True to slice the (verbatim-equal) span "
+            "from the delta side."
+        )
     docs = base.select(id_col, text_col).unionByName(
         delta.select(id_col, text_col)
     )

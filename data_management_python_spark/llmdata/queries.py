@@ -3923,3 +3923,121 @@ def d_exact_span_rewrite(spark, sf_dir):
     return dedup.excise_duplicate_spans(
         docs, "doc_id", "text", k=8, max_gram_freq=64
     )
+
+
+@_q(
+    "e_span_stream_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 IN (0, 3)
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM docs
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    ok AS (
+      SELECT h FROM occ GROUP BY h
+      HAVING COUNT(*) <= 64 AND COUNT(DISTINCT doc_id) >= 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM occ a JOIN ok USING (h) JOIN occ b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, pa - pb AS delta, pa, pb,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+      FROM pairs
+    ),
+    spans AS (
+      SELECT da, db, COUNT(*) + 7 AS span_tokens,
+             MIN(pa) AS start_a, MIN(pb) AS start_b
+      FROM runs GROUP BY da, db, delta, grp
+    ),
+    best AS (
+      SELECT da, db, span_tokens, start_a, start_b
+      FROM spans
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY da, db
+        ORDER BY span_tokens DESC, start_a, start_b) = 1
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(span_tokens AS BIGINT) AS span_tokens,
+           CAST(start_a AS BIGINT) AS start_a,
+           CAST(start_b AS BIGINT) AS start_b,
+           array_to_string(t[start_a:start_a + span_tokens - 1], ' ')
+             AS span_text
+    FROM best JOIN toks ON toks.doc_id = best.da
+    """,
+    doc="standing exact-substring dedup state built by the STREAMING "
+    "span monitor (streaming/ingest.span_monitor_batch) — the reduced "
+    "REGISTERED twin the round-10 verdict asked for (item 3): a 40% "
+    "document slice arrives as 2 micro-batches with batch 1 DELIVERED "
+    "TWICE (foreachBatch's at-least-once re-delivery); each batch "
+    "probes the standing anchor assets, appends the NEW pairs it "
+    "completes, SUM-merges the gram summary, emits a per-batch gate "
+    "row, and commits the stream marker in the SAME transaction.  "
+    "Pair append is not idempotent, so the exactly-once marker is "
+    "load-bearing: the oracle IS the one-shot "
+    "longest_duplicate_spans SQL over the union slice — a replayed "
+    "batch would double every cross-batch pair and fail the hash.  "
+    "(On this corpus no gram approaches the cap, so report-time "
+    "cumulative gating and union gating coincide exactly — binding-"
+    "cap cumulative semantics are pinned by tests/test_stream_ingest."
+    "py's per-prefix parity + forced-replay tests.)  Completes the "
+    "monitor family's oracle coverage: HLL, CMS, and now spans",
+)
+def e_span_stream_pairs(spark, sf_dir):
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    def build():
+        import shutil  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        from data_management_python_spark.store import (  # noqa: PLC0415
+            TableStore,
+        )
+        from data_management_python_spark.streaming.ingest import (  # noqa: PLC0415
+            span_monitor_batch,
+        )
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") % 5).isin(0, 3))
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        root = tempfile.mkdtemp(prefix="spanmon_")
+        try:
+            store = TableStore(spark, root)
+            for bid, mod in ((0, 0), (1, 3), (1, 3)):  # 3rd = replay
+                batch = docs.filter(F.col("doc_id") % 5 == mod)
+                span_monitor_batch(
+                    store, "spans", batch, bid, "doc-spans",
+                    id_col="doc_id", text_col="text", k=8,
+                    max_gram_freq=64,
+                )
+            # pin BEFORE the tmp store is deleted (the finally runs
+            # before session_cached's own checkpoint would)
+            return store.table("spans_pairs").localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    # the monitor run is a deterministic function of (sf_dir) — the
+    # standing-asset session-cache pattern every dedup family uses:
+    # the exactly-once protocol runs (and is hash-checked) once per
+    # session; steady-state reads the pinned pairs table.  Per-batch
+    # protocol cost is measured in SCALE.md (round-11).
+    return session_cached(spark, "span_monitor_pairs", sf_dir, build)

@@ -61,6 +61,7 @@ import socket
 import threading
 import time
 import uuid
+import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -240,6 +241,58 @@ class TableStore:
         #: live file set, and the commit marker PUT is the commit
         #: point — see the "object-store commit mode" section
         self.manifest_commits = not getattr(self.fs, "rename_atomic", True)
+        #: pointer-manifest SHARDING (manifest-commit mode, pointer
+        #: format 2): a table whose live file count exceeds the
+        #: threshold gets its pointer split into per-bucket-range
+        #: shard objects, so a commit rewrites only the touched
+        #: shards + a tiny root — O(touched buckets) commit metadata
+        #: instead of O(live files).  At 100 TB / 256 MB files (~400k
+        #: entries) a monolithic pointer is tens of MB rewritten per
+        #: 1-row upsert; at the default 64 shards each shard is
+        #: ~600 KB and a single-bucket commit rewrites exactly one.
+        self.ptr_shard_threshold = int(
+            os.environ.get("SPARK_GRAFT_PTR_SHARD_THRESHOLD", "512")
+        )
+        self.ptr_n_shards = int(
+            os.environ.get("SPARK_GRAFT_PTR_SHARDS", "64")
+        )
+        #: fold small segments after this many segment-adding commits
+        #: (manifest mode; 0 disables) — reads cost one scan per
+        #: segment, so unbounded append streams need a compaction
+        #: trigger, not just the machinery (_obj_maybe_fold_segments)
+        self.auto_compact_commits = int(
+            os.environ.get("SPARK_GRAFT_AUTO_COMPACT_COMMITS", "32")
+        )
+        #: which writer-lock guarantee this deployment actually runs
+        #: under — recorded in every journal spec (pending/committed)
+        #: so the regime is visible in durable store metadata, not
+        #: just in code.  ``conditional-put``: exactly-one-winner lock
+        #: creation (O_EXCL locally; S3 If-None-Match / GCS
+        #: generation-0 / Azure If-None-Match).  ``check-then-create
+        #: +lease``: the connector lacks conditional create, so lock
+        #: creation has a residual race window bounded by (a) a
+        #: read-back ownership check right after acquisition, (b)
+        #: ownership RE-VERIFICATION before every journal write (a
+        #: usurped writer detects within one op and aborts), and (c)
+        #: the mtime lease.  See _verify_lock_owned.
+        if not self.manifest_commits:
+            self.lock_regime = "exclusive-create"
+        elif getattr(self.fs, "conditional_put_atomic", True):
+            self.lock_regime = "conditional-put"
+        else:
+            self.lock_regime = "check-then-create+lease"
+            warnings.warn(
+                f"TableStore root {root!r}: the filesystem backend "
+                "reports NO atomic conditional PUT (e.g. s3a without "
+                "fs.s3a.create.conditional.enabled / HADOOP-19256). "
+                "Writer-lock acquisition falls back to "
+                "check-then-create; concurrent writers landing inside "
+                "one check->PUT window are detected (and the loser "
+                "aborted) at the next journal write rather than "
+                "excluded up front.  Enable conditional create on the "
+                "connector for the stronger regime.",
+                stacklevel=2,
+            )
         self.fs.makedirs(root)
         #: version retention (time travel) is a persisted root-level
         #: property — see the "version history" section; the flag here
@@ -308,9 +361,61 @@ class TableStore:
             "host": self._host,
             "ts": time.time(),
             "explicit": t.explicit,
+            # durable record of which lock guarantee this writer ran
+            # under (conditional-put vs check-then-create+lease) —
+            # operators auditing a root see the regime in every
+            # journal/marker, not just in connector config
+            "lock_regime": self.lock_regime,
             "tables": t.tables,
             "ops": t.ops,
         }
+
+    def _verify_lock_owned(self) -> None:
+        """Weak-regime guard: under a check-then-create
+        ``put_if_absent`` (no conditional PUT on the connector), two
+        writers landing inside one check->PUT window can BOTH believe
+        they hold the lock.  Re-reading the pending journal and
+        checking the token bounds that race: a usurped writer detects
+        the foreign token at its NEXT journal write (i.e. within one
+        op) and aborts — its own ops roll back, the usurper's journal
+        is left untouched.  Under a true conditional PUT this cannot
+        fire and is skipped entirely (zero extra I/O)."""
+        if self._txn is None or getattr(
+            self.fs, "conditional_put_atomic", True
+        ):
+            return
+        pend = self._read_journal("pending")
+        if pend is None or pend.get("token") != self._txn.token:
+            # foreign token: usurped and the usurper is live.  None:
+            # usurped AND the usurper already finished — either way
+            # this writer's critical section was violated.
+            raise ConcurrentWriterError(
+                f"store {self.root!r}: writer lock usurped by a "
+                "concurrent check-then-create acquisition (expected "
+                f"token {self._txn.token[:8]}, found "
+                f"{pend and str(pend.get('token'))[:8]}); aborting "
+                "this writer's work"
+            )
+
+    def _owns_pending(self) -> bool:
+        """Does the pending journal (still) carry OUR token?  Always
+        True under a true conditional PUT; in the weak regime a
+        rollback must not unlink a usurper's journal."""
+        if getattr(self.fs, "conditional_put_atomic", True):
+            return True
+        if self._txn is None:
+            return False
+        pend = self._read_journal("pending")
+        return pend is None or pend.get("token") == self._txn.token
+
+    def _drop_own_pending(self) -> None:
+        """Release OUR pending journal — in the weak lock regime a
+        usurper's journal is left untouched (they own the lock now;
+        destroying it would unlock a live writer)."""
+        if not self._owns_pending():
+            return
+        with contextlib.suppress(OSError):
+            self.fs.unlink(self._txn_path("pending"))
 
     def _write_journal(self) -> None:
         """Persist the open txn's journal atomically over the lock file
@@ -330,6 +435,7 @@ class TableStore:
         on worker threads, and the journal must never lose an op to a
         concurrent rewrite."""
         with self._txn_mutex:
+            self._verify_lock_owned()  # weak regime only; no-op else
             t = self._txn
             if table not in t.tables:
                 t.tables.append(table)
@@ -387,6 +493,17 @@ class TableStore:
                     t = self._txn
                     if t is None or t.token != token or stop.is_set():
                         return
+                    if not getattr(
+                        self.fs, "conditional_put_atomic", True
+                    ):
+                        pend = self._read_journal("pending")
+                        if pend is None or pend.get("token") != token:
+                            # weak regime, lock usurped (or usurped-
+                            # then-released): stop beating — a beat
+                            # would clobber the new owner's journal or
+                            # resurrect a released lock; the main
+                            # thread aborts at its next journal write
+                            return
                     with contextlib.suppress(OSError):
                         self._write_journal()
 
@@ -428,6 +545,23 @@ class TableStore:
                     except FileExistsError:
                         self._txn = None
                         raise
+                    if not getattr(
+                        self.fs, "conditional_put_atomic", True
+                    ):
+                        # check-then-create regime: our PUT may have
+                        # raced another writer's.  Read back — if the
+                        # journal carries a foreign token, their PUT
+                        # clobbered ours (or landed after): treat as
+                        # lost contention and retry.  The residual
+                        # window is one read round-trip; a later
+                        # clobber of OUR journal is caught by
+                        # _verify_lock_owned at the next journal write.
+                        pend = self._read_journal("pending")
+                        if pend is None or pend.get("token") != token:
+                            self._txn = None
+                            raise FileExistsError(
+                                self._txn_path("pending")
+                            )
                     self._start_lease_heartbeat()
                     return self._txn
                 self.fs.create_exclusive(self._txn_path("pending"))
@@ -484,12 +618,17 @@ class TableStore:
             # between the two leaves BOTH markers with one token —
             # _roll_forward recognizes that state and finishes the
             # cleanup instead of rolling the committed txn back.
+            # Weak-regime last line of defense: never stamp a
+            # committed marker while a usurper owns the lock (raising
+            # here leaves OUR pending journal semantics to recovery:
+            # the journal was clobbered, but our ops' pre-images are
+            # intact — see _verify_lock_owned's contract).
+            self._verify_lock_owned()
             self.fs.put_text(
                 self._txn_path("committed"),
                 json.dumps(self._journal_spec()),
             )
-            with contextlib.suppress(OSError):
-                self.fs.unlink(self._txn_path("pending"))
+            self._drop_own_pending()
         else:
             self.fs.replace(
                 self._txn_path("pending"), self._txn_path("committed")
@@ -500,8 +639,7 @@ class TableStore:
         self._stop_lease_heartbeat()
         for op in reversed(self._txn.ops):
             self._undo_op(op)
-        with contextlib.suppress(OSError):
-            self.fs.unlink(self._txn_path("pending"))
+        self._drop_own_pending()
 
     def _undo_op(self, op: dict) -> None:
         kind = op["kind"]
@@ -560,16 +698,22 @@ class TableStore:
                     p, op["had"], tmp=p + ".undo.tmp"
                 )
         elif kind == "objptr":
-            # manifest-commit mode: restore the pre-op pointer (one
-            # PUT — or remove it for a never-written table) and drop
-            # the op's immutable segment dirs.  Retired files were
-            # never touched before commit, so nothing to restore.
+            # manifest-commit mode: restore the pre-op ROOT pointer
+            # (one PUT — or remove it for a never-written table), drop
+            # the shard objects the op added (the restored root never
+            # references them; the OLD shards it does reference are
+            # immutable and were never touched), and drop the op's
+            # segment dirs.  Retired files were never touched before
+            # commit, so nothing to restore.
             p = self._ptr_path(op["table"])
             if op["old"] is None:
                 with contextlib.suppress(OSError):
                     self.fs.unlink(p)
             else:
                 self.fs.write_text_atomic(p, op["old"])
+            for rel in op.get("add_ptr_objs", ()):
+                with contextlib.suppress(OSError):
+                    self.fs.unlink(os.path.join(self.root, rel))
             for seg in op.get("add_segs", ()):
                 self.fs.rmtree(os.path.join(self.root, seg))
 
@@ -605,6 +749,12 @@ class TableStore:
                             self.fs.unlink(
                                 os.path.join(self.root, base, rel)
                             )
+                # superseded SHARD objects are garbage regardless of
+                # history: manifests and snapshot reads reference data
+                # files / the journaled old root, never live shards
+                for rel in op.get("retire_ptr_objs", ()):
+                    with contextlib.suppress(OSError):
+                        self.fs.unlink(os.path.join(self.root, rel))
         if self.manifest_commits:
             # a crash between the committed PUT and the pending unlink
             # leaves both markers with one token: the txn IS committed;
@@ -729,25 +879,44 @@ class TableStore:
             self._stop_lease_heartbeat()
             for op in reversed(self._txn.ops):
                 self._undo_op(op)
-            with contextlib.suppress(OSError):
-                self.fs.unlink(self._txn_path("pending"))
+            self._drop_own_pending()
             self._txn = None
             raise
         self._stop_lease_heartbeat()
-        if self._txn.ops and not self._history_on():
-            # manifest mode (the only journaler under a guard): retire
-            # the files the verb's pointer flips superseded; with
-            # history on they stay live for time travel (vacuum prunes)
+        retire: list = []
+        if self._txn.ops:
+            retain = self._history_on()
+            # manifest mode (the only journaler under a guard): the
+            # files the verb's pointer flips superseded are deleted
+            # AFTER the journal is released (with history on they stay
+            # live for time travel; vacuum prunes).  Ordering is
+            # load-bearing: deleting them while the pending journal
+            # still holds the objptr ops means a crash in that window
+            # ROLLS BACK — restoring a pointer to already-deleted files
+            # and rmtree-ing the new segment, destroying both copies.
+            # Journal-first matches the committed-txn ordering (marker
+            # PUT before retirement); a crash after the journal release
+            # merely orphans retired files, which no pointer references
+            # (invisible to readers, prunable by vacuum).
             for op in self._txn.ops:
                 if op["kind"] == "objptr":
-                    for base, rel in op.get("retire", ()):
-                        with contextlib.suppress(OSError):
-                            self.fs.unlink(
-                                os.path.join(self.root, base, rel)
-                            )
-        with contextlib.suppress(OSError):
-            self.fs.unlink(self._txn_path("pending"))
+                    if not retain:
+                        retire.extend(op.get("retire", ()))
+                    # superseded shard objects are garbage even with
+                    # history on (manifests reference data files,
+                    # never shard objects)
+                    retire.extend(
+                        (None, rel) for rel in op.get("retire_ptr_objs", ())
+                    )
+        self._drop_own_pending()
         self._txn = None
+        for base, rel in retire:
+            with contextlib.suppress(OSError):
+                self.fs.unlink(
+                    os.path.join(self.root, rel)
+                    if base is None
+                    else os.path.join(self.root, base, rel)
+                )
 
     # -- object-store (manifest-pointer) commit mode --------------------------
     #
@@ -789,12 +958,20 @@ class TableStore:
     #     version manifests reference immutable live paths; vacuum
     #     prunes unreferenced ones).
     #
-    # Scale note (100 TB): the pointer lists every live file — ~400k
-    # entries of ~100 bytes at 256 MB files = tens of MB of JSON per
-    # table, read once per query plan and written once per commit.
-    # That is the Iceberg/Delta manifest cost profile; the next
-    # optimization (manifest sharding per bucket range) is mechanical
-    # because the pointer is already keyed by segment and bucket path.
+    # Scale note (100 TB): a MONOLITHIC pointer listing every live
+    # file (~400k entries of ~100 bytes at 256 MB files = tens of MB
+    # of JSON) would be read per plan and REWRITTEN per commit — a
+    # 1-row upsert paying O(live files) metadata I/O.  Round-11
+    # therefore SHARDS the pointer (format 2, _obj_commit_ptr): above
+    # ``ptr_shard_threshold`` entries the root object holds only
+    # [key, rel, n_files, n_bytes] rows pointing at immutable
+    # per-bucket-range shard objects — the Iceberg manifest-list
+    # shape — so a commit reads and rewrites ONLY the shards its
+    # adds/retires touch (O(touched buckets)), existence/size probes
+    # read the root alone, and rollback stays restore-one-root (old
+    # shards are immutable and still referenced by the restored
+    # root).  Segment sprawl from long append streams is folded by
+    # _obj_maybe_fold_segments (commit-count triggered).
     # Reference anchor: the reference's only durable store was a
     # network MySQL DB (igf_data/igfdb/dbconnect.py:8-91); this mode
     # makes the lake substrate deployable on the storage real
@@ -812,16 +989,61 @@ class TableStore:
         except OSError:
             return None
 
-    def _read_ptr(self, name: str) -> list | None:
-        """The live file entries ([segment, file, bytes] lists) or
-        None for a never-written table."""
-        text = self._read_ptr_text(name)
+    def _ptr_doc_of_text(self, text: str | None) -> dict | None:
+        """Parsed pointer root document, or None (absent or
+        unparseable — both read as 'no pointer').  Two formats:
+        format 1 inlines the live entries (``{"files": [...]}``);
+        format 2 (``{"format": 2, "n_shards": N, "shards": [[key,
+        rel, n_files, n_bytes], ...]}``) points at immutable
+        per-bucket-range SHARD objects so commits rewrite O(touched
+        buckets) metadata — see _obj_commit_ptr."""
         if text is None:
             return None
         try:
-            return json.loads(text)["files"]
-        except (ValueError, KeyError):
+            doc = json.loads(text)
+        except ValueError:
             return None
+        if "files" in doc or doc.get("format") == 2:
+            return doc
+        return None
+
+    def _read_shard_files(self, rel: str) -> list:
+        """Entries of one immutable pointer-shard object.  A missing
+        shard raises (corruption or a read racing a concurrent
+        commit's cleanup — _read_ptr retries the latter once)."""
+        return json.loads(
+            self.fs.read_text(os.path.join(self.root, rel))
+        )["files"]
+
+    def _doc_files(self, doc: dict | None) -> list | None:
+        """Materialize a root document's full live entry list (reads
+        every shard object for format-2 roots); None when absent."""
+        if doc is None:
+            return None
+        if doc.get("format") == 2:
+            out: list = []
+            for s in doc.get("shards", ()):
+                out.extend(self._read_shard_files(s[1]))
+            return sorted(out)
+        return doc.get("files", [])
+
+    def _read_ptr(self, name: str) -> list | None:
+        """The live file entries ([segment, file, bytes] lists) or
+        None for a never-written table."""
+        for attempt in range(2):
+            doc = self._ptr_doc_of_text(self._read_ptr_text(name))
+            try:
+                return self._doc_files(doc)
+            except FileNotFoundError:
+                # a concurrent commit retired a shard object between
+                # our root read and the shard read — the NEW root no
+                # longer references it; re-resolve once (immutable
+                # shards make the second pass race-free unless another
+                # commit lands, in which case corruption should be
+                # loud, not an infinite loop)
+                if attempt:
+                    raise
+        return None  # unreachable
 
     def _obj_external_entries(self, name: str) -> list:
         """Pointer-shaped entries for parquet files placed in the
@@ -901,35 +1123,239 @@ class TableStore:
                 )
         return sorted(out)
 
+    def _ptr_shard_key(self, rel: str, n_shards: int) -> str:
+        """Shard key of a table-relative data path: bucket-range
+        (``b<bucket mod n_shards>``) for ``kb=``-partitioned files,
+        ``flat`` otherwise — so a commit touching K buckets touches at
+        most K shard objects."""
+        head, sep, _ = rel.partition("/")
+        if sep and head.startswith(f"{self.BUCKET_COL}="):
+            with contextlib.suppress(ValueError):
+                return f"b{int(head.split('=', 1)[1]) % n_shards}"
+        return "flat"
+
+    def _ptr_shard_rel(self, name: str, key: str) -> str:
+        """Root-relative path for a NEW immutable shard object —
+        uuid-suffixed so rewrites of the same key never collide and
+        old shards stay readable until retired."""
+        return os.path.join(
+            "_ptr", f"{name}.shards", f"{key}-{uuid.uuid4().hex[:12]}.json"
+        )
+
+    def _update_journaled_op(self, op: dict, **fields) -> None:
+        """Extend an already-journaled op in place and re-persist the
+        journal — used to record the shard-object delta a commit
+        computes after the op was first journaled, BEFORE any of
+        those objects are written (rollback must know what to drop)."""
+        with self._txn_mutex:
+            op.update(fields)
+            self._write_journal()
+
+    def _put_shard_objs(self, add_objs: list) -> list:
+        """Write new immutable shard objects; returns root ``shards``
+        rows ([key, rel, n_files, n_bytes])."""
+        rows = []
+        for key, rel, entries in add_objs:
+            p = os.path.join(self.root, rel)
+            self.fs.makedirs(os.path.dirname(p))
+            self.fs.write_text_atomic(p, json.dumps({"files": entries}))
+            rows.append(
+                [key, rel, len(entries), sum(int(e[2]) for e in entries)]
+            )
+        return rows
+
     def _obj_commit_ptr(
         self,
         name: str,
         old: str | None,
-        keep: list,
-        seg_rel: str,
+        seg_rel: str | None,
         retire: list,
+        op: dict | None = None,
+        schema_fn=None,
+        reset_commits: bool = False,
     ) -> None:
-        """Flip ``name``'s pointer to ``keep + <segment's files>`` in
-        one atomic PUT.  The caller journaled the objptr op (with
-        ``old``/``seg_rel``/``retire``) BEFORE any write."""
-        files = keep + self._obj_list_seg(seg_rel)
+        """Flip ``name``'s pointer to ``<old live set> - retire +
+        <segment's files>`` with one atomic PUT of the ROOT object.
+        The caller journaled the objptr op (``old``/``seg_rel``/
+        ``retire``) BEFORE any write; when the commit also writes or
+        retires SHARD objects (pointer format 2), their delta is
+        journaled onto ``op`` before any shard object is written.
+
+        Format selection: a live set at or under ``ptr_shard_threshold``
+        entries stays an inline format-1 root; above it the entries
+        split into ``ptr_n_shards`` per-bucket-range immutable shard
+        objects and the root holds only [key, rel, n_files, n_bytes]
+        rows — a later commit reads and rewrites ONLY the shards its
+        adds/retires touch, so commit metadata I/O is O(touched
+        buckets), not O(live files).  A table that shrinks back under
+        half the threshold downgrades to an inline root (hysteresis).
+        ``schema_fn`` (lazy) records the table schema in the root when
+        the commit empties the table, so the read side can still
+        produce a typed empty DataFrame."""
+        adds = self._obj_list_seg(seg_rel) if seg_rel is not None else []
+        doc = self._ptr_doc_of_text(old)
+        retire_set = {(b, r) for b, r in retire}
+        thresh = self.ptr_shard_threshold
         self.fs.makedirs(os.path.dirname(self._ptr_path(name)))
-        self.fs.write_text_atomic(
-            self._ptr_path(name), json.dumps({"files": files})
+        # segment-sprawl accounting: count segment-adding commits
+        # since the last fold (an O(1) root field — computing the true
+        # distinct-segment count would read every shard, the exact
+        # cost sharding exists to avoid).  _obj_maybe_fold_segments
+        # triggers on this and resets it.
+        commits = (doc.get("commits", 0) if doc is not None else 0) + (
+            1 if adds else 0
+        )
+        if reset_commits:
+            commits = 0
+
+        def _root_put(doc_out: dict, total_files: int) -> None:
+            if total_files == 0 and schema_fn is not None:
+                sj = schema_fn()
+                if sj:
+                    doc_out["schema"] = sj
+            doc_out["commits"] = commits
+            self.fs.write_text_atomic(
+                self._ptr_path(name), json.dumps(doc_out)
+            )
+
+        if doc is not None and doc.get("format") == 2:
+            n_shards = int(doc.get("n_shards", self.ptr_n_shards))
+            old_shards = {s[0]: s for s in doc.get("shards", ())}
+            add_by: dict[str, list] = {}
+            for e in adds:
+                add_by.setdefault(
+                    self._ptr_shard_key(e[1], n_shards), []
+                ).append(e)
+            touched = set(add_by)
+            for _b, r in retire_set:
+                touched.add(self._ptr_shard_key(r, n_shards))
+            touched &= set(old_shards) | set(add_by)
+            new_entries_by: dict[str, list] = {}
+            for key in sorted(touched):
+                cur = (
+                    self._read_shard_files(old_shards[key][1])
+                    if key in old_shards
+                    else []
+                )
+                kept = [e for e in cur if (e[0], e[1]) not in retire_set]
+                new_entries_by[key] = sorted(kept + add_by.get(key, []))
+            untouched = [
+                s for k, s in sorted(old_shards.items()) if k not in touched
+            ]
+            total = sum(int(s[2]) for s in untouched) + sum(
+                len(v) for v in new_entries_by.values()
+            )
+            retire_objs = [
+                old_shards[k][1] for k in sorted(touched) if k in old_shards
+            ]
+            if total <= thresh // 2:
+                # shrank: downgrade to an inline root (all shards retire)
+                files: list = []
+                for s in untouched:
+                    files.extend(self._read_shard_files(s[1]))
+                for v in new_entries_by.values():
+                    files.extend(v)
+                if op is not None and old_shards:
+                    self._update_journaled_op(
+                        op,
+                        retire_ptr_objs=[
+                            s[1] for s in old_shards.values()
+                        ],
+                    )
+                _root_put({"files": sorted(files)}, total)
+                return
+            add_objs = [
+                (key, self._ptr_shard_rel(name, key), entries)
+                for key, entries in sorted(new_entries_by.items())
+                if entries
+            ]
+            if op is not None and (add_objs or retire_objs):
+                self._update_journaled_op(
+                    op,
+                    add_ptr_objs=[rel for _k, rel, _e in add_objs],
+                    retire_ptr_objs=retire_objs,
+                )
+            new_rows = self._put_shard_objs(add_objs)
+            shards = sorted(untouched + new_rows, key=lambda s: s[0])
+            _root_put(
+                {"format": 2, "n_shards": n_shards, "shards": shards},
+                total,
+            )
+            return
+
+        # inline (format-1) or absent root; absent adopts
+        # externally-written files (see _obj_external_entries)
+        old_entries = (
+            doc.get("files", [])
+            if doc is not None
+            else self._obj_external_entries(name)
+        )
+        keep = [e for e in old_entries if (e[0], e[1]) not in retire_set]
+        files = sorted(keep + adds)
+        if len(files) <= thresh:
+            _root_put({"files": files}, len(files))
+            return
+        # crossed the threshold: upgrade the whole set to format 2
+        n_shards = self.ptr_n_shards
+        by_key: dict[str, list] = {}
+        for e in files:
+            by_key.setdefault(
+                self._ptr_shard_key(e[1], n_shards), []
+            ).append(e)
+        add_objs = [
+            (key, self._ptr_shard_rel(name, key), entries)
+            for key, entries in sorted(by_key.items())
+        ]
+        if op is not None:
+            self._update_journaled_op(
+                op, add_ptr_objs=[rel for _k, rel, _e in add_objs]
+            )
+        new_rows = self._put_shard_objs(add_objs)
+        _root_put(
+            {
+                "format": 2,
+                "n_shards": n_shards,
+                "shards": sorted(new_rows, key=lambda s: s[0]),
+            },
+            len(files),
         )
 
     def _obj_journal_ptr(
-        self, name: str, old: str | None, seg_rel: str, retire: list
+        self, name: str, old: str | None, seg_rel: str | None, retire: list
     ) -> dict:
         op = {
             "kind": "objptr",
             "table": name,
             "old": old,
-            "add_segs": [seg_rel],
+            "add_segs": [seg_rel] if seg_rel else [],
             "retire": [[b, r] for b, r in retire],
         }
         self._journal_op(name, op)
         return op
+
+    def _obj_entries_for_buckets(
+        self, name: str, doc: dict | None, buckets
+    ) -> list:
+        """Live entries under the given ``kb=`` buckets, reading only
+        the shard objects that can contain them — O(touched shards)
+        under a format-2 root, which is the point of pointer
+        sharding: a partition-scoped merge never materializes the
+        whole live set."""
+        prefixes = tuple(
+            f"{self.BUCKET_COL}={int(b)}/" for b in buckets
+        )
+        if doc is not None and doc.get("format") == 2:
+            n_shards = int(doc.get("n_shards", self.ptr_n_shards))
+            keys = {f"b{int(b) % n_shards}" for b in buckets}
+            entries: list = []
+            for s in doc.get("shards", ()):
+                if s[0] in keys:
+                    entries.extend(self._read_shard_files(s[1]))
+        elif doc is not None:
+            entries = doc.get("files", [])
+        else:
+            entries = self._obj_external_entries(name)
+        return [e for e in entries if e[1].startswith(prefixes)]
 
     def _obj_append(self, name: str, writer_df, partitioned: bool) -> None:
         """Append in manifest-commit mode: one new segment, pointer
@@ -939,19 +1365,25 @@ class TableStore:
         of a ``_temporary`` refusal."""
         old = self._read_ptr_text(name)
         seg_rel = self._obj_new_seg(name)
-        self._obj_journal_ptr(name, old, seg_rel, [])
+        op = self._obj_journal_ptr(name, old, seg_rel, [])
         w = writer_df.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy(self.BUCKET_COL)
         w.parquet(os.path.join(self.root, seg_rel))
-        keep = (
-            json.loads(old)["files"]
-            if old
-            else self._obj_external_entries(name)  # adoption: first
-            # store mutation brings externally-written files under
-            # pointer management
+        # the commit resolves the old live set itself (absent pointer
+        # = adoption of externally-written files) and, on a sharded
+        # root, rewrites only the shards the new files land in
+        self._obj_commit_ptr(
+            name,
+            old,
+            seg_rel,
+            [],
+            op=op,
+            schema_fn=lambda: writer_df.schema.json(),
         )
-        self._obj_commit_ptr(name, old, keep, seg_rel, [])
+        # sprawl backstop: every append adds a segment; fold small
+        # ones once the commit counter crosses the threshold
+        self._obj_maybe_fold_segments(name)
 
     def _obj_promote_embedded_sidecar(self, name: str, seg_rel: str) -> None:
         """Rename-mode full rewrites carry ``_partitioning.json``
@@ -983,18 +1415,29 @@ class TableStore:
         retired (deleted at roll-forward, or retained live for time
         travel when history is on)."""
         old = self._read_ptr_text(name)
-        old_files = (
-            json.loads(old)["files"]
-            if old
-            else self._obj_external_entries(name)
-        )
+        old_files = self._doc_files(self._ptr_doc_of_text(old))
+        if old_files is None:
+            old_files = self._obj_external_entries(name)
+        retired = [(e[0], e[1]) for e in old_files]
         seg_rel = self._obj_new_seg(name)
-        self._obj_journal_ptr(
-            name, old, seg_rel, [(e[0], e[1]) for e in old_files]
-        )
+        op = self._obj_journal_ptr(name, old, seg_rel, retired)
         write_fn(os.path.join(self.root, seg_rel))
         self._obj_promote_embedded_sidecar(name, seg_rel)
-        self._obj_commit_ptr(name, old, [], seg_rel, [])
+
+        def _old_schema():
+            # the rewrite produced ZERO files (emptied table): record
+            # the pre-rewrite schema so reads stay typed — the old
+            # files still exist here (retired only after the journal
+            # releases)
+            return (
+                self._obj_frame(name, old_files).schema.json()
+                if old_files
+                else None
+            )
+
+        self._obj_commit_ptr(
+            name, old, seg_rel, retired, op=op, schema_fn=_old_schema
+        )
 
     def _obj_merge_buckets(
         self, name: str, touched: list[int], out: DataFrame
@@ -1006,24 +1449,28 @@ class TableStore:
         no file in the new segment — retirement already removed its
         old entries (no tombstones needed)."""
         old = self._read_ptr_text(name)
-        old_files = (
-            json.loads(old)["files"]
-            if old
-            else self._obj_external_entries(name)
-        )
-        prefixes = tuple(
-            f"{self.BUCKET_COL}={int(b)}/" for b in touched
-        )
+        # touched buckets' entries only — on a sharded root this reads
+        # just the shards covering those buckets, never the whole
+        # pointer: commit metadata I/O is O(touched buckets)
         retired = [
-            (e[0], e[1]) for e in old_files if e[1].startswith(prefixes)
+            (e[0], e[1])
+            for e in self._obj_entries_for_buckets(
+                name, self._ptr_doc_of_text(old), touched
+            )
         ]
-        keep = [e for e in old_files if not e[1].startswith(prefixes)]
         seg_rel = self._obj_new_seg(name)
-        self._obj_journal_ptr(name, old, seg_rel, retired)
+        op = self._obj_journal_ptr(name, old, seg_rel, retired)
         out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
             os.path.join(self.root, seg_rel)
         )
-        self._obj_commit_ptr(name, old, keep, seg_rel, retired)
+        self._obj_commit_ptr(
+            name,
+            old,
+            seg_rel,
+            retired,
+            op=op,
+            schema_fn=lambda: out.schema.json(),
+        )
 
     def _obj_frame(self, name: str, files: list) -> DataFrame:
         """DataFrame over pointer entries: one read per SEGMENT (its
@@ -1077,23 +1524,53 @@ class TableStore:
                         op.get("table") == name
                         and op.get("kind") == "objptr"
                     ):
-                        old = op.get("old")
-                        files = json.loads(old)["files"] if old else None
+                        # the journaled pre-txn ROOT text; its shard
+                        # objects (format 2) are immutable and still
+                        # present — retirement happens only at
+                        # roll-forward, after the commit marker
+                        files = self._doc_files(
+                            self._ptr_doc_of_text(op.get("old"))
+                        )
                         resolved = True
                         break
         if not resolved:
             files = self._read_ptr(name)
-        if not files:
-            # pointer absent (or pre-txn state empty): adopt
-            # externally-written files, the rename mode's native read
-            ext = self._obj_external_entries(name)
-            files = ext or files
+        if files is None:
+            # pointer ABSENT (never written / pre-txn state was
+            # pointerless): adopt externally-written files, the rename
+            # mode's native read.  A PRESENT-but-empty pointer
+            # ({"files": []}) is an intentionally emptied table — the
+            # adoption fallback must NOT fire for it (it would
+            # resurrect retained pre-adoption files under
+            # retain_history).
+            files = self._obj_external_entries(name)
         if files:
             return self._obj_frame(name, files)
         sch = self._evolved_struct(name)
+        if sch is None:
+            # emptied table with no declared schema: the pointer
+            # recorded the last data schema when the emptying commit
+            # landed (see _obj_commit_ptr)
+            sch = self._ptr_empty_schema(name)
         if sch is not None:
             return self.spark.createDataFrame([], sch)
         raise KeyError(f"unknown table {name!r}")
+
+    def _ptr_empty_schema(self, name: str):
+        """The schema an emptying commit recorded in the pointer (see
+        :meth:`_obj_commit_ptr`), or None."""
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        text = self._read_ptr_text(name)
+        if text is None:
+            return None
+        try:
+            sch = json.loads(text).get("schema")
+        except ValueError:
+            return None
+        if sch is None:
+            return None
+        return T.StructType.fromJson(json.loads(sch))
 
     def _obj_compact(
         self,
@@ -1134,6 +1611,63 @@ class TableStore:
             for b in flagged
         ]
 
+    def _obj_maybe_fold_segments(self, name: str) -> None:
+        """Segment-sprawl backstop: every append adds one segment, and
+        reads cost one scan per segment (_obj_frame) — a 1000-commit
+        append stream would degrade every read without a trigger.
+        When the root's ``commits`` counter (segment-adding commits
+        since the last fold check — an O(1) root field) reaches
+        ``auto_compact_commits``, fold the small segments into one
+        bucket-clustered segment.  Amortized cost: one full pointer
+        materialization + one bounded rewrite per ``threshold``
+        commits; large segments (real data volume) are never
+        rewritten, so fold work is O(small-segment bytes), not
+        O(table)."""
+        limit = self.auto_compact_commits
+        if not limit or not self.manifest_commits:
+            return
+        doc = self._ptr_doc_of_text(self._read_ptr_text(name))
+        if doc is None or doc.get("commits", 0) < limit:
+            return
+        files = self._doc_files(doc)
+        by_seg: dict[str, list] = {}
+        for e in files:
+            by_seg.setdefault(e[0], []).append(e)
+        cut = max(1, int(self.target_bucket_bytes))
+        small = sorted(
+            s
+            for s, es in by_seg.items()
+            if sum(int(e[2]) for e in es) < cut
+        )
+        old = self._read_ptr_text(name)
+        if len(small) < 2:
+            # nothing foldable (segments are genuinely large): reset
+            # the counter with a journaled no-op pointer rewrite so
+            # the check does not re-run on every subsequent append
+            op = self._obj_journal_ptr(name, old, None, [])
+            self._obj_commit_ptr(
+                name, old, None, [], op=op, reset_commits=True
+            )
+            return
+        entries = [e for s in small for e in by_seg[s]]
+        retired = [(e[0], e[1]) for e in entries]
+        spec = self._layout(name) or {}
+        out = self._obj_frame(name, entries)
+        partitioned = bool(spec.get("keys"))
+        if partitioned:
+            out = self._cluster_by_bucket(out, int(spec["n_buckets"]))
+        else:
+            out = out.coalesce(1)
+        seg_rel = self._obj_new_seg(name)
+        op = self._obj_journal_ptr(name, old, seg_rel, retired)
+        w = out.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy(self.BUCKET_COL)
+        w.parquet(os.path.join(self.root, seg_rel))
+        self._obj_commit_ptr(
+            name, old, seg_rel, retired, op=op, reset_commits=True
+        )
+
     def _obj_txn_checkpoint(self) -> None:
         """COMMIT the work journaled so far inside the current lock
         session without releasing it: retire superseded files the way
@@ -1145,16 +1679,31 @@ class TableStore:
         t = self._txn
         retain = self._history_on()
         with self._txn_mutex:
-            if not retain:
-                for op in t.ops:
-                    if op["kind"] == "objptr":
-                        for base, rel in op.get("retire", ()):
-                            with contextlib.suppress(OSError):
-                                self.fs.unlink(
-                                    os.path.join(self.root, base, rel)
-                                )
+            # commit point FIRST: persist the truncated journal, THEN
+            # delete the retired files.  The reverse order has a crash
+            # window where recovery rolls the ops back — restoring a
+            # pointer onto already-deleted files and dropping the new
+            # segment (both copies lost).  After the truncation lands,
+            # leftover retired files are unreferenced orphans (vacuum
+            # prunes them), the same guarantee as commit roll-forward.
+            retire: list = []
+            for op in t.ops:
+                if op["kind"] == "objptr":
+                    if not retain:
+                        retire.extend(op.get("retire", ()))
+                    retire.extend(
+                        (None, rel)
+                        for rel in op.get("retire_ptr_objs", ())
+                    )
             t.ops = []
             self._write_journal()
+            for base, rel in retire:
+                with contextlib.suppress(OSError):
+                    self.fs.unlink(
+                        os.path.join(self.root, rel)
+                        if base is None
+                        else os.path.join(self.root, base, rel)
+                    )
 
     def _obj_journal_sidecar(self, name: str) -> None:
         """Journal the sidecar's pre-image (kind filewrite) so a crash
@@ -1206,14 +1755,10 @@ class TableStore:
             }
         )
         for b in [b for b in present if b < old and b not in done]:
-            prefix = f"{self.BUCKET_COL}={b}/"
             old_text = self._read_ptr_text(name)
-            cur = (
-                json.loads(old_text)["files"]
-                if old_text
-                else self._obj_external_entries(name)
+            bucket_files = self._obj_entries_for_buckets(
+                name, self._ptr_doc_of_text(old_text), [b]
             )
-            bucket_files = [e for e in cur if e[1].startswith(prefix)]
             if bucket_files:
                 rows = self._obj_frame(name, bucket_files).drop(
                     self.BUCKET_COL
@@ -1225,19 +1770,16 @@ class TableStore:
                     max(1, new // old),  # a bucket splits k ways
                 )
                 seg_rel = self._obj_new_seg(name)
-                self._obj_journal_ptr(
-                    name,
-                    old_text,
-                    seg_rel,
-                    [(e[0], e[1]) for e in bucket_files],
+                retired = [(e[0], e[1]) for e in bucket_files]
+                op = self._obj_journal_ptr(
+                    name, old_text, seg_rel, retired
                 )
                 out.write.mode("overwrite").partitionBy(
                     self.BUCKET_COL
                 ).parquet(os.path.join(self.root, seg_rel))
-                keep = [
-                    e for e in cur if not e[1].startswith(prefix)
-                ]
-                self._obj_commit_ptr(name, old_text, keep, seg_rel, [])
+                self._obj_commit_ptr(
+                    name, old_text, seg_rel, retired, op=op
+                )
             self._obj_journal_sidecar(name)
             done.add(b)
             self._write_sidecar_atomic(
@@ -1807,11 +2349,14 @@ class TableStore:
                     # files stay LIVE in their immutable segments for
                     # zero-copy time travel.  Vacuum deletes every
                     # data file referenced by neither a kept manifest
-                    # nor the current pointer (a crashed write's
-                    # orphans included).
+                    # nor the current live set (a crashed write's
+                    # orphans included).  _obj_current_files, NOT
+                    # _read_ptr: a table still on its externally-
+                    # written adoption set has no pointer yet, and its
+                    # live files must survive the sweep.
                     keep_refs.update(
                         os.path.join(e[0], e[1])
-                        for e in self._read_ptr(t) or []
+                        for e in self._obj_current_files(t)
                     )
                     froot = self._path(t)
                     for dirpath, _dirs, files in self.fs.walk(froot):
@@ -1824,6 +2369,31 @@ class TableStore:
                                 with contextlib.suppress(OSError):
                                     self.fs.unlink(p)
                                     n += 1
+                    # orphaned POINTER-SHARD objects (a crash between
+                    # the journal release and retirement cleanup):
+                    # anything in the shards dir the current root does
+                    # not reference is garbage — vacuum holds the
+                    # writer lock, so no pending txn's old root can
+                    # reference them either
+                    doc = self._ptr_doc_of_text(self._read_ptr_text(t))
+                    live_shards = (
+                        {s[1] for s in doc.get("shards", ())}
+                        if doc is not None and doc.get("format") == 2
+                        else set()
+                    )
+                    sdir = os.path.join(
+                        self.root, "_ptr", f"{t}.shards"
+                    )
+                    if self.fs.isdir(sdir):
+                        for fn in self.fs.listdir(sdir):
+                            rel = os.path.join(
+                                "_ptr", f"{t}.shards", fn
+                            )
+                            if rel not in live_shards:
+                                with contextlib.suppress(OSError):
+                                    self.fs.unlink(
+                                        os.path.join(sdir, fn)
+                                    )
                 else:
                     froot = self._history_abs("files", t)
                     for dirpath, _dirs, files in self.fs.walk(froot):
@@ -2512,6 +3082,11 @@ class TableStore:
     def _has_data(self, name: str) -> bool:
         """True iff the table has at least one parquet file on disk."""
         if self.manifest_commits:
+            doc = self._ptr_doc_of_text(self._read_ptr_text(name))
+            if doc is not None and doc.get("format") == 2:
+                # sharded root: file counts live in the root rows — no
+                # shard-object reads for an existence probe
+                return any(int(s[2]) for s in doc.get("shards", ()))
             return bool(self._obj_current_files(name))
         p = self._path(name)
         return self.fs.exists(p) and any(
@@ -2537,6 +3112,10 @@ class TableStore:
         volume signal is one JSON read there (a contentSummary walk
         would also count superseded-but-retained files)."""
         if self.manifest_commits:
+            doc = self._ptr_doc_of_text(self._read_ptr_text(name))
+            if doc is not None and doc.get("format") == 2:
+                # sharded root: byte totals live in the root rows
+                return int(sum(int(s[3]) for s in doc.get("shards", ())))
             return int(
                 sum(int(e[2]) for e in self._obj_current_files(name))
             )

@@ -353,6 +353,13 @@ def span_monitor_batch(
     - ``{prefix}_detail``   gated anchor occurrences (h, id, pos)
     - ``{prefix}_summary``  per-gram occurrence counts (h, n)
     - ``{prefix}_pairs``    every reported duplicate-span pair
+    - ``{prefix}_gate``     one gate-observability row PER BATCH
+      (dedup.incremental_span_gate_stats): the batch's anchors, how
+      many fell to the frequency gate at union counts, and the gated
+      share — the drift signal that says boilerplate is saturating
+      the cap and spans are silently being missed (round-11; the
+      one-shot operator's suffix_gate_stats, now in the streaming
+      path where saturation drift matters operationally)
 
     Each batch probes the standing assets (the base corpus is never
     re-tokenized), appends the NEW pairs it introduces, and folds its
@@ -379,10 +386,16 @@ def span_monitor_batch(
         t_detail, f"__h long, {id_col} long, __pos int"
     )
     store.declare_table(t_summary, "__h long, __n long")
+    t_gate = f"{prefix}_gate"
     store.declare_table(
         t_pairs,
         "doc_a long, doc_b long, span_tokens long, start_a long, "
         "start_b long, span_text string",
+    )
+    store.declare_table(
+        t_gate,
+        "batch_id long, n_anchors long, n_gated_anchors long, "
+        "n_grams long, n_gated_grams long, gated_share double",
     )
     batch_df = batch_df.select(id_col, text_col).localCheckpoint(
         eager=True
@@ -395,32 +408,51 @@ def span_monitor_batch(
     # is anchors + counts + reported pairs, never corpus text
     _, d_occ = dedup._suffix_occurrences(batch_df, id_col, text_col, k)
     d_occ = d_occ.localCheckpoint(eager=True)
-    pairs = dedup.incremental_duplicate_spans(
-        None,
-        batch_df,
-        id_col,
-        text_col,
-        k=k,
-        max_gram_freq=max_gram_freq,
-        base_detail=detail,
-        base_summary=summary,
-        delta_occ=d_occ,
-        text_from_delta=True,
-    ).localCheckpoint(eager=True)
     d_cnt = d_occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+
+    # the PROBE (new pairs) and the SUMMARY MERGE are independent
+    # Spark jobs over the pinned d_occ + the standing tables — run
+    # their materializations concurrently (local threads submitting
+    # jobs, the pattern store_with_attributes uses): micro-batch
+    # wall-clock is probe-or-merge, not probe-plus-merge.  Both are
     # PINNED before the transaction: fresh_detail's gate references
-    # this frame, and the txn overwrites t_summary — a lazy plan
+    # merged_summary, and the txn overwrites t_summary — a lazy plan
     # would re-read the already-merged table mid-append and gate on
-    # doubled counts
-    merged_summary = (
-        summary.unionByName(
-            d_cnt.select("__h", F.col("__nd").cast("long").alias("__n"))
+    # doubled counts.
+    def _probe():
+        return dedup.incremental_duplicate_spans(
+            None,
+            batch_df,
+            id_col,
+            text_col,
+            k=k,
+            max_gram_freq=max_gram_freq,
+            base_detail=detail,
+            base_summary=summary,
+            delta_occ=d_occ,
+            text_from_delta=True,
+        ).localCheckpoint(eager=True)
+
+    def _merge():
+        return (
+            summary.unionByName(
+                d_cnt.select(
+                    "__h", F.col("__nd").cast("long").alias("__n")
+                )
+            )
+            .groupBy("__h")
+            .agg(F.sum("__n").alias("__n"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
         )
-        .groupBy("__h")
-        .agg(F.sum("__n").alias("__n"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
+
+    import concurrent.futures as _cf  # noqa: PLC0415
+
+    with _cf.ThreadPoolExecutor(2) as ex:
+        f_pairs = ex.submit(_probe)
+        f_merge = ex.submit(_merge)
+        pairs = f_pairs.result()
+        merged_summary = f_merge.result()
     # batch grams within the merged cap — batch-bounded, so both the
     # gate join and the detail filter run as broadcasts (the standing
     # summary is corpus-scale and must never be the broadcast side)
@@ -434,10 +466,30 @@ def span_monitor_batch(
     fresh_detail = d_occ.join(
         F.broadcast(kept_new), "__h", "left_semi"
     ).select("__h", id_col, F.col("__pos").cast("int").alias("__pos"))
+    # per-batch gate observability over the SAME pinned frames the
+    # probe gated on (merged_summary is checkpointed; d_cnt is
+    # batch-bounded, so the join broadcasts) — one extra tiny agg
+    gate = dedup.incremental_span_gate_stats(
+        merged_summary, d_cnt, max_gram_freq, batch_id=batch_id
+    )
     with store.transaction():
-        store.overwrite(t_summary, merged_summary, validate=False)
-        store.store_records(t_detail, fresh_detail, validate=False)
-        store.store_records(t_pairs, pairs, validate=False)
+        # all four writes are over PINNED frames (no store re-reads),
+        # so they are independent — thread them inside the one txn
+        # (journal mutations are mutex-serialized; the marker commits
+        # last, with everything, at the txn's single commit point)
+        writes = (
+            (store.overwrite, t_summary, merged_summary),
+            (store.store_records, t_detail, fresh_detail),
+            (store.store_records, t_pairs, pairs),
+            (store.store_records, t_gate, gate),
+        )
+        with _cf.ThreadPoolExecutor(4) as ex:
+            futs = [
+                ex.submit(verb, t, df, validate=False)
+                for verb, t, df in writes
+            ]
+            for f in futs:
+                f.result()
         store.set_stream_marker(stream_id, batch_id)
     return True
 

@@ -1,0 +1,519 @@
+"""Pointer-manifest SHARDING (format 2) + round-11 ADVICE fixes.
+
+Round-10's manifest-pointer commit mode kept ONE JSON object per
+table listing every live file — honest about the cost (store.py's
+scale note: ~400k entries ≈ tens of MB read per plan and REWRITTEN
+per commit at 100 TB / 256 MB files).  Round-11 shards the pointer:
+above ``ptr_shard_threshold`` live entries the root object holds only
+[key, rel, n_files, n_bytes] rows pointing at immutable per-bucket-
+range shard objects, so a commit reads and rewrites ONLY the shards
+its adds/retires touch — O(touched buckets) commit metadata, the
+Iceberg manifest-list shape.  These tests pin:
+
+- format selection (inline under threshold, sharded above,
+  downgrade-with-hysteresis when the table shrinks),
+- the O(touched) property itself (a single-bucket upsert rewrites
+  exactly the touched bucket's shard + the root; untouched shard
+  objects stay byte-identical),
+- crash recovery at EVERY atomic-PUT boundary of a sharded commit,
+- rename-vs-object logical equivalence with sharding forced on,
+- the round-11 ADVICE fixes: journal-release-before-retirement
+  ordering (a crash mid-retirement must roll FORWARD, never back
+  onto deleted files), empty-pointer-is-empty-table (no adoption
+  resurrection), and vacuum keeping a pointerless adoption set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_management_python_spark.store import TableStore
+from tests.test_store_objectstore import ObjectModeStore, _projects
+
+SAMPLE_SCHEMA = (
+    "sample_id long, sample_igf_id string, project_id long, status string"
+)
+
+
+def _samples(spark, ids, status="ACTIVE"):
+    return spark.createDataFrame(
+        [(i, f"IGF{i}", 1, status) for i in ids], SAMPLE_SCHEMA
+    )
+
+
+def _sharded_store(spark, tmp_path, name="cat", threshold=4, n_shards=4):
+    s = ObjectModeStore(spark, str(tmp_path / name))
+    s.ptr_shard_threshold = threshold
+    s.ptr_n_shards = n_shards
+    return s
+
+
+def _root_doc(store, table):
+    return json.loads(store.fs.read_text(store._ptr_path(table)))
+
+
+# -- format selection ---------------------------------------------------------
+
+
+def test_pointer_upgrades_to_sharded_above_threshold(spark, tmp_path):
+    s = _sharded_store(spark, tmp_path)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 17)))
+    doc = _root_doc(s, "sample")
+    assert doc.get("format") == 2
+    assert doc["n_shards"] == 4
+    # every shard object exists, is immutable JSON, and the rollup
+    # counts in the root match its contents
+    total = 0
+    for key, rel, n, nbytes in doc["shards"]:
+        shard = json.loads(
+            s.fs.read_text(os.path.join(s.root, rel))
+        )["files"]
+        assert len(shard) == n
+        assert sum(int(e[2]) for e in shard) == nbytes
+        assert all(
+            s._ptr_shard_key(e[1], doc["n_shards"]) == key for e in shard
+        )
+        total += n
+    assert total == len(s._read_ptr("sample"))
+    assert sorted(
+        r.sample_id for r in s.table("sample").collect()
+    ) == list(range(1, 17))
+
+
+def test_small_table_stays_inline(spark, tmp_path):
+    s = _sharded_store(spark, tmp_path, threshold=512)
+    s.store_records("project", _projects(spark, [1, 2, 3]))
+    doc = _root_doc(s, "project")
+    assert doc.get("format") != 2
+    assert "files" in doc
+
+
+def test_sharded_root_downgrades_when_table_shrinks(spark, tmp_path):
+    s = _sharded_store(spark, tmp_path)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 17)))
+    assert _root_doc(s, "sample").get("format") == 2
+    s.delete_where(
+        "sample", _samples(spark, range(3, 17)), on=["sample_id"]
+    )
+    doc = _root_doc(s, "sample")
+    assert doc.get("format") != 2  # <= threshold // 2: inline again
+    assert sorted(
+        r.sample_id for r in s.table("sample").collect()
+    ) == [1, 2]
+    # the retired shard objects are gone (journal-release then delete)
+    sdir = os.path.join(s.root, "_ptr", "sample.shards")
+    leftovers = os.listdir(sdir) if os.path.isdir(sdir) else []
+    assert leftovers == []
+
+
+# -- the O(touched buckets) property ------------------------------------------
+
+
+def test_single_bucket_commit_rewrites_only_touched_shard(spark, tmp_path):
+    """The round-11 point: on a sharded root, a one-row upsert must
+    leave every untouched shard object byte-identical (same rel, same
+    content) and rewrite only the touched bucket's shard + the root."""
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 33)))
+    before = {key: rel for key, rel, _n, _b in _root_doc(s, "sample")["shards"]}
+    assert len(before) > 1
+    s.upsert(
+        "sample",
+        _samples(spark, [7], status="FAILED"),
+        on=["sample_id"],
+    )
+    after = {key: rel for key, rel, _n, _b in _root_doc(s, "sample")["shards"]}
+    bucket = (
+        s.table("sample")
+        .filter("sample_id = 7")
+        .select(s._bucket_expr(["sample_id"], 8).alias("b"))
+        .collect()[0]
+        .b
+    )
+    touched_key = f"b{int(bucket) % 8}"
+    changed = {k for k in set(before) | set(after) if before.get(k) != after.get(k)}
+    assert changed == {touched_key}
+    assert s.table("sample").filter("sample_id = 7").collect()[0].status == (
+        "FAILED"
+    )
+
+
+def test_commit_metadata_bytes_scale_with_touched_not_live(spark, tmp_path):
+    """Quantified: commit metadata written by a 1-bucket upsert on a
+    sharded root is a small fraction of the full pointer — the
+    monolithic-pointer cost the sharding removes."""
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=16)
+    s.enable_partitioning("sample", ["sample_id"], 16)
+    s.store_records("sample", _samples(spark, range(1, 129)))
+    doc = _root_doc(s, "sample")
+    full_bytes = sum(
+        s.fs.getsize(os.path.join(s.root, rel))
+        for _k, rel, _n, _b in doc["shards"]
+    )
+    before = {rel for _k, rel, _n, _b in doc["shards"]}
+    s.upsert(
+        "sample", _samples(spark, [64], status="FAILED"), on=["sample_id"]
+    )
+    doc2 = _root_doc(s, "sample")
+    new = [
+        rel for _k, rel, _n, _b in doc2["shards"] if rel not in before
+    ]
+    # exactly ONE shard object rewritten (the touched bucket's), and
+    # its size is one shard's worth of the live set, not the whole
+    # pointer.  (The tiny fixed-size root is rewritten too — at real
+    # scale it is [key, rel, n, bytes] rows only, O(n_shards), vs
+    # O(live files) for the monolithic pointer.)
+    assert len(new) == 1
+    written = s.fs.getsize(os.path.join(s.root, new[0]))
+    assert written < full_bytes / 4
+
+
+# -- crash recovery at every sharded-commit boundary --------------------------
+
+
+def test_sharded_commit_crash_recovery_all_boundaries(spark, tmp_path):
+    """Deterministic sweep: inject a crash at EVERY os.replace (the
+    simulation's atomic-PUT commit point — journal flush, shard PUT,
+    root PUT) of a sharded-root upsert; recovery must restore the
+    exact pre-verb state every time."""
+    from tests.test_store_objectstore import _obj_snapshot
+    from tests.test_store_txn import _abandon_as_dead
+
+    boundary = 0
+    while True:
+        root = str(tmp_path / f"r{boundary}")
+        s = _sharded_store(spark, tmp_path, name=f"r{boundary}")
+        s.enable_partitioning("sample", ["sample_id"], 8)
+        s.store_records("sample", _samples(spark, range(1, 17)))
+        assert _root_doc(s, "sample").get("format") == 2
+        before = _obj_snapshot(root)
+
+        class _Crash(BaseException):
+            pass
+
+        orig_replace = os.replace
+        count = {"n": 0}
+
+        def counting(src, dst, _b=boundary):
+            if str(src).startswith(root) or str(dst).startswith(root):
+                count["n"] += 1
+                if count["n"] > _b:
+                    raise _Crash
+            return orig_replace(src, dst)
+
+        os.replace = counting
+        crashed = True
+        try:
+            s.upsert(
+                "sample",
+                _samples(spark, [5], status="FAILED"),
+                on=["sample_id"],
+            )
+            crashed = False
+        except _Crash:
+            pass
+        finally:
+            os.replace = orig_replace
+        if not crashed:
+            # past the last boundary: the verb committed normally
+            assert (
+                s.table("sample").filter("sample_id = 5").collect()[0].status
+                == "FAILED"
+            )
+            break
+        _abandon_as_dead(s)
+        reader = ObjectModeStore(spark, root)
+        reader.recover_transactions()
+        assert _obj_snapshot(root) == before, f"boundary={boundary}"
+        assert sorted(
+            r.sample_id for r in reader.table("sample").collect()
+        ) == list(range(1, 17))
+        boundary += 1
+    assert boundary > 3  # the sweep exercised real shard boundaries
+
+
+def test_rename_and_sharded_object_modes_equivalent(spark, tmp_path):
+    """The equivalence property extended to pointer format 2: the
+    same op sequence against a rename root and a SHARDED object root
+    yields identical logical tables at every step."""
+    a = TableStore(spark, str(tmp_path / "ren"))
+    b = _sharded_store(spark, tmp_path, name="obj", threshold=2, n_shards=4)
+
+    def check(name):
+        ra = sorted(map(tuple, a.table(name).collect()))
+        rb = sorted(map(tuple, b.table(name).collect()))
+        assert ra == rb
+
+    for s in (a, b):
+        s.enable_partitioning("sample", ["sample_id"], 4)
+    ops = [
+        lambda s: s.store_records("sample", _samples(spark, range(1, 11))),
+        lambda s: s.upsert(
+            "sample", _samples(spark, [2, 12], status="FAILED"),
+            on=["sample_id"],
+        ),
+        lambda s: s.delete_where(
+            "sample", _samples(spark, [5, 6]), on=["sample_id"]
+        ),
+        lambda s: s.compact("sample", small_file_bytes=10**9),
+        lambda s: s.rebucket("sample", 8, incremental=True),
+        lambda s: s.store_records("sample", _samples(spark, [200])),
+        lambda s: s.overwrite("sample", _samples(spark, [1, 2, 3])),
+    ]
+    for op in ops:
+        op(a)
+        op(b)
+        check("sample")
+    assert a.partitioning_of("sample") == b.partitioning_of("sample")
+
+
+# -- round-11 ADVICE fixes ----------------------------------------------------
+
+
+def test_crash_mid_retirement_rolls_forward_not_back(spark, tmp_path):
+    """ADVICE (high): the guard must release the journal BEFORE
+    deleting retired files.  A crash at the FIRST retired-file unlink
+    must therefore leave a committed verb (pointer flipped, journal
+    gone) — recovery must NOT roll back onto deleted files."""
+    root = str(tmp_path / "cat")
+    s = ObjectModeStore(spark, root)
+    s.enable_partitioning("sample", ["sample_id"], 4)
+    s.store_records("sample", _samples(spark, range(1, 9)))
+
+    class _Crash(BaseException):
+        pass
+
+    orig_unlink = s.fs.unlink
+
+    def crashing_unlink(p):
+        if p.endswith(".parquet"):
+            raise _Crash  # first data-file retirement
+        return orig_unlink(p)
+
+    s.fs.unlink = crashing_unlink
+    with pytest.raises(_Crash):
+        s.upsert(
+            "sample", _samples(spark, [3], status="FAILED"),
+            on=["sample_id"],
+        )
+    s.fs.unlink = orig_unlink
+    # journal already released: nothing pending, verb is COMMITTED
+    assert not os.path.exists(s._txn_path("pending"))
+    reader = ObjectModeStore(spark, root)
+    assert reader.recover_transactions() is None
+    rows = {r.sample_id: r.status for r in reader.table("sample").collect()}
+    assert rows[3] == "FAILED"
+    assert len(rows) == 8
+    # every pointer-referenced file exists (no dangling entries)
+    for base, rel, _sz in reader._read_ptr("sample"):
+        assert os.path.exists(os.path.join(root, base, rel))
+
+
+def test_checkpoint_crash_mid_retirement_keeps_committed_step(
+    spark, tmp_path
+):
+    """ADVICE (high), checkpoint flavor: _obj_txn_checkpoint persists
+    the truncated journal BEFORE deleting retired files, so a crash
+    mid-deletion during an incremental rebucket leaves the completed
+    buckets committed — recovery must not restore their pointers onto
+    deleted files."""
+    root = str(tmp_path / "cat")
+    s = ObjectModeStore(spark, root)
+    s.enable_partitioning("sample", ["sample_id"], 2)
+    s.store_records("sample", _samples(spark, range(1, 9)))
+
+    class _Crash(BaseException):
+        pass
+
+    orig_unlink = s.fs.unlink
+    state = {"armed": False, "crashed": False}
+
+    def crashing_unlink(p):
+        if state["armed"] and p.endswith(".parquet") and not state["crashed"]:
+            state["crashed"] = True
+            raise _Crash
+        return orig_unlink(p)
+
+    s.fs.unlink = crashing_unlink
+    state["armed"] = True
+    with pytest.raises(_Crash):
+        s.rebucket("sample", 4, incremental=True)
+    s.fs.unlink = orig_unlink
+    from tests.test_store_txn import _abandon_as_dead
+
+    # the crash may surface after the guard already released the lock
+    # (retirement is post-release by design); only re-stamp a journal
+    # that still exists
+    if os.path.exists(s._txn_path("pending")):
+        _abandon_as_dead(s)
+    else:
+        s._txn = None
+    reader = ObjectModeStore(spark, root)
+    reader.recover_transactions()
+    # whatever progress committed, the table stays complete & readable
+    assert sorted(
+        r.sample_id for r in reader.table("sample").collect()
+    ) == list(range(1, 9))
+    for base, rel, _sz in reader._read_ptr("sample"):
+        assert os.path.exists(os.path.join(root, base, rel))
+    # and the split can resume to completion
+    reader.resume_rebucket("sample")
+    assert reader.partitioning_of("sample")[1] == 4
+    assert sorted(
+        r.sample_id for r in reader.table("sample").collect()
+    ) == list(range(1, 9))
+
+
+def test_emptied_table_reads_empty_not_adoption(spark, tmp_path):
+    """ADVICE (medium): a PRESENT-but-empty pointer is an emptied
+    table.  The adoption fallback must not fire for it — externally
+    written (pre-adoption) files must stay invisible — and the read
+    must stay typed via the schema the emptying commit recorded."""
+    root = str(tmp_path / "cat")
+    # retain_history keeps the superseded PRE-ADOPTION files on disk —
+    # exactly the state the old `if not files:` fallback resurrected
+    s = ObjectModeStore(spark, root, retain_history=True)
+    # externally-written files in the table dir (the adoption set)
+    _samples(spark, [1, 2, 3]).write.parquet(os.path.join(root, "sample"))
+    assert s.table("sample").count() == 3  # adoption fallback read
+    # adopt + bucket, then delete EVERYTHING: every bucket's rewrite
+    # is empty, so the pointer is PRESENT with zero entries
+    s.enable_partitioning("sample", ["sample_id"], 4)
+    s.delete_where(
+        "sample", _samples(spark, [1, 2, 3]), on=["sample_id"]
+    )
+    assert json.loads(s.fs.read_text(s._ptr_path("sample")))["files"] == []
+    got = s.table("sample")
+    assert got.count() == 0
+    assert set(c for c in got.columns) >= {
+        "sample_id", "sample_igf_id", "project_id", "status",
+    }
+
+
+def test_vacuum_keeps_pointerless_adoption_set(spark, tmp_path):
+    """ADVICE (low): vacuum_history's object-mode keep set must
+    include a table still on its externally-written adoption set (no
+    pointer yet) — live files not referenced by a kept manifest must
+    survive the sweep."""
+    root = str(tmp_path / "cat")
+    s = ObjectModeStore(spark, root, retain_history=True)
+    _samples(spark, [1, 2]).write.parquet(os.path.join(root, "sample"))
+    live = s._table_data_files("sample")
+    assert live and s._read_ptr("sample") is None  # adoption, no pointer
+    # forge two manifests so vacuum(keep_last=1) actually sweeps; the
+    # KEPT one references none of the live files (the bug's trigger)
+    mdir = os.path.join(root, "_history", "manifests", "sample")
+    os.makedirs(mdir)
+    for seq, files in ((1, live), (2, [])):
+        with open(os.path.join(mdir, f"{seq}.json"), "w") as f:
+            json.dump(
+                {"seq": seq, "verb": "txn", "ts": 0.0, "files": files,
+                 "schema": None},
+                f,
+            )
+    s.vacuum_history("sample", keep_last=1)
+    for rel in live:
+        assert os.path.exists(os.path.join(root, rel)), rel
+    assert s.table("sample").count() == 2
+
+
+def test_incremental_spans_base_none_needs_text_from_delta(spark):
+    """ADVICE (low): skip-the-base-scan usage with base=None and
+    text_from_delta=False must raise an explicit contract error, not
+    crash on base.select."""
+    from data_management_python_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    detail, summary = dedup.suffix_anchor_assets(docs, k=8)
+    delta = spark.createDataFrame(
+        [(3, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="text_from_delta"):
+        dedup.incremental_duplicate_spans(
+            None, delta, base_detail=detail, base_summary=summary,
+            text_from_delta=False,
+        ).collect()
+    # the documented usage still works
+    out = dedup.incremental_duplicate_spans(
+        None, delta, base_detail=detail, base_summary=summary,
+        text_from_delta=True,
+    )
+    assert out.count() == 2
+
+
+# -- segment-sprawl auto-compaction (round-11, verdict item 4) ----------------
+
+
+def _segments_of(store, table):
+    return {e[0] for e in store._obj_current_files(table)}
+
+
+def test_auto_fold_bounds_segment_sprawl(spark, tmp_path):
+    """A long append stream must not degrade reads forever: once the
+    commit counter crosses the threshold, small segments fold into
+    one — segment count stays bounded while the data stays exact."""
+    s = ObjectModeStore(spark, str(tmp_path / "cat"))
+    s.auto_compact_commits = 5
+    for i in range(1, 13):
+        s.store_records("project", _projects(spark, [i]))
+    segs = _segments_of(s, "project")
+    assert len(segs) <= 5  # 12 appends, folded at least twice
+    assert sorted(
+        r.project_id for r in s.table("project").collect()
+    ) == list(range(1, 13))
+    doc = _root_doc(s, "project")
+    assert doc["commits"] < 5
+
+
+def test_auto_fold_respects_partitioned_layout(spark, tmp_path):
+    s = ObjectModeStore(spark, str(tmp_path / "cat"))
+    s.auto_compact_commits = 4
+    s.enable_partitioning("sample", ["sample_id"], 4)
+    for i in range(0, 6):
+        s.store_records(
+            "sample", _samples(spark, range(10 * i + 1, 10 * i + 6))
+        )
+    assert len(_segments_of(s, "sample")) <= 4
+    # folded files keep the kb= bucket layout (pruned reads intact)
+    assert all(
+        e[1].startswith(f"{TableStore.BUCKET_COL}=")
+        for e in s._obj_current_files("sample")
+    )
+    assert s.table("sample").count() == 30
+    got = sorted(
+        r.sample_id
+        for r in s.fetch_by("sample", sample_id=13)
+        .collect()
+    )
+    assert got == [13]
+
+
+def test_auto_fold_disabled_by_zero(spark, tmp_path):
+    s = ObjectModeStore(spark, str(tmp_path / "cat"))
+    s.auto_compact_commits = 0
+    for i in range(1, 9):
+        s.store_records("project", _projects(spark, [i]))
+    assert len(_segments_of(s, "project")) == 8
+
+
+def test_fold_counter_resets_when_nothing_foldable(spark, tmp_path):
+    """When every segment is genuinely large (>= the small cut), the
+    check must reset the counter with a no-op pointer rewrite instead
+    of re-materializing the full pointer on every later append."""
+    s = ObjectModeStore(spark, str(tmp_path / "cat"))
+    s.auto_compact_commits = 3
+    s.target_bucket_bytes = 1  # nothing is 'small'
+    for i in range(1, 6):
+        s.store_records("project", _projects(spark, [i]))
+    assert len(_segments_of(s, "project")) == 5  # nothing folded
+    assert _root_doc(s, "project")["commits"] < 3  # counter reset
+    assert s.table("project").count() == 5

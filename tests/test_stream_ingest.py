@@ -570,3 +570,51 @@ def test_span_monitor_cumulative_gate_and_replay(spark, tmp_path):
     assert (1, 11) in got_pairs         # cross 0 -> 1
     assert (21, 22) in got_pairs        # within batch 2
     assert (1, 23) in got_pairs         # cross 0 -> 2
+
+
+def test_span_monitor_emits_per_batch_gate_stats(spark, tmp_path):
+    """Round-11 (verdict item 7): the streaming span monitor emits
+    one gate-observability row PER BATCH into ``{prefix}_gate`` —
+    anchors contributed, anchors/grams over the frequency gate at
+    UNION counts, and the gated share.  A planted boilerplate span
+    that crosses the cap mid-stream must surface as gated_share > 0
+    in exactly the batch where the union count crosses — the
+    saturation-drift signal the one-shot suffix_gate_stats cannot
+    give a stream."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.streaming.ingest import (
+        span_monitor_batch,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # ONE 8-gram
+
+    def fill(seed, n):
+        return " ".join(f"w{(seed * 13 + 7 * i) % 97}" for i in range(n))
+
+    # batch 0: 3 boiler occurrences (under cap 4); batch 1: 3 more
+    # (union 6 > cap 4 — every batch-1 boiler anchor is gated)
+    rows = [(i, 0, fill(i, 9) + " " + boiler) for i in range(3)] + [
+        (10 + i, 1, fill(50 + i, 9) + " " + boiler) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bt int, text string")
+    store = TableStore(spark, str(tmp_path / "spanmon"))
+    for bid in (0, 1):
+        batch = df.filter(F.col("bt") == bid).select("doc_id", "text")
+        span_monitor_batch(
+            store, "spans", batch, bid, "t-gate", k=8, max_gram_freq=4
+        )
+    gate = {
+        r.batch_id: r
+        for r in store.table("spans_gate").collect()
+    }
+    assert set(gate) == {0, 1}
+    # batch 0: boiler gram at union count 3 <= 4 — nothing gated
+    assert gate[0].n_gated_anchors == 0
+    assert gate[0].gated_share == 0.0
+    assert gate[0].n_anchors > 0
+    # batch 1: the boiler gram's union count is 6 > 4 — its 3 batch-1
+    # anchors are gated and the share is positive
+    assert gate[1].n_gated_grams == 1
+    assert gate[1].n_gated_anchors == 3
+    assert gate[1].gated_share > 0.0
