@@ -429,7 +429,104 @@ def main_dims() -> None:
     spark.stop()
 
 
+def main_megadims() -> None:
+    """100k x 384d ANN stress (round-11 verdict item 5): the 384-d
+    round-10 stress held N at 2000 rows; this row holds the
+    codes-only-serving claim at realistic N x d — 100k vectors of
+    384 dims (50x rows, 6x dims = 300x data vs the 2000x64 base).
+    Three corpora separate the axes: base (2000x64), 100k x 64
+    (rows only), 100k x 384 (rows x dims).  Claim under test: IVF-PQ
+    serving is dims-independent (codes only — the 384/64 ratio at
+    100k rows stays ~1), and the kNN graph pays dims only in its
+    bounded exact-verify stage."""
+    from pyspark.sql import functions as F
+
+    from data_management_python_spark.catalog import load_table
+    from data_management_python_spark.plans import collect_queries
+    from data_management_python_spark.session import get_spark
+
+    spark = get_spark(app_name="megadims_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    factor = 50
+
+    def tile384(df):
+        # same tiling as main_dims: 6 slightly-rotated copies of the
+        # 64d vector — cosine structure and planted near-dups survive
+        return df.select(
+            "vec_id",
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(5)),
+                    lambda tile: F.transform(
+                        F.col("embedding"),
+                        lambda x, i: (
+                            x + (tile * F.lit(0.01)) * ((i % 7) - 3)
+                        ).cast("float"),
+                    ),
+                )
+            ).alias("embedding"),
+            "label",
+        )
+
+    def replicate(df):
+        parts = []
+        for i in range(factor):
+            c = df.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 1_000_000)
+            )
+            if i:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x: (x + F.lit(i * 1e-3)).cast("float"),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    base = load_table(spark, src, "embeddings")
+    dirs = {"2000x64": src}
+    for name, df in (
+        ("100kx64", replicate(base)),
+        ("100kx384", replicate(tile384(base))),
+    ):
+        d = f"/tmp/embed_{name}"
+        dirs[name] = d
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            os.makedirs(d, exist_ok=True)
+            df.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(d, "embeddings.parquet")
+            )
+    qs = collect_queries()
+    print(f"{'query':16s} {'2000x64':>9s} {'100kx64':>9s} "
+          f"{'100kx384':>9s} {'rows50x':>8s} {'dims6x':>7s}")
+    for name in ("sim_ivf_pq_ann", "sim_knn_graph"):
+        times = {}
+        for label in ("2000x64", "100kx64", "100kx384"):
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name].fn(spark, dirs[label]).count()
+                ts.append(time.time() - t0)
+            times[label] = min(ts)
+        print(
+            f"{name:16s} {times['2000x64']:9.2f} "
+            f"{times['100kx64']:9.2f} {times['100kx384']:9.2f} "
+            f"{times['100kx64'] / times['2000x64']:8.1f} "
+            f"{times['100kx384'] / times['100kx64']:7.2f}"
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--megadims":
+        main_megadims()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--mega":
         main_mega(
             int(sys.argv[2]) if len(sys.argv) > 2 else 100,
