@@ -679,6 +679,10 @@ def test_objectstore_txn_crash_recovery_property(
         store = ObjectModeStore(
             spark, root, attr_n_buckets=4, retain_history=retain
         )
+        # round-11: also crash-test FORMAT-2 (sharded) pointer roots —
+        # a tiny threshold forces every commit through the shard path
+        store.ptr_shard_threshold = data.draw(st.sampled_from([2, 512]))
+        store.ptr_n_shards = 4
         base = data.draw(st.integers(min_value=1, max_value=50))
         store.store_records(
             "project", _txn_projects(spark, [base, base + 1])
