@@ -1509,32 +1509,7 @@ class TableStore:
         journaled PRE-transaction pointer — snapshot isolation with no
         fencing, swaps and merges included: immutable files make the
         old state always reconstructible)."""
-        files = None
-        resolved = False
-        if self.fs.exists(self._txn_path("pending")):
-            pend = self._read_journal("pending")
-            if (
-                pend is not None
-                and pend.get("explicit")
-                and name in pend.get("tables", ())
-                and (self._txn is None or self._txn.token != pend["token"])
-            ):
-                for op in pend.get("ops", ()):
-                    if (
-                        op.get("table") == name
-                        and op.get("kind") == "objptr"
-                    ):
-                        # the journaled pre-txn ROOT text; its shard
-                        # objects (format 2) are immutable and still
-                        # present — retirement happens only at
-                        # roll-forward, after the commit marker
-                        files = self._doc_files(
-                            self._ptr_doc_of_text(op.get("old"))
-                        )
-                        resolved = True
-                        break
-        if not resolved:
-            files = self._read_ptr(name)
+        files = self._doc_files(self._obj_resolve_ptr_doc(name))
         if files is None:
             # pointer ABSENT (never written / pre-txn state was
             # pointerless): adopt externally-written files, the rename
@@ -1555,6 +1530,64 @@ class TableStore:
         if sch is not None:
             return self.spark.createDataFrame([], sch)
         raise KeyError(f"unknown table {name!r}")
+
+    def _obj_resolve_ptr_doc(self, name: str) -> dict | None:
+        """Root pointer document honoring snapshot isolation: a table
+        named by ANOTHER writer's open explicit transaction resolves
+        to the journaled PRE-transaction root (its shard objects are
+        immutable and still present — retirement happens only at
+        roll-forward, after the commit marker)."""
+        if self.fs.exists(self._txn_path("pending")):
+            pend = self._read_journal("pending")
+            if (
+                pend is not None
+                and pend.get("explicit")
+                and name in pend.get("tables", ())
+                and (
+                    self._txn is None
+                    or self._txn.token != pend["token"]
+                )
+            ):
+                for op in pend.get("ops", ()):
+                    if (
+                        op.get("table") == name
+                        and op.get("kind") == "objptr"
+                    ):
+                        return self._ptr_doc_of_text(op.get("old"))
+        return self._ptr_doc_of_text(self._read_ptr_text(name))
+
+    def _obj_read_buckets(self, name: str, buckets) -> DataFrame | None:
+        """BUCKET-PRUNED manifest read: on a sharded (format-2) root,
+        resolve ONLY the shard objects covering ``buckets`` — the
+        read-side twin of the sharded commit.  A keyed fetch against
+        a 400k-file table reads one shard object + the root instead
+        of the whole pointer (O(touched shards) metadata, matching
+        the O(touched buckets) commit).  Returns None when the fast
+        path does not apply (inline root — already one small object;
+        root absent; ``flat`` non-bucketed entries present — the full
+        read handles mixed layouts) and a typed EMPTY frame when the
+        touched buckets hold no files.  Snapshot isolation is the
+        same as the full read's (_obj_resolve_ptr_doc)."""
+        doc = self._obj_resolve_ptr_doc(name)
+        if doc is None or doc.get("format") != 2:
+            return None
+        shards = doc.get("shards", ())
+        if any(s[0] == "flat" for s in shards):
+            return None
+        entries = self._obj_entries_for_buckets(name, doc, buckets)
+        if entries:
+            return self._obj_frame(name, entries)
+        sch = self._evolved_struct(name)
+        if sch is None:
+            return None  # no typed empty possible: full read decides
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        if self.BUCKET_COL not in [f.name for f in sch.fields]:
+            sch = T.StructType(
+                list(sch.fields)
+                + [T.StructField(self.BUCKET_COL, T.IntegerType(), True)]
+            )
+        return self.spark.createDataFrame([], sch)
 
     def _ptr_empty_schema(self, name: str):
         """The schema an emptying commit recorded in the pointer (see
@@ -3824,13 +3857,29 @@ class TableStore:
 
         keys, n_buckets = self.partitioning_of(name)
         path = self._path(name)
-        raw = self._read_raw(name)
-        if self.BUCKET_COL in raw.columns:
-            current = raw.filter(
-                F.col(self.BUCKET_COL).isin([int(b) for b in touched])
-            ).drop(self.BUCKET_COL)
-        else:  # partitioned but dataless: declared logical schema
-            current = raw
+        current = None
+        if self.manifest_commits:
+            # sharded-root fast path: a partition-scoped merge reads
+            # only the touched buckets' shard objects (the write side
+            # already retires via _obj_entries_for_buckets — this
+            # makes the READ of the current rows O(touched) too)
+            pruned = self._obj_read_buckets(name, touched)
+            if pruned is not None and self.BUCKET_COL in pruned.columns:
+                current = pruned.filter(
+                    F.col(self.BUCKET_COL).isin(
+                        [int(b) for b in touched]
+                    )
+                ).drop(self.BUCKET_COL)
+        if current is None:
+            raw = self._read_raw(name)
+            if self.BUCKET_COL in raw.columns:
+                current = raw.filter(
+                    F.col(self.BUCKET_COL).isin(
+                        [int(b) for b in touched]
+                    )
+                ).drop(self.BUCKET_COL)
+            else:  # partitioned but dataless: declared logical schema
+                current = raw
         out = self._cluster_by_bucket(
             rewrite(current).withColumn(
                 self.BUCKET_COL, self._bucket_expr(keys, n_buckets)
@@ -4310,6 +4359,26 @@ class TableStore:
                 bad(filters[k]) for k in keys
             )
             if literal_keyed:
+                if self.manifest_commits:
+                    # sharded-root fast path: hash the literals with
+                    # the DECLARED dtypes (no read needed to learn
+                    # them) and resolve only the touched buckets'
+                    # shard objects — a keyed fetch reads O(touched
+                    # shards) metadata, never the whole pointer
+                    decl = self._declared_dtypes(name)
+                    if decl is not None:
+                        buckets = self._expand_split_buckets(
+                            spec,
+                            self._buckets_of_values(
+                                dict(decl), keys, n_buckets, filters
+                            ),
+                        )
+                        pruned = self._obj_read_buckets(name, buckets)
+                        if pruned is not None:
+                            pruned = pruned.filter(
+                                F.col(self.BUCKET_COL).isin(buckets)
+                            ).drop(self.BUCKET_COL)
+                            return filter_by_columns(pruned, **filters)
                 raw = self._read_raw(name)
                 if self.BUCKET_COL in raw.columns:  # has bucketed data
                     dtypes = dict(raw.drop(self.BUCKET_COL).dtypes)

@@ -517,3 +517,116 @@ def test_fold_counter_resets_when_nothing_foldable(spark, tmp_path):
     assert len(_segments_of(s, "project")) == 5  # nothing folded
     assert _root_doc(s, "project")["commits"] < 3  # counter reset
     assert s.table("project").count() == 5
+
+
+# -- read-side O(touched shards) (round-11 follow-through) --------------------
+
+
+class _PtrReadMeter:
+    """Count pointer-metadata reads (root + shard objects) through the
+    store's FsIO — the GET requests a real object store would see."""
+
+    def __init__(self, fs):
+        self._fs = fs
+        self.roots = 0
+        self.shards = 0
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+    def read_text(self, p):
+        if "/_ptr/" in p:
+            if ".shards/" in p:
+                self.shards += 1
+            else:
+                self.roots += 1
+        return self._fs.read_text(p)
+
+
+def test_fetch_by_reads_only_touched_shards(spark, tmp_path):
+    """A literal-keyed fetch_by on a sharded root must resolve ONLY
+    the shard objects covering the touched buckets — O(touched
+    shards) metadata GETs, never the whole pointer — and return
+    exactly the rows the unpruned read returns."""
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 33)))
+    doc = _root_doc(s, "sample")
+    assert doc.get("format") == 2 and len(doc["shards"]) > 2
+    meter = _PtrReadMeter(s.fs)
+    s.fs = meter
+    rows = s.fetch_by("sample", sample_id=7).collect()
+    assert [r.sample_id for r in rows] == [7]
+    assert meter.shards == 1, f"read {meter.shards} shard objects"
+    # IN-list fetch: still only the shards its buckets map to
+    meter.shards = meter.roots = 0
+    rows = sorted(
+        r.sample_id for r in s.fetch_by("sample", sample_id=[3, 9]).collect()
+    )
+    assert rows == [3, 9]
+    assert meter.shards <= 2
+
+
+def test_fetch_by_pruned_empty_bucket_is_typed_empty(spark, tmp_path):
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 17)))
+    got = s.fetch_by("sample", sample_id=999999)
+    assert got.count() == 0
+    assert "sample_id" in got.columns and "status" in got.columns
+
+
+def test_upsert_read_side_pruned_on_sharded_root(spark, tmp_path):
+    """The partition-scoped merge's READ of the current bucket rows
+    must also resolve only the touched shards."""
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 33)))
+    meter = _PtrReadMeter(s.fs)
+    s.fs = meter
+    s.upsert(
+        "sample", _samples(spark, [11], status="FAILED"), on=["sample_id"]
+    )
+    # three passes touch the one bucket's shard (merge read, retire
+    # resolution, commit kept-set rebuild) — constant factor 3, never
+    # O(all shards); the table has >3 shards so the bound is real
+    assert len(_root_doc(s, "sample")["shards"]) > 3
+    assert meter.shards <= 3, f"read {meter.shards} shard objects"
+    rows = {r.sample_id: r.status for r in s.table("sample").collect()}
+    assert rows[11] == "FAILED" and len(rows) == 32
+
+
+def test_pruned_fetch_sees_snapshot_of_other_writers_txn(
+    spark, tmp_path, monkeypatch
+):
+    """The pruned read honors the same snapshot isolation as the full
+    read: a table named by ANOTHER writer's open explicit txn
+    resolves to the journaled pre-transaction root."""
+    import json as _json
+
+    root = str(tmp_path / "cat")
+    a = ObjectModeStore(spark, root)
+    a.ptr_shard_threshold = 4
+    a.ptr_n_shards = 8
+    a.enable_partitioning("sample", ["sample_id"], 8)
+    a.store_records("sample", _samples(spark, range(1, 17)))
+    # writer A opens a txn and flips pointers mid-flight
+    a._acquire_lock(explicit=True)
+    try:
+        a._upsert_locked(
+            "sample",
+            _samples(spark, [5], status="FAILED"),
+            ["sample_id"],
+            ["status"],
+        )
+        b = ObjectModeStore(spark, root)
+        b.ptr_shard_threshold = 4
+        got = b.fetch_by("sample", sample_id=5).collect()
+        assert [r.status for r in got] == ["ACTIVE"]  # pre-txn state
+    finally:
+        a._commit()
+        a._txn = None
+    b2 = ObjectModeStore(spark, root)
+    assert (
+        b2.fetch_by("sample", sample_id=5).collect()[0].status == "FAILED"
+    )
