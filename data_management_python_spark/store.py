@@ -4619,6 +4619,33 @@ class TableStore:
             and list(spec["keys"]) == [key]
         ):
             n_buckets = int(spec["n_buckets"])
+            if self.manifest_commits:
+                # sharded-root fast path: the canonical single-parent
+                # EAV fetch resolves only the touched buckets' shard
+                # objects (declared dtypes — no read needed first)
+                decl = self._declared_dtypes(name)
+                if decl is not None:
+                    dt = dict(decl)
+                    keyed = parent_ids.select(
+                        F.col(key).cast(dt[key]).alias(key)
+                    )
+                    buckets = self._expand_split_buckets(
+                        spec,
+                        self._touched_buckets(keyed, [key], n_buckets),
+                    )
+                    pruned = self._obj_read_buckets(name, buckets)
+                    if (
+                        pruned is not None
+                        and self.BUCKET_COL in pruned.columns
+                    ):
+                        eav = pruned.filter(
+                            F.col(self.BUCKET_COL).isin(buckets)
+                        ).drop(self.BUCKET_COL)
+        if eav is None and (
+            prune_buckets
+            and spec is not None
+            and list(spec["keys"]) == [key]
+        ):
             raw = self._read_raw(name)  # opened once; reused below
             if self.BUCKET_COL in raw.columns:
                 dtypes = dict(raw.drop(self.BUCKET_COL).dtypes)

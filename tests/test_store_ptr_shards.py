@@ -630,3 +630,28 @@ def test_pruned_fetch_sees_snapshot_of_other_writers_txn(
     assert (
         b2.fetch_by("sample", sample_id=5).collect()[0].status == "FAILED"
     )
+
+
+def test_attributes_of_pruned_on_sharded_root(spark, tmp_path):
+    """The canonical single-parent EAV fetch resolves only the touched
+    buckets' shard objects on a sharded attribute table."""
+    s = ObjectModeStore(spark, str(tmp_path / "cat"), attr_n_buckets=8)
+    s.ptr_shard_threshold = 2
+    s.ptr_n_shards = 8
+    wide = spark.createDataFrame(
+        [(i, f"IGFQ{i:04d}", f"{i * 2}", f"batch{i % 3}")
+         for i in range(1, 25)],
+        "project_id long, project_igf_id string, expected_read string, "
+        "batch string",
+    )
+    s.store_with_attributes("project", wide, key_column="project_id")
+    doc = _root_doc(s, "project_attribute")
+    assert doc.get("format") == 2 and len(doc["shards"]) > 2
+    meter = _PtrReadMeter(s.fs)
+    s.fs = meter
+    one = spark.createDataFrame([(7,)], "project_id long")
+    got = s.attributes_of("project", one)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].project_id == 7
+    assert rows[0].expected_read == "14"
+    assert meter.shards <= 2, f"read {meter.shards} shard objects"
