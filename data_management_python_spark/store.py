@@ -2332,6 +2332,74 @@ class TableStore:
         self.fs.rmtree(self._history_abs("files", name))
         self._write_manifest(name, seq, verb, journal=False)
 
+    def vacuum_orphans(self, name: str | None = None) -> dict[str, int]:
+        """Delete data files and pointer-shard objects NO live pointer
+        references — manifest-commit mode with history OFF, where
+        ``vacuum_history`` never runs (no manifests exist).  These
+        orphans are what a crash can leave in the window AFTER the
+        journal releases but BEFORE retirement cleanup completes (the
+        round-11 journal-first ordering trades rollback-onto-deleted-
+        files corruption for exactly this prunable garbage), plus any
+        crashed write's never-committed segment files.  Readers never
+        see them (reads resolve the pointer), so the sweep is purely
+        space reclamation.  Serialized like any mutation — the guard's
+        lock acquisition roll-forwards any committed-but-uncleaned txn
+        first, so everything unreferenced at sweep time is provably
+        garbage.  Returns {table: n_files_deleted}."""
+        if not self.manifest_commits:
+            return {}
+        if self._history_on():
+            raise ValueError(
+                "vacuum_orphans is the history-OFF sweep; with "
+                "retention on use vacuum_history (superseded files "
+                "are live for time travel and referenced by "
+                "manifests, not the pointer)"
+            )
+        self._forbid_in_explicit_txn("vacuum_orphans")
+        with self._write_guard():
+            if name is not None:
+                tables = [name]
+            else:
+                tables = sorted(
+                    d
+                    for d in self.fs.listdir(self.root)
+                    if not d.startswith(("_", "."))
+                    and "__txn" not in d
+                    and self.fs.isdir(os.path.join(self.root, d))
+                )
+            deleted: dict[str, int] = {}
+            for t in tables:
+                live = {
+                    os.path.join(e[0], e[1])
+                    for e in self._obj_current_files(t)
+                }
+                n = 0
+                for dirpath, _dirs, files in self.fs.walk(self._path(t)):
+                    for fn in files:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        p = os.path.join(dirpath, fn)
+                        if os.path.relpath(p, self.root) not in live:
+                            with contextlib.suppress(OSError):
+                                self.fs.unlink(p)
+                                n += 1
+                doc = self._ptr_doc_of_text(self._read_ptr_text(t))
+                live_shards = (
+                    {s[1] for s in doc.get("shards", ())}
+                    if doc is not None and doc.get("format") == 2
+                    else set()
+                )
+                sdir = os.path.join(self.root, "_ptr", f"{t}.shards")
+                if self.fs.isdir(sdir):
+                    for fn in self.fs.listdir(sdir):
+                        rel = os.path.join("_ptr", f"{t}.shards", fn)
+                        if rel not in live_shards:
+                            with contextlib.suppress(OSError):
+                                self.fs.unlink(os.path.join(sdir, fn))
+                                n += 1
+                deleted[t] = n
+            return deleted
+
     def vacuum_history(
         self, name: str | None = None, keep_last: int = 1
     ) -> dict[str, int]:

@@ -655,3 +655,69 @@ def test_attributes_of_pruned_on_sharded_root(spark, tmp_path):
     assert len(rows) == 1 and rows[0].project_id == 7
     assert rows[0].expected_read == "14"
     assert meter.shards <= 2, f"read {meter.shards} shard objects"
+
+
+def test_vacuum_orphans_reclaims_crash_leftovers(spark, tmp_path):
+    """History-OFF object roots get a sweep for the garbage the
+    journal-first retirement ordering can leave: retired-but-undeleted
+    data files and superseded shard objects.  Live data and the
+    adoption set must survive; orphans must go; reads unchanged."""
+    root = str(tmp_path / "cat")
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 17)))
+
+    # forge the post-release crash state: an upsert whose retirement
+    # loop never ran (files deleted AFTER pending unlink)
+    orig_unlink = s.fs.unlink
+    s.fs.unlink = lambda p: (
+        None if p.endswith(".parquet") else orig_unlink(p)
+    )
+    s.upsert(
+        "sample", _samples(spark, [5], status="FAILED"), on=["sample_id"]
+    )
+    s.fs.unlink = orig_unlink
+    live = {
+        os.path.join(e[0], e[1]) for e in s._obj_current_files("sample")
+    }
+    on_disk = {
+        os.path.relpath(os.path.join(dp, f), root)
+        for dp, _d, fs_ in os.walk(os.path.join(root, "sample"))
+        for f in fs_
+        if f.endswith(".parquet")
+    }
+    assert on_disk - live  # orphans exist
+    before_rows = sorted(map(tuple, s.table("sample").collect()))
+    counts = s.vacuum_orphans()
+    assert counts["sample"] >= len(on_disk - live)
+    on_disk2 = {
+        os.path.relpath(os.path.join(dp, f), root)
+        for dp, _d, fs_ in os.walk(os.path.join(root, "sample"))
+        for f in fs_
+        if f.endswith(".parquet")
+    }
+    assert on_disk2 == live  # exactly the live set remains
+    assert sorted(map(tuple, s.table("sample").collect())) == before_rows
+    # shard dir holds only root-referenced objects
+    doc = _root_doc(s, "sample")
+    live_shards = {rel for _k, rel, _n, _b in doc["shards"]}
+    sdir = os.path.join(root, "_ptr", "sample.shards")
+    assert {
+        os.path.join("_ptr", "sample.shards", f) for f in os.listdir(sdir)
+    } == live_shards
+
+
+def test_vacuum_orphans_keeps_adoption_set(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    s = ObjectModeStore(spark, root)
+    _samples(spark, [1, 2, 3]).write.parquet(os.path.join(root, "sample"))
+    assert s.table("sample").count() == 3
+    counts = s.vacuum_orphans()
+    assert counts.get("sample", 0) == 0
+    assert s.table("sample").count() == 3
+
+
+def test_vacuum_orphans_refuses_history_mode(spark, tmp_path):
+    s = ObjectModeStore(spark, str(tmp_path / "cat"), retain_history=True)
+    with pytest.raises(ValueError, match="vacuum_history"):
+        s.vacuum_orphans()
