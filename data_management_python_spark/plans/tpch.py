@@ -529,12 +529,26 @@ def q18_large_volume_customers(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    # Aggregate the FACT first, on the single narrow key: the
+    # lineitem scan partial-aggregates map-side to per-order sums and
+    # the HAVING prunes to the qualifying orders BEFORE any join —
+    # the joins then see |qualifying| rows, and AQE picks broadcast
+    # when that side is runtime-small (no forced hint: the qualifying
+    # set grows with data volume, so a pinned broadcast would be a
+    # scale hazard).  The previous shape (join lineitem into
+    # orders/customer, then hash-aggregate on a 5-column
+    # string-bearing key) carried every fact row through a
+    # fact-wide SortMergeJoin: measured 16.0 -> 6.5 s at the sf10
+    # corpus (SCALE.md round-11).  o_orderkey is unique, so grouping
+    # by it alone is equivalent to the original 5-column group.
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("raw_qty"))
         .filter(F.col("raw_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             F.round(F.col("raw_qty"), 2).alias("sum_qty"),
