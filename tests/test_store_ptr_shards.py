@@ -721,3 +721,55 @@ def test_vacuum_orphans_refuses_history_mode(spark, tmp_path):
     s = ObjectModeStore(spark, str(tmp_path / "cat"), retain_history=True)
     with pytest.raises(ValueError, match="vacuum_history"):
         s.vacuum_orphans()
+
+
+def test_pruned_fetch_correct_mid_split(spark, tmp_path):
+    """fetch_by's sharded fast path must stay exact while a table is
+    MID-SPLIT (crash between incremental rebucket checkpoints): the
+    split expansion feeds the pruned shard resolution, so rows still
+    sitting in the old parent bucket are found."""
+    root = str(tmp_path / "cat")
+    s = _sharded_store(spark, tmp_path, threshold=1, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 2)
+    s.store_records("sample", _samples(spark, range(1, 17)))
+    assert _root_doc(s, "sample").get("format") == 2
+
+    # crash after the FIRST bucket's checkpoint: sidecar carries
+    # splitting_to with a partial done-list
+    class _Crash(BaseException):
+        pass
+
+    orig = s._obj_txn_checkpoint
+    state = {"n": 0}
+
+    def crashing_checkpoint():
+        orig()
+        state["n"] += 1
+        if state["n"] == 2:  # sidecar init + first bucket committed
+            raise _Crash
+
+    s._obj_txn_checkpoint = crashing_checkpoint
+    with pytest.raises(_Crash):
+        s.rebucket("sample", 4, incremental=True)
+    s._obj_txn_checkpoint = orig
+    from tests.test_store_txn import _abandon_as_dead
+
+    if os.path.exists(s._txn_path("pending")):
+        _abandon_as_dead(s)
+    else:
+        s._txn = None
+    reader = ObjectModeStore(spark, root)
+    reader.ptr_shard_threshold = 1
+    reader.recover_transactions()
+    spec = reader._layout("sample")
+    assert "splitting_to" in spec  # genuinely mid-split
+    # every row findable through the pruned path, wherever it sits
+    for sid in range(1, 17):
+        got = reader.fetch_by("sample", sample_id=sid).collect()
+        assert [r.sample_id for r in got] == [sid], f"sample_id={sid}"
+    reader.resume_rebucket("sample")
+    assert reader.partitioning_of("sample")[1] == 4
+    for sid in (1, 9, 16):
+        assert reader.fetch_by(
+            "sample", sample_id=sid
+        ).collect()[0].sample_id == sid
