@@ -706,6 +706,26 @@ class TableStore:
             # segment dirs.  Retired files were never touched before
             # commit, so nothing to restore.
             p = self._ptr_path(op["table"])
+            if self.lock_regime == "check-then-create+lease":
+                # weak-regime guard: if a usurper committed a NEWER
+                # root for this table after our op (current root is
+                # neither our pre-image nor our recorded post-image),
+                # restoring op['old'] would clobber their commit —
+                # and our staged objects may even be referenced by
+                # their live set.  Leave everything for recovery /
+                # vacuum_orphans.  This BOUNDS the clobber window (a
+                # usurper landing after this re-read can still lose);
+                # it does not eliminate it — only the conditional-PUT
+                # regime can.
+                try:
+                    cur = self.fs.read_text(p)
+                except OSError:
+                    cur = None
+                ours = (cur == op["old"]) or (
+                    "new" in op and cur == op["new"]
+                )
+                if cur is not None and not ours:
+                    return
             if op["old"] is None:
                 with contextlib.suppress(OSError):
                     self.fs.unlink(p)
@@ -1009,11 +1029,35 @@ class TableStore:
 
     def _read_shard_files(self, rel: str) -> list:
         """Entries of one immutable pointer-shard object.  A missing
-        shard raises (corruption or a read racing a concurrent
-        commit's cleanup — _read_ptr retries the latter once)."""
+        shard raises FileNotFoundError; every LOCKLESS read path must
+        materialize shards through :meth:`_shard_read_retry`, which
+        turns the read-vs-retirement race into one re-resolve.
+        Writer-side callers (merge, fold, rebucket) hold the writer
+        lock, so no concurrent commit can retire their shards and
+        they may read directly."""
         return json.loads(
             self.fs.read_text(os.path.join(self.root, rel))
         )["files"]
+
+    def _shard_read_retry(self, resolve, materialize):
+        """Run ``materialize(resolve())`` with ONE re-resolve on
+        FileNotFoundError.  A concurrent commit's roll-forward (or a
+        checkpoint/vacuum sweep) may retire a superseded shard object
+        between a lockless reader's root GET and its shard GETs; the
+        NEW root no longer references that shard, so re-resolving once
+        succeeds.  Shards are immutable, so the second pass can only
+        fail if yet another commit lands mid-read — then the error is
+        loud rather than an infinite loop.  Returns ``(doc, result)``
+        so callers that need the resolved root document get the one
+        the materialization actually used."""
+        for attempt in range(2):
+            doc = resolve()
+            try:
+                return doc, materialize(doc)
+            except FileNotFoundError:
+                if attempt:
+                    raise
+        raise AssertionError("unreachable")
 
     def _doc_files(self, doc: dict | None) -> list | None:
         """Materialize a root document's full live entry list (reads
@@ -1030,20 +1074,10 @@ class TableStore:
     def _read_ptr(self, name: str) -> list | None:
         """The live file entries ([segment, file, bytes] lists) or
         None for a never-written table."""
-        for attempt in range(2):
-            doc = self._ptr_doc_of_text(self._read_ptr_text(name))
-            try:
-                return self._doc_files(doc)
-            except FileNotFoundError:
-                # a concurrent commit retired a shard object between
-                # our root read and the shard read — the NEW root no
-                # longer references it; re-resolve once (immutable
-                # shards make the second pass race-free unless another
-                # commit lands, in which case corruption should be
-                # loud, not an infinite loop)
-                if attempt:
-                    raise
-        return None  # unreachable
+        return self._shard_read_retry(
+            lambda: self._ptr_doc_of_text(self._read_ptr_text(name)),
+            self._doc_files,
+        )[1]
 
     def _obj_external_entries(self, name: str) -> list:
         """Pointer-shaped entries for parquet files placed in the
@@ -1214,9 +1248,19 @@ class TableStore:
                 if sj:
                     doc_out["schema"] = sj
             doc_out["commits"] = commits
-            self.fs.write_text_atomic(
-                self._ptr_path(name), json.dumps(doc_out)
-            )
+            text = json.dumps(doc_out)
+            if op is not None and self.lock_regime == (
+                "check-then-create+lease"
+            ):
+                # weak regime only: journal the POST-image root text
+                # BEFORE the PUT so a later rollback can tell "the
+                # root is still ours" from "a usurper committed a
+                # newer root" and skip the restore in the latter case
+                # (see _undo_op's objptr guard) — one extra journal
+                # write per commit, charged only to the degraded
+                # regime
+                self._update_journaled_op(op, new=text)
+            self.fs.write_text_atomic(self._ptr_path(name), text)
 
         if doc is not None and doc.get("format") == 2:
             n_shards = int(doc.get("n_shards", self.ptr_n_shards))
@@ -1509,7 +1553,9 @@ class TableStore:
         journaled PRE-transaction pointer — snapshot isolation with no
         fencing, swaps and merges included: immutable files make the
         old state always reconstructible)."""
-        files = self._doc_files(self._obj_resolve_ptr_doc(name))
+        files = self._shard_read_retry(
+            lambda: self._obj_resolve_ptr_doc(name), self._doc_files
+        )[1]
         if files is None:
             # pointer ABSENT (never written / pre-txn state was
             # pointerless): adopt externally-written files, the rename
@@ -1567,14 +1613,21 @@ class TableStore:
         root absent; ``flat`` non-bucketed entries present — the full
         read handles mixed layouts) and a typed EMPTY frame when the
         touched buckets hold no files.  Snapshot isolation is the
-        same as the full read's (_obj_resolve_ptr_doc)."""
-        doc = self._obj_resolve_ptr_doc(name)
-        if doc is None or doc.get("format") != 2:
+        same as the full read's (_obj_resolve_ptr_doc); shard GETs
+        ride _shard_read_retry like every lockless reader."""
+
+        def _materialize(doc):
+            if doc is None or doc.get("format") != 2:
+                return None
+            if any(s[0] == "flat" for s in doc.get("shards", ())):
+                return None
+            return self._obj_entries_for_buckets(name, doc, buckets)
+
+        entries = self._shard_read_retry(
+            lambda: self._obj_resolve_ptr_doc(name), _materialize
+        )[1]
+        if entries is None:
             return None
-        shards = doc.get("shards", ())
-        if any(s[0] == "flat" for s in shards):
-            return None
-        entries = self._obj_entries_for_buckets(name, doc, buckets)
         if entries:
             return self._obj_frame(name, entries)
         sch = self._evolved_struct(name)

@@ -182,3 +182,82 @@ def _proj(spark, ids):
         "start_timestamp timestamp, description string, status string, "
         "deliverable string",
     )
+
+
+def test_weak_regime_journals_objptr_post_image(spark, tmp_path, weak_cls):
+    """Under check-then-create the commit journals the objptr op's
+    POST-image root text before the PUT (so rollback can distinguish
+    'still ours' from 'usurper moved on'); the strong regimes skip the
+    extra journal write entirely."""
+    with pytest.warns(UserWarning):
+        s = weak_cls(spark, str(tmp_path / "weak"))
+    s._acquire_lock(explicit=True)
+    try:
+        s.store_records("project", _proj(spark, [1]))
+        ops = [o for o in s._txn.ops if o["kind"] == "objptr"]
+        assert ops and ops[-1]["new"] == s.fs.read_text(
+            s._ptr_path("project")
+        )
+        # and it is DURABLE, not just in-memory
+        pend = json.loads(s.fs.read_text(s._txn_path("pending")))
+        jops = [o for o in pend["ops"] if o["kind"] == "objptr"]
+        assert jops[-1]["new"] == ops[-1]["new"]
+    finally:
+        s._commit()
+        s._txn = None
+
+
+def test_strong_regime_skips_objptr_post_image(spark, tmp_path):
+    """conditional-put regime: no post-image journaling (no extra
+    journal write per commit on the strong path)."""
+    from tests.test_store_objectstore import ObjectModeStore
+
+    strong = ObjectModeStore(spark, str(tmp_path / "strong"))
+    assert strong.lock_regime == "conditional-put"
+    strong._acquire_lock(explicit=True)
+    try:
+        strong.store_records("project", _proj(spark, [1]))
+        ops = [o for o in strong._txn.ops if o["kind"] == "objptr"]
+        assert ops and "new" not in ops[-1]
+    finally:
+        strong._commit()
+        strong._txn = None
+
+
+def test_weak_regime_usurper_commit_survives_loser_rollback(
+    spark, tmp_path, weak_cls
+):
+    """ROUND-12 ADVICE (low): a usurped writer's rollback used to
+    restore op['old'] root pointers unconditionally, clobbering any
+    NEWER commit the usurper had landed on the same table.  Now the
+    weak-regime undo re-reads the current root and SKIPS the restore
+    (leaving state for recovery) when it matches neither our pre- nor
+    our journaled post-image."""
+    with pytest.warns(UserWarning):
+        a = weak_cls(spark, str(tmp_path / "cat"))
+    a.store_records("project", _proj(spark, [1]))
+    pre_txn_root = a.fs.read_text(a._ptr_path("project"))
+    a._acquire_lock(explicit=True)
+    a.store_records("project", _proj(spark, [2]))  # objptr op, eager PUT
+    # a usurper steals the lock and commits a NEWER root for the table
+    usurper_doc = json.loads(a.fs.read_text(a._ptr_path("project")))
+    usurper_doc["commits"] = usurper_doc.get("commits", 0) + 7
+    usurper_root = json.dumps(usurper_doc)
+    a.fs.write_text_atomic(a._ptr_path("project"), usurper_root)
+    # loser A aborts; its undo must NOT restore its own pre-image
+    a._rollback()
+    a._txn = None
+    assert a.fs.read_text(a._ptr_path("project")) == usurper_root
+    assert a.fs.read_text(a._ptr_path("project")) != pre_txn_root
+    # control: same flow WITHOUT a usurper restores the pre-image
+    with pytest.warns(UserWarning):
+        b = weak_cls(spark, str(tmp_path / "cat2"))
+    b.store_records("project", _proj(spark, [1]))
+    pre = b.fs.read_text(b._ptr_path("project"))
+    b._acquire_lock(explicit=True)
+    b.store_records("project", _proj(spark, [2]))
+    assert b.fs.read_text(b._ptr_path("project")) != pre
+    b._rollback()
+    b._txn = None
+    assert b.fs.read_text(b._ptr_path("project")) == pre
+    assert [r.project_id for r in b.table("project").collect()] == [1]

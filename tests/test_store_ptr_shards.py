@@ -773,3 +773,99 @@ def test_pruned_fetch_correct_mid_split(spark, tmp_path):
         assert reader.fetch_by(
             "sample", sample_id=sid
         ).collect()[0].sample_id == sid
+
+
+# -- round-12 ADVICE: shard-race retry on the DataFrame read paths ------------
+
+
+def _stale_then_real(s, name):
+    """Monkeypatch ``s._obj_resolve_ptr_doc`` so the FIRST resolve of
+    ``name`` returns a captured STALE root doc (whose shard objects a
+    later commit has retired) and every subsequent resolve hits the
+    real pointer — the deterministic shape of a read racing a
+    concurrent commit's roll-forward."""
+    stale = s._obj_resolve_ptr_doc(name)
+    assert stale is not None and stale.get("format") == 2
+    real = s._obj_resolve_ptr_doc
+    calls = {"n": 0}
+
+    def fake(n):
+        if n == name:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return stale
+        return real(n)
+
+    s._obj_resolve_ptr_doc = fake
+    return stale, calls
+
+
+def test_obj_read_raw_retries_on_retired_shard(spark, tmp_path):
+    """ROUND-12 ADVICE (medium): the full manifest read must survive a
+    concurrent commit retiring a shard object between its root GET and
+    shard GETs by re-resolving ONCE — same contract _read_ptr already
+    had, now hoisted into _shard_read_retry and shared by every
+    lockless reader."""
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 33)))
+    stale, calls = _stale_then_real(s, "sample")
+    # a commit rewrites shards -> some shard object the stale doc
+    # references no longer exists
+    s.upsert(
+        "sample", _samples(spark, [7], status="FAILED"), on=["sample_id"]
+    )
+    assert any(
+        not s.fs.exists(os.path.join(s.root, rel))
+        for _k, rel, *_ in stale["shards"]
+    ), "upsert should have retired at least one old shard object"
+    rows = {r.sample_id: r.status for r in s._obj_read_raw("sample").collect()}
+    assert calls["n"] == 2  # first resolve crashed into a hole, retried
+    assert len(rows) == 32 and rows[7] == "FAILED"
+
+
+def test_obj_read_buckets_retries_on_retired_shard(spark, tmp_path):
+    """Same race, pruned-read path: fetch_by-style bucket reads must
+    also re-resolve once instead of crashing with FileNotFoundError."""
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 33)))
+    bucket = (
+        s.table("sample")
+        .filter("sample_id = 7")
+        .select(s._bucket_expr(["sample_id"], 8).alias("b"))
+        .collect()[0]
+        .b
+    )
+    stale, calls = _stale_then_real(s, "sample")
+    s.upsert(
+        "sample", _samples(spark, [7], status="FAILED"), on=["sample_id"]
+    )
+    df = s._obj_read_buckets("sample", [bucket])
+    rows = {r.sample_id: r.status for r in df.collect()}
+    assert calls["n"] == 2
+    assert rows[7] == "FAILED"
+
+
+def test_shard_retry_gives_up_loudly_on_second_failure(spark, tmp_path):
+    """A resolve that KEEPS returning a root with missing shards is
+    corruption (or a pathological commit storm) — the retry must be
+    bounded: exactly one re-resolve, then the FileNotFoundError
+    propagates instead of looping."""
+    s = _sharded_store(spark, tmp_path, threshold=4, n_shards=8)
+    s.enable_partitioning("sample", ["sample_id"], 8)
+    s.store_records("sample", _samples(spark, range(1, 33)))
+    stale = s._obj_resolve_ptr_doc("sample")
+    s.upsert(
+        "sample", _samples(spark, [7], status="FAILED"), on=["sample_id"]
+    )
+    calls = {"n": 0}
+
+    def always_stale(n):
+        calls["n"] += 1
+        return stale
+
+    s._obj_resolve_ptr_doc = always_stale
+    with pytest.raises(FileNotFoundError):
+        s._obj_read_raw("sample")
+    assert calls["n"] == 2
