@@ -105,11 +105,21 @@ def j1_readcount_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = T(spark, sf_dir, "region")
     return (
-        # fact-fact join left UNHINTED on purpose: AQE picks broadcast
-        # when the filtered orders side is small at runtime (measured
-        # 0.8s vs 1.2s hinted shuffle-hash at sf0.1) and falls back to
-        # a shuffle join when it is not — the decision that stays right
-        # from bench scale to 100 TB
+        # fact-fact join left UNHINTED on purpose: AQE/planner pick
+        # broadcast while the filtered orders side is under threshold
+        # (it is at every scale measured, sf0.1 through the 100x
+        # corpus) and fall back to a shuffle join when it is not — the
+        # decision that stays right from bench scale to 100 TB.
+        # Round-12 re-audit at the 100x corpus (60M lineitem) with
+        # interleaved min-of-5 same-box A/B exonerated this shape:
+        # 4.09s vs DuckDB-64t 1.46s = 2.8x (round 11's recorded 6.2x
+        # was box drift); six alternative shapes (per-orderkey fact
+        # pre-agg, SHUFFLE_HASH hints, dims-folded-into-orders-first,
+        # broadcasting the enriched orders, 64MB scan partitions,
+        # shuffle=128) measured within noise at 100x and each
+        # regressed sf0.1 by 0.25-0.4s (a hinted SHJ blocks AQE's
+        # broadcast conversion at small scale).  Full table in
+        # SCALE.md "j1 re-audit".
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)

@@ -538,9 +538,12 @@ def q18_large_volume_customers(spark, sf_dir):
     # scale hazard).  The previous shape (join lineitem into
     # orders/customer, then hash-aggregate on a 5-column
     # string-bearing key) carried every fact row through a
-    # fact-wide SortMergeJoin: measured 16.0 -> 6.5 s at the sf10
-    # corpus (SCALE.md round-11).  o_orderkey is unique, so grouping
-    # by it alone is equivalent to the original 5-column group.
+    # fact-wide SortMergeJoin.  Old-vs-new at the sf10 corpus: 16.0
+    # -> 6.5 s on the cold first sweep, 7.9 -> 3.9 s interleaved
+    # post-warm (both ~2x; one reconciled table with run conditions
+    # in SCALE.md "q18/j1 measurement reconciliation", round 12).
+    # o_orderkey is unique, so grouping by it alone is equivalent to
+    # the original 5-column group.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("raw_qty"))
