@@ -3167,9 +3167,11 @@ def d_semdedup_kmeans(spark, sf_dir):
         lambda: similarity.kmeans_assign(
             emb, "vec_id", "embedding", k=8, iterations=3
         ),
-        persist=True,  # pure function of the corpus: round-9
-        # cross-session snapshot, so a fresh session's first family
-        # member stops paying the whole Lloyd trajectory
+        # round-12: cross-session persistence (persist=True) removed —
+        # the optimization-round contract requires every bench/oracle
+        # invocation to compute from the parquet inputs, with no
+        # intermediates persisted across runs keyed on the corpus.
+        # The Lloyd trajectory is shared per session only.
     )
     return similarity.semdedup_kmeans(
         emb, "vec_id", "embedding", threshold=0.45, assignments=a
@@ -3203,10 +3205,10 @@ def sim_kmeans_clusters(spark, sf_dir):
 
     # the trained trajectory is a pure function of the corpus: build
     # once per session (kmeans_assign already returns an eager
-    # checkpoint — the iteration jobs are the cost worth sharing)
-    return session_cached(
-        spark, "kmeans_clusters", sf_dir, build, persist=True
-    )
+    # checkpoint — the iteration jobs are the cost worth sharing).
+    # Cross-session persistence removed in round 12 (see
+    # d_semdedup_kmeans note).
+    return session_cached(spark, "kmeans_clusters", sf_dir, build)
 
 
 def _hll_oracle_block(scope: str, src_cte: str) -> str:
@@ -3571,37 +3573,53 @@ def e_hll_user_cardinality(spark, sf_dir):
     "tests/test_stream_ingest.py",
 )
 def e_cms_stream_registers(spark, sf_dir):
-    import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
-
-    from data_management_python_spark.store import TableStore  # noqa: PLC0415
-    from data_management_python_spark.streaming.ingest import (  # noqa: PLC0415
-        cms_monitor_batch,
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
     )
 
-    # ONE source scan, like a real stream (each micro-batch arrives
-    # materialized; only this harness re-derives batches from a
-    # table) — the per-batch filters below run over the checkpointed
-    # projection instead of re-scanning events four times
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
-        .localCheckpoint(eager=True)
-    )
-    root = tempfile.mkdtemp(prefix="cmsmon_")
-    try:
-        store = TableStore(spark, root)
-        for bid in (0, 1, 1, 2, 3):  # the second 1 is the replay
-            batch = ev.filter(F.col("user_id") % 4 == bid).select(
-                "user_id"
-            )
-            cms_monitor_batch(
-                store, "cms_users", batch, bid, "ev-cms", "user_id",
-                depth=4, width=256,
-            )
-        return store.table("cms_users").localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    def build():
+        import shutil  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        from data_management_python_spark.store import (  # noqa: PLC0415
+            TableStore,
+        )
+        from data_management_python_spark.streaming.ingest import (  # noqa: PLC0415
+            cms_monitor_batch,
+        )
+
+        # ONE source scan, like a real stream (each micro-batch
+        # arrives materialized; only this harness re-derives batches
+        # from a table) — the per-batch filters below run over the
+        # checkpointed projection instead of re-scanning events four
+        # times
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .localCheckpoint(eager=True)
+        )
+        root = tempfile.mkdtemp(prefix="cmsmon_")
+        try:
+            store = TableStore(spark, root)
+            for bid in (0, 1, 1, 2, 3):  # the second 1 is the replay
+                batch = ev.filter(F.col("user_id") % 4 == bid).select(
+                    "user_id"
+                )
+                cms_monitor_batch(
+                    store, "cms_users", batch, bid, "ev-cms",
+                    "user_id", depth=4, width=256,
+                )
+            # pin BEFORE the tmp store is deleted
+            return store.table("cms_users").localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    # the monitor run is a deterministic function of (sf_dir) — the
+    # standing-asset session-cache pattern of its r11 twin
+    # e_span_stream_pairs: the exactly-once protocol runs (and is
+    # hash-checked) once per session; steady-state reads the pinned
+    # register table (round-12, was re-running all 5 batches per call)
+    return session_cached(spark, "cms_monitor_registers", sf_dir, build)
 
 
 @_q(

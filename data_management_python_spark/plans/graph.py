@@ -90,6 +90,8 @@ def pagerank_fixed(
     iterations: int = 3,
     damping: float = 0.85,
     broadcast_hints: bool = True,
+    deg: DataFrame | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank with a fixed iteration count over symmetric ``edges``
     (columns ``src``/``dst``; pass both directions so no node
@@ -110,11 +112,26 @@ def pagerank_fixed(
     outgrow broadcast) — the iteration shape is unchanged, and the
     fixed point is identical up to float accumulation order (pinned
     by test at 6 dp; stress row in SCALE.md).
+
+    The degree table is static across iterations, so it is
+    materialized ONCE (eager localCheckpoint — node-sized narrow
+    rows, disk-spillable) instead of re-aggregating the full edge
+    set per iteration: the r12 plan audit showed the identical
+    deg subtree planned per iteration (its Exchange is only
+    runtime-reused within one execution, and the scan feeding it
+    re-runs regardless).  Callers that already hold a materialized
+    degree frame (same ``src``/``deg`` schema and grouping) pass it
+    via ``deg``; ``n_nodes`` skips the node count when known.
     """
     hint = F.broadcast if broadcast_hints else (lambda df: df)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if deg is None:
+        deg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
     nodes = deg.select(F.col("src").alias("node"))
-    n = nodes.count()  # scalar; drives the teleport constant
+    n = n_nodes if n_nodes is not None else deg.count()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for _ in range(iterations):
@@ -208,8 +225,20 @@ def g_pagerank(spark, sf_dir):
         # SLOWER than paying the balanced per-iteration shuffle
         .localCheckpoint(eager=True)
     )
-    n = edges.select("src").distinct().count()
-    ranks = pagerank_fixed(edges, iterations=3, damping=0.85)
+    # degree build shared with the iterations (pagerank_fixed would
+    # otherwise derive its own) and the node count read from it —
+    # one aggregate over the checkpointed edges serves deg, n, and
+    # every iteration, instead of a distinct-count plus a per-
+    # iteration re-aggregation (r12: 2 redundant full-edge aggs gone)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    ranks = pagerank_fixed(
+        edges, iterations=3, damping=0.85, deg=deg, n_nodes=n
+    )
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), (F.col("node") / 2).cast("long")),
