@@ -135,14 +135,24 @@ def _np_signatures(A: np.ndarray, weights: list[list[float]]) -> np.ndarray:
     return sig
 
 
-def _pd_dot(a_col, b_col):
+def _pd_dot(a_col, b_col, single_eval: bool = False):
     """cos-numerator column: sequential-fold dot of two vector columns
-    via one Arrow-batched pandas UDF (plan stays O(1) nodes)."""
+    via one Arrow-batched pandas UDF (plan stays O(1) nodes).
+
+    ``single_eval=True`` marks the UDF non-deterministic so the
+    optimizer cannot clone it below a pushed-down filter (guide §4.4:
+    a filter on the UDF's output otherwise plans TWO ArrowEvalPython
+    nodes — every surviving row pays the dot twice).  Values are
+    identical either way; use it at call sites whose result feeds a
+    filter, not blanket (non-determinism also blocks legitimate
+    reorderings of other predicates)."""
 
     @pandas_udf("double")
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(_np_fold_dot(_np_rows(a), _np_rows(b)))
 
+    if single_eval:
+        _dot = _dot.asNondeterministic()
     return _dot(a_col, b_col)
 
 
@@ -387,24 +397,59 @@ def embed_near_dup_pairs(
     id_1 < id_2 and rounded cos_sim >= threshold.
     """
     dims = len(corpus.select(vec_col).first()[0])
-    tagged = multitable_signatures(corpus, id_col, vec_col, tables, planes, dims)
-    a = tagged.select(F.col(id_col).alias("id_1"), "table_id", "sig")
-    b = tagged.select(F.col(id_col).alias("id_2"), "table_id", "sig")
+    # ONE Arrow pass computes every table's signature AND the vector
+    # norm, materialized once (r12): the self-join's two sides and the
+    # two verify sides below would otherwise each re-run the corpus
+    # scan + Python evaluation (the before-plan showed 4 ArrowEvalPython
+    # nodes for 2 distinct functions — an opaque UDF defeats subtree
+    # reuse).  The checkpoint is the standing signature table a
+    # deployment would keep materialized next to the vectors.
+    weights = _plane_weights(tables * planes, dims)
+
+    @pandas_udf("struct<sigs:array<string>, norm:double>")
+    def _sigs_norm(v: pd.Series) -> pd.DataFrame:
+        A = _np_rows(v)
+        per_table = [
+            _np_signatures(A, weights[t * planes : (t + 1) * planes])
+            for t in range(tables)
+        ]
+        return pd.DataFrame(
+            {
+                "sigs": list(np.stack(per_table, axis=1)),
+                "norm": np.sqrt(_np_fold_dot(A, A)),
+            }
+        )
+
+    base = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            _sigs_norm(F.col(vec_col)).alias("__s"),
+        )
+        .select(
+            "__id",
+            "__v",
+            F.col("__s.sigs").alias("__sigs"),
+            F.col("__s.norm").alias("__n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tagged = base.select(
+        F.col("__id"),
+        F.posexplode("__sigs").alias("table_id", "sig"),
+    )
+    a = tagged.select(F.col("__id").alias("id_1"), "table_id", "sig")
+    b = tagged.select(F.col("__id").alias("id_2"), "table_id", "sig")
     cands = (
         a.join(b, on=["table_id", "sig"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select("id_1", "id_2")
         .distinct()
     )
-    vec = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        _pd_norm(F.col(vec_col)).alias("__n"),
-    )
-    va = vec.select(
+    va = base.select(
         F.col("__id").alias("id_1"), F.col("__v").alias("__v1"), F.col("__n").alias("__n1")
     )
-    vb = vec.select(
+    vb = base.select(
         F.col("__id").alias("id_2"), F.col("__v").alias("__v2"), F.col("__n").alias("__n2")
     )
     return (
@@ -413,7 +458,7 @@ def embed_near_dup_pairs(
         .withColumn(
             "cos_sim",
             F.round(
-                _pd_dot(F.col("__v1"), F.col("__v2"))
+                _pd_dot(F.col("__v1"), F.col("__v2"), single_eval=True)
                 / (F.col("__n1") * F.col("__n2")),
                 round_digits,
             ),

@@ -113,8 +113,18 @@ def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 5)
     n_docs = docs.count()
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    scored = tf.join(dfreq, "term").withColumn(
+    # doc frequency as a count over a term-partitioned window on the
+    # SAME tf frame (r12): the separate groupBy("term") branch planned
+    # a second full tokenize+explode+aggregate of the corpus (Spark
+    # does not share the tf subtree between the two consumers) — one
+    # window pass trades that whole re-derivation for one term-keyed
+    # shuffle of the (doc, term, tf) rows.  doc_freq = number of tf
+    # rows per term = number of documents containing the term, exactly
+    # as the aggregate computed it.
+    wt = Window.partitionBy("term")
+    scored = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(wt)
+    ).withColumn(
         "tfidf",
         F.round(
             F.col("tf")
@@ -153,8 +163,14 @@ def bm25_topk(
 
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # doc frequency and document length as window aggregates over the
+    # SAME tf frame (r12): the separate dfreq/dl groupBy branches each
+    # re-planned the full tokenize+explode+aggregate of the corpus (4
+    # evaluations of the tf subtree including the stats arm) — the two
+    # windows reuse one tf derivation, leaving only the 1-row corpus
+    # stats as a second (small, dl-level) derivation.  Exact integer
+    # counts either way.
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("total_toks"),
@@ -167,9 +183,11 @@ def bm25_topk(
     idf = F.log(1.0 + (F.col("n_docs") - dfd + 0.5) / (dfd + 0.5))
     denom = tfd + k1 * ((1.0 - b) + (b * dld) / F.col("avgdl"))
     score = F.round(idf * (tfd * (k1 + 1.0)) / denom, 6)
+    wt = Window.partitionBy("term")
+    wd = Window.partitionBy(id_col)
     scored = (
-        tf.join(dfreq, "term")
-        .join(dl, id_col)
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(wt))
+        .withColumn("dl", F.sum("tf").over(wd))
         .crossJoin(F.broadcast(stats))
         .withColumn("bm25", score)
     )
