@@ -1401,8 +1401,10 @@ def kmeans_assign(
     engine.  Empty cells keep their previous centroid, mirroring the
     classic implementation.
 
-    Scale shape: centroids ride as plan LITERALS (O(k x d) driver
-    state); each round is one map-only assignment pass plus ONE
+    Scale shape: centroids ride in the Arrow UDF's task closure
+    (O(k x d) driver state); each round is one map-only assignment
+    pass (a single ArrowEvalPython computing all k raw distances —
+    rounding and the argmin tie-break stay Spark expressions) plus ONE
     partial-agg shuffle of (k x d) cardinality — per-dim means via
     posexplode groupBy(cell, pos), independent of corpus size; only
     the k x d mean matrix is ever collected.  No join, no lineage
@@ -1411,9 +1413,7 @@ def kmeans_assign(
     spark = vectors.sparkSession
     v = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    )
-    nrm2 = F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    v = v.withColumn("__n2", nrm2).persist()
+    ).persist()
     seeds = v.orderBy(id_col).limit(k).collect()
     if not seeds:
         v.unpersist()
@@ -1423,21 +1423,40 @@ def kmeans_assign(
     cents = [list(r["__v"]) for r in seeds]
 
     def _best_expr():
-        pairs = []
-        for i, cv in enumerate(cents):
-            cn2 = sum(x * x for x in cv)
-            d = F.round(
-                F.col("__n2")
-                - 2.0 * dot(F.col("__v"), F.array(*[F.lit(x) for x in cv]))
-                + F.lit(cn2),
-                6,
-            )
-            pairs.append(
-                F.named_struct(
-                    F.lit("d"), d, F.lit("c"), F.lit(i)
-                )
-            )
-        return F.array_min(F.array(*pairs))
+        # r12: RAW per-centroid squared distances via ONE Arrow pass.
+        # The previous shape — k interpreted zip_with/aggregate lambda
+        # folds per row — has no codegen (higher-order functions are
+        # interpreted), measured ~7 s PER PASS at 2000x64/k=8 for
+        # microseconds of arithmetic (guide §4.2: hand batches to
+        # numpy).  Bit-identity is preserved by construction: the
+        # numpy helpers fold sequentially over dims exactly like the
+        # engine folds (_np_fold_dot* contract), the expression
+        # association ((n2 - 2*dot) + cn2) is unchanged, cn2 stays the
+        # same Python-float sum, and ROUNDING AND THE ARGMIN TIE-BREAK
+        # REMAIN SPARK EXPRESSIONS (F.round / array_min over
+        # struct<d,c>) — no numpy re-implementation of round, so no
+        # half-grid divergence to patch (contrast _mind_udf above).
+        C = [list(map(float, cv)) for cv in cents]
+        CN = [sum(x * x for x in cv) for cv in C]
+
+        @pandas_udf("array<double>")
+        def _dists(vv: pd.Series) -> pd.Series:
+            A = _np_rows(vv)
+            if A.shape[0] == 0:
+                return pd.Series([], dtype=object)
+            n2 = _np_fold_dot(A, A)
+            D = np.empty((A.shape[0], len(C)), np.float64)
+            for i, (cv, cn2) in enumerate(zip(C, CN)):
+                D[:, i] = n2 - 2.0 * _np_fold_dot_w(A, cv) + cn2
+            return pd.Series(list(D))
+
+        pairs = F.transform(
+            _dists(F.col("__v")),
+            lambda x, i: F.named_struct(
+                F.lit("d"), F.round(x, 6), F.lit("c"), i
+            ),
+        )
+        return F.array_min(pairs)
 
     for _ in range(iterations):
         means = (
