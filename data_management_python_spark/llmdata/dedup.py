@@ -578,26 +578,52 @@ def near_dup_pairs(
     from data_management_python_spark.session import operator_width  # noqa: PLC0415
 
     width = operator_width(df.sparkSession)
+    # r12: hash every shingle ONCE in the explode stage — the two md5
+    # halves the minhash family derives from plus the xxhash64 verify
+    # key — so the pinned frame and every downstream shuffle carry
+    # three longs, never ~25-byte shingle text (guide §2.3: shuffle
+    # narrower types).  The verify join meets on the 64-bit key
+    # exactly like the incremental twin (incremental_near_dup);
+    # per-doc shingles are already distinct, so counts are unchanged
+    # short of an xxhash64 collision inside one candidate pair
+    # (~|shingles|^2/2^64; the oracle run proves none on the data).
     sh = (
         toked.repartition(width)
         .select(F.col(id_col), F.explode(shx).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+            F.xxhash64("shingle").alias("__sh"),
+        )
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sig_aggs = [
+        F.min(
+            (F.col("h1") + F.lit(i) * F.col("h2")) % MINHASH_PRIME
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
     cands = lsh_candidate_pairs(
-        df, id_col, text_col, n, num_hashes, bands, shingles=sh
+        df, id_col, text_col, n, num_hashes, bands,
+        signatures=sh.groupBy(id_col).agg(*sig_aggs),
     )
-    a = sh.select(F.col(id_col).alias("id_1"), F.col("shingle").alias("__s"))
-    b = sh.select(F.col(id_col).alias("id_2"), F.col("shingle").alias("__s"))
+    a = sh.select(F.col(id_col).alias("id_1"), "__sh")
+    b = sh.select(F.col(id_col).alias("id_2"), "__sh")
     # expand each candidate pair by id_1's shingles, then hash-join on
-    # the composite (id_2, shingle) key — only intersecting shingles
+    # the composite (id_2, hash) key — only intersecting shingles
     # survive, so the intermediate is O(candidates x |shingles|), never
     # the |a| x |b| cross section; the candidate set is the small side,
     # broadcast it into the expansion
     inter = (
         F.broadcast(cands)
         .join(a, on="id_1")
-        .join(b.hint("shuffle_hash"), on=["id_2", "__s"])
+        .join(b.hint("shuffle_hash"), on=["id_2", "__sh"])
         .groupBy("id_1", "id_2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -1104,6 +1130,11 @@ def remove_duplicated_spans(
     documents never join anything (left join, NULL-safe rebuild).
     """
     fps = span_fingerprints(df, id_col, text_col, k, mod_p)
+    # (r12 audit: a windows-over-one-pass rewrite — the t_tfidf_topk
+    # transform — was measured SLOWER here, steady 0.43 -> 0.62 s at
+    # sf0.1: the full (fp,id,pos) sort costs more than the second
+    # map-only fingerprint pass it saves, and the keeper table
+    # broadcasts.  Kept as the two-branch shape deliberately.)
     keepers = (
         fps.groupBy("fp")
         .agg(
@@ -1182,9 +1213,18 @@ def ngram_novelty(
         .cast("long")
         .alias("__h"),
     )
-    df_ = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+    # r12: doc frequency as a WINDOW over the single shingle frame, not
+    # a groupBy branch joined back.  The branch re-planned the whole
+    # tokenize+explode+md5 subtree (two corpus scans), and its
+    # (__h, count) build side is the full DISTINCT-SHINGLE table — not
+    # broadcastable at 100 TB, where the join degrades to shuffling
+    # both exploded sides.  The window shuffles the exploded frame
+    # ONCE on __h; counts are exact integers either way (guide §2.4).
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("__h")
     return (
-        sh.join(df_, "__h")
+        sh.withColumn("__nd", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -1422,15 +1462,25 @@ def _cdc_chunks_explode(
 
 
 def _cdc_rollup(chunks: DataFrame, id_col: str) -> DataFrame:
-    freq = chunks.groupBy("__h").agg(
-        F.countDistinct(F.col(id_col)).alias("__nd")
-    )
-    # the frequency table is O(chars/64) rows — at corpus scale it is
-    # NOT a broadcastable dim, so the hash-keyed shuffle join is the
-    # plan that survives 100 TB (AQE converts it to a broadcast on
-    # its own when the corpus is actually small)
+    # r12: chunk-hash document frequency via WINDOWS over the single
+    # chunk frame — the former groupBy(countDistinct)+join-back paid
+    # two O(chunks) shuffles (and the frequency table is NOT a
+    # broadcastable dim at corpus scale); the windows shuffle the
+    # chunk frame ONCE on __h.  The distinct-doc count folds the
+    # lag-based "first row of this id in this hash" flag (rows sorted
+    # by id within __h) — exactly countDistinct's value (guide §2.4).
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("__h")
+    wseq = Window.partitionBy("__h").orderBy(id_col)
+    new_doc = F.when(
+        F.lag(id_col).over(wseq).isNull()
+        | (F.lag(id_col).over(wseq) != F.col(id_col)),
+        1,
+    ).otherwise(0)
     return (
-        chunks.join(freq, "__h")
+        chunks.withColumn("__new", new_doc)
+        .withColumn("__nd", F.sum("__new").over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
