@@ -10,7 +10,9 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import DataFrame
+# Spark 4: concrete instances are the CLASSIC subclass, which overrides
+# the pyspark.sql.DataFrame methods — wrap the subclass or see nothing
+from pyspark.sql.classic.dataframe import DataFrame
 
 from data_management_python_spark.plans import collect_queries
 from data_management_python_spark.session import get_spark
