@@ -130,10 +130,16 @@ def ordered_prefix_sum(
     integral so bases and local sums are exact in any fold order;
     descending order = pass a negated helper column, same as
     global_row_number.
-    """
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
 
+    r12: the per-slice scan is a JVM window over ``_PID`` (the shape
+    :func:`global_row_number` already uses), not ``applyInPandas`` —
+    the Python boundary shipped every row out and back through Arrow
+    for a cumsum codegen does natively (guide §4.1), and the window's
+    required hashpartitioning(_PID) is the SAME exchange the pandas
+    groupBy paid.  ROWS frame (not the default RANGE) keeps per-row
+    accumulation identical to the old local cumsum; NULL values add 0
+    via coalesce, matching SUM OVER's ignore-nulls semantics.
+    """
     cols = list(order_by)
     parted = (
         df.repartitionByRange(num_partitions, *cols)
@@ -160,19 +166,25 @@ def ordered_prefix_sum(
         bases[pid] = acc
         acc += sums[pid]
 
-    # copy: StructType.add MUTATES (and returns) the receiver, and
-    # df.schema hands back the DataFrame's cached instance
-    schema = StructType(list(df.schema.fields)).add(
-        StructField(out_col, LongType(), False)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    def scan(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(cols).drop(columns=[_PID])
-        vals = pdf[value_col].fillna(0)  # NULLs add 0, as in SUM OVER
-        run = vals.cumsum()
-        if not inclusive:
-            run = run - vals
-        pdf[out_col] = bases[int(key[0])] + run
-        return pdf
-
-    return parted.groupBy(_PID).applyInPandas(scan, schema=schema)
+    run = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    if not inclusive:
+        run = run - F.coalesce(F.col(value_col), F.lit(0))
+    # O(num slices) literal base map — the same driver state the scan
+    # closure carried; the dummy entry keeps the map typed when the
+    # input has no partitions at all (no rows ever read it then)
+    base_map = F.create_map(
+        *[
+            x
+            for pid, b in (bases or {0: 0}).items()
+            for x in (F.lit(pid), F.lit(b))
+        ]
+    )
+    return parted.withColumn(
+        out_col,
+        (F.element_at(base_map, F.col(_PID)) + run).cast("long"),
+    ).drop(_PID)
