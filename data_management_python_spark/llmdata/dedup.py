@@ -1697,9 +1697,35 @@ def longest_duplicate_spans(
     tests/test_suffix_spans.py; the registered oracle replays the
     identical hash math.
     """
+    best = _longest_span_pairs(df, id_col, text_col, k, max_gram_freq)
+    # the span-text pass consumes best twice (result-doc id set +
+    # the slice join); it is one row per duplicated pair — pin it so
+    # the whole anchor/window pipeline plans once (r12, guide §2.4)
+    best = best.localCheckpoint(eager=True)
+    # tokenize ONLY documents that appear as doc_a in a result —
+    # O(results), never a second full-corpus tokenize pass (r12)
+    a_ids = best.select(F.col("__da").alias(id_col)).distinct()
+    toked_a = df.join(F.broadcast(a_ids), id_col, "left_semi").select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    return _spans_with_text(best, toked_a, id_col)
+
+
+def _longest_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_gram_freq: int,
+) -> DataFrame:
+    """Pair-detection core of :func:`longest_duplicate_spans` —
+    (__da, __db, span_tokens, start_a, start_b), no span text, so the
+    write side (:func:`excise_duplicate_spans`) never pays the text
+    join it does not read."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    toked, occ = _suffix_occurrences(df, id_col, text_col, k)
+    _, occ = _suffix_occurrences(df, id_col, text_col, k)
     # ONE hash-keyed shuffle gates AND dedups the anchor scan: the
     # old groupBy-then-join computed the tokenize+md5 explode twice
     # (once per shuffle); window aggregates over the same partition
@@ -1731,8 +1757,7 @@ def longest_duplicate_spans(
         F.col("__pos").alias("__pb"),
     )
     pairs = a.join(b, "__h").filter(F.col("__da") < F.col("__db"))
-    best = _spans_from_anchor_pairs(pairs, k)
-    return _spans_with_text(best, toked, id_col)
+    return _spans_from_anchor_pairs(pairs, k)
 
 
 def suffix_gate_stats(
@@ -1935,6 +1960,11 @@ def incremental_duplicate_spans(
             <= max_gram_freq
         )
         .select("__h")
+        # 4 downstream references (det_d x3 via the pair sides, det_b)
+        # each re-planned this subtree — including a fresh scan of the
+        # standing summary asset per reference.  O(delta grams) rows:
+        # pin once (r12, guide §2.4)
+        .localCheckpoint(eager=True)
     )
     det_d = d_occ.join(kept, "__h", "left_semi")
     # the base detail only needs grams the delta actually carries —
@@ -1981,6 +2011,13 @@ def incremental_duplicate_spans(
         )
     )
     best = _spans_from_anchor_pairs(cross.unionByName(within), k)
+    if not text_from_delta:
+        # the batch text pass consumes best twice (doc_a id set + the
+        # slice join) — one row per reported pair, pin it so the whole
+        # probe pipeline plans once (r12, guide §2.4).  The streaming
+        # path consumes best once and checkpoints the probe RESULT
+        # per micro-batch already; no pin needed there.
+        best = best.localCheckpoint(eager=True)
     if text_from_delta:
         # the span is VERBATIM-equal on both sides (lowered), so it
         # can be sliced from whichever side is the DELTA document —
@@ -2085,7 +2122,17 @@ def excise_duplicate_spans(
     heavier than a left join against the (duplicate-density-bounded)
     cuts frame.  Brute-force rewrite parity pinned by
     tests/test_suffix_spans.py."""
-    spans = longest_duplicate_spans(df, id_col, text_col, k, max_gram_freq)
+    # detection core only: the rewrite reads (doc_b, start_b,
+    # span_tokens) — the public operator's span-text join is dead
+    # weight here (an inner join Catalyst cannot prune), so skip it
+    # and its extra corpus scan outright (r12, guide §1.2)
+    spans = _longest_span_pairs(
+        df, id_col, text_col, k, max_gram_freq
+    ).select(
+        F.col("__db").alias("doc_b"),
+        "span_tokens",
+        "start_b",
+    )
     cuts = spans.groupBy(F.col("doc_b").alias(id_col)).agg(
         F.collect_list(
             F.struct(
