@@ -1637,23 +1637,25 @@ def hash_near_dup_pairs(
         "band",
         "band_val",
     )
-    cands = (
+    # verify BEFORE the dedup shuffle: the xor+bit_count Hamming check
+    # is a map-side row filter on the join output, and random band
+    # collisions outnumber true pairs by orders of magnitude — so the
+    # distinct exchange carries only verified pairs (3 narrow columns)
+    # instead of every candidate with both hash words (r12, guide
+    # §2.3).  Same result set: hamming is a function of the pair (one
+    # hash per id), so filter-then-distinct ≡ distinct-then-filter.
+    ham = " + ".join(f"bit_count(a_{c} ^ b_{c})" for c in cols)
+    return (
         a.join(b, on=["band", "band_val"])
         .filter(F.col("id_1") < F.col("id_2"))
         .select(
             "id_1",
             "id_2",
-            *[f"a_{c}" for c in cols],
-            *[f"b_{c}" for c in cols],
+            F.expr(ham).cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_1", "id_2"])
     )
-    ham = " + ".join(f"bit_count(a_{c} ^ b_{c})" for c in cols)
-    return cands.select(
-        "id_1",
-        "id_2",
-        F.expr(ham).cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def _encode_bmp24_np(arr) -> bytes:

@@ -482,16 +482,22 @@ def g_label_propagation(spark, sf_dir, rounds: int = 6):
     sym = e.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
         e.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        # the count gate below AND round 1 both consume the initial
+        # label frame — pin it so the distinct over the edge set runs
+        # once per call, not twice (r12, guide §2.4)
+        .localCheckpoint(eager=True)
     )
     # broadcast of the node-sized label frame is forced only below a
     # measured node-count gate (~16 bytes/row -> well under executor
     # memory); on a large graph the O(V) frame must NOT bypass
     # autoBroadcastJoinThreshold — let AQE pick the join there (the
     # same forced-broadcast hazard incremental_near_dup documents).
-    # One count against the session-cached edge frame, amortized over
-    # all rounds.
+    # One count against the pinned node frame, amortized over all
+    # rounds.
     small_labels = labels.count() <= 4_000_000
 
     def _maybe_bcast(df):
