@@ -171,9 +171,13 @@ def ngram_jaccard_pairs(
     brute-force reference).
     """
     toked, shx = _shingle_parts(df, id_col, text_col, n, distinct=True)
-    # checkpoint the hashed-shingle frame PRE-PARTITIONED on the join
-    # key at the operator's width: the self-join below then reads both
-    # sides straight from the checkpoint with no exchange at all
+    # checkpoint the hashed-shingle frame, repartitioned on the join
+    # key at the operator's width.  (r12 correction: under AQE a
+    # localCheckpoint reports UnknownPartitioning, so downstream joins
+    # DO re-exchange the checkpoint — the repartition still sizes the
+    # checkpoint blocks, but the zero-exchange co-location the
+    # original note promised does not hold; the re-exchanged rows are
+    # two longs, so the cost is bounded.)
     from data_management_python_spark.session import operator_width  # noqa: PLC0415
 
     width = operator_width(df.sparkSession)
@@ -275,7 +279,24 @@ def ngram_jaccard_pairs(
         # prefix filter's losslessness, pinned against a brute-force
         # reference for BOTH branches in tests.  The df cap above
         # still bounds the join at O(cap x |shingles|) pairs.
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        #
+        # r12: pin the CAPPED frame and the per-doc sizes.  This
+        # branch consumes the capped shingle frame four ways (two
+        # self-join sides, two size lookups) and Spark shares no
+        # subtrees between consumers — the executed plan re-ran the
+        # O(shingles) doc-frequency aggregate and the anti-join four
+        # times and the sizes aggregate twice (AQE exchange reuse did
+        # not fire across the re-plans; see
+        # plans/r12/d_ngram_jaccard_before.txt).  Both pins are
+        # per-call and narrow: (id, __sh) longs / (id, n_sh) one row
+        # per doc (guide §2.4, §1.2-1).
+        if max_doc_freq is not None:
+            sh = sh.localCheckpoint(eager=True)
+        sizes = (
+            sh.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .localCheckpoint(eager=True)
+        )
         inter = (
             sh.select(F.col(id_col).alias("id_1"), "__sh")
             .join(

@@ -136,6 +136,20 @@ def audit(name, df) -> tuple[list[str], list[str]]:
     flags.append(f"maxcols={widest}")
     if widest >= 11:  # lineitem full width — projection pruning failed
         errors.append(f"scan reads {widest} cols")
+    # duplicated Python UDF evaluation (guide §4.4): a filter on a
+    # UDF-computed column pushed below the projection clones the UDF —
+    # the same expression then appears in two ArrowEvalPython /
+    # BatchEvalPython nodes and every row pays the Python boundary
+    # twice.  Normalize away expression ids and count repeats.  A
+    # repeat is a warning flag, not an error: re-evaluating a CHEAP udf
+    # can beat blocking other pushdowns (asNondeterministic's cost).
+    py_nodes = re.findall(
+        r"(?:ArrowEvalPython|BatchEvalPython) \[([^\]]*)\]", plan
+    )
+    sigs = [re.sub(r"#\d+", "", s) for s in py_nodes]
+    n_dup = len(sigs) - len(set(sigs))
+    if n_dup:
+        flags.append(f"pydup={n_dup}")
     return flags, errors
 
 
