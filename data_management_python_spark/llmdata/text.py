@@ -891,18 +891,25 @@ def dsir_weights(
     )
     # ONE pass over the raw feature stream: pre-aggregate to
     # (doc, bucket) counts, then derive BOTH the bucket models and the
-    # per-doc sums from that single exchange (ReuseExchange wires the
-    # two branches to one evaluation — the broadcast-join-the-raw-
-    # stream shape evaluated the tokenize+explode twice)
-    db = feats.groupBy(id_col, "__is_target", "__b").agg(
-        F.count(F.lit(1)).alias("__c")
+    # per-doc sums from that single evaluation.  r12: the intended
+    # ReuseExchange sharing does NOT fire across the three consumers
+    # (verified on the isFinalPlan=true executed plan: 3 FileScans —
+    # the tokenize+bigram+md5 pass ran once per branch), so the
+    # (doc, bucket) table is pinned eagerly — narrow rows bounded by
+    # docs x n_buckets — and the bucket model (<= n_buckets rows) on
+    # top of it; measured 2.4 -> 1.9 s steady at sf0.1 with the md5
+    # derivation down from 3 passes to 1 (guide §2.4, §1.2-1).
+    db = (
+        feats.groupBy(id_col, "__is_target", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
     )
     cnt = db.groupBy("__b").agg(
         F.sum("__c").alias("__c_raw"),
         F.sum(
             F.when(F.col("__is_target"), F.col("__c")).otherwise(0)
         ).alias("__c_tgt"),
-    )
+    ).localCheckpoint(eager=True)
     tot = cnt.agg(
         F.sum("__c_raw").cast("double").alias("__r_tot"),
         F.sum("__c_tgt").cast("double").alias("__t_tot"),
