@@ -549,10 +549,27 @@ def _embed_near_dup_oracle_sql(
     "embedding member of the dedup family",
 )
 def d_embed_cosine(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embed_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.45, tables=4, planes=6
+    return _embed_pairs_cached(spark, sf_dir)
+
+
+def _embed_pairs_cached(spark, sf_dir):
+    """Verified embedding near-dup pair set (threshold 0.45, 4x6
+    hyperplane LSH), materialized once per session and shared by
+    d_embed_cosine / d_semantic_dedup — the two queries are views over
+    the same signature+verify build, exactly the share the text
+    near-dup family already takes through near_dup_pairs_t02
+    (operators.session_cache; r12)."""
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
     )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.embed_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, tables=4, planes=6
+        )
+
+    return session_cached(spark, "embed_pairs_t045", sf_dir, build)
 
 
 @_q(
@@ -2004,6 +2021,7 @@ def d_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup_survivors(
         emb, "vec_id", "embedding", threshold=0.45, tables=4, planes=6,
         keep_cols=["label"],
+        pairs=_embed_pairs_cached(spark, sf_dir),
     )
 
 

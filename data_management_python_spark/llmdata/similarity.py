@@ -942,9 +942,16 @@ def semantic_dedup_survivors(
     tables: int = 4,
     planes: int = 6,
     keep_cols: list[str] | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: materialize the vectors
     that survive embedding-space near-dup pruning.
+
+    ``pairs``: an already-materialized frame from
+    :func:`embed_near_dup_pairs` with the SAME corpus and parameters
+    (callers holding the family's session-cached pair set pass it here
+    so the LSH build is not re-derived per consumer — r12, the same
+    share the text near-dup family uses).
 
     Greedy lowest-id-wins rule: a vector is dropped iff its exact
     cosine to some LOWER-id vector sharing an LSH bucket is >=
@@ -956,9 +963,15 @@ def semantic_dedup_survivors(
     within k-means clusters; here the deterministic hyperplane buckets
     play the cluster role so an exact SQL oracle exists.
     """
-    pairs = embed_near_dup_pairs(
-        corpus, id_col, vec_col, threshold=threshold, tables=tables, planes=planes
-    )
+    if pairs is None:
+        pairs = embed_near_dup_pairs(
+            corpus,
+            id_col,
+            vec_col,
+            threshold=threshold,
+            tables=tables,
+            planes=planes,
+        )
     dropped = pairs.select(F.col("id_2").alias(id_col)).distinct()
     out_cols = [id_col, *(keep_cols or [])]
     return corpus.join(dropped, id_col, "left_anti").select(*out_cols)
