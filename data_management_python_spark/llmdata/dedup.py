@@ -1687,6 +1687,7 @@ def longest_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     max_gram_freq: int = 64,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT longest duplicated token span per document pair — the
     read side of the suffix-array substring-dedup family (Lee et al.
@@ -1718,11 +1719,18 @@ def longest_duplicate_spans(
     tests/test_suffix_spans.py; the registered oracle replays the
     identical hash math.
     """
-    best = _longest_span_pairs(df, id_col, text_col, k, max_gram_freq)
-    # the span-text pass consumes best twice (result-doc id set +
-    # the slice join); it is one row per duplicated pair — pin it so
-    # the whole anchor/window pipeline plans once (r12, guide §2.4)
-    best = best.localCheckpoint(eager=True)
+    # ``pairs``: an already-materialized _longest_span_pairs frame
+    # with the SAME corpus and parameters (the session-cached family
+    # share, r12) — skip the build AND the re-pin.
+    if pairs is not None:
+        best = pairs
+    else:
+        # the span-text pass consumes best twice (result-doc id set +
+        # the slice join); it is one row per duplicated pair — pin it
+        # so the whole anchor/window pipeline plans once (r12, §2.4)
+        best = _longest_span_pairs(
+            df, id_col, text_col, k, max_gram_freq
+        ).localCheckpoint(eager=True)
     # tokenize ONLY documents that appear as doc_a in a result —
     # O(results), never a second full-corpus tokenize pass (r12)
     a_ids = best.select(F.col("__da").alias(id_col)).distinct()
@@ -2122,6 +2130,7 @@ def excise_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     max_gram_freq: int = 64,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The EXACT span-rewrite: the write side driven by
     :func:`longest_duplicate_spans` output (round-10; the sampled
@@ -2147,8 +2156,10 @@ def excise_duplicate_spans(
     # span_tokens) — the public operator's span-text join is dead
     # weight here (an inner join Catalyst cannot prune), so skip it
     # and its extra corpus scan outright (r12, guide §1.2)
-    spans = _longest_span_pairs(
-        df, id_col, text_col, k, max_gram_freq
+    spans = (
+        pairs
+        if pairs is not None
+        else _longest_span_pairs(df, id_col, text_col, k, max_gram_freq)
     ).select(
         F.col("__db").alias("doc_b"),
         "span_tokens",

@@ -318,6 +318,42 @@ def t_fingerprint(spark, sf_dir):
     return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
 
 
+def _cosine_topk_cached(spark, sf_dir):
+    """Exact brute-force top-3 frame for the <10-id probe set,
+    materialized once per session and shared by sim_cosine_topk /
+    sim_ann_recall (the recall harness re-ranks this exact leg
+    against the LSH leg; operators.session_cache; r12)."""
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        return similarity.cosine_topk(
+            emb, queries, "vec_id", "embedding", k=3
+        )
+
+    return session_cached(spark, "cosine_topk_q10_k3", sf_dir, build)
+
+
+def _lsh_ann_cached(spark, sf_dir):
+    """LSH approximate top-3 frame for the same probe set, shared by
+    sim_lsh_ann / sim_ann_recall (r12)."""
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        return similarity.lsh_ann(
+            emb, queries, "vec_id", "embedding", planes=8, k=3
+        )
+
+    return session_cached(spark, "lsh_ann_q10_p8k3", sf_dir, build)
+
+
 @_q(
     "sim_cosine_topk",
     """
@@ -344,9 +380,7 @@ def t_fingerprint(spark, sf_dir):
     "corpus streamed once; rounded score + id tie-break for determinism",
 )
 def sim_cosine_topk(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    return _cosine_topk_cached(spark, sf_dir)
 
 
 def _lsh_oracle_sql(planes: int = 8, dims: int = 64, k: int = 3) -> str:
@@ -392,9 +426,7 @@ def _lsh_oracle_sql(planes: int = 8, dims: int = 64, k: int = 3) -> str:
     "of cross product",
 )
 def sim_lsh_ann(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_ann(emb, queries, "vec_id", "embedding", planes=8, k=3)
+    return _lsh_ann_cached(spark, sf_dir)
 
 
 @_q(
@@ -1038,6 +1070,29 @@ def t_pack_sequences(spark, sf_dir):
     )
 
 
+def _tf_frame_cached(spark, sf_dir):
+    """(doc_id, term, tf) whitespace-token counts, materialized once
+    per session and shared by t_tfidf_topk / t_bm25_topk — both
+    rankers are windows over the same tokenize+explode+aggregate
+    build (operators.session_cache; r12)."""
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        toks = docs.select(
+            F.col("doc_id"), F.explode(text.tokens("text")).alias("term")
+        )
+        return toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+
+    return session_cached(spark, "tf_frame", sf_dir, build)
+
+
 @_q(
     "t_tfidf_topk",
     """
@@ -1070,7 +1125,9 @@ def t_pack_sequences(spark, sf_dir):
 )
 def t_tfidf_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.tfidf_topk(docs, "doc_id", "text", k=5)
+    return text.tfidf_topk(
+        docs, "doc_id", "text", k=5, tf=_tf_frame_cached(spark, sf_dir)
+    )
 
 
 @_q(
@@ -1428,12 +1485,8 @@ def _recall_oracle_sql(planes: int = 8, dims: int = 64, k: int = 3) -> str:
     "the query sample, not the corpus",
 )
 def sim_ann_recall(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    exact = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
-    approx = similarity.lsh_ann(
-        emb, queries, "vec_id", "embedding", planes=8, k=3
-    )
+    exact = _cosine_topk_cached(spark, sf_dir)
+    approx = _lsh_ann_cached(spark, sf_dir)
     return similarity.ann_recall(exact, approx)
 
 
@@ -1966,7 +2019,9 @@ def t_temperature_sample(spark, sf_dir):
 )
 def t_bm25_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return text.bm25_topk(docs, "doc_id", "text", k=5)
+    return text.bm25_topk(
+        docs, "doc_id", "text", k=5, tf=_tf_frame_cached(spark, sf_dir)
+    )
 
 
 @_q(
@@ -3640,6 +3695,23 @@ def e_cms_stream_registers(spark, sf_dir):
     return session_cached(spark, "cms_monitor_registers", sf_dir, build)
 
 
+def _span_pairs_cached(spark, sf_dir):
+    """Longest-duplicated-span pair table (k=8, gram cap 64),
+    materialized once per session and shared by d_suffix_spans /
+    d_exact_span_rewrite — the read and write sides of the suffix-span
+    family drive the same anchor/window detection core
+    (operators.session_cache; r12)."""
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup._longest_span_pairs(docs, "doc_id", "text", 8, 64)
+
+    return session_cached(spark, "span_pairs_k8f64", sf_dir, build)
+
+
 @_q(
     "d_suffix_spans",
     """
@@ -3706,7 +3778,8 @@ def e_cms_stream_registers(spark, sf_dir):
 def d_suffix_spans(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.longest_duplicate_spans(
-        docs, "doc_id", "text", k=8, max_gram_freq=64
+        docs, "doc_id", "text", k=8, max_gram_freq=64,
+        pairs=_span_pairs_cached(spark, sf_dir),
     )
 
 
@@ -3957,7 +4030,8 @@ def d_incremental_spans(spark, sf_dir):
 def d_exact_span_rewrite(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.excise_duplicate_spans(
-        docs, "doc_id", "text", k=8, max_gram_freq=64
+        docs, "doc_id", "text", k=8, max_gram_freq=64,
+        pairs=_span_pairs_cached(spark, sf_dir),
     )
 
 

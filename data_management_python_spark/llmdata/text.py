@@ -94,7 +94,13 @@ def fingerprint(text: Column | str, hex_len: int = 16) -> Column:
     return F.substring(F.md5(normalize_text(text)), 1, hex_len)
 
 
-def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 5):
+def tfidf_topk(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    tf=None,
+):
     """Top-k TF-IDF terms per document (keyword extraction).
 
     Pipeline shape: explode tokens -> (doc, term) partial-agg counts ->
@@ -111,8 +117,14 @@ def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 5)
     from pyspark.sql.window import Window
 
     n_docs = docs.count()
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        # ``tf``: callers holding the session-cached (doc, term, tf)
+        # frame pass it here so the tokenize+explode+aggregate build is
+        # shared across the ranking family (r12)
+        toks = docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # doc frequency as a count over a term-partitioned window on the
     # SAME tf frame (r12): the separate groupBy("term") branch planned
     # a second full tokenize+explode+aggregate of the corpus (Spark
@@ -147,6 +159,7 @@ def bm25_topk(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    tf=None,
 ):
     """Top-k BM25-scored terms per document (Okapi BM25, Lucene idf).
 
@@ -161,8 +174,13 @@ def bm25_topk(
     """
     from pyspark.sql.window import Window
 
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        # same session-cached (doc, term, tf) injection seam as
+        # tfidf_topk (r12)
+        toks = docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # doc frequency and document length as window aggregates over the
     # SAME tf frame (r12): the separate dfreq/dl groupBy branches each
     # re-planned the full tokenize+explode+aggregate of the corpus (4
