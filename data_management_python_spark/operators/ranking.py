@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__grn_pid"
@@ -103,6 +103,87 @@ def ntile_from_rank(rank_col: str, n_rows: int, k: int):
         .otherwise(big + F.floor((r0 - cut) / size_small))
         .cast("int")
         + 1
+    )
+
+
+def multi_ntile(
+    df: DataFrame,
+    keys: Sequence[tuple[str, Column]],
+    tie_col: str,
+    n_rows: int,
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equi-depth NTILE(k) scores over SEVERAL order keys in ONE
+    distributed ranking pass.
+
+    Chaining :func:`global_row_number` once per dimension pays one
+    range shuffle + one offset-count job + one window codegen unit PER
+    dimension.  Here the dimensions are melted into (dim, kv) rows —
+    each ``keys`` entry supplies an ORDER-PRESERVING long encoding of
+    its column — so a single range shuffle on (dim, kv, tie) sorts
+    every dimension at once, one O(dims x partitions) count job folds
+    the per-(dim, partition) offsets, and one window emits all ranks.
+    Scores fold back to one row per ``tie_col`` with a grouped
+    max-when (every melted row of an id carries identical payload
+    columns, so ``first`` is deterministic).
+
+    ``tie_col`` must be unique per row (it breaks order ties, exactly
+    as the chained shape's trailing key).  Output: all original
+    columns plus one int score column per ``keys`` entry.
+    """
+    score_cols = [name for name, _ in keys]
+    payload = [c for c in df.columns if c != tie_col]
+    melted = df.select(
+        tie_col,
+        *payload,
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(i + 1).alias("dim"), kv.cast("long").alias("kv")
+                    )
+                    for i, (_, kv) in enumerate(keys)
+                )
+            )
+        ).alias("__d"),
+    ).select(
+        tie_col, *payload, F.col("__d.dim").alias("__dim"), F.col("__d.kv").alias("__kv")
+    )
+    cols = ["__dim", "__kv", tie_col]
+    parted = (
+        melted.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else melted.repartitionByRange(*cols)
+    )
+    parted = parted.persist()
+    with_pid = parted.withColumn(_PID, F.spark_partition_id())
+    counts = with_pid.groupBy("__dim", _PID).count().collect()
+    sizes = {
+        (int(r["__dim"]), int(r[_PID])): int(r["count"]) for r in counts
+    }
+    off_expr = F.lit(0).cast("long")
+    for d in range(1, len(keys) + 1):
+        acc = 0
+        for pid in sorted(p for (dd, p) in sizes if dd == d):
+            if acc:
+                off_expr = F.when(
+                    (F.col("__dim") == d) & (F.col(_PID) == pid),
+                    F.lit(acc),
+                ).otherwise(off_expr)
+            acc += sizes[(d, pid)]
+    w = Window.partitionBy("__dim", _PID).orderBy("__kv", tie_col)
+    ranked = with_pid.withColumn(
+        "__rn", (F.row_number().over(w) + off_expr).cast("long")
+    ).withColumn("__score", ntile_from_rank("__rn", n_rows, k))
+    return ranked.groupBy(tie_col).agg(
+        *(F.first(c).alias(c) for c in payload),
+        *(
+            F.max(F.when(F.col("__dim") == i + 1, F.col("__score"))).alias(
+                name
+            )
+            for i, name in enumerate(score_cols)
+        ),
     )
 
 

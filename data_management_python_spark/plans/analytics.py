@@ -31,6 +31,7 @@ from data_management_python_spark.functions import epoch_us
 from data_management_python_spark.operators.aggregates import profile_columns
 from data_management_python_spark.operators.ranking import (
     global_row_number,
+    multi_ntile,
     ntile_from_rank,
 )
 from data_management_python_spark.plans import Query
@@ -1923,17 +1924,28 @@ def a_rfm_segments(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
     n = cust.count()  # scalar; drives the closed-form bucket math
-
-    def score(df, order_col, out):
-        ranked = global_row_number(df, [order_col, "o_custkey"], "__rn")
-        return ranked.withColumn(out, ntile_from_rank("__rn", n, 4)).drop(
-            "__rn"
-        )
-
-    scored = score(
-        score(score(cust, "last_order", "r_score"), "frequency", "f_score"),
-        "monetary",
-        "m_score",
+    # all three quartile ranks in ONE melted ranking pass (r12,
+    # guide §2.4: one range shuffle + one offset job + one window
+    # instead of three chained global_row_number passes).  The long
+    # encodings are order-preserving: days-since-epoch for the date,
+    # cents for the DECIMAL(18,2) sum (max |sum| 1e16 -> 1e18 cents,
+    # inside bigint range), so per-dimension rank order — ties broken
+    # by o_custkey — is unchanged from ORDER BY on the raw columns.
+    scored = multi_ntile(
+        cust,
+        [
+            (
+                "r_score",
+                F.datediff(
+                    F.col("last_order"), F.to_date(F.lit("1970-01-01"))
+                ),
+            ),
+            ("f_score", F.col("frequency")),
+            ("m_score", F.col("monetary") * 100),
+        ],
+        "o_custkey",
+        n,
+        4,
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

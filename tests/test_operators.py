@@ -357,6 +357,58 @@ def test_global_row_number_total_order(spark):
     )
 
 
+def test_multi_ntile_matches_chained_global_rank(spark):
+    """multi_ntile's one-shuffle melted ranking == chaining
+    global_row_number + ntile_from_rank once per dimension (the shape
+    it replaces in a_rfm_segments)."""
+    import random
+
+    from data_management_python_spark.operators.ranking import (
+        global_row_number,
+        multi_ntile,
+        ntile_from_rank,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(50), rng.randrange(1000), rng.randrange(10))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    n = df.count()
+
+    def chained(df):
+        out = df
+        for col, name in (("a", "sa"), ("b", "sb"), ("c", "sc")):
+            ranked = global_row_number(out, [col, "id"], "__rn")
+            out = ranked.withColumn(
+                name, ntile_from_rank("__rn", n, 4)
+            ).drop("__rn")
+        return out
+
+    expected = {tuple(r) for r in chained(df).collect()}
+    got = {
+        tuple(r)
+        for r in multi_ntile(
+            df,
+            [("sa", F.col("a")), ("sb", F.col("b")), ("sc", F.col("c"))],
+            "id",
+            n,
+            4,
+        )
+        .select("id", "a", "b", "c", "sa", "sb", "sc")
+        .collect()
+    }
+    assert got == expected
+
+    # k >= n branch and a single-row frame
+    one = spark.createDataFrame([(1, 5, 6)], "id long, a long, b long")
+    r = multi_ntile(
+        one, [("sa", F.col("a")), ("sb", F.col("b"))], "id", 1, 4
+    ).first()
+    assert (r.sa, r.sb) == (1, 1)
+
+
 def test_global_row_number_empty_and_single(spark):
     from data_management_python_spark.operators.ranking import global_row_number
 
