@@ -152,13 +152,10 @@ def pca_project(
     )
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
-    """The (bucket, max-rank) register table of the deterministic HLL
-    sketch — the MERGEABLE asset: registers of a union are the
-    element-wise max of the parts' registers, so shards/days combine
-    without re-reading data (pinned by property test).  md5-derived
-    bucket (first p hex bits) and rank (leading zeros of the next 52
-    bits + 1 via the bin()/ltrim idiom both engines share)."""
+def _hll_bucket_rank(col: str, p: int):
+    """The md5-derived (bucket, rank) column pair of the deterministic
+    HLL sketch: bucket = first p hex bits, rank = leading zeros of the
+    next 52 bits + 1 via the bin()/ltrim idiom both engines share."""
     m = 1 << p
     h = F.md5(F.col(col).cast("string"))
     bucket = (
@@ -166,6 +163,15 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     ).alias("__j")
     w = F.conv(F.substring(h, 9, 13), 16, 10).cast("long")
     rank = (F.lit(53) - F.length(F.ltrim(F.bin(w), F.lit("0")))).alias("__r")
+    return bucket, rank
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """The (bucket, max-rank) register table of the deterministic HLL
+    sketch — the MERGEABLE asset: registers of a union are the
+    element-wise max of the parts' registers, so shards/days combine
+    without re-reading data (pinned by property test)."""
+    bucket, rank = _hll_bucket_rank(col, p)
     return (
         df.select(bucket, rank).groupBy("__j").agg(F.max("__r").alias("__M"))
     )
@@ -233,24 +239,57 @@ def hll_distinct(
     sketch exists to avoid; keep for oracle/QA runs).
     """
     # distinct-first: registers are insensitive to duplicates, so the
-    # sketch and the exact QA count both derive from ONE distinct
-    # exchange (ReuseExchange wires the two aggregates to a single
-    # evaluation — the raw-stream variant scanned the corpus twice)
+    # sketch and the exact QA count both derive from ONE distinct pass
     vals = df.select(F.col(col)).distinct()
-    out = hll_estimate(hll_registers(vals, col, p), p)
-    if exact:
-        ex = vals.agg(
-            F.count(F.lit(1)).alias("exact_distinct")
+    if not exact:
+        return hll_estimate(hll_registers(vals, col, p), p)
+    # The exact count rides the register aggregate itself: each
+    # register row carries its bucket's distinct-value count, and the
+    # estimate's final 2^p-row aggregate sums them — ONE corpus pass,
+    # one lineage, no second branch.  (The previous two-branch shape's
+    # "ReuseExchange wires both aggregates to one evaluation" claim
+    # was disproven on the executed plan — 2 full scans per call; r12.)
+    m = 1 << p
+    bucket, rank = _hll_bucket_rank(col, p)
+    regs = (
+        vals.select(bucket, rank)
+        .groupBy("__j")
+        .agg(F.max("__r").alias("__M"), F.count(F.lit(1)).alias("__n"))
+    )
+    spark = df.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").alias("__j"))
+        .join(regs, "__j", "left")
+        .select(
+            F.coalesce(F.col("__M"), F.lit(0)).alias("__M"), F.col("__n")
         )
-        out = out.crossJoin(F.broadcast(ex)).withColumn(
-            "rel_error",
-            F.round(
-                (F.col("hll_estimate") - F.col("exact_distinct"))
-                / F.col("exact_distinct"),
-                6,
-            ),
-        )
-    return out
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__M"))).alias("__S"),
+        F.sum(F.when(F.col("__M") == 0, 1).otherwise(0)).alias("__V"),
+        F.sum(F.coalesce(F.col("__n"), F.lit(0)))
+        .cast("long")
+        .alias("exact_distinct"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__S")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("__V") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__V")),
+    ).otherwise(raw)
+    est_rounded = F.round(est, 6)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("__V").cast("bigint").alias("n_zero_registers"),
+        est_rounded.alias("hll_estimate"),
+        F.col("exact_distinct"),
+        F.round(
+            (est_rounded - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )
 
 
 def cms_registers(

@@ -3256,6 +3256,23 @@ def test_hll_registers_merge_algebra_and_brute_force(spark):
     assert abs(est_u.hll_estimate - round(est, 6)) < 1e-6
     assert est_u.n_zero_registers == V
 
+    # hll_distinct's fused exact path (one register aggregate carrying
+    # per-bucket counts; r12) == the register/estimate building blocks
+    # plus a plain distinct count, column for column
+    fused = stats.hll_distinct(df_u, "v", p=8, exact=True).first()
+    assert fused.m == 256
+    assert fused.hll_estimate == est_u.hll_estimate
+    assert fused.n_zero_registers == est_u.n_zero_registers
+    n_exact = df_u.select("v").distinct().count()
+    assert fused.exact_distinct == n_exact
+    assert fused.rel_error == round(
+        (fused.hll_estimate - n_exact) / n_exact, 6
+    )
+    # exact=False keeps the plain registers->estimate path
+    lean = stats.hll_distinct(df_u, "v", p=8, exact=False)
+    assert lean.columns == ["m", "n_zero_registers", "hll_estimate"]
+    assert lean.first().hll_estimate == est_u.hll_estimate
+
 
 def test_bloom_probe_no_false_negatives_and_sizing(spark):
     """The Bloom guarantee: every truly-present delta doc probes
