@@ -85,17 +85,27 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """Evaluate all rules; returns the (rule, column, metric,
     threshold, passed) report, one row per rule, in rule order.
 
-    One aggregate job covers every row-level + uniqueness rule; each
-    ``fk`` rule adds one anti-join aggregate (its parent side is a
-    key projection, broadcast when small).  ``passed`` compares the
-    ROUNDED metric against the threshold so both engines classify
-    identically at the boundary.
+    One aggregate job covers every row-level + uniqueness rule PLUS
+    every fk rule's child-row count (``count(col)`` is the non-null
+    child count — it rides the same single scan); each ``fk`` rule
+    then adds only its semi-join match count.  All per-rule-group
+    frames are one row, so they crossJoin into a single row and every
+    report row explodes from ONE array — no union branch ever
+    re-plans the child scan (r12; the previous shape re-planned the
+    child once per fk aggregate and once per union leg).  ``passed``
+    compares the ROUNDED metric against the threshold so both engines
+    classify identically at the boundary.
     """
     aggs: list[Column] = []
     row_rules: list[Expectation] = []
     fk_rules: list[Expectation] = []
     for exp in expectations:
         if exp.kind == "fk":
+            # the child-row denominator rides the shared wide scan:
+            # count(col) == rows with a non-null fk value
+            aggs.append(
+                F.count(F.col(exp.column)).alias(f"__n_fk_{exp.name}")
+            )
             fk_rules.append(exp)
         elif exp.kind == "unique":
             aggs.append(
@@ -108,10 +118,10 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             row_rules.append(exp)
 
     spark = df.sparkSession
-    parts = []
+    one_row_frames: list[DataFrame] = []
+    report_cols: list[Column] = []
     if aggs:
-        wide = df.agg(*aggs)
-        report_cols = []
+        one_row_frames.append(df.agg(*aggs))
         for exp in row_rules:
             if exp.kind == "unique":
                 metric = F.round(
@@ -132,11 +142,6 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
                     (metric >= F.lit(float(exp.threshold))).alias("passed"),
                 )
             )
-        parts.append(
-            wide.select(F.explode(F.array(*report_cols)).alias("r")).select(
-                "r.*"
-            )
-        )
 
     for exp in fk_rules:
         parent: DataFrame = exp.params["parent"]
@@ -149,16 +154,18 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             on="__k",
             how="left_semi",
         )
-        tot = child.agg(F.count(F.lit(1)).alias("__n"))
-        ok = matched.agg(F.count(F.lit(1)).alias("__ok"))
+        one_row_frames.append(
+            matched.agg(F.count(F.lit(1)).alias(f"__ok_fk_{exp.name}"))
+        )
         metric = F.round(
-            F.when(F.col("__n") == 0, F.lit(1.0)).otherwise(
-                F.col("__ok").cast("double") / F.col("__n")
+            F.when(F.col(f"__n_fk_{exp.name}") == 0, F.lit(1.0)).otherwise(
+                F.col(f"__ok_fk_{exp.name}").cast("double")
+                / F.col(f"__n_fk_{exp.name}")
             ),
             6,
         )
-        parts.append(
-            tot.crossJoin(ok).select(
+        report_cols.append(
+            F.struct(
                 F.lit(exp.name).alias("rule"),
                 F.lit(exp.column).alias("column"),
                 metric.alias("metric"),
@@ -167,12 +174,14 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             )
         )
 
-    if not parts:
+    if not one_row_frames:
         return spark.createDataFrame(
             [], "rule string, column string, metric double, "
             "threshold double, passed boolean"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    combined = one_row_frames[0]
+    for p in one_row_frames[1:]:
+        combined = combined.crossJoin(p)
+    return combined.select(
+        F.explode(F.array(*report_cols)).alias("r")
+    ).select("r.*")
