@@ -354,6 +354,25 @@ def _lsh_ann_cached(spark, sf_dir):
     return session_cached(spark, "lsh_ann_q10_p8k3", sf_dir, build)
 
 
+def _ivf_cells_cached(spark, sf_dir):
+    """The IVF inverted file — every corpus vector's (norm, cell)
+    nearest-centroid assignment for the deterministic 8-centroid
+    quantizer — materialized once per session and shared by
+    sim_ivf_ann / sim_ivf_multiprobe (both searches probe the same
+    assignment; operators.session_cache; r12)."""
+    from data_management_python_spark.operators.session_cache import (  # noqa: PLC0415
+        session_cached,
+    )
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.ivf_corpus_cells(
+            emb, "vec_id", "embedding", n_centroids=8
+        )
+
+    return session_cached(spark, "ivf_cells_c8", sf_dir, build)
+
+
 @_q(
     "sim_cosine_topk",
     """
@@ -471,7 +490,14 @@ def sim_lsh_ann(spark, sf_dir):
 def sim_ivf_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_ann(emb, queries, "vec_id", "embedding", n_centroids=8, k=3)
+    cells = _ivf_cells_cached(spark, sf_dir)
+    # the probe set IS a corpus subset, so its assignments are the
+    # matching rows of the shared inverted file (r12)
+    return similarity.ivf_ann(
+        emb, queries, "vec_id", "embedding", n_centroids=8, k=3,
+        corpus_cells=cells,
+        query_cells=cells.filter(F.col("vec_id") < 10),
+    )
 
 
 @_q(
@@ -519,7 +545,8 @@ def sim_ivf_multiprobe(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_ann(
-        emb, queries, "vec_id", "embedding", n_centroids=8, k=3, nprobe=2
+        emb, queries, "vec_id", "embedding", n_centroids=8, k=3, nprobe=2,
+        corpus_cells=_ivf_cells_cached(spark, sf_dir),
     )
 
 

@@ -704,6 +704,55 @@ def kmeans_centroids(
     return [(i, [float(x) for x in cents[i]]) for i in range(k)]
 
 
+def ivf_corpus_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """The (id, vec, __norm, __cell) nearest-centroid assignment of
+    every corpus vector — the IVF inverted file as a frame, split out
+    of :func:`ivf_ann` so a query family can materialize it ONCE and
+    serve both the flat and multi-probe searches from the same
+    assignment (r12).  Same deterministic quantizer and tie rule as
+    ivf_ann (np.argmax first-occurrence == strict-max fold, ties to
+    the lowest centroid id); map-only, no shuffle."""
+    if centroids is None:
+        centroids = [
+            (r[id_col], [float(x) for x in r[vec_col]])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        ]
+    cvecs = [cv for _, cv in centroids]
+    cnorms = [_python_norm(cv) for cv in cvecs]
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+    @pandas_udf("struct<norm:double, cell:bigint>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        A = _np_rows(v)
+        nrm = np.sqrt(_np_fold_dot(A, A))
+        cos = np.stack(
+            [
+                _np_fold_dot_w(A, cv) / (cn * nrm)
+                for cv, cn in zip(cvecs, cnorms)
+            ],
+            axis=1,
+        )
+        return pd.DataFrame({"norm": nrm, "cell": cids[np.argmax(cos, axis=1)]})
+
+    return corpus.select(
+        id_col, vec_col, _assign(F.col(vec_col)).alias("__a")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("__a.norm").alias("__norm"),
+        F.col("__a.cell").alias("__cell"),
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -714,6 +763,8 @@ def ivf_ann(
     round_digits: int = 6,
     nprobe: int = 1,
     centroids: list[tuple[int, list[float]]] | None = None,
+    corpus_cells: DataFrame | None = None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate nearest neighbors (the inverted-file
     alternative to the hyperplane-LSH path in :func:`lsh_ann`).
@@ -735,8 +786,18 @@ def ivf_ann(
     with query-side fan-out x nprobe (queries are the broadcast side,
     so fan-out never touches the corpus shuffle).  Output: (q_id,
     neighbor_id, cos_sim) top-k per query, ties broken by neighbor id.
+
+    ``corpus_cells`` / ``query_cells``: already-assigned
+    :func:`ivf_corpus_cells` frames (same corpus/params) — a query
+    family materializes the inverted file once per session and both
+    the flat and multi-probe searches skip the per-call assignment
+    pass (query_cells applies to nprobe=1 only; the caller asserts
+    its queries are the claimed subset of the assigned frame).
     """
-    if centroids is None:
+    need_centroids = corpus_cells is None or nprobe > 1 or (
+        nprobe <= 1 and query_cells is None
+    )
+    if centroids is None and need_centroids:
         centroids = [
             (r[id_col], [float(x) for x in r[vec_col]])
             for r in corpus.select(id_col, vec_col)
@@ -744,52 +805,53 @@ def ivf_ann(
             .limit(n_centroids)
             .collect()
         ]
-    cvecs = [cv for _, cv in centroids]
-    cnorms = [_python_norm(cv) for cv in cvecs]
-    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
 
-    def _cell_cosines(A: np.ndarray, nrm: np.ndarray) -> np.ndarray:
-        return np.stack(
-            [
-                _np_fold_dot_w(A, cv) / (cn * nrm)
-                for cv, cn in zip(cvecs, cnorms)
-            ],
-            axis=1,
+    if corpus_cells is None:
+        corpus_cells = ivf_corpus_cells(
+            corpus, id_col, vec_col, n_centroids, centroids
         )
-
-    @pandas_udf("struct<norm:double, cell:bigint>")
-    def _assign(v: pd.Series) -> pd.DataFrame:
-        A = _np_rows(v)
-        nrm = np.sqrt(_np_fold_dot(A, A))
-        cos = _cell_cosines(A, nrm)
-        return pd.DataFrame({"norm": nrm, "cell": cids[np.argmax(cos, axis=1)]})
-
-    @pandas_udf("struct<norm:double, cells:array<bigint>>")
-    def _probe(v: pd.Series) -> pd.DataFrame:
-        A = _np_rows(v)
-        nrm = np.sqrt(_np_fold_dot(A, A))
-        cos = _cell_cosines(A, nrm)
-        # stable argsort on -cos keeps original index order on ties =
-        # lowest centroid id first (same rule as the corpus argmax)
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-        return pd.DataFrame({"norm": nrm, "cells": list(cids[order])})
-
-    def side(df: DataFrame, out_id: str, vpfx: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(f"{vpfx}v"),
-            _assign(F.col(vec_col)).alias("__a"),
-        ).select(
-            out_id,
-            f"{vpfx}v",
-            F.col("__a.norm").alias(f"{vpfx}n"),
-            F.col("__a.cell").alias("cell"),
-        )
-
-    c = side(corpus, "neighbor_id", "__c")
+    c = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+        F.col("__cell").alias("cell"),
+    )
     if nprobe <= 1:
-        q = side(queries, "q_id", "__q")
+        qc = (
+            query_cells
+            if query_cells is not None
+            else ivf_corpus_cells(
+                queries, id_col, vec_col, n_centroids, centroids
+            )
+        )
+        q = qc.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__norm").alias("__qn"),
+            F.col("__cell").alias("cell"),
+        )
     else:
+        cvecs = [cv for _, cv in centroids]
+        cnorms = [_python_norm(cv) for cv in cvecs]
+        cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+        @pandas_udf("struct<norm:double, cells:array<bigint>>")
+        def _probe(v: pd.Series) -> pd.DataFrame:
+            A = _np_rows(v)
+            nrm = np.sqrt(_np_fold_dot(A, A))
+            cos = np.stack(
+                [
+                    _np_fold_dot_w(A, cv) / (cn * nrm)
+                    for cv, cn in zip(cvecs, cnorms)
+                ],
+                axis=1,
+            )
+            # stable argsort on -cos keeps original index order on
+            # ties = lowest centroid id first (same rule as the
+            # corpus argmax)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            return pd.DataFrame({"norm": nrm, "cells": list(cids[order])})
+
         q = queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("__qv"),
