@@ -986,7 +986,7 @@ def d_curation_pipeline(spark, sf_dir):
     )
     toked = survivors.select("doc_id", "text", text.tokens("text").alias("__toks"))
     return toked.filter(
-        text.predict_lang("text", tokens_col=F.col("__toks")) == "en"
+        text.predict_lang_eq("en", "text", tokens_col=F.col("__toks"))
     ).select(
         "doc_id",
         F.size("__toks").cast("bigint").alias("n_tokens"),
@@ -2628,12 +2628,17 @@ def d_minhash_estimate(spark, sf_dir):
     # the corpus.  (The previous shape built shingle arrays for EVERY
     # doc twice; bench's count() metric silently pruned those dead
     # projections, so its 1.4s steady never computed exact_jaccard at
-    # all — any action reading the values paid ~10s at sf0.1.  This
-    # plan measures 3.3s steady COLLECT / 2.2s count.)  Everything
-    # stays lazy in one plan: the cands subtree appears twice (est +
-    # cand_ids) but ReuseExchange wires both to one evaluation;
-    # eager-checkpoint variants of sig/est/cands all measured slower
-    # (they split the plan into jobs that each pay scheduling floor).
+    # all — any action reading the values paid ~10s at sf0.1.)
+    # Everything stays lazy in one plan — re-verified round 12: the
+    # executed plan (isFinalPlan=true) holds 29 parquet scans / 0
+    # ReusedExchange (the earlier "ReuseExchange wires them together"
+    # claim was FALSE, as for dsir/hll), yet eager sig+cands pins
+    # A/B-measured ~0.7s SLOWER (steady 1.40/1.48/1.50 unpinned vs
+    # 2.14/2.24/2.25 pinned, reps-4 alternated sessions): the
+    # re-planned subtrees are cheap map work over ~5k docs while each
+    # pin adds an eager job + persist round-trip — the batch-8/10
+    # job-floor pattern.  At corpus scale each re-plan is a full
+    # corpus pass; re-take the pins behind a size gate then.
     cand_ids = (
         cands.select(F.col("id_1").alias("doc_id"))
         .unionAll(cands.select(F.col("id_2").alias("doc_id")))

@@ -80,6 +80,47 @@ def predict_lang(text: Column | str, tokens_col: Column | None = None) -> Column
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
+def predict_lang_eq(
+    lang: str, text: Column | str, tokens_col: Column | None = None
+) -> Column:
+    """``predict_lang(...) == lang`` as a short-circuiting conjunction.
+
+    Filtering on ``predict_lang(...) == lang`` inlines the full
+    argmax CASE chain into the Filter condition, where every
+    language's marker-hit count appears ~3x (the tie-break fold) and
+    filter pushdown re-substitutes the token split for each reference
+    — codegen CSE cannot merge them because each lambda carries fresh
+    expression ids (measured 15 splits of the text PER ROW in
+    d_curation_pipeline's executed plan, guide §1.2-2).  The winner
+    predicate is equivalent to a conjunction in which each score
+    appears ONCE: lang wins iff its score > 0, beats every
+    earlier-sorted language strictly (they win ties) and every
+    later-sorted language weakly (lang wins those ties).  Conjunctions
+    short-circuit left to right, so a row failing ``score > 0`` — the
+    common case for a selective language filter — evaluates ONE score,
+    not five.  NULL text yields NULL (row dropped by a filter),
+    matching predict_lang's 'und' for every concrete ``lang``.
+    Equivalence is pinned by a parity test over ties/empty/NULL
+    corpora (tests/test_llmdata.py)."""
+    if lang not in LANG_MARKERS:
+        raise ValueError(f"unknown lang {lang!r}")
+    toks = tokens_col if tokens_col is not None else tokens(text)
+
+    def score(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    mine = score(LANG_MARKERS[lang])
+    cond = mine > 0
+    for other in sorted(LANG_MARKERS):
+        if other == lang:
+            continue
+        beats = score(LANG_MARKERS[other])
+        # earlier-sorted languages win ties (predict_lang's tie rule)
+        cond = cond & (mine > beats if other < lang else mine >= beats)
+    return cond
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""

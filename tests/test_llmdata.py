@@ -106,6 +106,43 @@ def test_text_functions(spark):
     assert len(r.fp) == 16
 
 
+def test_predict_lang_eq_parity(spark):
+    """predict_lang_eq(L, ...) must equal predict_lang(...) == L for
+    every language over ties, empty, NULL and marker-free corpora —
+    the short-circuit conjunction is a pure rewrite of the argmax."""
+    rows = [
+        (1, "the cat and the dog"),          # en
+        (2, "el que la de y"),               # es
+        (3, "le et les des la"),             # fr
+        (4, "der die und das ist"),          # de
+        (5, "的 是 了 在 我"),                 # zh
+        (6, "the el"),                       # en/es tie -> en (sorted order: de<en<es)
+        (7, "der the"),                      # de/en tie -> de
+        (8, "no markers here"),              # und
+        (9, ""),                             # empty
+        (10, None),                          # NULL text
+        (11, "la la la"),                    # es/fr tie on 'la' -> es
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_management_python_spark.llmdata.text import LANG_MARKERS
+
+    pred = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", text.predict_lang("text").alias("lang")
+        ).collect()
+    }
+    for lang in sorted(LANG_MARKERS):
+        kept = {
+            r.doc_id
+            for r in df.filter(
+                text.predict_lang_eq(lang, "text")
+            ).collect()
+        }
+        expected = {d for d, ln in pred.items() if ln == lang}
+        assert kept == expected, (lang, kept, expected)
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "en", 11)], "doc_id long, text string, lang string, n_chars long"
