@@ -563,6 +563,7 @@ def pq_ann(
     k: int = 3,
     round_digits: int = 6,
     codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN via asymmetric distance computation —
     the memory-bound member of the ANN family (brute force / LSH / IVF
@@ -622,9 +623,15 @@ def pq_ann(
             outs.append(acc)
         return pd.Series(list(np.stack(outs, axis=1)))
 
-    encoded = pq_encode(corpus, codebooks, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("pq_codes")
-    )
+    if encoded is None:
+        # ``encoded``: callers holding a materialized (neighbor_id,
+        # pq_codes) table — built by pq_encode with the SAME codebooks
+        # (the caller's contract) — inject it here so the map-only
+        # corpus encode runs once per session instead of per search
+        # (r12; a deployment encodes at ingest and serves from codes)
+        encoded = pq_encode(corpus, codebooks, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("pq_codes")
+        )
     exploded = (
         encoded.select(
             "neighbor_id", F.posexplode(_adc(F.col("pq_codes"))).alias("__pos", "__d2")
@@ -1141,48 +1148,39 @@ def ann_recall(
     )
 
 
-def ivf_pq_ann(
+def ivf_pq_encode(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
     subspaces: int = 4,
     codebook_size: int = 8,
-    k: int = 3,
-    nprobe: int = 1,
-    round_digits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF-PQ ANN — the FAISS-style composition of the inverted file
-    (:func:`ivf_ann`) and product quantization (:func:`pq_ann`), and
-    the shape that actually serves 100 TB vector corpora: the corpus
-    is read in ONE map-only pass that emits (cell, pq_codes) — 8 bytes
-    of codes instead of the raw vector — and scoring touches only the
-    candidates inside the probed cells, by LUT lookups, never the
-    vector column.
-
-    Determinism matches the component operators exactly: centroids and
-    codebooks are the lowest-id corpus vectors, assignment ties break
-    to the lowest centroid id (strict-max fold), encode argmin ties to
-    the lowest code, rank on the ROUNDED ADC distance with neighbor-id
-    tie-break — so a SQL oracle reproduces the result bit-for-bit.
-
-    BOUND CONTRACT: ``queries`` is collected driver-side (probes +
-    LUTs inlined into the task closure) — a bounded probe set,
-    thousands not millions; an unbounded query side belongs in
-    :func:`knn_graph`.
-
-    The query set is bounded (collected; probes + LUTs are driver
-    arithmetic over n_queries x n_centroids / codebook entries), the
-    corpus is never collected.
-    """
-    cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    )
-    centroids = [(r[id_col], [float(x) for x in r[vec_col]]) for r in cent_rows]
-    codebooks = default_codebooks(
-        corpus, id_col, vec_col, subspaces, codebook_size
-    )
+    """The IVF-PQ corpus pass as a standalone frame: ONE map-only
+    Arrow evaluation emitting (neighbor_id, cell, codes) — the encoded
+    table :func:`ivf_pq_ann` serves from.  Same deterministic
+    quantizer (lowest-id centroids, cosine argmax ties to the lowest
+    centroid id) and encoder (argmin ties to the lowest code) as the
+    inline path; split out (r12) so the encode can be materialized
+    once per session/ingest and injected via ``ivf_pq_ann(encoded=)``.
+    ``centroids``/``codebooks`` accept the caller's already-collected
+    derivations to avoid re-collecting them."""
+    if centroids is None:
+        cent_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [
+            (r[id_col], [float(x) for x in r[vec_col]]) for r in cent_rows
+        ]
+    if codebooks is None:
+        codebooks = default_codebooks(
+            corpus, id_col, vec_col, subspaces, codebook_size
+        )
     cvecs = [cv for _, cv in centroids]
     cnorms = [_python_norm(cv) for cv in cvecs]
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
@@ -1219,13 +1217,77 @@ def ivf_pq_ann(
             {"cell": cells, "codes": list(np.stack(codes, axis=1))}
         )
 
-    enc = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _cell_and_codes(F.col(vec_col)).alias("__e"),
     ).select(
         "neighbor_id",
         F.col("__e.cell").alias("cell"),
         F.col("__e.codes").alias("codes"),
+    )
+
+
+def ivf_pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    subspaces: int = 4,
+    codebook_size: int = 8,
+    k: int = 3,
+    nprobe: int = 1,
+    round_digits: int = 6,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN — the FAISS-style composition of the inverted file
+    (:func:`ivf_ann`) and product quantization (:func:`pq_ann`), and
+    the shape that actually serves 100 TB vector corpora: the corpus
+    is read in ONE map-only pass that emits (cell, pq_codes) — 8 bytes
+    of codes instead of the raw vector — and scoring touches only the
+    candidates inside the probed cells, by LUT lookups, never the
+    vector column.
+
+    Determinism matches the component operators exactly: centroids and
+    codebooks are the lowest-id corpus vectors, assignment ties break
+    to the lowest centroid id (strict-max fold), encode argmin ties to
+    the lowest code, rank on the ROUNDED ADC distance with neighbor-id
+    tie-break — so a SQL oracle reproduces the result bit-for-bit.
+
+    BOUND CONTRACT: ``queries`` is collected driver-side (probes +
+    LUTs inlined into the task closure) — a bounded probe set,
+    thousands not millions; an unbounded query side belongs in
+    :func:`knn_graph`.
+
+    The query set is bounded (collected; probes + LUTs are driver
+    arithmetic over n_queries x n_centroids / codebook entries), the
+    corpus is never collected.
+    """
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    centroids = [(r[id_col], [float(x) for x in r[vec_col]]) for r in cent_rows]
+    codebooks = default_codebooks(
+        corpus, id_col, vec_col, subspaces, codebook_size
+    )
+    cvecs = [cv for _, cv in centroids]
+    cnorms = [_python_norm(cv) for cv in cvecs]
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    M = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    enc = (
+        encoded
+        if encoded is not None
+        # ``encoded``: callers holding the materialized
+        # (neighbor_id, cell, codes) table — built by ivf_pq_encode
+        # with the same parameters — inject it so the map-only corpus
+        # pass runs once per session instead of per search (r12; a
+        # deployment encodes at ingest and serves from codes)
+        else ivf_pq_encode(
+            corpus, id_col, vec_col,
+            centroids=centroids, codebooks=codebooks,
+        )
     )
 
     # ---- queries: driver-side probes + LUTs ------------------------
