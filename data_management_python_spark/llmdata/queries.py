@@ -2457,7 +2457,18 @@ def sim_knn_graph(spark, sf_dir):
 def t_perplexity_buckets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     x = text.unigram_xent(docs.select("doc_id", "text"), "doc_id", "text")
-    dx = docs.select("doc_id", "lang").join(x.select("doc_id", "xent"), "doc_id")
+    # per-call pin (r12): dx is consumed twice (fence aggregate +
+    # final join) and each consumer re-planned the WHOLE xent pipeline
+    # — 3 corpus tokenize passes each, 16 parquet scans in the
+    # executed plan.  One narrow (doc_id, lang, xent) row per doc; the
+    # dsir-pattern pin (A/B: B faster in all 4 interleaved pairs,
+    # 8 scans instead of 16; at 100 TB the halved corpus passes are
+    # the claim).
+    dx = (
+        docs.select("doc_id", "lang")
+        .join(x.select("doc_id", "xent"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
     fences = dx.groupBy("lang").agg(
         F.percentile("xent", 0.3333333333333333).alias("f1"),
         F.percentile("xent", 0.6666666666666666).alias("f2"),
