@@ -2975,41 +2975,60 @@ class TableStore:
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") > 1)
             )
-            if not dup.isEmpty():
-                row = dup.first()
+            # both probes (within-batch dup, clash vs existing) are
+            # evaluated in ONE driver-blocking action (r12): the two
+            # sequential isEmpty jobs each paid the full job floor on
+            # the happy path — an isEmpty over an EMPTY probe frame
+            # cannot early-exit, it scans everything.  A union of the
+            # two limit-1 legs collects both verdicts in one job;
+            # error identity and precedence (dup first) are unchanged.
+            legs = dup.limit(1).select(
+                F.lit("dup").alias("__kind"),
+                *[F.col(c) for c in cols],
+                F.col("__n"),
+            )
+            if self._has_data(name):
+                existing = None
+                if part is not None and set(part[0]) <= set(cols):
+                    keys, n_buckets = part
+                    touched = self._touched_buckets(batch, keys, n_buckets)
+                    raw = self._read_raw(name)
+                    if self.BUCKET_COL in raw.columns:
+                        spec_l = self._layout(name)
+                        buckets = (
+                            self._expand_split_buckets(spec_l, touched)
+                            if spec_l is not None
+                            else touched
+                        )
+                        existing = raw.filter(
+                            F.col(self.BUCKET_COL).isin(
+                                [int(b) for b in buckets]
+                            )
+                        ).drop(self.BUCKET_COL)
+                if existing is None:
+                    existing = self.table(name)
+                clash = batch.join(
+                    existing.na.drop(subset=cols).select(*cols),
+                    on=list(cols),
+                    how="left_semi",
+                )
+                legs = legs.unionByName(
+                    clash.limit(1).select(
+                        F.lit("clash").alias("__kind"),
+                        *[F.col(c) for c in cols],
+                        F.lit(None).cast("long").alias("__n"),
+                    )
+                )
+            found = {r["__kind"]: r for r in legs.collect()}
+            if "dup" in found:
+                row = found["dup"]
                 raise ValueError(
                     f"batch violates UNIQUE{tuple(cols)} on {name!r}: "
                     f"{tuple(row[c] for c in cols)} appears "
                     f"{row['__n']} times"
                 )
-            if not self._has_data(name):
-                continue
-            existing = None
-            if part is not None and set(part[0]) <= set(cols):
-                keys, n_buckets = part
-                touched = self._touched_buckets(batch, keys, n_buckets)
-                raw = self._read_raw(name)
-                if self.BUCKET_COL in raw.columns:
-                    spec_l = self._layout(name)
-                    buckets = (
-                        self._expand_split_buckets(spec_l, touched)
-                        if spec_l is not None
-                        else touched
-                    )
-                    existing = raw.filter(
-                        F.col(self.BUCKET_COL).isin(
-                            [int(b) for b in buckets]
-                        )
-                    ).drop(self.BUCKET_COL)
-            if existing is None:
-                existing = self.table(name)
-            clash = batch.join(
-                existing.na.drop(subset=cols).select(*cols),
-                on=list(cols),
-                how="left_semi",
-            )
-            if not clash.isEmpty():
-                row = clash.first()
+            if "clash" in found:
+                row = found["clash"]
                 raise ValueError(
                     f"append violates UNIQUE{tuple(cols)} on {name!r}: "
                     f"key {tuple(row[c] for c in cols)} already exists"

@@ -172,6 +172,25 @@ def test_add_unique_enforced_on_append(spark, root):
         store.drop_column("project", "project_igf_id")
 
 
+def test_unique_batch_dup_takes_precedence_over_clash(spark, root):
+    """A batch that both duplicates within itself AND clashes with an
+    existing row must raise the BATCH-duplicate error — pins the probe
+    precedence after the r12 single-action fuse of the two checks."""
+    store = TableStore(spark, root, attr_n_buckets=4)
+    store.store_records("project", _projects(spark, [1, 2]))
+    store.add_unique("project", ["project_igf_id"])
+    both = (
+        _projects(spark, [7])
+        .unionByName(_projects(spark, [7]))  # within-batch dup
+        .unionByName(_projects(spark, [1]))  # clash with existing
+    )
+    with pytest.raises(ValueError, match="batch violates UNIQUE"):
+        store.store_records("project", both)
+    # clash-only still reports the append-time message
+    with pytest.raises(ValueError, match="append violates UNIQUE"):
+        store.store_records("project", _projects(spark, [1]))
+
+
 def test_add_unique_bucket_pruned_path(spark, root):
     store = TableStore(spark, root, attr_n_buckets=4)
     store.store_records("project", _projects(spark, range(1, 30)))
