@@ -113,18 +113,30 @@ def main() -> None:
     # plan cost this pass exists to measure.  min-of-two is the
     # standard steady-state estimator — transient stalls inflate a
     # sample, nothing deflates one below the true plan cost.
+    # round-13 observability: mark which steady entries read a
+    # session-cached family frame instead of recomputing the operator,
+    # and report each family build's one-time seconds (paid in the cold
+    # pass) — so steady_sequential_sec stays interpretable.  Additive
+    # fields only; every existing key is unchanged.
+    from data_management_python_spark.operators import session_cache
+
     steady: dict[str, float] = {}
+    steady_cache_hit: dict[str, bool] = {}
     for _pass in range(2):
         for name in ok:
+            hits_before, _ = session_cache.stats()
             t0 = time.time()
             try:
                 qs[name].fn(spark, sf_dir).count()
                 dt = round(time.time() - t0, 4)
                 if name not in steady or dt < steady[name]:
                     steady[name] = dt
+                hits_after, _ = session_cache.stats()
+                steady_cache_hit[name] = hits_after > hits_before
             except Exception:  # noqa: BLE001 - cold pass already recorded it
                 pass
     steady_sequential = round(sum(steady.values()), 4)
+    _, family_build_sec = session_cache.stats()
 
     def run(name: str) -> None:
         try:
@@ -170,6 +182,8 @@ def main() -> None:
             "sequential_sec": sequential,
             "steady_queries": steady,
             "steady_sequential_sec": steady_sequential,
+            "steady_cache_hit": steady_cache_hit,
+            "family_build_sec": family_build_sec,
             "errors": errors,
             "streams": streams,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

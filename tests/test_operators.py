@@ -980,61 +980,3 @@ def test_session_cache_deep_same_key_recursion_raises(spark):
     assert "re-entered for its own key" in str(result["err"])
     for key in [k for k in _CACHE if k[1].startswith("t_deep_")]:
         del _CACHE[key]
-
-
-def test_corpus_fingerprint_sees_nested_rewrites(tmp_path):
-    """Round-10 ADVICE fix: parquet tables are DIRECTORIES — rewriting
-    a nested part file in place changes neither the top-level entry
-    set nor the subdir's size, so the fingerprint must walk
-    recursively or a stale snapshot would be served."""
-    import os
-    import time
-
-    from data_management_python_spark.operators.session_cache import (
-        _corpus_fingerprint,
-    )
-
-    sf = tmp_path / "corpus"
-    (sf / "table.parquet").mkdir(parents=True)
-    part = sf / "table.parquet" / "part-0000.parquet"
-    part.write_bytes(b"aaaa")
-    f1 = _corpus_fingerprint(str(sf))
-    # same size, different content/mtime — ONLY a recursive walk sees it
-    time.sleep(0.01)
-    part.write_bytes(b"bbbb")
-    os.utime(part)  # ensure mtime_ns moved even on coarse filesystems
-    f2 = _corpus_fingerprint(str(sf))
-    assert f1 != f2
-    # deterministic for unchanged content
-    assert _corpus_fingerprint(str(sf)) == f2
-
-
-def test_persist_save_probe_and_append_atomic(spark, tmp_path, monkeypatch):
-    """Round-10 ADVICE fix: _persist_save's probe+append runs inside
-    one store transaction, so concurrent sessions (or threads) racing
-    the same slug can never BOTH append — a doubled snapshot would
-    poison every later load."""
-    import threading
-
-    from data_management_python_spark.operators import session_cache as sc
-
-    monkeypatch.setenv(sc._PERSIST_ROOT_ENV, str(tmp_path / "fam"))
-    sf = tmp_path / "sf"
-    sf.mkdir()
-    (sf / "marker").write_text("x")
-    df = spark.range(7).selectExpr("id as v").localCheckpoint(eager=True)
-
-    barrier = threading.Barrier(2)
-
-    def racer():
-        barrier.wait()
-        sc._persist_save(spark, "t_race_fam", str(sf), df)
-
-    threads = [threading.Thread(target=racer) for _ in range(2)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    loaded = sc._persist_load(spark, "t_race_fam", str(sf))
-    assert loaded is not None
-    assert loaded.count() == 7  # one snapshot, not a doubled append
