@@ -330,9 +330,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_1", "id_2", "jaccard")
         )
-    # exploded prefix, materialized ONCE pre-partitioned on the join
-    # key: both sides of the candidate self-join read it with no
-    # exchange (and no second explode)
+    # exploded prefix, materialized ONCE: both sides of the candidate
+    # self-join read the checkpoint instead of re-running the explode.
+    # (r12 correction, as for the shingle checkpoint above: under AQE a
+    # localCheckpoint reports UnknownPartitioning, so the self-join DOES
+    # re-exchange both sides — the repartition sizes the checkpoint
+    # blocks; the win is the single explode, not exchange elision.)
     pref = (
         per_doc.select(
             F.col(id_col), "n_sh", F.explode("__pref").alias("__sh")
@@ -739,10 +742,14 @@ def connected_components(
     # a two-branch union would re-run pair generation per branch.
     #
     # Iteration width is pinned EXPLICITLY (defaultParallelism, i.e.
-    # cluster cores), and both sym and the label state are hash-
-    # partitioned on the join key at that width: the per-round join
-    # then reuses the existing partitioning instead of re-shuffling
-    # both sides to spark.sql.shuffle.partitions each round.  An
+    # cluster cores).  sym is hash-partitioned on the join key and
+    # persist()ed — an InMemoryRelation DOES report its partitioning,
+    # so sym's side of the per-round join skips the exchange.  The
+    # label state is a localCheckpoint, which under AQE reports
+    # UnknownPartitioning (r12 measurement) — ITS side re-exchanges
+    # each round, but the state is node-sized narrow rows; the width
+    # pin is what matters: each round runs `width` tasks, not
+    # spark.sql.shuffle.partitions.  An
     # iterative operator must own its width — inheriting a session
     # default sized for one big fact shuffle (e.g. vanilla 200) makes
     # every tiny label round pay hundreds of task launches (measured

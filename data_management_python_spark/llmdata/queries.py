@@ -698,7 +698,10 @@ def _cached_fingerprints(spark, sf_dir, kind, build):
     "query passes only if the full decode->hash->band->verify "
     "pipeline finds exactly the planted dups with zero false "
     "positives (verified empirically: max planted Hamming 2, nearest "
-    "non-dup pair far above threshold)",
+    "non-dup pair far above threshold).  The corpus and its dHash "
+    "table are SESSION-SHARED (decode+hash run once per session, like "
+    "an ingest-time fingerprint store); per-call timings measure the "
+    "band join + exact verify",
 )
 def mm_image_neardup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -735,7 +738,9 @@ def mm_image_neardup(spark, sf_dir):
     "14.  GROUND-TRUTH oracle by id arithmetic; gain invariance is "
     "exact (the double difference cancels a constant log-energy "
     "offset); zero false positives verified at every sf AND the 10x "
-    "corpus (SCALE.md)",
+    "corpus (SCALE.md).  Corpus + fingerprint table session-shared "
+    "(decode+FFT once per session); per-call timings measure the band "
+    "join + verify",
 )
 def mm_audio_neardup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -766,7 +771,9 @@ def mm_audio_neardup(spark, sf_dir):
     "counting aligned frames within Hamming 3, clip pair kept at "
     ">= 60% of the shorter clip (temporal prefix containment, so the "
     "truncated re-post still pairs).  GROUND-TRUTH oracle by id "
-    "arithmetic; zero false positives at every sf",
+    "arithmetic; zero false positives at every sf.  Corpus + per-frame "
+    "hash table session-shared (GIF decode once per session); per-call "
+    "timings measure the band join + alignment verify",
 )
 def mm_video_neardup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

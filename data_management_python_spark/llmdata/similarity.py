@@ -553,6 +553,67 @@ def pq_encode(
     return corpus.withColumn(out_col, _enc(F.col(vec_col)))
 
 
+#: injected-``encoded`` frames already validated this session (weak
+#: identity set — session_cached hands every caller the SAME frame
+#: object, so the one-row probe below runs once per session, not per
+#: search).  Guards the r12 ADVICE hole: a caller injecting a table
+#: encoded with DIFFERENT codebooks/subspaces silently returned wrong
+#: neighbors instead of erroring.
+_ENCODED_VALIDATED: "weakref.WeakSet" = None  # type: ignore[assignment]
+
+
+def _validate_encoded(
+    encoded: DataFrame,
+    code_col: str,
+    subspaces: int,
+    codebook_size: int,
+    required_cols: tuple[str, ...],
+) -> None:
+    """Cheap consistency guard for an injected encoded table: required
+    columns present (schema-only) and a one-row probe that the codes
+    array length matches ``subspaces`` with every code inside the
+    codebook range.  Catches the mismatched-table contract violations
+    that matter (wrong subspaces, wrong codebook_size, wrong column
+    set); identical-shape different-VALUE codebooks remain the
+    caller's contract, as documented at the injection seams."""
+    global _ENCODED_VALIDATED  # noqa: PLW0603 — lazy init, weakref set
+    import weakref  # noqa: PLC0415
+
+    if _ENCODED_VALIDATED is None:
+        _ENCODED_VALIDATED = weakref.WeakSet()
+    missing = [c for c in required_cols if c not in encoded.columns]
+    if missing:
+        raise ValueError(
+            f"injected encoded table is missing columns {missing}; "
+            f"expected {list(required_cols)}"
+        )
+    try:
+        if encoded in _ENCODED_VALIDATED:
+            return
+    except TypeError:  # unhashable/unweakrefable frame: probe each call
+        pass
+    row = encoded.select(code_col).first()
+    if row is not None:
+        codes = row[0]
+        n = len(codes) if codes is not None else None
+        if n != subspaces:
+            raise ValueError(
+                f"injected encoded table's {code_col!r} has length {n}, "
+                f"but this search uses subspaces={subspaces} — the table "
+                "was encoded with different PQ parameters"
+            )
+        if any(c < 0 or c >= codebook_size for c in codes):
+            raise ValueError(
+                f"injected encoded table's {code_col!r} holds codes "
+                f"outside [0, {codebook_size}) — the table was encoded "
+                "with a different codebook_size"
+            )
+    try:
+        _ENCODED_VALIDATED.add(encoded)
+    except TypeError:
+        pass
+
+
 def pq_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -631,6 +692,15 @@ def pq_ann(
         # (r12; a deployment encodes at ingest and serves from codes)
         encoded = pq_encode(corpus, codebooks, vec_col).select(
             F.col(id_col).alias("neighbor_id"), F.col("pq_codes")
+        )
+    else:
+        # r13 (ADVICE): shape-validate the injection once per session —
+        # same-shape different-value codebooks stay the caller's
+        # contract, but wrong subspaces / codebook_size / columns now
+        # error instead of silently returning wrong neighbors
+        _validate_encoded(
+            encoded, "pq_codes", M, len(codebooks[0]),
+            ("neighbor_id", "pq_codes"),
         )
     exploded = (
         encoded.select(
@@ -1276,19 +1346,25 @@ def ivf_pq_ann(
     M = len(codebooks)
     sub = len(codebooks[0][0])
 
-    enc = (
-        encoded
-        if encoded is not None
+    if encoded is not None:
         # ``encoded``: callers holding the materialized
         # (neighbor_id, cell, codes) table — built by ivf_pq_encode
         # with the same parameters — inject it so the map-only corpus
         # pass runs once per session instead of per search (r12; a
-        # deployment encodes at ingest and serves from codes)
-        else ivf_pq_encode(
+        # deployment encodes at ingest and serves from codes).
+        # r13 (ADVICE): shape-validate the injection once per session
+        # so wrong subspaces / codebook_size / columns error instead
+        # of silently returning wrong neighbors.
+        _validate_encoded(
+            encoded, "codes", M, codebook_size,
+            ("neighbor_id", "cell", "codes"),
+        )
+        enc = encoded
+    else:
+        enc = ivf_pq_encode(
             corpus, id_col, vec_col,
             centroids=centroids, codebooks=codebooks,
         )
-    )
 
     # ---- queries: driver-side probes + LUTs ------------------------
     qrows = queries.select(id_col, vec_col).collect()

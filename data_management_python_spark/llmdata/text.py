@@ -101,7 +101,15 @@ def predict_lang_eq(
     not five.  NULL text yields NULL (row dropped by a filter),
     matching predict_lang's 'und' for every concrete ``lang``.
     Equivalence is pinned by a parity test over ties/empty/NULL
-    corpora (tests/test_llmdata.py)."""
+    corpora (tests/test_llmdata.py).
+
+    FILTER CONTEXTS ONLY: on NULL text this returns NULL where
+    ``predict_lang(...) == lang`` returns false.  In a filter both
+    drop the row, but in a projection, ``F.when``, or under negation
+    (``~`` keeps NULL as NULL, so NULL-text rows vanish from a
+    "not-this-language" filter instead of passing it) the two
+    diverge — use the full ``predict_lang`` comparison there, or wrap
+    this in ``F.coalesce(..., F.lit(False))``."""
     if lang not in LANG_MARKERS:
         raise ValueError(f"unknown lang {lang!r}")
     toks = tokens_col if tokens_col is not None else tokens(text)

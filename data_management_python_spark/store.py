@@ -2982,6 +2982,10 @@ class TableStore:
             # cannot early-exit, it scans everything.  A union of the
             # two limit-1 legs collects both verdicts in one job;
             # error identity and precedence (dup first) are unchanged.
+            # (Trade-off, accepted: a batch that DOES contain a dup now
+            # also builds and runs the clash leg — _touched_buckets
+            # included — before raising; extra jobs on the error path
+            # only, bought for one fewer job on every happy path.)
             legs = dup.limit(1).select(
                 F.lit("dup").alias("__kind"),
                 *[F.col(c) for c in cols],

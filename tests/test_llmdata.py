@@ -271,6 +271,64 @@ def test_pq_ann_exact_duplicate_ranks_first(spark):
     assert len(out) == 3
 
 
+def test_pq_ann_injected_encoded_validated(spark):
+    """r13 ADVICE guard: an injected ``encoded`` table built with
+    DIFFERENT PQ parameters must error, not silently return wrong
+    neighbors; a consistent injection returns the inline result."""
+    import pytest
+
+    rows = [
+        (i, [float((i * 5 + d * 2) % 13) - 6.0 for d in range(8)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 10)
+    cbs = similarity.default_codebooks(emb, "vec_id", "embedding", 2, 4)
+    good = similarity.pq_encode(emb, cbs).select(
+        F.col("vec_id").alias("neighbor_id"), "pq_codes"
+    )
+    inline = similarity.pq_ann(
+        emb, q, subspaces=2, codebook_size=4, k=3, codebooks=cbs
+    ).collect()
+    injected = similarity.pq_ann(
+        emb, q, subspaces=2, codebook_size=4, k=3, codebooks=cbs,
+        encoded=good,
+    ).collect()
+    assert inline == injected
+    # wrong subspaces: codes length 4 against a subspaces=2 search
+    bad_cbs = similarity.default_codebooks(emb, "vec_id", "embedding", 4, 4)
+    bad = similarity.pq_encode(emb, bad_cbs).select(
+        F.col("vec_id").alias("neighbor_id"), "pq_codes"
+    )
+    with pytest.raises(ValueError, match="different PQ parameters"):
+        similarity.pq_ann(
+            emb, q, subspaces=2, codebook_size=4, k=3, codebooks=cbs,
+            encoded=bad,
+        )
+    # wrong columns
+    with pytest.raises(ValueError, match="missing columns"):
+        similarity.pq_ann(
+            emb, q, subspaces=2, codebook_size=4, k=3, codebooks=cbs,
+            encoded=good.withColumnRenamed("pq_codes", "codes"),
+        )
+    # ivf seam: wrong subspaces -> codes length mismatch (the one-row
+    # probe is deterministic on length; out-of-range codes are caught
+    # only when the probed row exhibits one)
+    cents = [(r.vec_id, [float(x) for x in r.embedding])
+             for r in emb.orderBy("vec_id").limit(4).collect()]
+    big = similarity.ivf_pq_encode(
+        emb, centroids=cents,
+        codebooks=similarity.default_codebooks(
+            emb, "vec_id", "embedding", 4, 4
+        ),
+    )
+    with pytest.raises(ValueError, match="different PQ parameters"):
+        similarity.ivf_pq_ann(
+            emb, q, n_centroids=4, subspaces=2, codebook_size=4, k=3,
+            encoded=big,
+        )
+
+
 def test_global_prefix_sum_matches_local_scan(spark):
     from data_management_python_spark.llmdata.packing import global_prefix_sum
 
