@@ -3742,7 +3742,7 @@ def e_hll_user_cardinality(spark, sf_dir):
     """,
     doc="standing Count-Min register table built by the STREAMING "
     "frequency monitor (streaming/ingest.cms_monitor_batch): events "
-    "arrive as 4 micro-batches with batch 1 DELIVERED TWICE (the "
+    "arrive as 2 micro-batches with batch 1 DELIVERED TWICE (the "
     "at-least-once re-delivery foreachBatch can produce) — each batch "
     "SUM-merges its registers + the stream marker in one store "
     "transaction.  CMS merge is SUM, not idempotent like the HLL's "
@@ -3781,8 +3781,18 @@ def e_cms_stream_registers(spark, sf_dir):
         root = tempfile.mkdtemp(prefix="cmsmon_")
         try:
             store = TableStore(spark, root)
-            for bid in (0, 1, 1, 2, 3):  # the second 1 is the replay
-                batch = ev.filter(F.col("user_id") % 4 == bid).select(
+            # r13 (verdict item 5): two half-corpus micro-batches with
+            # batch 1 delivered twice, down from four quarter-slices +
+            # replay.  The final registers are batching-invariant (the
+            # merge is a SUM over disjoint full-coverage slices), so
+            # the oracle hash is unchanged, and the exactly-once
+            # evidence is intact — the replayed committed batch is
+            # still skipped by the marker, in-transaction.  Measured
+            # 2.1-2.5 s -> 1.4-1.7 s per protocol run (3 store
+            # transactions instead of 5; each txn pays the driver job
+            # floor regardless of slice size).
+            for bid in (0, 1, 1):  # the second 1 is the replay
+                batch = ev.filter(F.col("user_id") % 2 == bid).select(
                     "user_id"
                 )
                 cms_monitor_batch(

@@ -1475,7 +1475,7 @@ def m_eav_bucketed_store(spark, sf_dir):
     """,
     doc="exactly-once streaming ingestion into the bucketed TableStore "
     "(round-8; streaming/ingest.py) run through its batch-identical "
-    "foreachBatch body: customers arrive as 4 micro-batches with "
+    "foreachBatch body: customers arrive as 2 micro-batches with "
     "batch 1 DELIVERED TWICE (the at-least-once re-delivery Structured "
     "Streaming can produce after a restart) — each batch commits its "
     "bucket-clustered append + stream marker in one store transaction, "
@@ -1506,8 +1506,14 @@ def e_store_ingest(spark, sf_dir):
         try:
             store = TableStore(spark, root)
             store.enable_partitioning("project", ["project_id"], 8)
-            for bid in (0, 1, 1, 2, 3):  # the second 1 is the replay
-                batch = c.filter(F.col("c_custkey") % 4 == bid).select(
+            # r13 (verdict item 5): two half-corpus micro-batches +
+            # the replayed batch 1, down from four quarter-slices + the
+            # replay — the read-back is batching-invariant (disjoint
+            # full-coverage appends), the marker-skip replay evidence
+            # is intact, and the protocol pays 3 store transactions
+            # instead of 5 (measured 1.2-1.3 s -> 0.7 s per run).
+            for bid in (0, 1, 1):  # the second 1 is the replay
+                batch = c.filter(F.col("c_custkey") % 2 == bid).select(
                     F.col("c_custkey").alias("project_id"),
                     F.col("c_name").alias("project_igf_id"),
                     F.lit("ACTIVE").alias("status"),
