@@ -4473,7 +4473,16 @@ class TableStore:
         frame = self.spark.createDataFrame(combos, schema=list(keys)).select(
             *[F.col(k).cast(dtypes[k]).alias(k) for k in keys]
         )
-        return self._touched_buckets(frame, keys, n_buckets)
+        # r13: collect the hashed ids straight off the local literal
+        # frame and dedup driver-side — _touched_buckets' collect_set
+        # is a TWO-stage job (partial agg + single-partition exchange +
+        # final), pure overhead for O(#combos) local rows (measured
+        # ~0.45 s -> ~0.1 s for m_rebucket_split's one-literal
+        # fetch_by probe).  Batch-sized frames keep the aggregate path.
+        rows = frame.select(
+            self._bucket_expr(keys, n_buckets).alias("b")
+        ).collect()
+        return sorted({int(r["b"]) for r in rows})
 
     def fetch_by(self, name: str, **filters: Any) -> DataFrame:
         """Equality/IN fetch (fetch_records_by_column /
