@@ -308,6 +308,18 @@ def unigram_xent(docs, id_col: str = "doc_id", text_col: str = "text"):
     """
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # r13 SIZE-GATED pin (verdict item 2): the plan consumes vocab
+    # twice (the __total aggregate below and the scoring join), and
+    # Spark re-runs the tokenize+explode+agg lineage per consumer — a
+    # full corpus pass each at scale.  Pinning the Zipf-bounded vocab
+    # cuts corpus passes 3 -> 2; the unconditional pin was measured
+    # ~0.3 s SLOWER at bench scale (r12 batch 22 rejection), so the
+    # pin engages only above the input-size threshold.
+    from data_management_python_spark.operators.pinning import (  # noqa: PLC0415
+        pin_if_large,
+    )
+
+    vocab = pin_if_large(vocab, gate=docs)
     # corpus token total = SUM over the vocabulary counts — a 1-row
     # aggregate of the ALREADY-AGGREGATED vocab, broadcast-cross-joined
     # back.  (A separate toks.count() action would re-run the full
@@ -835,10 +847,21 @@ def nb_quality_classifier(
     inference are the same two shuffles — no driver-side model object,
     no Python.
     """
+    from data_management_python_spark.operators.pinning import (  # noqa: PLC0415
+        pin_if_large,
+    )
+
     if labels is None:
         labels = gopher_quality_signals(docs, id_col, text_col).select(
             id_col, F.col("keep").alias(label_col)
         )
+    # r13 SIZE-GATED pin (verdict item 2): the label frame is consumed
+    # three times (the token join, the prior aggregate, the final
+    # label join) and each consumer re-runs the whole Gopher rule
+    # battery over the corpus.  Pinning the narrow (id, bool) frame
+    # makes that one pass; gated because the unconditional pin lost at
+    # bench scale (r12 batch 10 rejection).
+    labels = pin_if_large(labels, gate=docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -863,6 +886,10 @@ def nb_quality_classifier(
             ),
         )
     )
+    # same gate: the 1-row scalars and the vocabulary-sized weights are
+    # each consumed by two downstream branches, and every consumer
+    # re-runs the token-count aggregate (a corpus pass) without a pin.
+    scalars = pin_if_large(scalars, gate=docs)
     weights = counts.crossJoin(F.broadcast(scalars)).select(
         "tok",
         (
@@ -870,6 +897,7 @@ def nb_quality_classifier(
             - F.log((F.col("c_neg") + 1) / (F.col("n_neg") + F.col("v")))
         ).alias("w"),
     )
+    weights = pin_if_large(weights, gate=docs)
     prior = F.log(F.col("docs_pos") / F.col("docs_neg"))
     scored = (
         toks.join(weights, "tok")

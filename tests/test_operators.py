@@ -980,3 +980,35 @@ def test_session_cache_deep_same_key_recursion_raises(spark):
     assert "re-entered for its own key" in str(result["err"])
     for key in [k for k in _CACHE if k[1].startswith("t_deep_")]:
         del _CACHE[key]
+
+
+def test_pin_if_large_gate(spark, tmp_path, monkeypatch):
+    """r13 size-gated pin: below the threshold the frame is returned
+    UNCHANGED (same plan object semantics — no checkpoint job); above
+    it the result is an eager checkpoint with identical rows."""
+    from data_management_python_spark.operators import pinning
+
+    src = tmp_path / "t.parquet"
+    spark.range(1000).selectExpr("id", "id * 2 AS v").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    df = spark.read.parquet(str(src))
+    sz = pinning.plan_size_bytes(df)
+    assert sz > 0  # file-size-derived estimate available
+
+    agg = df.groupBy((df.id % 7).alias("k")).count()
+    # gate OFF: threshold above the estimate -> same object back
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MIN_BYTES", str(sz + 1))
+    assert pinning.pin_if_large(agg, gate=df) is agg
+    # gate ON: threshold at/below the estimate -> checkpointed twin
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MIN_BYTES", str(sz))
+    pinned = pinning.pin_if_large(agg, gate=df)
+    assert pinned is not agg
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, agg.collect())
+    )
+    # checkpointed plan no longer scans the source file
+    assert "LogicalRDD" in pinned._jdf.queryExecution().optimizedPlan().toString()
+    # unavailable estimate is treated as small: never pin blind
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MIN_BYTES", "0")
+    assert pinning.plan_size_bytes(None) == -1

@@ -120,9 +120,15 @@ def main():
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-        )
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        except duckdb.Error:
+            # partial corpora (the docs-only MEGA replicas) ship only
+            # the tables their query families read; queries touching a
+            # missing table would fail on BOTH engines anyway
+            pass
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
